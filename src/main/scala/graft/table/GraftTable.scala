@@ -1,0 +1,457 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** One partition-spec field: a source column + a transform.
+  *
+  * Mirrors the capability surface of the reference's partition specs
+  * (`/root/reference/src/main/java/IcebergHadoopTables.java:27` —
+  * `identity("name").bucket("age", 5)`; month/truncate derivation at
+  * `IcebergPartitionedTable.java:50-65`). Transforms:
+  *  - identity: value itself
+  *  - bucket(n): `pmod(hash(col), n)` — Spark's `hash` is Murmur3-32, the
+  *    same hash family Iceberg buckets with (we do not reproduce Iceberg's
+  *    exact byte-layout hashing; internal consistency is what matters)
+  *  - month: `date_format(col, "yyyy-MM")`
+  *  - truncate(w): strings → first w chars, integrals → value - (value mod w)
+  */
+final case class PartitionField(source: String, transform: String, param: Int = 0) {
+  /** Derived column name, Iceberg-style (`name_trunc`, `age_bucket`, `d_month`). */
+  def name: String = transform match {
+    case "identity" => source
+    case "bucket"   => s"${source}_bucket"
+    case "month"    => s"${source}_month"
+    case "truncate" => s"${source}_trunc"
+  }
+  def expr(c: Column): Column = transform match {
+    case "identity" => c
+    case "bucket"   => pmod(hash(c), lit(param))
+    case "month"    => date_format(c, "yyyy-MM")
+    case "truncate" => substring(c, 1, param) // string form; numeric handled by caller
+  }
+}
+
+/** An equality-delete file: parquet of key tuples that delete matching rows
+  * from data committed in snapshots strictly before `version`. */
+final case class DeleteFile(path: String, keys: Seq[String], version: Int)
+
+/** One committed data directory (a Spark parquet write) + the snapshot
+  * version that committed it. */
+final case class DataDir(path: String, version: Int)
+
+/** A committed table snapshot. `fields` maps logical column name →
+  * physical (in-file) name; physical names are never reused after a drop,
+  * so re-adding a dropped column name cannot resurrect old values (the
+  * field-id problem Iceberg solves with ids — see SURVEY.md D5). */
+final case class Snapshot(
+    version: Int,
+    formatVersion: Int,
+    op: String,
+    schema: StructType,            // logical schema (current)
+    fields: Seq[(String, String)], // logical -> physical
+    spec: Seq[PartitionField],
+    key: Seq[String],              // upsert/sort key (K8)
+    dataDirs: Seq[DataDir],
+    deletes: Seq[DeleteFile],
+    retiredPhysical: Seq[String]   // tombstoned physical names
+) {
+  def physicalOf(logical: String): String =
+    fields.find(_._1 == logical).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $logical"))
+}
+
+/** GraftTable — a versioned relational table on plain Parquet + a
+  * write-once JSON snapshot log. Spark-native re-expression of the
+  * Iceberg-semantics surface the reference exercises: atomic snapshot
+  * append (`IcebergJavaApiAppend.java:92-94`), copy-on-write DELETE
+  * (`IcebergSQLDelete.java:32`), merge-on-read equality-delete upsert
+  * (`IcebergJavaApiUpsert.java:99-118`), schema evolution
+  * (`IcebergSQLMerge.java:69`, `IcebergSQLDelete.java:35`), partition
+  * specs (`IcebergHadoopTables.java:27`), format-version gating
+  * (`IcebergJavaApiUpsert.java:126-133`), and metadata tables
+  * (`IcebergHadoopTables.java:44-47`).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/_graft_log/v00000.json ...   write-once snapshots (CREATE_NEW)
+  *   <dir>/data/<uuid>/[k=v/]part-*.parquet   data commits
+  *   <dir>/deletes/<uuid>/part-*.parquet      equality-delete key files
+  * }}}
+  *
+  * Scale notes (100 TB discipline): the log is O(snapshots) JSON, never
+  * touches row data; reads are multi-path vectorized parquet scans with
+  * filter/column pushdown intact; equality deletes apply as ONE left_anti
+  * join with a version guard (deletes only hit strictly-older commits),
+  * not one join per delete file; partition-derived columns are ALSO
+  * stored in-file so per-file min/max footer stats give file-level
+  * skipping equivalent to partition pruning under multi-commit layouts.
+  */
+final class GraftTable private (val spark: SparkSession, val dir: String) {
+  import GraftTable._
+
+  private def fs: FileSystem = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- log access ------------------------------------------------------
+  private def logDir = new Path(dir, "_graft_log")
+
+  def currentVersion: Int = {
+    val st = fs.listStatus(logDir)
+    st.map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
+      .map(n => n.substring(1, n.length - 5).toInt).max
+  }
+
+  def snapshot: Snapshot = snapshotAt(currentVersion)
+
+  def snapshotAt(v: Int): Snapshot = {
+    val p = new Path(logDir, f"v$v%05d.json")
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    readSnapshot(new String(bytes, "UTF-8"))
+  }
+
+  def allSnapshots: Seq[Snapshot] = (0 to currentVersion).map(snapshotAt)
+
+  /** Optimistic-concurrency commit: write-once `v{N}.json`; on collision
+    * (concurrent writer) retry at N+1. Atomicity = file create-new. */
+  private def commit(s: Snapshot): Snapshot = {
+    var v = s.version
+    var done = false
+    var out = s
+    while (!done) {
+      out = s.copy(version = v)
+      val p = new Path(logDir, f"v$v%05d.json")
+      try {
+        val os = fs.create(p, false) // fail if exists
+        try os.write(writeSnapshot(out).getBytes("UTF-8")) finally os.close()
+        done = true
+      } catch {
+        case _: java.io.IOException if fs.exists(p) => v += 1
+      }
+    }
+    out
+  }
+
+  // ---- schema / spec accessors ----------------------------------------
+  def schema: StructType = snapshot.schema
+  def spec: Seq[PartitionField] = snapshot.spec
+  def sortKey: Seq[String] = snapshot.key
+  def formatVersion: Int = snapshot.formatVersion
+
+  // ---- write paths -----------------------------------------------------
+
+  /** Physical write of `df` (logical column names) into a fresh data dir.
+    * Renames logical→physical, derives partition columns (stored in-file
+    * AND as k=v dirs), sorts within partitions by the table key if set. */
+  private def writeData(df: DataFrame, snap: Snapshot): String = {
+    val sub = s"data/${UUID.randomUUID()}"
+    val aligned0 = alignToSchema(df, snap.schema)
+    // logical -> physical rename
+    val renamed = snap.fields.foldLeft(aligned0) { case (d, (lo, ph)) =>
+      if (lo == ph) d else d.withColumnRenamed(lo, ph)
+    }
+    val partCols = snap.spec.map(_.name)
+    val withParts = snap.spec.foldLeft(renamed) { (d, pf) =>
+      val src = col(snap.physicalOf(pf.source))
+      val dt = snap.schema(pf.source).dataType
+      val e = (pf.transform, dt) match {
+        case ("truncate", LongType | IntegerType | ShortType | ByteType) => src - pmod(src, lit(pf.param))
+        case _                             => pf.expr(src)
+      }
+      d.withColumn(pf.name, e)
+    }
+    val sorted =
+      if (snap.key.nonEmpty)
+        withParts.sortWithinPartitions(snap.key.map(k => col(snap.physicalOf(k))): _*)
+      else withParts
+    if (partCols.nonEmpty) {
+      // duplicate each derived column into the directory layout; the
+      // in-file copy keeps footer min/max stats for file skipping on
+      // multi-commit reads (where dirs from many commits coexist)
+      val dup = partCols.foldLeft(sorted)((d, c) => d.withColumn(s"__dir_$c", col(c)))
+      dup.write.mode("errorifexists")
+        .partitionBy(partCols.map(c => s"__dir_$c"): _*).parquet(s"$dir/$sub")
+    } else {
+      sorted.write.mode("errorifexists").parquet(s"$dir/$sub")
+    }
+    sub
+  }
+
+  def append(df: DataFrame): GraftTable = {
+    val s = snapshot
+    val sub = writeData(df, s)
+    commit(s.copy(version = s.version + 1, op = "append",
+      dataDirs = s.dataDirs :+ DataDir(sub, s.version + 1)))
+    this
+  }
+
+  /** Copy-on-write replace of the full table contents (commit path of
+    * DELETE / MERGE — SURVEY.md M1-M5). */
+  def overwrite(df: DataFrame): GraftTable = {
+    val s = snapshot
+    val sub = writeData(df, s)
+    commit(s.copy(version = s.version + 1, op = "overwrite",
+      dataDirs = Seq(DataDir(sub, s.version + 1)), deletes = Seq.empty))
+    this
+  }
+
+  /** Merge-on-read upsert: one atomic commit of (equality-delete keys,
+    * new rows). Deletes apply to strictly-older commits only, so the new
+    * rows survive even when their keys match the delete keys — Iceberg
+    * sequence-number semantics (`IcebergJavaApiUpsert.java:99-118`). */
+  def rowDelta(deleteKeys: DataFrame, rows: DataFrame, keys: Seq[String]): GraftTable = {
+    val s = snapshot
+    require(s.formatVersion >= 2,
+      s"rowDelta requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
+    val dsub = s"deletes/${UUID.randomUUID()}"
+    val physKeys = keys.map(s.physicalOf)
+    deleteKeys.select(keys.map(col): _*)
+      .toDF(physKeys: _*)
+      .write.mode("errorifexists").parquet(s"$dir/$dsub")
+    val rsub = writeData(rows, s)
+    val v = s.version + 1
+    commit(s.copy(version = v, op = "rowdelta",
+      dataDirs = s.dataDirs :+ DataDir(rsub, v),
+      deletes = s.deletes :+ DeleteFile(dsub, keys, v)))
+    this
+  }
+
+  // ---- schema evolution (D4-D7) ---------------------------------------
+
+  def addColumn(name: String, dt: DataType): GraftTable = {
+    val s = snapshot
+    require(!s.schema.fieldNames.contains(name), s"column exists: $name")
+    // never reuse a retired physical name: fresh names get a version suffix
+    val phys =
+      if (s.retiredPhysical.contains(name) || s.fields.exists(_._2 == name)) s"${name}__r${s.version + 1}"
+      else name
+    commit(s.copy(version = s.version + 1, op = "add-column",
+      schema = StructType(s.schema.fields :+ StructField(name, dt, nullable = true)),
+      fields = s.fields :+ (name -> phys)))
+    this
+  }
+
+  def dropColumn(name: String): GraftTable = {
+    val s = snapshot
+    val phys = s.physicalOf(name)
+    require(!s.spec.exists(_.source == name), s"cannot drop partition source column $name")
+    commit(s.copy(version = s.version + 1, op = "drop-column",
+      schema = StructType(s.schema.fields.filterNot(_.name == name)),
+      fields = s.fields.filterNot(_._1 == name),
+      retiredPhysical = s.retiredPhysical :+ phys))
+    this
+  }
+
+  def upgradeFormat(v: Int): GraftTable = {
+    val s = snapshot
+    require(v >= s.formatVersion, "format version cannot be downgraded")
+    commit(s.copy(version = s.version + 1, op = "upgrade-format", formatVersion = v))
+    this
+  }
+
+  def replaceSortKey(keys: Seq[String]): GraftTable = {
+    val s = snapshot
+    keys.foreach(s.physicalOf) // validate
+    commit(s.copy(version = s.version + 1, op = "replace-key", key = keys))
+    this
+  }
+
+  // ---- read path -------------------------------------------------------
+
+  /** Current-snapshot DataFrame: newest logical schema over live files,
+    * equality deletes applied as a single version-guarded left_anti. */
+  def toDF: DataFrame = dfAt(snapshot)
+
+  def dfAt(s: Snapshot): DataFrame = {
+    if (s.dataDirs.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // physical read schema: physical names + typed partition-derived cols
+    val physSchema = StructType(s.schema.fields.map(f =>
+      StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
+    def readDirs(dirs: Seq[DataDir]): DataFrame =
+      spark.read.schema(physSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(dirs.map(d => s"$dir/${d.path}"): _*)
+    val selectLogical: DataFrame => DataFrame = df =>
+      df.select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+
+    if (s.deletes.isEmpty) {
+      selectLogical(readDirs(s.dataDirs))
+    } else {
+      // group data dirs by commit version so ONE anti-join with a version
+      // guard applies every delete file to exactly the older commits
+      val dataByVersion = s.dataDirs.map { d =>
+        readDirs(Seq(d)).withColumn("__cv", lit(d.version))
+      }.reduce(_ unionByName _)
+      val delDf = s.deletes.map { d =>
+        val physKeys = d.keys.map(s.physicalOf)
+        spark.read.parquet(s"$dir/${d.path}")
+          .select(physKeys.map(col): _*)
+          .withColumn("__dv", lit(d.version))
+      }.reduce(_ unionByName _)
+      // broadcast delete keys: delete files are small key sets by design
+      val keys = s.deletes.head.keys.map(s.physicalOf)
+      val cond = keys.map(k => dataByVersion(k) <=> delDf(k)).reduce(_ && _) &&
+        dataByVersion("__cv") < delDf("__dv")
+      selectLogical(dataByVersion.join(broadcast(delDf), cond, "left_anti").drop("__cv"))
+    }
+  }
+
+  // ---- maintenance -----------------------------------------------------
+
+  /** Compaction: rewrite live rows into one data dir, dropping delete
+    * files (the maintenance action a 100 TB deployment runs continuously). */
+  def compact(): GraftTable = overwrite(toDF)
+
+  // ---- DML (delegates to the planner; commits copy-on-write) ----------
+
+  def delete(pred: Column): GraftTable = overwrite(toDF.filter(!coalesce(pred, lit(false))))
+
+  def merge(source: DataFrame, keys: Seq[String],
+            matched: Seq[graft.dml.MergeClause],
+            notMatched: Seq[graft.dml.MergeClause],
+            validateCardinality: Boolean = true): GraftTable = {
+    val merged = graft.dml.MergePlanner.merge(toDF, source, keys, matched, notMatched,
+      validateCardinality)
+    overwrite(merged)
+  }
+
+  // ---- metadata tables (S4/S6/D8) -------------------------------------
+
+  def snapshots: DataFrame = {
+    import spark.implicits._
+    allSnapshots.map(s => (s.version, s.op, s.formatVersion, s.dataDirs.size, s.deletes.size))
+      .toDF("version", "operation", "format_version", "num_data_dirs", "num_delete_files")
+  }
+
+  /** Recursive file listing with sizes (the reference's MinIO object
+    * listing, `Minio.java:79-114`), as a DataFrame. */
+  def files: DataFrame = {
+    import spark.implicits._
+    val f = fs
+    val it = f.listFiles(new Path(dir), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) { val st = it.next(); buf += ((st.getPath.toString.stripPrefix(s"file:"), st.getLen)) }
+    buf.toSeq.toDF("file", "size")
+  }
+
+  /** Hive-style partition path for a row under this table's spec (D9),
+    * e.g. `effective_date_month=2020-03/name_trunc=customer_c`. */
+  def partitionPathExpr: Column = {
+    val s = snapshot
+    require(s.spec.nonEmpty, "table is not partitioned")
+    concat_ws("/", s.spec.map { pf =>
+      val src = col(pf.source)
+      val dt = s.schema(pf.source).dataType
+      val e = (pf.transform, dt) match {
+        case ("truncate", LongType | IntegerType | ShortType | ByteType) => src - pmod(src, lit(pf.param))
+        case _                             => pf.expr(src)
+      }
+      concat(lit(pf.name + "="), e.cast(StringType))
+    }: _*)
+  }
+}
+
+object GraftTable {
+  private val mapper = new ObjectMapper()
+
+  /** Column alignment for writes: missing nullable columns become NULL,
+    * extra columns error, types cast (ANSI store-assignment — X2). */
+  private def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty, s"columns not in table schema: ${extra.mkString(",")}")
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  def create(spark: SparkSession, dir: String, schema: StructType,
+             spec: Seq[PartitionField] = Seq.empty,
+             key: Seq[String] = Seq.empty,
+             formatVersion: Int = 1): GraftTable = {
+    val t = new GraftTable(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(dir, "_graft_log")
+    require(!fs.exists(logDir), s"table already exists at $dir")
+    fs.mkdirs(logDir)
+    val snap = Snapshot(0, formatVersion, "create", schema,
+      schema.fieldNames.toSeq.map(n => n -> n), spec, key, Seq.empty, Seq.empty, Seq.empty)
+    val p = new Path(logDir, "v00000.json")
+    val os = fs.create(p, false)
+    try os.write(writeSnapshot(snap).getBytes("UTF-8")) finally os.close()
+    t
+  }
+
+  def load(spark: SparkSession, dir: String): GraftTable = {
+    val t = new GraftTable(spark, dir)
+    t.snapshot // force validation
+    t
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(dir, "_graft_log"))
+  }
+
+  // ---- snapshot JSON ser/de (jackson-databind, shipped with Spark) ----
+
+  private[table] def writeSnapshot(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("formatVersion", s.formatVersion)
+    root.put("op", s.op)
+    root.put("schema", s.schema.json)
+    val fl = root.putArray("fields")
+    s.fields.foreach { case (lo, ph) =>
+      val o = fl.addObject(); o.put("logical", lo); o.put("physical", ph)
+    }
+    val sp = root.putArray("spec")
+    s.spec.foreach { pf =>
+      val o = sp.addObject()
+      o.put("source", pf.source); o.put("transform", pf.transform); o.put("param", pf.param)
+    }
+    val ky = root.putArray("key"); s.key.foreach(ky.add)
+    val dd = root.putArray("dataDirs")
+    s.dataDirs.foreach { d => val o = dd.addObject(); o.put("path", d.path); o.put("version", d.version) }
+    val de = root.putArray("deletes")
+    s.deletes.foreach { d =>
+      val o = de.addObject(); o.put("path", d.path); o.put("version", d.version)
+      val k = o.putArray("keys"); d.keys.foreach(k.add)
+    }
+    val rp = root.putArray("retiredPhysical"); s.retiredPhysical.foreach(rp.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private[table] def readSnapshot(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    def arr(f: String): Seq[JsonNode] = n.get(f).asInstanceOf[ArrayNode].asScala.toSeq
+    Snapshot(
+      version = n.get("version").asInt(),
+      formatVersion = n.get("formatVersion").asInt(),
+      op = n.get("op").asText(),
+      schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      fields = arr("fields").map(o => o.get("logical").asText() -> o.get("physical").asText()),
+      spec = arr("spec").map(o => PartitionField(o.get("source").asText(),
+        o.get("transform").asText(), o.get("param").asInt())),
+      key = arr("key").map(_.asText()),
+      dataDirs = arr("dataDirs").map(o => DataDir(o.get("path").asText(), o.get("version").asInt())),
+      deletes = arr("deletes").map(o => DeleteFile(o.get("path").asText(),
+        o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt())),
+      retiredPhysical = arr("retiredPhysical").map(_.asText())
+    )
+  }
+}

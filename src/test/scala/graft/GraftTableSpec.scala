@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table._
+import graft.dml._
+
+class GraftTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val sampleSchema = StructType(Seq(
+    StructField("age", LongType), StructField("name", StringType)))
+
+  def sampleDf = Seq((1122L, "User-1"), (1130L, "User-2"), (1119L, "User-3"))
+    .toDF("age", "name")
+
+  test("create + append + load round-trips (K3/K5 snapshot append)") {
+    val dir = TestSpark.tmpDir("gt-append")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf).append(sampleDf)
+    assert(t.toDF.count() == 6)
+    assert(t.currentVersion == 2)
+    assert(t.snapshots.count() == 3)
+    val reloaded = GraftTable.load(spark, dir)
+    assert(reloaded.toDF.agg(sum("age")).as[Long].head() == 2 * (1122 + 1130 + 1119))
+  }
+
+  test("D4 add column: old rows read as null; D5 drop column disappears") {
+    val dir = TestSpark.tmpDir("gt-evolve")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)
+    t.addColumn("new_column", IntegerType)
+    assert(t.schema.fieldNames.toSeq == Seq("age", "name", "new_column"))
+    // old rows project null for the new column
+    assert(t.toDF.filter(col("new_column").isNull).count() == 3)
+    t.append(Seq((7L, "User-7", 42)).toDF("age", "name", "new_column"))
+    assert(t.toDF.filter(col("new_column") === 42).count() == 1)
+    // drop
+    t.dropColumn("name")
+    assert(t.schema.fieldNames.toSeq == Seq("age", "new_column"))
+    assert(!t.toDF.columns.contains("name"))
+    assert(t.toDF.count() == 4)
+  }
+
+  test("D5 tombstone: re-added dropped column does not resurrect old values") {
+    val dir = TestSpark.tmpDir("gt-tomb")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)
+    t.dropColumn("name")
+    t.addColumn("name", StringType)
+    // all old physical 'name' values must NOT reappear
+    assert(t.toDF.filter(col("name").isNotNull).count() == 0)
+    t.append(Seq((9L, "fresh")).toDF("age", "name"))
+    assert(t.toDF.filter(col("name") === "fresh").count() == 1)
+    assert(t.toDF.filter(col("name").isNotNull).count() == 1)
+  }
+
+  test("M1 delete is copy-on-write overwrite") {
+    val dir = TestSpark.tmpDir("gt-del")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)
+    t.delete(col("age") > 1120L)
+    assert(t.toDF.as[(Long, String)].collect().toSet == Set((1119L, "User-3")))
+    assert(t.snapshot.op == "overwrite")
+  }
+
+  test("K7/M6 rowDelta: equality deletes hit only older commits") {
+    val dir = TestSpark.tmpDir("gt-rowdelta")
+    val t = GraftTable.create(spark, dir, sampleSchema, key = Seq("name"))
+    t.append(Seq((29L, "GenericRecord-a"), (43L, "GenericRecord-b")).toDF("age", "name"))
+    assertThrows[IllegalArgumentException] { // v1 format gates row deltas (D7)
+      t.rowDelta(Seq("GenericRecord-a").toDF("name"),
+        Seq((129L, "GenericRecord-a")).toDF("age", "name"), Seq("name"))
+    }
+    t.upgradeFormat(2)
+    // upsert both keys — new rows carry the SAME keys as the deletes and
+    // must survive (sequence-number semantics)
+    t.rowDelta(
+      Seq("GenericRecord-a", "GenericRecord-b").toDF("name"),
+      Seq((129L, "GenericRecord-a"), (123L, "GenericRecord-b")).toDF("age", "name"),
+      Seq("name"))
+    val got = t.toDF.orderBy("name").as[(Long, String)].collect().toSeq
+    assert(got == Seq((129L, "GenericRecord-a"), (123L, "GenericRecord-b")))
+    // second upsert stacks on the first
+    t.rowDelta(Seq("GenericRecord-a").toDF("name"),
+      Seq((500L, "GenericRecord-a")).toDF("age", "name"), Seq("name"))
+    val got2 = t.toDF.orderBy("name").as[(Long, String)].collect().toSeq
+    assert(got2 == Seq((500L, "GenericRecord-a"), (123L, "GenericRecord-b")))
+    // compaction folds deletes away without changing visible rows
+    t.compact()
+    assert(t.snapshot.deletes.isEmpty)
+    assert(t.toDF.orderBy("name").as[(Long, String)].collect().toSeq == got2)
+  }
+
+  test("D3/D9 partition spec: layout + partition path derivation") {
+    val dir = TestSpark.tmpDir("gt-part")
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("effective_date", DateType)))
+    val t = GraftTable.create(spark, dir, schema, spec = Seq(
+      PartitionField("effective_date", "month"),
+      PartitionField("name", "truncate", 10)))
+    val df = Seq(("customer_c-V1", "2020-03-15"), ("customer_d-V1", "2020-04-01"))
+      .toDF("name", "d").select(col("name"), to_date(col("d")).as("effective_date"))
+    t.append(df)
+    // IcebergPartitionedTable.java:65 golden path shape
+    val paths = t.toDF.select(t.partitionPathExpr).as[String].collect().toSet
+    assert(paths.contains("effective_date_month=2020-03/name_trunc=customer_c"))
+    assert(t.toDF.filter(col("effective_date") === to_date(lit("2020-03-15"))).count() == 1)
+    // bucket transform: pmod(murmur3, n) stays in range
+    val dir2 = TestSpark.tmpDir("gt-bucket")
+    val t2 = GraftTable.create(spark, dir2, sampleSchema,
+      spec = Seq(PartitionField("age", "bucket", 5)))
+    t2.append(sampleDf)
+    assert(t2.toDF.count() == 3)
+  }
+
+  test("table-level merge commits an overwrite snapshot (M2 via GraftTable)") {
+    val dir = TestSpark.tmpDir("gt-merge")
+    val schema = StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType)))
+    val t = GraftTable.create(spark, dir, schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("customer_id", "name"))
+    t.merge(Seq((2L, "b2"), (3L, "c")).toDF("customer_id", "name"),
+      Seq("customer_id"), Seq(UpdateAllClause()), Seq(InsertAllClause()))
+    val got = t.toDF.orderBy("customer_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("metadata: files listing is non-empty and sized") {
+    val dir = TestSpark.tmpDir("gt-files")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)
+    val files = t.files.filter(col("file").endsWith(".parquet"))
+    assert(files.count() >= 1)
+    assert(files.filter(col("size") > 0).count() >= 1)
+  }
+}
