@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2 reference-parity ops
+  * + the training-data-pipeline extension ops); `oracleSql` holds the
+  * DuckDB-equivalent SQL for every hash-comparable query. Queries without
+  * an oracle entry (signature-based dedup, approximate ANN) get the
+  * driver's rows-only check and are covered by unit specs instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the SCD2 merge pipeline (SURVEY.md M5) through the
+    * full table layer, on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.RefOps.scd2Pipeline(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.RefOps.queries ++
+      ops.AnalyticsOps.queries ++
+      ext.TextOps.queries ++
+      ext.Similarity.queries ++
+      ext.EventOps.queries
+
+  def oracleSql: Map[String, String] =
+    ops.RefOps.oracles ++
+      ops.AnalyticsOps.oracles ++
+      ext.TextOps.oracles ++
+      ext.Similarity.oracles ++
+      ext.EventOps.oracles
 }

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Event-stream-shaped operators over the `events` table, batch-first
+  * (the streaming forms live in graft.streaming and are unit-tested with
+  * the memory sink; same column logic).
+  *
+  * `ts` is int64 nanoseconds (see Tables.events); all bucketing /
+  * ordering here uses exact integer microsecond math so results are
+  * bit-identical to the DuckDB oracle (which truncates ns→µs on read). */
+object EventOps {
+
+  // keyed-latest dedup: last event per user (ts desc, event_id desc tiebreak)
+  private def dedupKeyedLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    eventsWithTs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  // tumbling 1-hour window aggregation, through the real window() operator
+  private def eventsHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsWithTs(spark, dir)
+      .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start_us", "event_type")
+
+  // sessionization (gaps-and-islands): new session when gap > 30 min
+  private def sessionizeGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsWithTs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // typed metadata out of the JSON props column
+  private def multimodalJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keyed_latest" -> dedupKeyedLatest,
+    "events_hourly_agg" -> eventsHourlyAgg,
+    "sessionize_gaps" -> sessionizeGaps,
+    "multimodal_json" -> multimodalJson
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_keyed_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_hourly_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin,
+    "sessionize_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+        |m AS (SELECT user_id,
+        |        CASE WHEN lag(tu) OVER w IS NULL OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id))
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "multimodal_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-d).
+  *
+  * Vector math is pure higher-order-function Spark: cast to double,
+  * `zip_with` product, ordered `aggregate` fold — deterministic
+  * left-to-right summation, bit-identical to the DuckDB oracle's
+  * `list_dot_product(CAST(.. AS DOUBLE[]))` (verified: both are
+  * sequential IEEE-754 folds), so cosine scores hash-match exactly with
+  * no tolerance games.
+  *
+  * Scale path: brute force is O(Q·N) with the query side broadcast — the
+  * right plan when Q is small. For large Q·N, `annLshBucketed` buckets
+  * vectors by random-hyperplane sign signatures (deterministic seeded
+  * hyperplanes) so candidate generation is a bucket equi-join; recall is
+  * tunable via signature bits / multi-probe. An IVF variant would swap
+  * the signature for a nearest-centroid id; same join shape. */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Ordered fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact cosine top-k: small query set broadcast against
+    * the full corpus; per-query top-k via window rank. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the index pair, mapped to ±1. */
+  private def hyperplaneSign(plane: Int, dimIdx: Column): Column =
+    when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit signature of a vector under `bits` seeded hyperplanes. */
+  def lshSignature(e: Column, bits: Int): Column = {
+    val planeBits = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * hyperplaneSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    planeBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via random-hyperplane LSH buckets: candidates share the exact
+    * signature OR differ in one bit (multi-probe), then exact cosine
+    * within the candidate set. Approximate by design — verified by a
+    * recall test against brute force, not a SQL oracle. */
+  def annLshBucketed(spark: SparkSession, dir: String,
+                     numQueries: Int = 8, k: Int = 5, bits: Int = 8): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("sig", lshSignature(col("e"), bits))
+    // multi-probe: each vector registers its bucket + all 1-bit-flip buckets
+    val probes = e.select(col("vec_id"), col("e"),
+      explode(array((lit(-1) +: (0 until bits).map(lit(_))): _*)).as("flip"),
+      col("sig"))
+      .withColumn("bucket",
+        when(col("flip") === -1, col("sig"))
+          .otherwise(col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), col("flip")))))
+    val q = probes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+    val cand = probes.filter(col("flip") === -1) // corpus registers home bucket only
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("bucket"))
+    val scored = q.join(cand, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ne")).distinct()
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "ann_lsh_bucketed" -> ((s: SparkSession, d: String) => annLshBucketed(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_dot_product(q.qe, e.e)
+        |          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.e, e.e))) AS sim
+        |      FROM q, e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,232 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (builder prompt / SURVEY.md §7.1.4).
+  * Everything is built from codegen'd built-ins and higher-order array
+  * functions; no UDFs, no driver-side loops, every stage keyed and
+  * distributable.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy on the text (shuffle on a 64-bit digest,
+  *    not the full text, at 100 TB you'd group on xxhash64(text) and
+  *    verify within-group).
+  *  - MinHash/LSH: per-doc signature (k=64 permutations approximated by
+  *    k seeded xxhash64 min-hashes — map-side only), banded into b=16
+  *    bands of r=4; candidate generation is a self-join on (band, band
+  *    signature) — a shuffle keyed by tiny band hashes that only
+  *    materializes same-bucket pairs, never the full cross product.
+  *  - SimHash: 64-bit fingerprint via per-token hash bit-voting, banded
+  *    into 4×16-bit chunks for Hamming-distance candidate pairs.
+  */
+object TextOps {
+
+  private val tokens: Column = split(col("text"), " ")
+
+  // ---- oracle-gated queries -------------------------------------------
+
+  // exact dedup: one row per distinct text, keeper = min doc_id
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  // per-language corpus statistics (exact integer aggregates)
+  private def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tok", size(tokens).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy("lang")
+
+  // per-doc quality scoring: type-token ratio + chars/token
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tok", size(tokens))
+      .withColumn("n_distinct_tok", size(array_distinct(tokens)))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"),
+        round(col("n_distinct_tok").cast(DoubleType) / col("n_tok"), 4).as("ttr"),
+        round(col("n_chars").cast(DoubleType) / col("n_tok"), 4).as("chars_per_tok"))
+      .orderBy("doc_id")
+
+  // function-word language ID (marker heuristic), scored against the
+  // labeled lang column
+  private def textLangid(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("pred_lang",
+        when(col("text").contains(" the "), "en")
+          .when(col("text").contains(" le "), "fr")
+          .when(col("text").contains(" der "), "de")
+          .when(col("text").contains(" el "), "es")
+          .otherwise("unk"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  // n-gram Jaccard near-dup pairs, blocked by (lang, n_chars) so the
+  // pair space stays linear-ish in corpus size
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(tokens).as("toks"))
+    val a = d.toDF("a_id", "lang", "n_chars", "a_toks")
+    val b = d.toDF("b_id", "lang", "n_chars", "b_toks")
+    a.join(b, Seq("lang", "n_chars"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
+          size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- signature-based dedup (no SQL oracle; unit-tested) -------------
+
+  /** k seeded min-hashes over the token set (map-side HOFs only). */
+  def minhashSignature(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(toks, t => xxhash64(t, seed))))
+
+  /** MinHash-LSH candidate pairs: band the k-vector into `bands` groups,
+    * self-join on (band index, band hash), verify with exact Jaccard. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val r = k / bands
+    val d = documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokens).as("toks"))
+      .withColumn("sig", minhashSignature(col("toks"), k))
+    val banded = d.select(col("doc_id"), col("toks"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks")).distinct()
+      .withColumn("jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
+          size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, bit-vote, sign → fingerprint.
+    * Pure HOF fold over the token array — map-side, codegen-friendly. */
+  def simhash(toks: Column): Column = {
+    val bitVotes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+          a + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (Hamming ≤ 3 ⇒ at least one identical chunk), join on chunks,
+    * verify with exact Hamming distance via bit_count(xor). */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), simhash(array_distinct(tokens)).as("sh"))
+    val chunked = d.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)), i =>
+          call_function("shiftright", col("sh"), i * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Winnowing-style document fingerprints: w-token shingles → xxhash64 →
+    * per-doc min-k sketch (here: k smallest hashes, a bottom-k sketch). */
+  def docFingerprint(spark: SparkSession, dir: String, w: Int = 3, k: Int = 8): DataFrame = {
+    val shingles = transform(
+      sequence(lit(0), size(tokens) - w),
+      i => concat_ws(" ", slice(tokens, i + lit(1), lit(w))))
+    documents(spark, dir)
+      .filter(size(tokens) >= w)
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(transform(shingles, s => xxhash64(s)))), 1, k)
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    docFingerprint(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("fingerprint").cast(ArrayType(StringType)))
+        .as("fp")).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "doc_fingerprint" -> fingerprintQuery
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(len(string_split(text,' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tok,
+        |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
+        |  ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text,' ')), 4) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT lang,
+        |  CASE WHEN text LIKE '% the %' THEN 'en'
+        |       WHEN text LIKE '% le %' THEN 'fr'
+        |       WHEN text LIKE '% der %' THEN 'de'
+        |       WHEN text LIKE '% el %' THEN 'es'
+        |       ELSE 'unk' END AS pred_lang,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

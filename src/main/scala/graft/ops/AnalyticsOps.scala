@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Aggregation / join / window operators — the §2f gaps the extension
+  * surface deliberately fills (SURVEY.md §7.1.4), expressed with plain
+  * codegen'd built-ins so the whole plan stays in whole-stage codegen.
+  *
+  * Float determinism: every SUM over a double column is computed as
+  * `SUM(CAST(x AS DECIMAL))` then cast back to double — decimal addition
+  * is exact and associative, so the result is bit-identical regardless of
+  * partitioning/aggregation order, on Spark AND on the DuckDB oracle. A
+  * raw double sum would be partition-order-dependent and could never
+  * hash-match. */
+object AnalyticsOps {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  // TPC-H Q1-shaped full-scan aggregation
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.parse("1998-09-02T00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)), 6)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // TPC-H Q3-shaped: selective dim filter + two joins + top-k by revenue.
+  // Customer side is broadcast (dimension << fact at every scale).
+  private def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(o("o_orderkey").as("o_orderkey"))
+      .agg(
+        dsum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ROLLUP over the region/nation hierarchy
+  private def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  // window functions: top-3 orders per customer
+  private def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // left_semi / left_anti (EXISTS / NOT EXISTS)
+  private def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val oKeys = orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val noOrders = c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("no_orders").as("kind"), col("n"))
+    withOrders.unionAll(noOrders).orderBy("kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top_revenue" -> q3TopRevenue,
+    "agg_rollup" -> aggRollup,
+    "window_rank" -> windowRank,
+    "semi_anti_join" -> semiAntiJoin
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders', count(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin
+  )
+}

@@ -1,0 +1,344 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.table._
+import graft.dml._
+import Tables._
+
+/** Reference-parity operators (SURVEY.md §2), each as a pure harness
+  * query over the driver testdata plus an equivalent DuckDB oracle.
+  * DML operators are declared as state-transition queries: build a
+  * GraftTable in a temp dir from `customer`, apply the DML through the
+  * real table layer (write + snapshot commit + read), return the final
+  * state; the oracle expresses the same final state as a pure SELECT. */
+object RefOps {
+
+  // S1 — JSON-lines source with schema inference (Setup.java:56-60)
+  private def scanJsonInfer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Seq(
+      """{"name":"User-1", "age":1122}""",
+      """{"name":"User-2", "age":1130}""",
+      """{"name":"User-3", "age":1119}""").toDS()
+    spark.read.json(ds).select(col("age"), col("name")).orderBy("age")
+  }
+
+  // pushdown showcase: filter + projection reach the parquet scan
+  private def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit(java.time.LocalDateTime.parse("1995-06-01T00:00:00"))
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // P1/U1/X1 — literal projections + UNION ALL + to_date (IcebergSCD2.java:26-31)
+  private def unionLiteralsToDate(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS customer_id, 'customer_a-V1' AS name,
+        |       to_date('2020-01-01','yyyy-MM-dd') AS effective_date
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'customer_a-V2', to_date('2020-01-12','yyyy-MM-dd')
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'customer_b-V1', to_date('9999-12-31','yyyy-MM-dd')
+        |""".stripMargin)
+      // dates leave the query as ISO strings: the comparator sees identical
+      // representations regardless of how each engine's DATE maps to pandas
+      .select(col("customer_id"), col("name"),
+        date_format(col("effective_date"), "yyyy-MM-dd").as("effective_date"))
+      .orderBy("customer_id", "effective_date")
+
+  // O1/O2 — global sort + limit (every reference example's show())
+  private def orderByLimit(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(100)
+
+  // J1 — inner equi-join with residual predicate (IcebergSCD2.java:57-58)
+  private def innerJoinResidual(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    // dimension side broadcast: at any scale, customer << lineitem-sized facts
+    broadcast(c).join(o,
+        c("c_custkey") === o("o_custkey") && o("o_orderstatus") === "F", "inner")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // M2 — explicit-clause MERGE as a state transition on `customer`
+  private def mergeExplicit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val target = cust.select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val source = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-updated")).as("name"),
+        (col("c_acctbal") + 100.0).as("acctbal"))
+      .unionAll(cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("customer_id"),
+          concat(col("c_name"), lit("-new")).as("name"), col("c_acctbal").as("acctbal")))
+    val t = GraftTable.create(spark, tmp("merge_explicit"), target.schema)
+    t.append(target)
+    t.merge(source, Seq("customer_id"),
+      Seq(UpdateClause(Map("name" -> col("s.name"), "acctbal" -> col("s.acctbal")))),
+      Seq(InsertClause(Map("customer_id" -> col("s.customer_id"),
+        "name" -> col("s.name"), "acctbal" -> col("s.acctbal")))))
+    t.toDF.orderBy("customer_id")
+  }
+
+  // M4 — MERGE with matched-clause guard (late-data CDC)
+  private def mergeGuard(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val target = cust.select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
+      (col("c_custkey") % 5).cast(IntegerType).as("rts"))
+    val source = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-u")).as("name"), lit(3).cast(IntegerType).as("rts"))
+    MergePlanner.merge(target, source, Seq("customer_id"),
+      Seq(UpdateClause(Map("name" -> col("s.name"), "rts" -> col("s.rts")),
+        cond = Some(col("t.rts") < col("s.rts")))),
+      Seq(InsertAllClause()))
+      .orderBy("customer_id")
+  }
+
+  // M3 + D4 — star merge interacting with schema evolution
+  private def mergeStarEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val target = cust.select(col("c_custkey").as("customer_id"), col("c_name").as("name"))
+    val source = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-s")).as("name"), col("c_mktsegment").as("segment"))
+    val t = GraftTable.create(spark, tmp("merge_star"), target.schema)
+    t.append(target)
+    // pre-evolution: extra source column `segment` is ignored (reference
+    // runs SET */INSERT * with an extra source column before ADD COLUMN)
+    t.merge(source, Seq("customer_id"), Seq(UpdateAllClause()), Seq(InsertAllClause()))
+    t.addColumn("segment", StringType)
+    // post-evolution: same merge now populates the new column
+    t.merge(source, Seq("customer_id"), Seq(UpdateAllClause()), Seq(InsertAllClause()))
+    t.toDF.orderBy("customer_id")
+  }
+
+  // M1 — DELETE FROM ... WHERE with conjunctive predicate
+  private def deleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val target = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val t = GraftTable.create(spark, tmp("delete_where"), target.schema)
+    t.append(target)
+    t.delete(col("customer_id") % 10 < 3 && col("mktsegment") === "BUILDING")
+    t.toDF.orderBy("customer_id")
+  }
+
+  // M5 — the SCD2 pipeline (flagship; IcebergSCD2.java:51-68)
+  def scd2Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val dimOpen = cust.select(col("customer_id"), col("name"),
+      lit(true).as("is_current"),
+      to_date(lit("2020-01-01")).as("effective_date"),
+      to_date(lit("9999-12-31")).as("end_date"))
+    val dimClosed = cust.filter(col("customer_id") % 4 === 0)
+      .select(col("customer_id"), concat(col("name"), lit("-V0")).as("name"),
+        lit(false).as("is_current"),
+        to_date(lit("2019-06-01")).as("effective_date"),
+        to_date(lit("2020-01-01")).as("end_date"))
+    val t = GraftTable.create(spark, tmp("scd2"), dimOpen.schema)
+    t.append(dimOpen.unionAll(dimClosed))
+
+    val stg = cust.filter(col("customer_id") % 3 === 0)
+      .select(col("customer_id"), concat(col("name"), lit("-V2")).as("name"),
+        to_date(lit("2020-02-15")).as("effective_date"))
+
+    // merge source = UNION ALL(new open rows, close-out rows), exactly the
+    // reference's inline view (IcebergSCD2.java:53-58)
+    val dim = t.toDF
+    val openRows = stg.select(col("customer_id"), col("name"), col("effective_date"),
+      to_date(lit("9999-12-31")).as("end_date"))
+    val closeRows = stg.as("s").join(dim.as("d"),
+        col("s.customer_id") === col("d.customer_id") && col("d.is_current"), "inner")
+      .select(col("d.customer_id").as("customer_id"), col("d.name").as("name"),
+        col("d.effective_date").as("effective_date"),
+        col("s.effective_date").as("end_date"))
+    val source = openRows.unionAll(closeRows)
+
+    t.merge(source, Seq("customer_id", "effective_date"),
+      Seq(UpdateClause(Map("is_current" -> lit(false), "end_date" -> col("s.end_date")))),
+      Seq(InsertClause(Map(
+        "customer_id" -> col("s.customer_id"), "name" -> col("s.name"),
+        "is_current" -> lit(true), "effective_date" -> col("s.effective_date"),
+        "end_date" -> col("s.end_date")))))
+    t.toDF
+      .select(col("customer_id"), col("name"), col("is_current"),
+        date_format(col("effective_date"), "yyyy-MM-dd").as("effective_date"),
+        date_format(col("end_date"), "yyyy-MM-dd").as("end_date"))
+      .orderBy("customer_id", "effective_date")
+  }
+
+  // K7/M6 — merge-on-read equality-delete upsert through the table layer
+  private def rowdeltaUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val base = cust.select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, tmp("rowdelta"), base.schema, key = Seq("customer_id"))
+    t.append(base)
+    t.upgradeFormat(2)
+    val hit = cust.filter(col("c_custkey") % 5 === 0)
+    t.rowDelta(
+      hit.select(col("c_custkey").as("customer_id")),
+      hit.select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-v2")).as("name"),
+        (col("c_acctbal") + 50.0).as("acctbal")),
+      Seq("customer_id"))
+    t.toDF.orderBy("customer_id")
+  }
+
+  // D4/D5 — add column (old rows null) then drop column (projected away)
+  private def schemaAddDrop(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val batch1 = cust.select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, tmp("schema_evolve"), batch1.schema)
+    t.append(batch1)
+    t.addColumn("segment", StringType)
+    val batch2 = cust.filter(col("c_custkey") % 2 === 0)
+      .select((col("c_custkey") + 2000000L).as("customer_id"), col("c_name").as("name"),
+        lit(null).cast(DoubleType).as("acctbal"), col("c_mktsegment").as("segment"))
+    t.append(batch2)
+    t.dropColumn("acctbal")
+    t.toDF.orderBy("customer_id")
+  }
+
+  // D3/D9 — partition transform write + per-partition counts
+  private def partitionTransform(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"))
+    val t = GraftTable.create(spark, tmp("partitioned"), o.schema,
+      spec = Seq(PartitionField("o_orderdate", "month")))
+    t.append(o)
+    t.toDF.select(t.partitionPathExpr.as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n"))
+      .orderBy("part")
+  }
+
+  // S4/D8 — snapshot-log metadata table
+  private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("snapshots"), cust.schema)
+    t.append(cust)
+    t.append(cust.filter(col("customer_id") % 2 === 0))
+    t.delete(col("customer_id") % 7 === 0)
+    t.addColumn("extra", StringType)
+    t.snapshots.select(col("version"), col("operation"), col("format_version"))
+      .orderBy("version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_json_infer" -> scanJsonInfer,
+    "scan_filter_project" -> scanFilterProject,
+    "union_literals_to_date" -> unionLiteralsToDate,
+    "order_by_limit" -> orderByLimit,
+    "inner_join_residual" -> innerJoinResidual,
+    "merge_explicit" -> mergeExplicit,
+    "merge_guard" -> mergeGuard,
+    "merge_star_evolve" -> mergeStarEvolve,
+    "delete_where" -> deleteWhere,
+    "scd2_pipeline" -> (scd2Pipeline _),
+    "rowdelta_upsert" -> rowdeltaUpsert,
+    "schema_add_drop" -> schemaAddDrop,
+    "partition_transform" -> partitionTransform,
+    "snapshots_meta" -> snapshotsMeta
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_json_infer" ->
+      """SELECT CAST(age AS BIGINT) AS age, name
+        |FROM (VALUES (1122,'User-1'),(1130,'User-2'),(1119,'User-3')) t(age,name)
+        |ORDER BY age""".stripMargin,
+    "scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "union_literals_to_date" ->
+      """SELECT CAST(1 AS BIGINT) AS customer_id, 'customer_a-V1' AS name, CAST(DATE '2020-01-01' AS VARCHAR) AS effective_date
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'customer_a-V2', CAST(DATE '2020-01-12' AS VARCHAR)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'customer_b-V1', CAST(DATE '9999-12-31' AS VARCHAR)
+        |ORDER BY customer_id, effective_date""".stripMargin,
+    "order_by_limit" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin,
+    "inner_join_residual" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "merge_explicit" ->
+      """WITH t AS (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal FROM customer),
+        |s AS (SELECT c_custkey AS customer_id, c_name || '-updated' AS name, c_acctbal + 100.0 AS acctbal
+        |      FROM customer WHERE c_custkey % 3 = 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, c_name || '-new', c_acctbal
+        |      FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT COALESCE(t.customer_id, s.customer_id) AS customer_id,
+        |       CASE WHEN s.customer_id IS NOT NULL THEN s.name ELSE t.name END AS name,
+        |       CASE WHEN s.customer_id IS NOT NULL THEN s.acctbal ELSE t.acctbal END AS acctbal
+        |FROM t FULL OUTER JOIN s ON t.customer_id = s.customer_id
+        |ORDER BY customer_id""".stripMargin,
+    "merge_guard" ->
+      """WITH t AS (SELECT c_custkey AS customer_id, c_name AS name, CAST(c_custkey % 5 AS INT) AS rts FROM customer),
+        |s AS (SELECT c_custkey AS customer_id, c_name || '-u' AS name, CAST(3 AS INT) AS rts
+        |      FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT t.customer_id AS customer_id,
+        |       CASE WHEN s.customer_id IS NOT NULL AND t.rts < s.rts THEN s.name ELSE t.name END AS name,
+        |       CASE WHEN s.customer_id IS NOT NULL AND t.rts < s.rts THEN s.rts ELSE t.rts END AS rts
+        |FROM t LEFT JOIN s ON t.customer_id = s.customer_id
+        |ORDER BY customer_id""".stripMargin,
+    "merge_star_evolve" ->
+      """SELECT c_custkey AS customer_id,
+        |       CASE WHEN c_custkey % 4 = 0 THEN c_name || '-s' ELSE c_name END AS name,
+        |       CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment ELSE CAST(NULL AS VARCHAR) END AS segment
+        |FROM customer ORDER BY customer_id""".stripMargin,
+    "delete_where" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 10 < 3 AND c_mktsegment = 'BUILDING')
+        |ORDER BY customer_id""".stripMargin,
+    "scd2_pipeline" ->
+      """WITH cust AS (SELECT c_custkey AS customer_id, c_name AS name FROM customer),
+        |dim AS (
+        |  SELECT customer_id, name, true AS is_current, DATE '2020-01-01' AS effective_date, DATE '9999-12-31' AS end_date FROM cust
+        |  UNION ALL
+        |  SELECT customer_id, name || '-V0', false, DATE '2019-06-01', DATE '2020-01-01' FROM cust WHERE customer_id % 4 = 0),
+        |stg AS (SELECT customer_id FROM cust WHERE customer_id % 3 = 0)
+        |SELECT d.customer_id AS customer_id, d.name AS name,
+        |       CASE WHEN d.is_current AND d.customer_id IN (SELECT customer_id FROM stg) THEN false ELSE d.is_current END AS is_current,
+        |       CAST(d.effective_date AS VARCHAR) AS effective_date,
+        |       CAST(CASE WHEN d.is_current AND d.customer_id IN (SELECT customer_id FROM stg) THEN DATE '2020-02-15' ELSE d.end_date END AS VARCHAR) AS end_date
+        |FROM dim d
+        |UNION ALL
+        |SELECT customer_id, name || '-V2', true, CAST(DATE '2020-02-15' AS VARCHAR), CAST(DATE '9999-12-31' AS VARCHAR) FROM cust WHERE customer_id % 3 = 0
+        |ORDER BY customer_id, effective_date""".stripMargin,
+    "rowdelta_upsert" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name || '-v2', c_acctbal + 50.0
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY customer_id""".stripMargin,
+    "schema_add_drop" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, CAST(NULL AS VARCHAR) AS segment FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 2000000, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY customer_id""".stripMargin,
+    "partition_transform" ->
+      """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY part""".stripMargin,
+    "snapshots_meta" ->
+      """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
+        |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)
+        |ORDER BY version""".stripMargin
+  )
+}
