@@ -21,12 +21,14 @@ object SparkEntry {
       ops.AnalyticsOps.queries ++
       ext.TextOps.queries ++
       ext.Similarity.queries ++
-      ext.EventOps.queries
+      ext.EventOps.queries ++
+      ext.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
       ops.AnalyticsOps.oracles ++
       ext.TextOps.oracles ++
       ext.Similarity.oracles ++
-      ext.EventOps.oracles
+      ext.EventOps.oracles ++
+      ext.Multimodal.oracles
 }

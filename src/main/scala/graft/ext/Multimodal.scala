@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with a typed metadata struct beside them; decode / feature
+  * extraction runs batched per partition so a real decoder (image/audio
+  * libs are not in this container) can amortize model/codec setup per
+  * batch, exactly like a pandas-UDF/`mapInPandas` stage would.
+  *
+  * The decode step itself is a STUB — `decodeStub` derives deterministic
+  * fake features from the bytes — but everything around it is real and
+  * tested: the binary column schema, the partition-batched execution
+  * shape, the typed output struct, and the downstream relational ops.
+  */
+object Multimodal {
+
+  /** Typed record for a decoded media asset. */
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      format: String,      // sniffed from header bytes
+      width: Int,          // STUB: derived, a real decoder fills these
+      height: Int,
+      feature_hash: Long)  // stand-in for an embedding/frame signature
+
+  /** STUB decoder: a real implementation would decode the payload
+    * (image/audio/video) here. This fake is deterministic in the bytes so
+    * tests and the harness stay reproducible. */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    var h = 1125899906842597L // deterministic FNV-ish fold over the payload
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val fmt =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else "raw"
+    MediaFeatures(docId, bytes.length.toLong, fmt,
+      width = (math.abs(h) % 1920).toInt, height = (math.abs(h / 7) % 1080).toInt,
+      feature_hash = h)
+  }
+
+  /** Partition-batched decode over a binary column. `mapPartitions` keeps
+    * the per-batch shape a heavyweight decoder needs (one codec/model
+    * init per partition, streamed rows) — the Scala-native equivalent of
+    * `mapInPandas`. */
+  def decodeFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast(LongType), col("payload").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real decoder initializes its codec ONCE here, then streams
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** documents.text re-cast as an opaque binary payload column — the
+    * stand-in corpus for media bytes in this container. */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+        struct(col("source"), col("lang"), col("n_chars")).as("meta"))
+
+  /** Oracle-gated query: binary column length + head-bytes hex through
+    * pure SQL expressions (UTF-8 text payloads, so byte length and hex
+    * agree with DuckDB's BLOB functions exactly). */
+  private def multimodalBinary(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        col("meta.source").as("source"))
+      .orderBy("doc_id")
+
+  /** Rows-only query driving the real mapPartitions decode path. */
+  private def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, payloads(spark, dir)).toDF()
+      .select(col("doc_id"), col("byte_len"), col("format"), col("feature_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_binary" -> multimodalBinary,
+    "multimodal_decode" -> multimodalDecode
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_binary" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex, source
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -72,7 +72,13 @@ object Similarity {
     * within the candidate set. Approximate by design — verified by a
     * recall test against brute force, not a SQL oracle. */
   def annLshBucketed(spark: SparkSession, dir: String,
-                     numQueries: Int = 8, k: Int = 5, bits: Int = 8): DataFrame = {
+                     numQueries: Int = 8, k: Int = 5, bits: Int = 4): DataFrame = {
+    // bits trades recall for cost: each query probes (bits+1) of 2^bits
+    // buckets, so candidate fraction ≈ (bits+1)/2^bits of the corpus.
+    // bits=4 suits weakly-clustered corpora (like these random synthetic
+    // embeddings, top-5 cosine ≈ 0.4 → per-plane sign agreement ≈ 0.63);
+    // real near-dup embedding corpora (cosine 0.9+) support bits=16+ at
+    // 100 TB, where the bucket join touches a tiny corpus slice.
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("sig", lshSignature(col("e"), bits))

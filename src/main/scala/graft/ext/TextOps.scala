@@ -97,25 +97,45 @@ object TextOps {
     transform(sequence(lit(0), lit(k - 1)), seed =>
       array_min(transform(toks, t => xxhash64(t, seed))))
 
-  /** MinHash-LSH candidate pairs: band the k-vector into `bands` groups,
-    * self-join on (band index, band hash), verify with exact Jaccard. */
+  /** MinHash-LSH near-dup pairs, scale-hardened:
+    *
+    * Phase 0 collapses documents with IDENTICAL token sets to one
+    * representative (hash-groupBy on a 64-bit set digest). Without this,
+    * boilerplate-heavy corpora (and this synthetic one) put thousands of
+    * identical signatures in every band bucket and the candidate join
+    * goes quadratic — the classic LSH skew failure at scale. Exact
+    * duplicates don't need MinHash; they're already caught by the digest.
+    *
+    * Phase 1 runs banded MinHash over the distinct representatives only:
+    * signature is map-side HOF math, candidates come from an equi-join on
+    * (band, band-hash) of tiny scalar keys (no arrays in shuffle keys),
+    * pairs are deduped on ids alone, and token sets are re-attached by id
+    * afterwards for the exact-Jaccard verification. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
-                      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                      k: Int = 64, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    // b=8, r=8 puts the LSH s-curve threshold at (1/8)^(1/8) ≈ 0.77 —
+    // tuned to the 0.8 verify threshold so few candidates fail the exact
+    // Jaccard check (candidate precision is what the verify join costs)
     val r = k / bands
-    val d = documents(spark, dir)
-      .select(col("doc_id"), array_distinct(tokens).as("toks"))
+    val reps = documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
+      .groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+    val banded = reps
       .withColumn("sig", minhashSignature(col("toks"), k))
-    val banded = d.select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    val candidates = banded.toDF("a_id", "band", "band_hash")
+      .join(banded.toDF("b_id", "band", "band_hash"), Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks")).distinct()
+      .select(col("a_id"), col("b_id")).distinct()
+    val toksById = reps.select(col("doc_id"), col("toks"))
+    candidates
+      .join(toksById.toDF("a_id", "a_toks"), "a_id")
+      .join(toksById.toDF("b_id", "b_toks"), "b_id")
       .withColumn("jac",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
           size(array_union(col("a_toks"), col("b_toks"))))
@@ -145,8 +165,12 @@ object TextOps {
     * chunks (Hamming ≤ 3 ⇒ at least one identical chunk), join on chunks,
     * verify with exact Hamming distance via bit_count(xor). */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // collapse identical fingerprints first (same skew hardening as
+    // dedupMinhashLsh phase 0): pairwise work happens between DISTINCT
+    // fingerprints only, never inside a group of exact duplicates
     val d = documents(spark, dir)
       .select(col("doc_id"), simhash(array_distinct(tokens)).as("sh"))
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
     val chunked = d.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)), i =>
           call_function("shiftright", col("sh"), i * 16).bitwiseAND(0xFFFFL))))

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event operators (the reference has
+  * no streaming — "CDC" there is batch MERGE, SURVEY.md §2f — so this is
+  * extension surface): the same column logic as graft.ext.EventOps
+  * expressed over an unbounded source, plus a stateful sessionizer.
+  *
+  * Batch/stream parity by construction: `hourlyAgg` applies the identical
+  * window+agg expressions as the batch `events_hourly_agg` query, so a
+  * backfill (batch over history) and the live stream produce unionable
+  * results — the standard lambda-free design at scale. */
+object StreamOps {
+
+  /** File stream over a testdata dir's events parquet (ts arrives as
+    * int64 nanoseconds, see graft.ops.Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** Tumbling 1-hour aggregation with a 2-hour watermark: late events
+    * beyond the watermark are dropped, finalized windows emit in append
+    * mode. Identical expressions to the batch query. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_micro", "2 hours")
+      .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double, last_ts_us: Long)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state path (update mode). State is one
+    * tiny struct per key; at scale this shuffles once by user_id and the
+    * state store partitions with it. */
+  def runningUserAgg(spark: SparkSession,
+                     events: Dataset[(Long, Long, Double)]): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, Long.MinValue))
+          var n = prev.n_events; var tot = prev.total_value; var last = prev.last_ts_us
+          rows.foreach { case (_, tsUs, v) =>
+            n += 1; tot += v; if (tsUs > last) last = tsUs
+          }
+          val next = UserAgg(uid, n, tot, last)
+          state.update(next)
+          next
+      }
+  }
+
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+                        n_events: Long)
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** Event-time sessionization with a 30-minute gap, via
+    * flatMapGroupsWithState + event-time timeout: a session closes (and
+    * emits) when the watermark passes its end + gap. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_micro", "2 hours")
+      // the watermarked TIMESTAMP column itself must reach the stateful
+      // operator (projecting it into a bigint would drop the watermark tag)
+      .select(col("user_id"), col("ts_micro"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(uid, s.startUs, s.endUs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000) // ms
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

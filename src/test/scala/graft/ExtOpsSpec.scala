@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Similarity, TextOps, Multimodal}
+
+/** Behavior tests for the non-oracle (approximate / signature) operators,
+  * on planted fixtures where the expected answer is known. */
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Writes a tiny documents corpus with planted near-duplicates into a
+    * temp dir shaped like a testdata sfDir. */
+  lazy val plantedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("planted").toString
+    // long docs so simhash bit-vote margins are stable: 80 distinct
+    // tokens, near-dup differs by one token (jaccard 80/81 ≈ 0.99)
+    val words = (1 to 80).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val nearDup = (words :+ "extra").mkString(" ")
+    val farDoc = (1 to 80).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, base, "en", "src1", base.length.toLong),  // exact dup of 0
+      (3L, farDoc, "en", "src0", farDoc.length.toLong),
+      (4L, "completely different words entirely here now", "en", "src0", 46L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash-LSH finds the planted near-dup pair, not the far pair") {
+    val pairs = TextOps.dedupMinhashLsh(spark, plantedDir, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // docs 0 and 2 are identical -> collapsed to one representative (0);
+    // (0,1) is the surviving near-dup pair
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(pairs.head._3 > 0.9)
+  }
+
+  test("simhash pairs near-identical token sets within hamming bound") {
+    val pairs = graft.ext.TextOps.dedupSimhash(spark, plantedDir, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).contains((0L, 1L)))
+    assert(!pairs.map(p => (p._1, p._2)).contains((0L, 3L)))
+  }
+
+  test("doc fingerprints: identical docs share fingerprints, distinct docs don't") {
+    val fp = TextOps.docFingerprint(spark, plantedDir)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L) != fp(3L))
+    // near-dup shares most shingle hashes with the base doc
+    assert(fp(0L).toSet.intersect(fp(1L).toSet).size >= fp(0L).size / 2)
+  }
+
+  test("LSH ANN achieves recall >= 0.4 against brute force on sf0.001") {
+    // synthetic embeddings are near-random (top-5 cosine ≈ 0.4), the
+    // worst case for sign-LSH — bits=4 trades cost for recall here
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.bruteForceTopK(spark, dir, numQueries = 8, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLshBucketed(spark, dir, numQueries = 8, k = 5, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("multimodal decode stub: deterministic features through mapPartitions") {
+    val payloads = Seq((1L, "hello world".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val f1 = Multimodal.decodeFeatures(spark, payloads).collect().head
+    val f2 = Multimodal.decodeFeatures(spark, payloads).collect().head
+    assert(f1 == f2)
+    assert(f1.byte_len == 11L && f1.format == "raw")
+    // jpeg header sniffing
+    val jpeg = Seq((2L, Array(0xFF.toByte, 0xD8.toByte, 0x01.toByte)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeFeatures(spark, jpeg).collect().head.format == "jpeg")
+  }
+}

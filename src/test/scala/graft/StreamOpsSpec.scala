@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val H = 3600L * 1000000L // one hour in µs
+
+  test("hourlyAgg over a file stream matches the batch query") {
+    val stream = StreamOps.eventsStream(spark, "/root/testdata/sf0.001")
+    val q = StreamOps.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+      val batch = graft.ext.EventOps.queries("events_hourly_agg")(spark, "/root/testdata/sf0.001")
+      // append mode only emits windows the watermark has passed; every
+      // emitted row must exactly match its batch counterpart
+      val s = streamed.collect().map(_.toSeq).toSet
+      val b = batch.collect().map(_.toSeq).toSet
+      assert(s.nonEmpty)
+      assert(s.subsetOf(b))
+    } finally q.stop()
+  }
+
+  test("runningUserAgg accumulates state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamOps.runningUserAgg(spark, mem.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      mem.addData((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 5L, 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, 30L, 4.0))
+      q.processAllAvailable()
+      val byUser = spark.table("running").orderBy($"n_events".desc)
+        .as[StreamOps.UserAgg].collect()
+      val u1 = byUser.filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(u1.n_events == 3 && u1.total_value == 7.0 && u1.last_ts_us == 30L)
+      val u2 = byUser.filter(_.user_id == 2L).maxBy(_.n_events)
+      assert(u2.n_events == 1 && u2.total_value == 7.0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (event_id, ts_ns, user marker)
+    val src = mem.toDS().toDF("event_id", "ts", "utag")
+      .withColumn("user_id", when($"utag" === "a", 1L).otherwise(2L))
+    val q = StreamOps.sessionize(spark, src)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      val ns = 1000000000L
+      // user a: two events 5 min apart (one session), then an event 2h
+      // later — the gap closes session 1; the watermark (2h behind max
+      // event time) then needs a further push to emit it
+      mem.addData((1L, 1000L * ns, "a"), (2L, 1300L * ns, "a"))
+      q.processAllAvailable()
+      mem.addData((3L, (1000L + 7200L) * ns, "a"))
+      q.processAllAvailable()
+      // advance watermark far past everything
+      mem.addData((4L, (1000L + 7200L * 4) * ns, "a"))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[StreamOps.SessionOut].collect()
+      val first = out.find(_.session_start_us == 1000L * 1000000L)
+      assert(first.isDefined, s"expected first session emitted, got ${out.mkString(",")}")
+      assert(first.get.n_events == 2 && first.get.session_end_us == 1300L * 1000000L)
+    } finally q.stop()
+  }
+}
