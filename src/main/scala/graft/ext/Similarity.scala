@@ -25,17 +25,22 @@ object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Ordered fold dot product — deterministic summation order. */
+  /** Ordered fold dot product — deterministic summation order. HOF
+    * reference form; the hot path uses the codegen'd
+    * [[graft.functions.VectorDot]] expression (identical semantics). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosine(a: Column, b: Column): Column = {
+    import graft.functions.GraftFunctions.vec_dot
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+  }
 
   /** Brute-force exact cosine top-k: small query set broadcast against
     * the full corpus; per-query top-k via window rank. */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
@@ -79,6 +84,7 @@ object Similarity {
     // embeddings, top-5 cosine ≈ 0.4 → per-plane sign agreement ≈ 0.63);
     // real near-dup embedding corpora (cosine 0.9+) support bits=16+ at
     // 100 TB, where the bucket join touches a tiny corpus slice.
+    graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("sig", lshSignature(col("e"), bits))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+class VectorDotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("VectorDot matches the HOF fold bit-for-bit (codegen + interpreted)") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .as[Double].collect().toSeq
+    val native = df.select(GraftFunctions.vec_dot($"a", $"b")).as[Double].collect().toSeq
+    assert(native == hof)
+    // SQL-text form works after registration
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) FROM vecs").as[Double].collect().toSeq
+    assert(viaSql == hof)
+  }
+
+  test("VectorDot nulls: null array or null element -> null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
+      (None, Some(Seq(Some(1.0))))
+    ).toDF("a", "b")
+    val out = df.select(GraftFunctions.vec_dot($"a", $"b")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("cosine via VectorDot is identical to HOF cosine on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+      .limit(50)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val both = e.select(
+      GraftFunctions.vec_dot($"e", $"e").as("native"),
+      hofDot($"e", $"e").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+}
