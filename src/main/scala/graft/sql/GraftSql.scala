@@ -1,0 +1,165 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.expr
+import graft.dml._
+import graft.table.GraftTable
+
+/** Text-SQL front for graft tables — entry point A of the reference
+  * (`spark.sql("MERGE INTO …")`, `IcebergSQLMerge.java:46`;
+  * `DELETE FROM`, `IcebergSQLDelete.java:32`; `INSERT INTO`,
+  * `IcebergSQLMerge.java:23`).
+  *
+  * Spark's ANTLR parser already produces the row-level-command logical
+  * nodes (`MergeIntoTable`, `DeleteFromTable`, `InsertIntoStatement`);
+  * vanilla Spark then requires a DSv2 catalog with row-level-operation
+  * support to execute them. GraftSql intercepts exactly those nodes for
+  * tables registered in its catalog and executes them through the graft
+  * planner + table layer; everything else (SELECT over registered views,
+  * literal queries) falls through to plain `spark.sql`.
+  *
+  * Clause conversion goes through `Expression.sql` → `expr(...)`: the
+  * parsed (unresolved) condition/assignment trees are re-rendered as SQL
+  * and resolved inside MergePlanner's aliased join — no private analyzer
+  * API needed.
+  */
+final class GraftSql(spark: SparkSession) {
+  private val tables = scala.collection.mutable.Map.empty[String, GraftTable]
+
+  /** Registers a graft table under a SQL name (also as a temp view so
+    * SELECTs resolve; the view is refreshed after every DML). */
+  def register(name: String, table: GraftTable): GraftSql = {
+    tables(name.toLowerCase) = table
+    refreshView(name)
+    this
+  }
+
+  def table(name: String): GraftTable = tables(name.toLowerCase)
+
+  private def refreshView(name: String): Unit =
+    tables(name.toLowerCase).toDF.createOrReplaceTempView(name.replace(".", "__"))
+
+  private def nameOf(plan: LogicalPlan): Option[String] = plan match {
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.mkString(".").toLowerCase)
+    case SubqueryAlias(_, child) => nameOf(child)
+    case _ => None
+  }
+
+  /** Rewrites references to registered graft tables (possibly dotted,
+    * `default.scd2_table`) into their backing temp-view names so a parsed
+    * sub-plan (merge source, insert query) resolves through plain Spark. */
+  private def resolveRegistered(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case u: UnresolvedRelation
+        if tables.contains(u.multipartIdentifier.mkString(".").toLowerCase) =>
+      UnresolvedRelation(Seq(
+        u.multipartIdentifier.mkString(".").toLowerCase.replace(".", "__")))
+  }
+
+  private def targetTable(plan: LogicalPlan): Option[GraftTable] =
+    nameOf(plan).flatMap(tables.get)
+
+  /** Renders an unresolved parsed expression back to SQL and re-parses it
+    * as a Column, rewriting the target/source qualifiers to the planner's
+    * `t`/`s` aliases. */
+  private def toCol(e: Expression, targetAlias: Option[String], sourceAlias: Option[String]) = {
+    val rewritten = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.head.toLowerCase
+        if (targetAlias.contains(q)) UnresolvedAttribute("t" +: a.nameParts.tail)
+        else if (sourceAlias.contains(q)) UnresolvedAttribute("s" +: a.nameParts.tail)
+        else a
+    }
+    expr(rewritten.sql)
+  }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+    case _ => None
+  }
+
+  /** Executes a SQL statement. DML over registered graft tables runs
+    * through the graft planner; other statements run via `spark.sql`
+    * (registered tables are visible to SELECTs as `<name with . as __>`
+    * temp views). Returns the post-state for DML, the result otherwise. */
+  def sql(text: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    parsed match {
+      case m: MergeIntoTable if targetTable(m.targetTable).isDefined =>
+        runMerge(m)
+      case d: DeleteFromTable if targetTable(d.table).isDefined =>
+        val name = nameOf(d.table).get
+        val t = tables(name)
+        val cond = d.condition
+        t.delete(toCol(cond, aliasOf(d.table).orElse(nameOf(d.table).map(_.toLowerCase)), None))
+        refreshView(name)
+        t.toDF
+      case i: InsertIntoStatement if nameOf(i.table).exists(tables.contains) =>
+        val name = nameOf(i.table).get
+        val t = tables(name)
+        val df = GraftShim.ofRows(spark, resolveRegistered(i.query))
+        // INSERT INTO ... SELECT <literals>: positional column mapping
+        // with implicit casts (reference X2), like a SQL insert
+        t.append(df.toDF(t.schema.fieldNames.take(df.columns.length).toIndexedSeq: _*))
+        refreshView(name)
+        t.toDF
+      case _ => spark.sql(text) // SELECT / DDL passthrough
+    }
+  }
+
+  private def runMerge(m: MergeIntoTable): DataFrame = {
+    val name = nameOf(m.targetTable).get
+    val t = tables(name)
+    val tAlias = aliasOf(m.targetTable).orElse(Some(name))
+    val sAlias = aliasOf(m.sourceTable)
+    val source = GraftShim.ofRows(spark, resolveRegistered(m.sourceTable match {
+      case SubqueryAlias(_, child) => child
+      case other => other
+    }))
+
+    // ON condition must be an equi-conjunction on same-named columns (the
+    // planner joins on keys); extract them
+    def keysOf(e: Expression): Seq[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => keysOf(l) ++ keysOf(r)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val an = a.nameParts.last; val bn = b.nameParts.last
+        require(an.equalsIgnoreCase(bn),
+          s"MERGE ON supports same-named key equality, got ${a.sql} = ${b.sql}")
+        Seq(an)
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON supports conjunctions of key equalities, got ${other.sql}")
+    }
+    val keys = keysOf(m.mergeCondition)
+
+    def assignments(as: Seq[Assignment]): Map[String, org.apache.spark.sql.Column] =
+      as.map(a => a.key.asInstanceOf[UnresolvedAttribute].nameParts.last ->
+        toCol(a.value, tAlias, sAlias)).toMap
+
+    val matched: Seq[MergeClause] = m.matchedActions.map {
+      case UpdateAction(cond, as, _) =>
+        UpdateClause(assignments(as), cond.map(toCol(_, tAlias, sAlias)))
+      case UpdateStarAction(cond) => UpdateAllClause(cond.map(toCol(_, tAlias, sAlias)))
+      case DeleteAction(cond) => DeleteClause(cond.map(toCol(_, tAlias, sAlias)))
+      case other => throw new IllegalArgumentException(s"unsupported matched action: $other")
+    }
+    val notMatched: Seq[MergeClause] = m.notMatchedActions.map {
+      case InsertAction(cond, as) =>
+        InsertClause(assignments(as), cond.map(toCol(_, tAlias, sAlias)))
+      case InsertStarAction(cond) => InsertAllClause(cond.map(toCol(_, tAlias, sAlias)))
+      case other => throw new IllegalArgumentException(s"unsupported not-matched action: $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported yet")
+
+    t.merge(source, keys, matched, notMatched)
+    refreshView(name)
+    t.toDF
+  }
+}
+
+object GraftSql {
+  def apply(spark: SparkSession): GraftSql = new GraftSql(spark)
+}

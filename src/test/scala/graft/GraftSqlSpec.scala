@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftSql
+import graft.table.GraftTable
+
+/** Drives the text-SQL front with the reference's own SQL statements
+  * (IcebergSQLMerge.java, IcebergSQLDelete.java,
+  * IcebergSQLMergeAsDeleteInsert.java) — the post-states asserted here
+  * are the ones the reference demos print. */
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def freshTable(name: String): (GraftSql, GraftTable) = {
+    val g = GraftSql(spark)
+    val t = GraftTable.create(spark, TestSpark.tmpDir(s"sql_$name"), StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("lastname", StringType))))
+    g.register("test_table", t)
+    (g, t)
+  }
+
+  test("reference MERGE SQL: explicit clauses (IcebergSQLMerge.java:29-46)") {
+    val (g, t) = freshTable("m2")
+    g.sql("INSERT INTO test_table select 1, 'customer_a', 'lastname-1'")
+    g.sql("INSERT INTO test_table select 2, 'customer_b', 'lastname-2'")
+    g.sql(
+      """MERGE INTO test_table t
+        |USING (
+        |    SELECT 3 as customer_id, 'customer_c-insert(with merge sql)' as name, 'lastname-3-insert(with merge sql)' as lastname
+        |    UNION ALL
+        |    SELECT 2 as customer_id, 'customer_b-updated(with merge sql)' as name, 'lastname-2-updated(with merge sql)' as lastname
+        |) s
+        |ON s.customer_id = t.customer_id
+        |WHEN MATCHED
+        |  THEN UPDATE SET t.name = s.name, t.lastname = s.lastname
+        |WHEN NOT MATCHED THEN
+        |   INSERT(customer_id, name, lastname)
+        |   VALUES(s.customer_id, s.name, s.lastname)""".stripMargin)
+    val got = t.toDF.orderBy("customer_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "customer_a", "lastname-1"),
+      (2L, "customer_b-updated(with merge sql)", "lastname-2-updated(with merge sql)"),
+      (3L, "customer_c-insert(with merge sql)", "lastname-3-insert(with merge sql)")))
+  }
+
+  test("reference MERGE SQL: star clauses + schema evolution (IcebergSQLMerge.java:50-72)") {
+    val (g, t) = freshTable("m3")
+    g.sql("INSERT INTO test_table select 1, 'customer_a', 'lastname-1'")
+    val starMerge =
+      """MERGE INTO test_table t
+        |USING (
+        |    SELECT 4 as customer_id, 'customer_c' as name, 'lastname-4' as lastname, 'a@b.com' as email
+        |) s
+        |ON s.customer_id = t.customer_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    // pre-evolution: extra source column ignored
+    g.sql(starMerge)
+    assert(t.toDF.columns.toSeq == Seq("customer_id", "name", "lastname"))
+    assert(t.toDF.count() == 2)
+    // evolve, re-run: email now lands
+    t.addColumn("email", StringType)
+    g.sql(starMerge)
+    val row4 = t.toDF.filter($"customer_id" === 4L).collect().head
+    assert(row4.getString(3) == "a@b.com")
+  }
+
+  test("reference MERGE SQL: matched guard (IcebergSQLMergeAsDeleteInsert.java:30-50)") {
+    val g = GraftSql(spark)
+    val t = GraftTable.create(spark, TestSpark.tmpDir("sql_guard"), StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("record_change_timestamp", IntegerType))))
+    g.register("test_table", t)
+    g.sql("INSERT INTO test_table select 1, 'customer_a', 1")
+    g.sql("INSERT INTO test_table select 2, 'customer_b', 1")
+    g.sql("INSERT INTO test_table select 3, 'customer_b', 2")
+    g.sql(
+      """MERGE INTO test_table t
+        |USING (
+        |    SELECT 1 as customer_id, 'customer_c-insert(with merge sql)' as name, 1 as record_change_timestamp
+        |    UNION ALL
+        |    SELECT 2 as customer_id, 'customer_b-updated(with merge sql)' as name, 2 as record_change_timestamp
+        |    UNION ALL
+        |    SELECT 3 as customer_id, 'customer_b-updated(with merge sql)' as name, 2 as record_change_timestamp
+        |) s
+        |ON s.customer_id = t.customer_id
+        |WHEN MATCHED and t.record_change_timestamp < s.record_change_timestamp
+        |  THEN UPDATE SET t.name = s.name, t.record_change_timestamp = s.record_change_timestamp
+        |WHEN NOT MATCHED THEN
+        |   INSERT(customer_id, name, record_change_timestamp)
+        |   VALUES(s.customer_id, s.name, s.record_change_timestamp)""".stripMargin)
+    val got = t.toDF.orderBy("customer_id").as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "customer_a", 1),
+      (2L, "customer_b-updated(with merge sql)", 2),
+      (3L, "customer_b", 2)))
+  }
+
+  test("reference DELETE SQL (IcebergSQLDelete.java:32)") {
+    val (g, t) = freshTable("del")
+    g.sql("INSERT INTO test_table select 1, 'customer_a-V1', 'lastname-1'")
+    g.sql("INSERT INTO test_table select 1, 'customer_a-V3', 'lastname-1'")
+    g.sql("INSERT INTO test_table select 1, 'customer_a-V3', 'lastname-2'")
+    g.sql("INSERT INTO test_table select 2, 'customer_b', 'lastname-2'")
+    g.sql("INSERT INTO test_table select 3, 'customer_c', 'lastname-3'")
+    g.sql("DELETE FROM test_table WHERE customer_id = 1 and name = 'customer_a-V3'")
+    assert(t.toDF.count() == 3)
+    assert(t.toDF.filter($"name" === "customer_a-V3").count() == 0)
+    // drop column after delete, like the reference (IcebergSQLDelete.java:35)
+    t.dropColumn("name")
+    assert(t.toDF.columns.toSeq == Seq("customer_id", "lastname"))
+  }
+
+  test("reference SCD2 SQL pipeline, dotted table names (IcebergSCD2.java:15-71)") {
+    val g = GraftSql(spark)
+    val dim = GraftTable.create(spark, TestSpark.tmpDir("sql_scd2"), StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("current", BooleanType), StructField("effective_date", DateType),
+      StructField("end_date", DateType))))
+    val stg = GraftTable.create(spark, TestSpark.tmpDir("sql_scd2_stg"), StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("effective_date", DateType))))
+    g.register("default.scd2_table", dim).register("default.stg_scd2_table", stg)
+    g.sql("INSERT INTO default.scd2_table select 1, 'customer_a-V1', false, to_date('2020-01-01', 'yyyy-MM-dd'), to_date('2020-01-12', 'yyyy-MM-dd')")
+    g.sql("INSERT INTO default.scd2_table select 1, 'customer_a-V2', true, to_date('2020-01-12', 'yyyy-MM-dd'), to_date('9999-12-31', 'yyyy-MM-dd')")
+    g.sql("INSERT INTO default.scd2_table select 2, 'customer_b-V1', true, to_date('2020-01-01', 'yyyy-MM-dd'), to_date('9999-12-31', 'yyyy-MM-dd')")
+    g.sql("INSERT INTO default.stg_scd2_table select 1, 'customer_a-V3', to_date('2020-02-15', 'yyyy-MM-dd')")
+    g.sql("INSERT INTO default.stg_scd2_table select 2, 'customer_b-V2', to_date('2020-02-15', 'yyyy-MM-dd')")
+    g.sql("INSERT INTO default.stg_scd2_table select 3, 'customer_c-V1', to_date('2020-02-15', 'yyyy-MM-dd')")
+    g.sql(
+      """MERGE INTO default.scd2_table t
+        |USING (
+        |    SELECT customer_id, name, effective_date, to_date('9999-12-31', 'yyyy-MM-dd') as end_date FROM default.stg_scd2_table
+        |    UNION ALL
+        |    SELECT t.customer_id, t.name, t.effective_date, s.effective_date as end_date FROM default.stg_scd2_table s
+        |    INNER JOIN default.scd2_table t on s.customer_id = t.customer_id AND t.current = true
+        |) s
+        |ON s.customer_id = t.customer_id AND s.effective_date = t.effective_date
+        |WHEN MATCHED
+        |  THEN UPDATE SET t.current = false, t.end_date = s.end_date
+        |WHEN NOT MATCHED THEN
+        |   INSERT(customer_id, name, current, effective_date, end_date)
+        |   VALUES(s.customer_id, s.name, true, s.effective_date, s.end_date)""".stripMargin)
+    val got = dim.toDF.orderBy("customer_id", "effective_date")
+      .selectExpr("customer_id", "name", "current", "CAST(effective_date AS STRING)", "CAST(end_date AS STRING)")
+      .as[(Long, String, Boolean, String, String)].collect().toSeq
+    // the post-state the reference's AFTER show() prints
+    assert(got == Seq(
+      (1L, "customer_a-V1", false, "2020-01-01", "2020-01-12"),
+      (1L, "customer_a-V2", false, "2020-01-12", "2020-02-15"),
+      (1L, "customer_a-V3", true, "2020-02-15", "9999-12-31"),
+      (2L, "customer_b-V1", false, "2020-01-01", "2020-02-15"),
+      (2L, "customer_b-V2", true, "2020-02-15", "9999-12-31"),
+      (3L, "customer_c-V1", true, "2020-02-15", "9999-12-31")))
+  }
+
+  test("SELECT passthrough sees registered table state") {
+    val (g, t) = freshTable("sel")
+    g.sql("INSERT INTO test_table select 1, 'a', 'b'")
+    val n = g.sql("SELECT count(*) AS n FROM test_table").as[Long].head()
+    assert(n == 1)
+  }
+}
