@@ -76,6 +76,42 @@ object AnalyticsOps {
       .orderBy("o_custkey", "rn")
   }
 
+  // TPC-H Q5-shaped: five-way join through the region hierarchy plus the
+  // supplier/customer co-nation condition; dims broadcast, one shuffle
+  // for the final aggregation
+  private def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val s = t(spark, dir, "supplier")
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // part/lineitem pricing stats by brand
+  private def partBrandStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = lineitem(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        max(col("p_retailprice")).as("max_retail"),
+        countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
   // left_semi / left_anti (EXISTS / NOT EXISTS)
   private def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir)
@@ -90,6 +126,8 @@ object AnalyticsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
+    "q5_multi_join" -> q5MultiJoin,
+    "part_brand_stats" -> partBrandStats,
     "agg_rollup" -> aggRollup,
     "window_rank" -> windowRank,
     "semi_anti_join" -> semiAntiJoin
@@ -115,6 +153,22 @@ object AnalyticsOps {
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "part_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(p_retailprice) AS max_retail,
+        |  count(DISTINCT p_partkey) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
