@@ -223,6 +223,31 @@ object RefOps {
       .orderBy("part")
   }
 
+  // time travel (VERSION AS OF) over the snapshot log: union of counts
+  // per historical version after two appends and a delete
+  private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("time_travel"), cust.schema)
+    t.append(cust)                                     // v1
+    t.append(cust.filter(col("customer_id") % 2 === 0)) // v2
+    t.delete(col("customer_id") % 3 === 0)             // v3 (overwrite)
+    import spark.implicits._
+    Seq(1, 2, 3).map(v => (v.toLong, t.asOf(v).count()))
+      .toDF("version", "n_rows").orderBy("version")
+  }
+
+  // incremental changelog read: only the rows appended after a version
+  private def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("incremental"), cust.schema)
+    t.append(cust)                                      // v1
+    t.append(cust.filter(col("customer_id") % 2 === 0)
+      .withColumn("name", concat(col("name"), lit("-b2")))) // v2
+    t.appendsBetween(1, 2).orderBy("customer_id")
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -250,7 +275,9 @@ object RefOps {
     "rowdelta_upsert" -> rowdeltaUpsert,
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
-    "snapshots_meta" -> snapshotsMeta
+    "snapshots_meta" -> snapshotsMeta,
+    "time_travel" -> timeTravel,
+    "incremental_read" -> incrementalRead
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,6 +366,17 @@ object RefOps {
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    "time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, (SELECT count(*) FROM customer) AS n_rows
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0)
+        |         + (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0)
+        |ORDER BY version""".stripMargin,
+    "incremental_read" ->
+      """SELECT c_custkey AS customer_id, c_name || '-b2' AS name
+        |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin
   )
 }

@@ -310,6 +310,36 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Time travel: the table as of snapshot `version` (Iceberg's
+    * `VERSION AS OF` — every snapshot file is immutable, so historical
+    * reads are just `dfAt` of an older log entry). */
+  def asOf(version: Int): DataFrame = dfAt(snapshotAt(version))
+
+  /** Incremental (changelog) read: rows APPENDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the CDC-consumer pattern.
+    * Reads only the data dirs committed in that range, never the whole
+    * table; overwrite commits break the append chain and raise (their
+    * row-level diff is not representable as appends). */
+  def appendsBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    val s = snapshotAt(toVersion)
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val op = snapshotAt(v).op
+      require(op != "overwrite",
+        s"incremental read crosses an overwrite commit at v$v; start from v$v instead")
+    }
+    val newDirs = s.dataDirs.filter(d => d.version > fromVersion && d.version <= toVersion)
+    if (newDirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    else {
+      val physSchema = StructType(s.schema.fields.map(f =>
+        StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
+      spark.read.schema(physSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(newDirs.map(d => s"$dir/${d.path}"): _*)
+        .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+    }
+  }
+
   // ---- maintenance -----------------------------------------------------
 
   /** Compaction: rewrite live rows into one data dir, dropping delete

@@ -128,6 +128,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("time travel + incremental read over the snapshot log") {
+    val dir = TestSpark.tmpDir("gt-travel")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)                                 // v1: 3 rows
+    t.append(Seq((50L, "User-5")).toDF("age", "name")) // v2: +1
+    t.delete(col("age") > 1000L)                       // v3: overwrite, 1 row left
+    assert(t.asOf(1).count() == 3)
+    assert(t.asOf(2).count() == 4)
+    assert(t.asOf(3).count() == 1)
+    assert(t.toDF.count() == 1)
+    // incremental: only the v2 append
+    val inc = t.appendsBetween(1, 2).as[(Long, String)].collect().toSeq
+    assert(inc == Seq((50L, "User-5")))
+    // crossing the overwrite raises
+    assertThrows[IllegalArgumentException] { t.appendsBetween(2, 3) }
+    // empty range is empty, with the right schema
+    assert(t.appendsBetween(1, 1).count() == 0)
+  }
+
   test("metadata: files listing is non-empty and sized") {
     val dir = TestSpark.tmpDir("gt-files")
     val t = GraftTable.create(spark, dir, sampleSchema)
