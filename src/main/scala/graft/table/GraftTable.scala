@@ -126,13 +126,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def allSnapshots: Seq[Snapshot] = (0 to currentVersion).map(snapshotAt)
 
   /** Optimistic-concurrency commit: write-once `v{N}.json`; on collision
-    * (concurrent writer) retry at N+1. Atomicity = file create-new. */
-  private def commit(s: Snapshot): Snapshot = {
-    var v = s.version
+    * (concurrent writer) retry at N+1. The snapshot is REBUILT at the
+    * retried version so data-dir/delete-file version stamps stay
+    * consistent with the final snapshot id. Atomicity = file create-new. */
+  private def commit(startAt: Int)(mk: Int => Snapshot): Snapshot = {
+    var v = startAt
     var done = false
-    var out = s
+    var out: Snapshot = null
     while (!done) {
-      out = s.copy(version = v)
+      out = mk(v)
       val p = new Path(logDir, f"v$v%05d.json")
       try {
         val os = fs.create(p, false) // fail if exists
@@ -173,10 +175,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       }
       d.withColumn(pf.name, e)
     }
+    // AQE rebalance sizes output files by bytes (Iceberg's rolling-writer
+    // goal, Spark-native): small commits collapse to one file instead of
+    // one per task, huge commits split — no hardcoded partition count
+    // that would be wrong at one scale or the other. With a partition
+    // spec, rebalance on the derived columns co-locates partition values.
+    val balanced =
+      if (partCols.nonEmpty) withParts.hint("rebalance", partCols.map(col): _*)
+      else withParts.hint("rebalance")
     val sorted =
       if (snap.key.nonEmpty)
-        withParts.sortWithinPartitions(snap.key.map(k => col(snap.physicalOf(k))): _*)
-      else withParts
+        balanced.sortWithinPartitions(snap.key.map(k => col(snap.physicalOf(k))): _*)
+      else balanced
     if (partCols.nonEmpty) {
       // duplicate each derived column into the directory layout; the
       // in-file copy keeps footer min/max stats for file skipping on
@@ -193,8 +203,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def append(df: DataFrame): GraftTable = {
     val s = snapshot
     val sub = writeData(df, s)
-    commit(s.copy(version = s.version + 1, op = "append",
-      dataDirs = s.dataDirs :+ DataDir(sub, s.version + 1)))
+    commit(s.version + 1)(v => s.copy(version = v, op = "append",
+      dataDirs = s.dataDirs :+ DataDir(sub, v)))
     this
   }
 
@@ -203,8 +213,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def overwrite(df: DataFrame): GraftTable = {
     val s = snapshot
     val sub = writeData(df, s)
-    commit(s.copy(version = s.version + 1, op = "overwrite",
-      dataDirs = Seq(DataDir(sub, s.version + 1)), deletes = Seq.empty))
+    commit(s.version + 1)(v => s.copy(version = v, op = "overwrite",
+      dataDirs = Seq(DataDir(sub, v)), deletes = Seq.empty))
     this
   }
 
@@ -222,8 +232,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .toDF(physKeys: _*)
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
     val rsub = writeData(rows, s)
-    val v = s.version + 1
-    commit(s.copy(version = v, op = "rowdelta",
+    commit(s.version + 1)(v => s.copy(version = v, op = "rowdelta",
       dataDirs = s.dataDirs :+ DataDir(rsub, v),
       deletes = s.deletes :+ DeleteFile(dsub, keys, v)))
     this
@@ -238,7 +247,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val phys =
       if (s.retiredPhysical.contains(name) || s.fields.exists(_._2 == name)) s"${name}__r${s.version + 1}"
       else name
-    commit(s.copy(version = s.version + 1, op = "add-column",
+    commit(s.version + 1)(v => s.copy(version = v, op = "add-column",
       schema = StructType(s.schema.fields :+ StructField(name, dt, nullable = true)),
       fields = s.fields :+ (name -> phys)))
     this
@@ -248,7 +257,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     val phys = s.physicalOf(name)
     require(!s.spec.exists(_.source == name), s"cannot drop partition source column $name")
-    commit(s.copy(version = s.version + 1, op = "drop-column",
+    commit(s.version + 1)(v => s.copy(version = v, op = "drop-column",
       schema = StructType(s.schema.fields.filterNot(_.name == name)),
       fields = s.fields.filterNot(_._1 == name),
       retiredPhysical = s.retiredPhysical :+ phys))
@@ -258,14 +267,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def upgradeFormat(v: Int): GraftTable = {
     val s = snapshot
     require(v >= s.formatVersion, "format version cannot be downgraded")
-    commit(s.copy(version = s.version + 1, op = "upgrade-format", formatVersion = v))
+    commit(s.version + 1)(nv => s.copy(version = nv, op = "upgrade-format", formatVersion = v))
     this
   }
 
   def replaceSortKey(keys: Seq[String]): GraftTable = {
     val s = snapshot
     keys.foreach(s.physicalOf) // validate
-    commit(s.copy(version = s.version + 1, op = "replace-key", key = keys))
+    commit(s.version + 1)(v => s.copy(version = v, op = "replace-key", key = keys))
     this
   }
 

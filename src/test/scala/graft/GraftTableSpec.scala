@@ -155,4 +155,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(files.count() >= 1)
     assert(files.filter(col("size") > 0).count() >= 1)
   }
+
+  test("small commits produce one data file (rebalance write sizing)") {
+    val dir = TestSpark.tmpDir("gt-onefile")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf.repartition(4)) // 4 input partitions, tiny bytes
+    val files = t.files.filter(col("file").endsWith(".parquet"))
+    assert(files.count() == 1, "AQE rebalance should coalesce a tiny commit to one file")
+  }
+
+  test("optimistic commit: a squatting log file bumps the version, nothing is lost") {
+    val dir = TestSpark.tmpDir("gt-occ")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf) // v1
+    // simulate a concurrent writer grabbing v2 (content shape of v1)
+    java.nio.file.Files.copy(
+      new java.io.File(dir, "_graft_log/v00001.json").toPath,
+      new java.io.File(dir, "_graft_log/v00002.json").toPath)
+    t.append(Seq((7L, "late")).toDF("age", "name")) // must land at v3
+    assert(t.currentVersion == 3)
+    assert(t.toDF.filter(col("name") === "late").count() == 1)
+  }
 }
