@@ -122,8 +122,10 @@ object TextOps {
       .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
       .groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+    graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps
-      .withColumn("sig", minhashSignature(col("toks"), k))
+      .withColumn("sig",
+        graft.functions.TextSignatureFunctions.minhash_signature(col("toks"), k))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
@@ -168,8 +170,10 @@ object TextOps {
     // collapse identical fingerprints first (same skew hardening as
     // dedupMinhashLsh phase 0): pairwise work happens between DISTINCT
     // fingerprints only, never inside a group of exact duplicates
+    graft.functions.TextSignatureFunctions.register(spark)
     val d = documents(spark, dir)
-      .select(col("doc_id"), simhash(array_distinct(tokens)).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextSignatureFunctions.simhash(array_distinct(tokens)).as("sh"))
       .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
     val chunked = d.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)), i =>

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature expressions for the dedup pipeline. The HOF
+  * formulations (`transform(sequence(0,63), i -> array_min(transform(
+  * toks, t -> xxhash64(t, i))))` and the per-token 64-long bit-vote
+  * arrays) allocate interpreted lambda frames and intermediate arrays per
+  * token; these expressions hash each token ONCE (xxh64, the same hash
+  * family Spark's `xxhash64` uses) and derive everything else with
+  * integer arithmetic in a tight loop.
+  *
+  * MinHash uses the standard double-hashing construction
+  * `g_i(x) = h1(x) + i*h2(x)` (two independent 64-bit hashes simulate k
+  * permutations), so the per-doc cost is O(tokens + k) arithmetic instead
+  * of O(tokens*k) hashing.
+  */
+abstract class TokenSignature extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  protected final def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** k-permutation MinHash signature of a token array → array<bigint>. */
+case class MinHashSignature(child: Expression, k: Int) extends TokenSignature {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = hash(s, 0x9747b28cL)
+        val h2 = hash(s, 0x85ebca6bL) | 1L // odd => full-period mixing
+        var j = 0
+        var g = h1
+        while (j < k) {
+          if (g < mins(j)) mins(j) = g
+          g += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array → bigint: per-token hash bits vote,
+  * sign of each vote becomes the fingerprint bit. */
+case class SimHash(child: Expression) extends TokenSignature {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = hash(s, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextSignatureFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => exprs match {
+        case Seq(c) => MinHashSignature(c, 64)
+        case Seq(c, k) => MinHashSignature(c,
+          k.eval().asInstanceOf[Number].intValue())
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash", exprs => SimHash(exprs.head), "scala_udf")
+  }
+  def minhash_signature(toks: Column, k: Int): Column =
+    call_function("minhash_signature", toks, org.apache.spark.sql.functions.lit(k))
+  def simhash(toks: Column): Column = call_function("simhash", toks)
+}
