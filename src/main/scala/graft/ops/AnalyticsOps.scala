@@ -123,7 +123,20 @@ object AnalyticsOps {
     withOrders.unionAll(noOrders).orderBy("kind")
   }
 
+  // INTERSECT / EXCEPT set semantics (distinct rows)
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val highBal = c.filter(col("c_acctbal") > 5000).select(col("c_nationkey"))
+    val both = building.intersect(highBal)
+      .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val onlyB = building.except(highBal)
+      .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    both.unionAll(onlyB).orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops" -> setOps,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_multi_join" -> q5MultiJoin,
@@ -134,6 +147,17 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "set_ops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY op""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
