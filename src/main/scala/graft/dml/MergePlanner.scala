@@ -55,12 +55,17 @@ object MergePlanner {
 
   /** Pure DataFrame-in/DataFrame-out merge. Output schema = target schema.
     *
+    * @param notMatchedBySource clauses applied to TARGET rows with no
+    *   source match (`WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`,
+    *   SQL:2023 / Spark 3.4+ MERGE surface) — update expressions here may
+    *   reference only the target side.
     * @param validateCardinality when true, eagerly errors if any target
     *   row matches more than one source row (Iceberg/SQL-standard rule —
     *   SURVEY.md §7.4). Costs one extra aggregation over the source keys.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+            notMatchedBySource: Seq[MergeClause] = Seq.empty,
             validateCardinality: Boolean = true): DataFrame = {
     val targetCols = target.columns.toSeq
     val sourceCols = source.columns.toSeq
@@ -89,22 +94,26 @@ object MergePlanner {
 
     val m = matched.map(expandStar(_, targetCols, sourceCols))
     val nm = notMatched.map(expandStar(_, targetCols, sourceCols))
+    val nmbs = notMatchedBySource
     require(nm.forall(_.isInstanceOf[InsertClause]), "WHEN NOT MATCHED supports INSERT only")
+    require(nmbs.forall(c => c.isInstanceOf[UpdateClause] || c.isInstanceOf[DeleteClause]),
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
 
     // resolve which clause fires per row: first clause whose condition holds
-    def actionOf(clauses: Seq[MergeClause], base: Column, offset: Int): Column =
+    def actionOf(clauses: Seq[MergeClause], offset: Int): Column =
       clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
-        when(base && cl.cond.getOrElse(lit(true)), lit(offset + i)).otherwise(els)
+        when(cl.cond.getOrElse(lit(true)), lit(offset + i)).otherwise(els)
       }
     val action =
-      when(isMatched, actionOf(m, lit(true), 0))
-        .when(sourceOnly, actionOf(nm, lit(true), 100))
-        .otherwise(lit(-2)) // target-only: keep
+      when(isMatched, actionOf(m, 0))
+        .when(sourceOnly, actionOf(nm, 100))
+        .otherwise(actionOf(nmbs, 200)) // target-only; -1 falls through to keep
     val withAction = j.withColumn("__action", action)
 
     // delete rows where a DELETE clause fired; drop source-only rows with
     // no INSERT clause fired; everything else projects per-clause values
-    val deleteIdx = m.zipWithIndex.collect { case (_: DeleteClause, i) => i }
+    val deleteIdx = m.zipWithIndex.collect { case (_: DeleteClause, i) => i } ++
+      nmbs.zipWithIndex.collect { case (_: DeleteClause, i) => 200 + i }
     val kept0 =
       if (deleteIdx.isEmpty) withAction
       else withAction.filter(!col("__action").isin(deleteIdx.map(_.asInstanceOf[Any]): _*))
@@ -117,11 +126,26 @@ object MergePlanner {
       val inserts = nm.zipWithIndex.collect { case (InsertClause(values, _), i) =>
         (100 + i, values.getOrElse(c, lit(null)))
       }
-      (updates ++ inserts).foldRight(col(s"t.$c")) { case ((idx, v), els) =>
+      val bySource = nmbs.zipWithIndex.collect { case (UpdateClause(set, _), i) =>
+        (200 + i, set.getOrElse(c, col(s"t.$c")))
+      }
+      (updates ++ inserts ++ bySource).foldRight(col(s"t.$c")) { case ((idx, v), els) =>
         when(col("__action") === idx, v).otherwise(els)
       }.as(c)
     }
     kept.select(out: _*)
+  }
+
+  /** Standalone UPDATE (copy-on-write): columns in `set` are replaced
+    * where `cond` holds; all other rows/columns pass through. */
+  def update(target: DataFrame, set: Map[String, Column], cond: Column): DataFrame = {
+    val c = coalesce(cond, lit(false))
+    target.select(target.columns.toIndexedSeq.map { name =>
+      set.get(name) match {
+        case Some(v) => when(c, v).otherwise(col(name)).as(name)
+        case None    => col(name)
+      }
+    }: _*)
   }
 
   /** Copy-on-write DELETE (M1): rows where `pred` is true are removed;

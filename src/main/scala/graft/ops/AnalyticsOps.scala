@@ -65,6 +65,13 @@ object AnalyticsOps {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  // CUBE over orderstatus × priority (all grouping-set combinations)
+  private def aggCube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   // window functions: top-3 orders per customer
   private def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -142,6 +149,7 @@ object AnalyticsOps {
     "q5_multi_join" -> q5MultiJoin,
     "part_brand_stats" -> partBrandStats,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
     "window_rank" -> windowRank,
     "semi_anti_join" -> semiAntiJoin
   )
@@ -200,6 +208,11 @@ object AnalyticsOps {
         |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

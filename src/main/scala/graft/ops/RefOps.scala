@@ -223,6 +223,22 @@ object RefOps {
       .orderBy("part")
   }
 
+  // full-sync merge: WHEN NOT MATCHED BY SOURCE DELETE makes the target
+  // mirror the source exactly (the CDC snapshot-sync pattern)
+  private def mergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val target = cust.select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val source = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-sync")).as("name"))
+    MergePlanner.merge(target, source, Seq("customer_id"),
+      matched = Seq(UpdateAllClause()),
+      notMatched = Seq(InsertAllClause()),
+      notMatchedBySource = Seq(DeleteClause()))
+      .orderBy("customer_id")
+  }
+
   // time travel (VERSION AS OF) over the snapshot log: union of counts
   // per historical version after two appends and a delete
   private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
@@ -277,7 +293,8 @@ object RefOps {
     "partition_transform" -> partitionTransform,
     "snapshots_meta" -> snapshotsMeta,
     "time_travel" -> timeTravel,
-    "incremental_read" -> incrementalRead
+    "incremental_read" -> incrementalRead,
+    "merge_full_sync" -> mergeFullSync
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,6 +394,9 @@ object RefOps {
         |ORDER BY version""".stripMargin,
     "incremental_read" ->
       """SELECT c_custkey AS customer_id, c_name || '-b2' AS name
+        |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin,
+    "merge_full_sync" ->
+      """SELECT c_custkey AS customer_id, c_name || '-sync' AS name
         |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin
   )
 }

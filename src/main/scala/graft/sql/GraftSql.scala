@@ -96,6 +96,23 @@ final class GraftSql(spark: SparkSession) {
         t.delete(toCol(cond, aliasOf(d.table).orElse(nameOf(d.table).map(_.toLowerCase)), None))
         refreshView(name)
         t.toDF
+      case u: UpdateTable if targetTable(u.table).isDefined =>
+        val name = nameOf(u.table).get
+        val t = tables(name)
+        val alias = aliasOf(u.table).orElse(Some(name))
+        // UPDATE set-expressions/condition reference unqualified columns
+        // after alias rewrite (single-table statement)
+        def bare(e: Expression) = expr(e.transform {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            alias.contains(a.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(a.nameParts.tail)
+        }.sql)
+        val set = u.assignments.map(a =>
+          a.key.asInstanceOf[UnresolvedAttribute].nameParts.last -> bare(a.value)).toMap
+        t.update(set, u.condition.map(bare).getOrElse(
+          org.apache.spark.sql.functions.lit(true)))
+        refreshView(name)
+        t.toDF
       case i: InsertIntoStatement if nameOf(i.table).exists(tables.contains) =>
         val name = nameOf(i.table).get
         val t = tables(name)
@@ -151,10 +168,15 @@ final class GraftSql(spark: SparkSession) {
       case InsertStarAction(cond) => InsertAllClause(cond.map(toCol(_, tAlias, sAlias)))
       case other => throw new IllegalArgumentException(s"unsupported not-matched action: $other")
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported yet")
+    val notMatchedBySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        UpdateClause(assignments(as), cond.map(toCol(_, tAlias, sAlias)))
+      case DeleteAction(cond) => DeleteClause(cond.map(toCol(_, tAlias, sAlias)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported not-matched-by-source action: $other")
+    }
 
-    t.merge(source, keys, matched, notMatched)
+    t.merge(source, keys, matched, notMatched, notMatchedBySource)
     refreshView(name)
     t.toDF
   }

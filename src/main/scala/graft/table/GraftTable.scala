@@ -359,12 +359,16 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   def delete(pred: Column): GraftTable = overwrite(toDF.filter(!coalesce(pred, lit(false))))
 
+  def update(set: Map[String, Column], pred: Column): GraftTable =
+    overwrite(graft.dml.MergePlanner.update(toDF, set, pred))
+
   def merge(source: DataFrame, keys: Seq[String],
             matched: Seq[graft.dml.MergeClause],
             notMatched: Seq[graft.dml.MergeClause],
+            notMatchedBySource: Seq[graft.dml.MergeClause] = Seq.empty,
             validateCardinality: Boolean = true): GraftTable = {
     val merged = graft.dml.MergePlanner.merge(toDF, source, keys, matched, notMatched,
-      validateCardinality)
+      notMatchedBySource, validateCardinality)
     overwrite(merged)
   }
 

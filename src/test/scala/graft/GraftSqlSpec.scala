@@ -157,6 +157,35 @@ class GraftSqlSpec extends AnyFunSuite {
       (3L, "customer_c-V1", true, "2020-02-15", "9999-12-31")))
   }
 
+  test("UPDATE SQL and MERGE WHEN NOT MATCHED BY SOURCE") {
+    val (g, t) = freshTable("upd")
+    g.sql("INSERT INTO test_table select 1, 'customer_a', 'l1'")
+    g.sql("INSERT INTO test_table select 2, 'customer_b', 'l2'")
+    g.sql("INSERT INTO test_table select 3, 'customer_c', 'l3'")
+    // standalone UPDATE
+    g.sql("UPDATE test_table SET name = concat(name, '-upd') WHERE customer_id >= 2")
+    assert(t.toDF.filter($"name".endsWith("-upd")).count() == 2)
+    // not-matched-by-source DELETE: source only carries key 1 → 2,3 deleted
+    g.sql(
+      """MERGE INTO test_table t
+        |USING (SELECT 1 as customer_id, 'customer_a-v2' as name, 'l1x' as lastname) s
+        |ON s.customer_id = t.customer_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = t.toDF.orderBy("customer_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "customer_a-v2", "l1x")))
+    // not-matched-by-source UPDATE (tombstone the rest instead of deleting)
+    g.sql("INSERT INTO test_table select 9, 'customer_z', 'l9'")
+    g.sql(
+      """MERGE INTO test_table t
+        |USING (SELECT 1 as customer_id) s
+        |ON s.customer_id = t.customer_id
+        |WHEN NOT MATCHED BY SOURCE AND t.customer_id > 5 THEN UPDATE SET t.lastname = 'orphan'""".stripMargin)
+    assert(t.toDF.filter($"lastname" === "orphan").as[(Long, String, String)]
+      .collect().map(_._1).toSeq == Seq(9L))
+  }
+
   test("SELECT passthrough sees registered table state") {
     val (g, t) = freshTable("sel")
     g.sql("INSERT INTO test_table select 1, 'a', 'b'")
