@@ -110,9 +110,58 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means
+    * (Spark MLlib — deterministic under a fixed seed), then search only
+    * the `nProbe` clusters nearest to each query and exact-cosine re-rank
+    * within them. The scale shape: the corpus shuffles ONCE by cluster id
+    * at index time; each query touches ~nProbe/nClusters of the data.
+    * Centroids are metadata-scale (nClusters × dim doubles) and ride the
+    * driver/broadcast like any dimension table. */
+  def annIvf(spark: SparkSession, dir: String,
+             numQueries: Int = 8, k: Int = 5,
+             nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("fv", array_to_vector(col("e")))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("e"), col("cluster"))
+
+    // centroid table: nClusters rows of array<double> — metadata-scale
+    import spark.implicits._
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cluster", "centroid")
+
+    // each query probes its nProbe nearest centroids
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("cluster"),
+        graft.functions.GraftFunctions.vec_dot(col("qe"), col("centroid")).as("cdot"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("cluster"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cluster"))
+
+    val scored = qProbes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
-    "ann_lsh_bucketed" -> ((s: SparkSession, d: String) => annLshBucketed(s, d))
+    "ann_lsh_bucketed" -> ((s: SparkSession, d: String) => annLshBucketed(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d))
   )
 
   val oracles: Map[String, String] = Map(
