@@ -322,7 +322,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Time travel: the table as of snapshot `version` (Iceberg's
     * `VERSION AS OF` — every snapshot file is immutable, so historical
     * reads are just `dfAt` of an older log entry). */
-  def asOf(version: Int): DataFrame = dfAt(snapshotAt(version))
+  def asOf(version: Int): DataFrame = {
+    val s = snapshotAt(version)
+    require(s.op != "expired",
+      s"snapshot v$version has been expired (expireSnapshots); cannot time travel to it")
+    dfAt(s)
+  }
 
   /** Incremental (changelog) read: rows APPENDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive) — the CDC-consumer pattern.
@@ -354,6 +359,41 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Compaction: rewrite live rows into one data dir, dropping delete
     * files (the maintenance action a 100 TB deployment runs continuously). */
   def compact(): GraftTable = overwrite(toDF)
+
+  /** Snapshot expiry (Iceberg's `expire_snapshots`): physically deletes
+    * data/delete dirs referenced ONLY by snapshots older than
+    * `keepLast` versions, then tombstones those log entries (replaced by
+    * a marker so version numbering stays dense and time travel to expired
+    * versions fails cleanly). Bounds storage growth from copy-on-write
+    * churn — O(expired dirs) filesystem work, no row data read. */
+  def expireSnapshots(keepLast: Int): GraftTable = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion
+    val cutoff = cur - keepLast + 1
+    if (cutoff <= 0) return this
+    val keepSnaps = (cutoff to cur).map(snapshotAt)
+    val live: Set[String] =
+      keepSnaps.flatMap(s => s.dataDirs.map(_.path) ++ s.deletes.map(_.path)).toSet
+    val f = fs
+    (0 until cutoff).foreach { v =>
+      val p = new Path(logDir, f"v$v%05d.json")
+      if (f.exists(p)) {
+        val s = snapshotAt(v)
+        (s.dataDirs.map(_.path) ++ s.deletes.map(_.path))
+          .filterNot(live.contains)
+          .foreach(rel => f.delete(new Path(dir, rel), true))
+        // replace the entry with an expired marker (write tmp + rename —
+        // readers only ever see valid JSON)
+        val marker = s.copy(op = "expired", dataDirs = Seq.empty, deletes = Seq.empty)
+        val tmp = new Path(logDir, f"v$v%05d.json.tmp")
+        val os = f.create(tmp, true)
+        try os.write(writeSnapshot(marker).getBytes("UTF-8")) finally os.close()
+        f.delete(p, false)
+        f.rename(tmp, p)
+      }
+    }
+    this
+  }
 
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
 

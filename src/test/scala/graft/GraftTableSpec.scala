@@ -147,6 +147,35 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.appendsBetween(1, 1).count() == 0)
   }
 
+  test("expireSnapshots deletes only unreferenced dirs; current state intact") {
+    val dir = TestSpark.tmpDir("gt-expire")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)                                  // v1
+    t.append(Seq((50L, "User-5")).toDF("age", "name"))  // v2 (v1's dir still live!)
+    t.delete(col("age") > 1000L)                        // v3 overwrite (v1,v2 dirs dead)
+    t.append(Seq((60L, "User-6")).toDF("age", "name"))  // v4
+    val before = t.toDF.orderBy("age").collect().toSeq
+    t.expireSnapshots(keepLast = 2) // keep v3, v4
+    assert(t.toDF.orderBy("age").collect().toSeq == before)
+    assert(t.asOf(4).count() == before.size)
+    assertThrows[IllegalArgumentException] { t.asOf(1) }
+    // the dead v1/v2 data dirs are physically gone
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().length
+    assert(dataDirs == 2, s"expected 2 live data dirs, found $dataDirs")
+    // snapshots metadata still lists a dense version history
+    assert(t.snapshots.count() == 5)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val left = Seq.tabulate(100)(i => ((i % 3).toLong, s"l$i")).toDF("k", "lv")
+    val right = Seq((0L, "r0"), (1L, "r1"), (5L, "r5")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"), "inner")
+      .orderBy("k", "lv", "rv").collect().toSeq
+    val salted = graft.ops.ScaleJoins.saltedJoin(left, right, "k", factor = 8)
+      .orderBy("k", "lv", "rv").collect().toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("metadata: files listing is non-empty and sized") {
     val dir = TestSpark.tmpDir("gt-files")
     val t = GraftTable.create(spark, dir, sampleSchema)
