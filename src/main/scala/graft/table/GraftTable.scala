@@ -319,6 +319,35 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Filtered scan with Iceberg-style transform pruning: predicates on a
+    * partition transform's SOURCE column derive implied predicates on the
+    * DERIVED column (stored in-file), which push to the Parquet scan and
+    * skip whole files via footer min/max — see [[TransformPruning]].
+    * Falls back to a plain filtered read when nothing is derivable. */
+  def scan(pred: Column): DataFrame = {
+    val s = snapshot
+    val derived = TransformPruning.derive(s.spec, s.schema, pred)
+    if (s.spec.isEmpty || s.deletes.nonEmpty || s.dataDirs.isEmpty || derived.isEmpty)
+      return toDF.filter(pred)
+    // read schema includes the derived partition columns (they are stored
+    // in-file precisely so this filter can reach the footer stats)
+    val derivedFields = s.spec.filterNot(_.transform == "identity").map { pf =>
+      val dt = pf.transform match {
+        case "month"  => StringType
+        case "bucket" => IntegerType
+        case _        => s.schema(pf.source).dataType
+      }
+      StructField(pf.name, dt, nullable = true)
+    }
+    val physSchema = StructType(s.schema.fields.map(f =>
+      StructField(s.physicalOf(f.name), f.dataType, nullable = true)) ++ derivedFields)
+    spark.read.schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s.dataDirs.map(d => s"$dir/${d.path}"): _*)
+      .filter(pred && derived.get)
+      .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
   /** Time travel: the table as of snapshot `version` (Iceberg's
     * `VERSION AS OF` — every snapshot file is immutable, so historical
     * reads are just `dfAt` of an older log entry). */

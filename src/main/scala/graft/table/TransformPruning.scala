@@ -1,0 +1,115 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.GraftShim.{AttrNode, FnNode, LitNode, Node}
+import org.apache.spark.sql.types._
+
+/** Iceberg-style partition-transform predicate derivation: given a user
+  * predicate on a transform's SOURCE column, derive the implied predicate
+  * on the DERIVED partition column so Parquet footer min/max stats (and
+  * the k=v layout) can skip files — the pruning Iceberg does through its
+  * transform spec, SURVEY.md §4 "partition pruning" row.
+  *
+  * Works on Spark 4's `ColumnNode` tree (what a `Column` wraps before
+  * analysis). Soundness: each derived predicate is implied by (never
+  * narrower than) the original, so conjoining it cannot change results —
+  * it only lets the scan skip data that could not match.
+  *
+  *  - month: monotonic, so =/</<=/>/>= map to the same comparison on the
+  *    "yyyy-MM" string (lexicographic = chronological); strict
+  *    inequalities relax to >=/<= at month granularity.
+  *  - truncate: prefix/floor is monotonic, same mapping.
+  *  - bucket: only equality/IN derive (ranges don't survive hashing).
+  *  - identity: the derived column IS the source column — nothing to do.
+  */
+object TransformPruning {
+
+  /** Derived predicates for `pred` under `spec`, as a conjunction to AND
+    * into the scan filter (None when nothing derivable). */
+  def derive(spec: Seq[PartitionField], schema: StructType, pred: Column): Option[Column] = {
+    val parts = spec.filterNot(_.transform == "identity").flatMap { pf =>
+      deriveFor(pf, schema(pf.source).dataType, GraftShim.toNode(pred))
+    }
+    parts.reduceOption(_ && _)
+  }
+
+  private def attrNameOf(n: Node): Option[String] = n match {
+    case AttrNode(name) => Some(name.split('.').last)
+    case _ => None
+  }
+
+  private val rangeOps = Set(">", ">=", "<", "<=")
+
+  private def deriveFor(pf: PartitionField, srcType: DataType,
+                        n: Node): Option[Column] = {
+    val d = col(pf.name)
+    def mapped(v: Any): Option[Column] = transformLiteral(pf, srcType, v)
+    def isSource(x: Node) = attrNameOf(x).exists(_.equalsIgnoreCase(pf.source))
+    n match {
+      case f: FnNode if f.name.equalsIgnoreCase("and") && f.args.length == 2 =>
+        (deriveFor(pf, srcType, f.args(0)), deriveFor(pf, srcType, f.args(1))) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      // OR is derivable only when BOTH branches derive (else unsound)
+      case f: FnNode if f.name.equalsIgnoreCase("or") && f.args.length == 2 =>
+        for (a <- deriveFor(pf, srcType, f.args(0));
+             b <- deriveFor(pf, srcType, f.args(1))) yield a || b
+      case f: FnNode if f.name == "=" && f.args.length == 2 =>
+        f.args match {
+          case Seq(a, LitNode(v)) if isSource(a) => mapped(v).map(d === _)
+          case Seq(LitNode(v), a) if isSource(a) => mapped(v).map(d === _)
+          case _ => None
+        }
+      case f: FnNode if f.name.equalsIgnoreCase("in") && f.args.nonEmpty
+          && isSource(f.args.head)
+          && f.args.tail.forall(_.isInstanceOf[LitNode]) =>
+        val ms = f.args.tail.map(l => mapped(l.asInstanceOf[LitNode].value))
+        if (ms.nonEmpty && ms.forall(_.isDefined)) Some(ms.flatten.map(d === _).reduce(_ || _))
+        else None
+      case f: FnNode if rangeOps(f.name) && f.args.length == 2
+          && pf.transform != "bucket" => // ranges don't survive hashing
+        val cmp = f.name
+        f.args match {
+          case Seq(a, LitNode(v)) if isSource(a) =>
+            mapped(v).map(m => if (cmp.startsWith(">")) d >= m else d <= m)
+          case Seq(LitNode(v), a) if isSource(a) => // flipped: lit < col etc.
+            mapped(v).map(m => if (cmp.startsWith(">")) d <= m else d >= m)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The literal's value under the transform, as a Column literal.
+    * ColumnNode literals carry plain Scala/Java values. */
+  private def transformLiteral(pf: PartitionField, srcType: DataType,
+                               v: Any): Option[Column] = pf.transform match {
+    case "month" => monthOf(v).map(lit)
+    case "truncate" => v match {
+      case s: String => Some(lit(s.take(pf.param)))
+      case n: java.lang.Number
+          if Set[DataType](LongType, IntegerType, ShortType, ByteType).contains(srcType) =>
+        val x = n.longValue()
+        Some(lit(x - java.lang.Math.floorMod(x, pf.param.toLong)))
+      case _ => None
+    }
+    case "bucket" =>
+      // same hash family as the write path: pmod(hash(value), n) — a
+      // constant expression Catalyst folds at plan time
+      Some(pmod(hash(lit(v)), lit(pf.param)))
+    case _ => None
+  }
+
+  private def monthOf(v: Any): Option[String] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toString.substring(0, 7))
+    case d: java.time.LocalDate => Some(d.toString.substring(0, 7))
+    case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate.toString.substring(0, 7))
+    case t: java.time.LocalDateTime => Some(t.toLocalDate.toString.substring(0, 7))
+    case t: java.time.Instant =>
+      Some(t.atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString.substring(0, 7))
+    case _ => None
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table._
+
+class TransformPruningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  def partitionedOrders(): GraftTable = {
+    val dir = TestSpark.tmpDir("tp-orders")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderdate", DateType),
+      StructField("o_name", StringType)))
+    val t = GraftTable.create(spark, dir, schema, spec = Seq(
+      PartitionField("o_orderdate", "month"),
+      PartitionField("o_name", "truncate", 3),
+      PartitionField("o_orderkey", "bucket", 4)))
+    val rows = (0 until 300).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2020-${i % 12 + 1}%02d-15"), s"cust${i % 7}")
+    }
+    t.append(rows.toDF("o_orderkey", "o_orderdate", "o_name"))
+    t
+  }
+
+  test("scan(pred) returns the same rows as toDF.filter(pred)") {
+    val t = partitionedOrders()
+    val preds = Seq(
+      col("o_orderdate") === java.sql.Date.valueOf("2020-03-15"),
+      col("o_orderdate") > java.sql.Date.valueOf("2020-06-01") &&
+        col("o_orderdate") <= java.sql.Date.valueOf("2020-09-30"),
+      col("o_name") === "cust3" && col("o_orderkey") < 100L,
+      col("o_orderkey") === 42L,
+      col("o_orderdate").isin(java.sql.Date.valueOf("2020-01-15"),
+        java.sql.Date.valueOf("2020-02-15")))
+    preds.foreach { p =>
+      val a = t.scan(p).orderBy("o_orderkey").collect().toSeq
+      val b = t.toDF.filter(p).orderBy("o_orderkey").collect().toSeq
+      assert(a == b, s"pred $p")
+      assert(a.nonEmpty, s"pred $p should match rows (fixture bug otherwise)")
+    }
+  }
+
+  test("derived predicate reaches the parquet scan (PushedFilters)") {
+    val t = partitionedOrders()
+    val plan = t.scan(col("o_orderdate") === java.sql.Date.valueOf("2020-03-15"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderdate_month"),
+      s"derived month predicate missing from plan:\n$plan")
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("o_orderdate_month"),
+      s"derived predicate not pushed to scan: $pushed")
+  }
+
+  test("unsound derivations are not produced") {
+    val t = partitionedOrders()
+    // range on a bucket source must NOT derive (hash kills ordering)
+    val spec = Seq(PartitionField("o_orderkey", "bucket", 4))
+    val schema = StructType(Seq(StructField("o_orderkey", LongType)))
+    assert(TransformPruning.derive(spec, schema, col("o_orderkey") > 10L).isEmpty)
+    // OR with one underivable branch must NOT derive for that transform
+    val mixed = TransformPruning.derive(spec, schema,
+      col("o_orderkey") === 1L || col("o_orderkey") > 10L)
+    assert(mixed.isEmpty)
+  }
+}
