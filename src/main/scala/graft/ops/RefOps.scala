@@ -264,6 +264,21 @@ object RefOps {
     t.appendsBetween(1, 2).orderBy("customer_id")
   }
 
+  // transform-pruned scan: filter on the SOURCE column of a month
+  // transform; the derived-column predicate skips non-matching files
+  private def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"))
+    val t = GraftTable.create(spark, tmp("pruned_scan"), o.schema,
+      spec = Seq(PartitionField("o_orderdate", "month")))
+    t.append(o)
+    t.scan(col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1997-03-01T00:00:00"))
+        && col("o_orderdate") < lit(java.time.LocalDateTime.parse("1997-06-01T00:00:00")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("month")
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -291,6 +306,7 @@ object RefOps {
     "rowdelta_upsert" -> rowdeltaUpsert,
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
+    "partition_pruned_scan" -> partitionPrunedScan,
     "snapshots_meta" -> snapshotsMeta,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
@@ -380,6 +396,11 @@ object RefOps {
     "partition_transform" ->
       """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY part""".stripMargin,
+    "partition_pruned_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)

@@ -65,6 +65,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming CDC apply: upserts a change stream into a GraftTable via
+    * foreachBatch + MERGE — the reference's batch CDC-apply pattern
+    * (`IcebergSQLMergeAsDeleteInsert`) driven by a live stream. Each
+    * micro-batch is one atomic table commit; `tsCol` (when set) guards
+    * against late/out-of-order changes exactly like the reference's
+    * `t.ts < s.ts` matched condition. The stream shuffles once per batch
+    * by the merge key; table state is never collected to the driver. */
+  def cdcApply(changes: DataFrame, table: graft.table.GraftTable,
+               keys: Seq[String], tsCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.dml._
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // within one batch, keep only the newest change per key (a batch
+      // may contain several versions of the same row)
+      val latest = tsCol match {
+        case Some(ts) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(col(ts).desc)
+          batch.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        case None => batch.dropDuplicates(keys)
+      }
+      val guard = tsCol.map(ts => col(s"t.$ts") < col(s"s.$ts"))
+      table.merge(latest, keys,
+        matched = Seq(UpdateAllClause(guard)),
+        notMatched = Seq(InsertAllClause()))
+      ()
+    }
+  }
+
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
                         n_events: Long)
   case class SessionState(startUs: Long, endUs: Long, n: Long)

@@ -47,6 +47,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcApply: streamed upserts land as atomic MERGE commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val t = graft.table.GraftTable.create(spark, TestSpark.tmpDir("cdc"),
+      StructType(Seq(StructField("customer_id", LongType),
+        StructField("name", StringType), StructField("ts", IntegerType))))
+    t.append(Seq((1L, "customer_a", 1), (2L, "customer_b", 1))
+      .toDF("customer_id", "name", "ts"))
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = graft.streaming.StreamOps.cdcApply(
+      mem.toDS().toDF("customer_id", "name", "ts"), t,
+      keys = Seq("customer_id"), tsCol = Some("ts"))
+      .start()
+    try {
+      // batch 1: stale change for key 1 (ts 1 !< 1), fresh for 2, insert 3;
+      // key 3 arrives twice in the batch — latest-by-ts must win
+      mem.addData((1L, "stale", 1), (2L, "b-v2", 2), (3L, "c-v1", 1), (3L, "c-v2", 2))
+      q.processAllAvailable()
+      val got = t.toDF.orderBy("customer_id").as[(Long, String, Int)].collect().toSeq
+      assert(got == Seq((1L, "customer_a", 1), (2L, "b-v2", 2), (3L, "c-v2", 2)))
+      // batch 2: another upsert stacks on the new state
+      mem.addData((1L, "a-v2", 5))
+      q.processAllAvailable()
+      assert(t.toDF.filter($"customer_id" === 1L).as[(Long, String, Int)].head() ==
+        ((1L, "a-v2", 5)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)] // (event_id, ts_ns, user marker)
