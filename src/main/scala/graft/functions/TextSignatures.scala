@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * permutations), so the per-doc cost is O(tokens + k) arithmetic instead
   * of O(tokens*k) hashing.
   */
-abstract class TokenSignature extends UnaryExpression with CodegenFallback {
+abstract class TokenSignature extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -30,6 +30,7 @@ abstract class TokenSignature extends UnaryExpression with CodegenFallback {
   }
   protected final def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+  protected final val xxh64Class: String = classOf[XXH64].getName
 }
 
 /** k-permutation MinHash signature of a token array → array<bigint>. */
@@ -59,6 +60,33 @@ case class MinHashSignature(child: Expression, k: Int) extends TokenSignature {
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val mins = ctx.freshName("mins"); val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2"); val g = ctx.freshName("g")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |    long $h1 = $xxh64Class.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x9747b28cL}L);
+         |    long $h2 = $xxh64Class.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x85ebca6bL}L) | 1L;
+         |    long $g = $h1;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      if ($g < $mins[$j]) $mins[$j] = $g;
+         |      $g += $h2;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -95,6 +123,33 @@ case class SimHash(child: Expression) extends TokenSignature {
     }
     java.lang.Long.valueOf(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val votes = ctx.freshName("votes"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |    long $h = $xxh64Class.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($votes[$b2] > 0) $out |= (1L << $b2);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
