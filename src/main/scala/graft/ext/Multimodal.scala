@@ -57,6 +57,58 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation would decode, resample to
+    * (w, h), and re-encode. The fake deterministically re-chunks the
+    * payload to `w*h` bytes (truncate or cycle-pad) so output size
+    * contracts are testable. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+    }
+    out
+  }
+
+  /** STUB frame sampling: a real implementation would demux a video and
+    * decode every k-th frame. The fake slices the payload into `nFrames`
+    * contiguous chunks ("frames") and returns them with frame indices. */
+  def frameSampleStub(bytes: Array[Byte], nFrames: Int): Seq[(Int, Array[Byte])] = {
+    if (bytes.isEmpty || nFrames <= 0) Seq.empty
+    else {
+      val sz = math.max(1, bytes.length / nFrames)
+      (0 until nFrames).flatMap { f =>
+        val start = f * sz
+        if (start < bytes.length)
+          Some((f, java.util.Arrays.copyOfRange(bytes, start,
+            math.min(start + sz, bytes.length))))
+        else None
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte], frame_len: Int)
+
+  /** Partition-batched resize + frame-sample over the binary column —
+    * one flatMap row → frames expansion, the shape a video pipeline needs
+    * (each task holds one decoder, frames stream out without
+    * materializing a per-document collection on the driver). */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+                   nFrames: Int, w: Int, h: Int): Dataset[Frame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast(LongType), col("payload").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: init demuxer/decoder once per partition here
+        it.flatMap { case (id, bytes) =>
+          frameSampleStub(bytes, nFrames).map { case (idx, frame) =>
+            val resized = resizeStub(frame, w, h)
+            Frame(id, idx, resized, resized.length)
+          }
+        }
+      }
+  }
+
   /** documents.text re-cast as an opaque binary payload column — the
     * stand-in corpus for media bytes in this container. */
   def payloads(spark: SparkSession, dir: String): DataFrame =

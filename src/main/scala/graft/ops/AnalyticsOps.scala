@@ -72,6 +72,18 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  // exact interpolated percentiles (sort-based, not a sketch): rounded to
+  // 6 decimals so the two engines' interpolation arithmetic can't differ
+  // in the last ulp
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // window functions: top-3 orders per customer
   private def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -150,6 +162,7 @@ object AnalyticsOps {
     "part_brand_stats" -> partBrandStats,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
+    "percentiles" -> percentiles,
     "window_rank" -> windowRank,
     "semi_anti_join" -> semiAntiJoin
   )
@@ -208,6 +221,12 @@ object AnalyticsOps {
         |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price

@@ -81,6 +81,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall $recall too low")
   }
 
+  test("multimodal frame sampling: row -> frames expansion with size contract") {
+    val payloads = Seq((1L, Array.tabulate(100)(_.toByte)), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, payloads, nFrames = 4, w = 8, h = 2)
+      .collect()
+    assert(frames.count(_.doc_id == 1L) == 4)   // 4 frames from doc 1
+    assert(frames.forall(_.frame_len == 16))    // resized to w*h bytes
+    assert(frames.count(_.doc_id == 2L) == 0)   // empty payload -> no frames
+    // deterministic
+    val again = Multimodal.sampleFrames(spark, payloads, 4, 8, 2).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_bytes.toSeq)).toSet ==
+      again.map(f => (f.doc_id, f.frame_idx, f.frame_bytes.toSeq)).toSet)
+  }
+
   test("multimodal decode stub: deterministic features through mapPartitions") {
     val payloads = Seq((1L, "hello world".getBytes("UTF-8")))
       .toDF("doc_id", "payload")

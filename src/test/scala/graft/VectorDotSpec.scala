@@ -26,6 +26,28 @@ class VectorDotSpec extends AnyFunSuite {
     assert(viaSql == hof)
   }
 
+  test("custom expressions compile under CODEGEN_ONLY and match interpreted eval") {
+    GraftFunctions.register(spark)
+    graft.functions.TextSignatureFunctions.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), Seq("alpha", "beta", "gamma")))
+      .toDF("a", "b", "toks")
+    def results() = df.select(
+      GraftFunctions.vec_dot($"a", $"b"),
+      graft.functions.TextSignatureFunctions.minhash_signature($"toks", 8),
+      graft.functions.TextSignatureFunctions.simhash($"toks")).collect().map(_.toString).toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = results()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = results()
+      assert(gen == interp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("VectorDot nulls: null array or null element -> null") {
     GraftFunctions.register(spark)
     val df = Seq(
