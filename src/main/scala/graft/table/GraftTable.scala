@@ -44,8 +44,9 @@ final case class PartitionField(source: String, transform: String, param: Int = 
 final case class DeleteFile(path: String, keys: Seq[String], version: Int)
 
 /** One committed data directory (a Spark parquet write) + the snapshot
-  * version that committed it. */
-final case class DataDir(path: String, version: Int)
+  * version that committed it + its row count (captured by df.observe()
+  * during the write job — no extra pass; -1 for pre-stats log entries). */
+final case class DataDir(path: String, version: Int, rowCount: Long = -1L)
 
 /** A committed table snapshot. `fields` maps logical column name →
   * physical (in-file) name; physical names are never reused after a drop,
@@ -155,10 +156,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   // ---- write paths -----------------------------------------------------
 
-  /** Physical write of `df` (logical column names) into a fresh data dir.
-    * Renames logical→physical, derives partition columns (stored in-file
-    * AND as k=v dirs), sorts within partitions by the table key if set. */
-  private def writeData(df: DataFrame, snap: Snapshot): String = {
+  /** Physical write of `df` (logical column names) into a fresh data dir,
+    * returning (relative dir, row count). Renames logical→physical,
+    * derives partition columns (stored in-file AND as k=v dirs), sorts
+    * within partitions by the table key if set. The row count comes from
+    * an Observation riding the write job — stats without a second pass. */
+  private def writeData(df: DataFrame, snap: Snapshot): (String, Long) = {
     val sub = s"data/${UUID.randomUUID()}"
     val aligned0 = alignToSchema(df, snap.schema)
     // logical -> physical rename
@@ -187,24 +190,27 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       if (snap.key.nonEmpty)
         balanced.sortWithinPartitions(snap.key.map(k => col(snap.physicalOf(k))): _*)
       else balanced
+    val obs = org.apache.spark.sql.Observation()
+    val observed = sorted.observe(obs, count(lit(1)).as("rows"))
     if (partCols.nonEmpty) {
       // duplicate each derived column into the directory layout; the
       // in-file copy keeps footer min/max stats for file skipping on
       // multi-commit reads (where dirs from many commits coexist)
-      val dup = partCols.foldLeft(sorted)((d, c) => d.withColumn(s"__dir_$c", col(c)))
+      val dup = partCols.foldLeft(observed)((d, c) => d.withColumn(s"__dir_$c", col(c)))
       dup.write.mode("errorifexists")
         .partitionBy(partCols.map(c => s"__dir_$c"): _*).parquet(s"$dir/$sub")
     } else {
-      sorted.write.mode("errorifexists").parquet(s"$dir/$sub")
+      observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
-    sub
+    val rows = try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    (sub, rows)
   }
 
   def append(df: DataFrame): GraftTable = {
     val s = snapshot
-    val sub = writeData(df, s)
+    val (sub, rows) = writeData(df, s)
     commit(s.version + 1)(v => s.copy(version = v, op = "append",
-      dataDirs = s.dataDirs :+ DataDir(sub, v)))
+      dataDirs = s.dataDirs :+ DataDir(sub, v, rows)))
     this
   }
 
@@ -212,9 +218,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * DELETE / MERGE — SURVEY.md M1-M5). */
   def overwrite(df: DataFrame): GraftTable = {
     val s = snapshot
-    val sub = writeData(df, s)
+    val (sub, rows) = writeData(df, s)
     commit(s.version + 1)(v => s.copy(version = v, op = "overwrite",
-      dataDirs = Seq(DataDir(sub, v)), deletes = Seq.empty))
+      dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty))
     this
   }
 
@@ -231,9 +237,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     deleteKeys.select(keys.map(col): _*)
       .toDF(physKeys: _*)
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
-    val rsub = writeData(rows, s)
+    val (rsub, nrows) = writeData(rows, s)
     commit(s.version + 1)(v => s.copy(version = v, op = "rowdelta",
-      dataDirs = s.dataDirs :+ DataDir(rsub, v),
+      dataDirs = s.dataDirs :+ DataDir(rsub, v, nrows),
       deletes = s.deletes :+ DeleteFile(dsub, keys, v)))
     this
   }
@@ -445,8 +451,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   def snapshots: DataFrame = {
     import spark.implicits._
-    allSnapshots.map(s => (s.version, s.op, s.formatVersion, s.dataDirs.size, s.deletes.size))
-      .toDF("version", "operation", "format_version", "num_data_dirs", "num_delete_files")
+    allSnapshots.map(s => (s.version, s.op, s.formatVersion, s.dataDirs.size, s.deletes.size,
+        if (s.dataDirs.forall(_.rowCount >= 0)) s.dataDirs.map(_.rowCount).sum else -1L))
+      .toDF("version", "operation", "format_version", "num_data_dirs", "num_delete_files",
+        "total_data_rows")
   }
 
   /** Recursive file listing with sizes (the reference's MinIO object
@@ -538,7 +546,10 @@ object GraftTable {
     }
     val ky = root.putArray("key"); s.key.foreach(ky.add)
     val dd = root.putArray("dataDirs")
-    s.dataDirs.foreach { d => val o = dd.addObject(); o.put("path", d.path); o.put("version", d.version) }
+    s.dataDirs.foreach { d =>
+      val o = dd.addObject(); o.put("path", d.path); o.put("version", d.version)
+      o.put("rowCount", d.rowCount)
+    }
     val de = root.putArray("deletes")
     s.deletes.foreach { d =>
       val o = de.addObject(); o.put("path", d.path); o.put("version", d.version)
@@ -560,7 +571,8 @@ object GraftTable {
       spec = arr("spec").map(o => PartitionField(o.get("source").asText(),
         o.get("transform").asText(), o.get("param").asInt())),
       key = arr("key").map(_.asText()),
-      dataDirs = arr("dataDirs").map(o => DataDir(o.get("path").asText(), o.get("version").asInt())),
+      dataDirs = arr("dataDirs").map(o => DataDir(o.get("path").asText(), o.get("version").asInt(),
+        if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
       deletes = arr("deletes").map(o => DeleteFile(o.get("path").asText(),
         o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt())),
       retiredPhysical = arr("retiredPhysical").map(_.asText())
