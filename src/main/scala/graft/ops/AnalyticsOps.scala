@@ -131,6 +131,25 @@ object AnalyticsOps {
       .orderBy("p_brand")
   }
 
+  // the window_rank semantics via the typed TopKByValue Aggregator: the
+  // partial-aggregate plan shuffles ≤ k rows per key instead of all rows
+  // (see graft.functions.TopKByValue scaladoc) — same rows, better plan
+  private def windowTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKByValue(3).toColumn
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .flatMap { case (ck, items) =>
+        items.zipWithIndex.map { case ((ok, price), i) => (ck, ok, price, i + 1) }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
   // left_semi / left_anti (EXISTS / NOT EXISTS)
   private def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir)
@@ -164,10 +183,17 @@ object AnalyticsOps {
     "agg_cube" -> aggCube,
     "percentiles" -> percentiles,
     "window_rank" -> windowRank,
+    "window_topk_agg" -> windowTopkAgg,
     "semi_anti_join" -> semiAntiJoin
   )
 
   val oracles: Map[String, String] = Map(
+    "window_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
     "set_ops" ->
       """SELECT 'intersect' AS op, count(*) AS n FROM (
         |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
