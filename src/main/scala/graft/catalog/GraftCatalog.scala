@@ -1,0 +1,143 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.GraftTable
+
+import java.util
+
+/** DSv2 catalog plugin for graft tables — entry point for plain
+  * `spark.sql("SELECT * FROM graft.<ns>.<table>")` and `SHOW VIEWS IN
+  * graft.<ns>` with no registration step.
+  *
+  * Tables are served as catalog VIEWS: `loadView` renders the table's
+  * current snapshot to self-contained SQL over `parquet.`path``
+  * relations ([[GraftTable.viewSql]]), so reads resolve through
+  * Catalyst's normal view pipeline and keep full filter/column pushdown
+  * into the vectorized parquet scans. Snapshot isolation comes free:
+  * each query plans against the snapshot current at resolution time.
+  * Reads only — writes go through the GraftTable API / GraftSql (a
+  * DSv2 write path needs SupportsWrite and is future work).
+  *
+  * Configuration:
+  * {{{
+  *   spark.sql.catalog.graft = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * with tables at `<warehouse>/<namespace>/<table>`.
+  */
+class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(spark, dirOf(ident))
+
+  // ---- ViewCatalog (the read path) ------------------------------------
+
+  override def loadView(ident: Identifier): View = {
+    if (!tableExists(ident)) throw new NoSuchViewException(ident)
+    val t = GraftTable.load(spark, dirOf(ident))
+    val viewSchema = t.schema
+    val sql = t.viewSql
+    new View {
+      override def name(): String = (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+      override def query(): String = sql
+      // parquet.`path` relations resolve through the session catalog
+      override def currentCatalog(): String = "spark_catalog"
+      override def currentNamespace(): Array[String] = Array.empty
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = viewSchema.fieldNames
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean = tableExists(ident)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace).mkString("/"))
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace.toArray)
+    fs.listStatus(ns).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => GraftTable.exists(spark, (warehouse +: namespace :+ n).mkString("/")))
+      .map(n => Identifier.of(namespace.toArray, n))
+  }
+
+  override def createView(info: ViewInfo): View =
+    throw new UnsupportedOperationException("graft views are backed by tables; use GraftTable.create")
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def dropView(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  // ---- TableCatalog (tables surface as views; loadTable defers) -------
+
+  override def loadTable(ident: Identifier): Table = throw new NoSuchTableException(ident)
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("use GraftTable.create(spark, dir, schema, ...)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("use the GraftTable evolution API")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  // ---- SupportsNamespaces ---------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    ()
+  }
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+object GraftCatalog {
+  /** Registers the catalog on a session at runtime. */
+  def register(spark: SparkSession, warehouse: String, name: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+}

@@ -48,24 +48,29 @@ final case class DeleteFile(path: String, keys: Seq[String], version: Int)
   * during the write job — no extra pass; -1 for pre-stats log entries). */
 final case class DataDir(path: String, version: Int, rowCount: Long = -1L)
 
-/** A committed table snapshot. `fields` maps logical column name →
-  * physical (in-file) name; physical names are never reused after a drop,
-  * so re-adding a dropped column name cannot resurrect old values (the
-  * field-id problem Iceberg solves with ids — see SURVEY.md D5). */
+/** Column identity: logical name → physical (in-file) name + the
+  * snapshot version the column was added at (data dirs committed before
+  * `since` project NULL for it). Physical names are never reused after a
+  * drop, so re-adding a dropped column name cannot resurrect old values
+  * (the field-id problem Iceberg solves with ids — SURVEY.md D5). */
+final case class FieldInfo(logical: String, physical: String, since: Int = 0)
+
+/** A committed table snapshot. */
 final case class Snapshot(
     version: Int,
     formatVersion: Int,
     op: String,
     schema: StructType,            // logical schema (current)
-    fields: Seq[(String, String)], // logical -> physical
+    fields: Seq[FieldInfo],
     spec: Seq[PartitionField],
     key: Seq[String],              // upsert/sort key (K8)
     dataDirs: Seq[DataDir],
     deletes: Seq[DeleteFile],
     retiredPhysical: Seq[String]   // tombstoned physical names
 ) {
-  def physicalOf(logical: String): String =
-    fields.find(_._1 == logical).map(_._2).getOrElse(
+  def physicalOf(logical: String): String = fieldOf(logical).physical
+  def fieldOf(logical: String): FieldInfo =
+    fields.find(_.logical == logical).getOrElse(
       throw new IllegalArgumentException(s"no such column: $logical"))
 }
 
@@ -165,8 +170,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val sub = s"data/${UUID.randomUUID()}"
     val aligned0 = alignToSchema(df, snap.schema)
     // logical -> physical rename
-    val renamed = snap.fields.foldLeft(aligned0) { case (d, (lo, ph)) =>
-      if (lo == ph) d else d.withColumnRenamed(lo, ph)
+    val renamed = snap.fields.foldLeft(aligned0) { (d, fi) =>
+      if (fi.logical == fi.physical) d else d.withColumnRenamed(fi.logical, fi.physical)
     }
     val partCols = snap.spec.map(_.name)
     val withParts = snap.spec.foldLeft(renamed) { (d, pf) =>
@@ -251,11 +256,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     require(!s.schema.fieldNames.contains(name), s"column exists: $name")
     // never reuse a retired physical name: fresh names get a version suffix
     val phys =
-      if (s.retiredPhysical.contains(name) || s.fields.exists(_._2 == name)) s"${name}__r${s.version + 1}"
+      if (s.retiredPhysical.contains(name) || s.fields.exists(_.physical == name)) s"${name}__r${s.version + 1}"
       else name
     commit(s.version + 1)(v => s.copy(version = v, op = "add-column",
       schema = StructType(s.schema.fields :+ StructField(name, dt, nullable = true)),
-      fields = s.fields :+ (name -> phys)))
+      fields = s.fields :+ FieldInfo(name, phys, v)))
     this
   }
 
@@ -265,7 +270,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     require(!s.spec.exists(_.source == name), s"cannot drop partition source column $name")
     commit(s.version + 1)(v => s.copy(version = v, op = "drop-column",
       schema = StructType(s.schema.fields.filterNot(_.name == name)),
-      fields = s.fields.filterNot(_._1 == name),
+      fields = s.fields.filterNot(_.logical == name),
       retiredPhysical = s.retiredPhysical :+ phys))
     this
   }
@@ -389,6 +394,49 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** The current snapshot rendered as self-contained Spark SQL over
+    * `parquet.`path`` relations — what [[graft.catalog.GraftCatalog]]
+    * serves as a DSv2 view so `SELECT * FROM graft.ns.table` resolves
+    * through a real catalog with full pushdown into the parquet scans.
+    * Evolution-aware: dirs committed before a column's add-version
+    * project typed NULLs; equality deletes become a version-guarded
+    * NOT EXISTS; physical names alias back to logical ones. */
+  def viewSql: String = {
+    val s = snapshot
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    val logicalList = s.schema.fields.map(f => q(f.name)).mkString(", ")
+    if (s.dataDirs.isEmpty) {
+      val cols = s.schema.fields
+        .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS ${q(f.name)}").mkString(", ")
+      return s"SELECT $cols WHERE false"
+    }
+    val branches = s.dataDirs.map { d =>
+      val cols = s.schema.fields.map { f =>
+        val fi = s.fieldOf(f.name)
+        if (d.version < fi.since) s"CAST(NULL AS ${f.dataType.sql}) AS ${q(f.name)}"
+        else s"${q(fi.physical)} AS ${q(f.name)}"
+      }
+      s"SELECT ${cols.mkString(", ")}, ${d.version} AS `__cv` FROM parquet.`$dir/${d.path}`"
+    }
+    val union = branches.mkString("\nUNION ALL\n")
+    if (s.deletes.isEmpty) s"SELECT $logicalList FROM (\n$union\n)"
+    else {
+      val keys = s.deletes.head.keys
+      val delBranches = s.deletes.map { del =>
+        val cols = del.keys.map(k => s"${q(s.physicalOf(k))} AS ${q(k)}").mkString(", ")
+        s"SELECT $cols, ${del.version} AS `__dv` FROM parquet.`$dir/${del.path}`"
+      }
+      val keyCond = keys.map(k => s"__d.${q(k)} <=> __t.${q(k)}").mkString(" AND ")
+      s"""SELECT $logicalList FROM (
+         |$union
+         |) __t WHERE NOT EXISTS (
+         |  SELECT 1 FROM (
+         |${delBranches.mkString("\nUNION ALL\n")}
+         |  ) __d WHERE $keyCond AND __d.`__dv` > __t.`__cv`
+         |)""".stripMargin
+    }
+  }
+
   // ---- maintenance -----------------------------------------------------
 
   /** Compaction: rewrite live rows into one data dir, dropping delete
@@ -509,7 +557,7 @@ object GraftTable {
     require(!fs.exists(logDir), s"table already exists at $dir")
     fs.mkdirs(logDir)
     val snap = Snapshot(0, formatVersion, "create", schema,
-      schema.fieldNames.toSeq.map(n => n -> n), spec, key, Seq.empty, Seq.empty, Seq.empty)
+      schema.fieldNames.toSeq.map(n => FieldInfo(n, n, 0)), spec, key, Seq.empty, Seq.empty, Seq.empty)
     val p = new Path(logDir, "v00000.json")
     val os = fs.create(p, false)
     try os.write(writeSnapshot(snap).getBytes("UTF-8")) finally os.close()
@@ -536,8 +584,9 @@ object GraftTable {
     root.put("op", s.op)
     root.put("schema", s.schema.json)
     val fl = root.putArray("fields")
-    s.fields.foreach { case (lo, ph) =>
-      val o = fl.addObject(); o.put("logical", lo); o.put("physical", ph)
+    s.fields.foreach { fi =>
+      val o = fl.addObject()
+      o.put("logical", fi.logical); o.put("physical", fi.physical); o.put("since", fi.since)
     }
     val sp = root.putArray("spec")
     s.spec.foreach { pf =>
@@ -567,7 +616,8 @@ object GraftTable {
       formatVersion = n.get("formatVersion").asInt(),
       op = n.get("op").asText(),
       schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      fields = arr("fields").map(o => o.get("logical").asText() -> o.get("physical").asText()),
+      fields = arr("fields").map(o => FieldInfo(o.get("logical").asText(),
+        o.get("physical").asText(), if (o.has("since")) o.get("since").asInt() else 0)),
       spec = arr("spec").map(o => PartitionField(o.get("source").asText(),
         o.get("transform").asText(), o.get("param").asInt())),
       key = arr("key").map(_.asText()),
