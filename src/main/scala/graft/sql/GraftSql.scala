@@ -48,18 +48,43 @@ final class GraftSql(spark: SparkSession) {
     case _ => None
   }
 
+  /** Auto-resolution through a configured GraftCatalog: DML against
+    * `graft.<ns>.<table>` needs no register() call — the table loads from
+    * the catalog's warehouse on first touch and is cached in the registry
+    * (GraftTable handles are stateless; state lives in the log). */
+  private def catalogLookup(name: String): Option[GraftTable] = {
+    val parts = name.split('.')
+    if (parts.length < 2) return None
+    val confKey = s"spark.sql.catalog.${parts.head}"
+    if (!spark.conf.getOption(confKey).contains(classOf[graft.catalog.GraftCatalog].getName))
+      return None
+    val wh = spark.conf.getOption(s"$confKey.warehouse").getOrElse(return None)
+    val dir = parts.tail.mkString(s"$wh/", "/", "")
+    if (!GraftTable.exists(spark, dir)) None
+    else {
+      val t = GraftTable.load(spark, dir)
+      tables(name) = t
+      refreshView(name)
+      Some(t)
+    }
+  }
+
   /** Rewrites references to registered graft tables (possibly dotted,
     * `default.scd2_table`) into their backing temp-view names so a parsed
-    * sub-plan (merge source, insert query) resolves through plain Spark. */
+    * sub-plan (merge source, insert query) resolves through plain Spark.
+    * Catalog-addressed names auto-register on first touch. */
   private def resolveRegistered(plan: LogicalPlan): LogicalPlan = plan.transform {
     case u: UnresolvedRelation
-        if tables.contains(u.multipartIdentifier.mkString(".").toLowerCase) =>
+        if {
+          val n = u.multipartIdentifier.mkString(".").toLowerCase
+          tables.contains(n) || catalogLookup(n).isDefined
+        } =>
       UnresolvedRelation(Seq(
         u.multipartIdentifier.mkString(".").toLowerCase.replace(".", "__")))
   }
 
   private def targetTable(plan: LogicalPlan): Option[GraftTable] =
-    nameOf(plan).flatMap(tables.get)
+    nameOf(plan).flatMap(n => tables.get(n).orElse(catalogLookup(n)))
 
   /** Renders an unresolved parsed expression back to SQL and re-parses it
     * as a Column, rewriting the target/source qualifiers to the planner's
@@ -113,7 +138,8 @@ final class GraftSql(spark: SparkSession) {
           org.apache.spark.sql.functions.lit(true)))
         refreshView(name)
         t.toDF
-      case i: InsertIntoStatement if nameOf(i.table).exists(tables.contains) =>
+      case i: InsertIntoStatement
+          if nameOf(i.table).exists(n => tables.contains(n) || catalogLookup(n).isDefined) =>
         val name = nameOf(i.table).get
         val t = tables(name)
         val df = GraftShim.ofRows(spark, resolveRegistered(i.query))

@@ -112,6 +112,23 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == Seq(2L))
   }
 
+  test("GraftSql DML against catalog names with no register() step") {
+    val t = mkTable("db3", "accounts", StructType(Seq(
+      StructField("id", LongType), StructField("balance", DoubleType))))
+    t.append(Seq((1L, 100.0), (2L, 200.0)).toDF("id", "balance"))
+    val g = graft.sql.GraftSql(spark)
+    g.sql("UPDATE graft.db3.accounts SET balance = balance + 50 WHERE id = 1")
+    g.sql(
+      """MERGE INTO graft.db3.accounts t
+        |USING (SELECT 3 AS id, 300.0 AS balance) s
+        |ON s.id = t.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, balance FROM graft.db3.accounts ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 150.0), (2L, 200.0), (3L, 300.0)))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
