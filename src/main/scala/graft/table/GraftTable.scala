@@ -359,6 +359,26 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
   }
 
+  /** Streaming read: an unbounded DataFrame tailing this table's APPENDS
+    * (Iceberg's streaming read is likewise append-tailing). Built on
+    * Spark's file stream source watching the table's data root — each
+    * commit's new parquet files surface as a micro-batch. Append-only
+    * semantics: rows from overwrite/rowDelta commits appear as appended
+    * data; deletes are not retracted (pair with a downstream dedup or
+    * CDC consumer for upsert semantics). Physical names alias to the
+    * CURRENT logical schema at stream start. */
+  def toStreamDF: DataFrame = {
+    val s = snapshot
+    val physSchema = StructType(s.schema.fields.map(f =>
+      StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
+    spark.readStream
+      .schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/data")
+      .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
   /** Time travel: the table as of snapshot `version` (Iceberg's
     * `VERSION AS OF` — every snapshot file is immutable, so historical
     * reads are just `dfAt` of an older log entry). */

@@ -75,6 +75,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("toStreamDF tails table appends as micro-batches") {
+    import org.apache.spark.sql.types._
+    val t = graft.table.GraftTable.create(spark, TestSpark.tmpDir("tail"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val q = t.toStreamDF.writeStream.format("memory").queryName("tailed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tailed").count() == 1)
+      t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      val got = spark.table("tailed").orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("table-to-table streaming pipeline: tail source, CDC-merge into target") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+      StructField("ts", IntegerType)))
+    val src = graft.table.GraftTable.create(spark, TestSpark.tmpDir("pipe-src"), schema)
+    val dst = graft.table.GraftTable.create(spark, TestSpark.tmpDir("pipe-dst"), schema)
+    src.append(Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ts"))
+    val q = graft.streaming.StreamOps.cdcApply(
+      src.toStreamDF, dst, keys = Seq("id"), tsCol = Some("ts")).start()
+    try {
+      q.processAllAvailable()
+      assert(dst.toDF.count() == 2)
+      // a later change upserts through the stream into the target table
+      src.append(Seq((1L, "a-v2", 2), (3L, "c", 1)).toDF("id", "v", "ts"))
+      q.processAllAvailable()
+      val got = dst.toDF.orderBy("id").as[(Long, String, Int)].collect().toSeq
+      assert(got == Seq((1L, "a-v2", 2), (2L, "b", 1), (3L, "c", 1)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)] // (event_id, ts_ns, user marker)
