@@ -183,18 +183,24 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       }
       d.withColumn(pf.name, e)
     }
-    // AQE rebalance sizes output files by bytes (Iceberg's rolling-writer
-    // goal, Spark-native): small commits collapse to one file instead of
-    // one per task, huge commits split — no hardcoded partition count
-    // that would be wrong at one scale or the other. With a partition
-    // spec, rebalance on the derived columns co-locates partition values.
-    val balanced =
-      if (partCols.nonEmpty) withParts.hint("rebalance", partCols.map(col): _*)
-      else withParts.hint("rebalance")
+    // Layout strategy:
+    //  - sort key set → range-repartition + sort by it: files carry
+    //    DISJOINT key ranges, so footer min/max stats skip all but the
+    //    matching files on key predicates (clustered writes). AQE still
+    //    coalesces the range shuffle for small commits.
+    //  - otherwise → AQE rebalance sizes output files by bytes (Iceberg's
+    //    rolling-writer goal) with no hardcoded partition count. With a
+    //    partition spec, rebalance on the derived columns co-locates
+    //    partition values.
     val sorted =
-      if (snap.key.nonEmpty)
-        balanced.sortWithinPartitions(snap.key.map(k => col(snap.physicalOf(k))): _*)
-      else balanced
+      if (snap.key.nonEmpty) {
+        val keyCols = snap.key.map(k => col(snap.physicalOf(k)))
+        withParts.repartitionByRange(keyCols: _*).sortWithinPartitions(keyCols: _*)
+      } else if (partCols.nonEmpty) {
+        withParts.hint("rebalance", partCols.map(col): _*)
+      } else {
+        withParts.hint("rebalance")
+      }
     val obs = org.apache.spark.sql.Observation()
     val observed = sorted.observe(obs, count(lit(1)).as("rows"))
     if (partCols.nonEmpty) {

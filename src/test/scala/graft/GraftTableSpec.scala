@@ -185,6 +185,27 @@ class GraftTableSpec extends AnyFunSuite {
     assert(files.filter(col("size") > 0).count() >= 1)
   }
 
+  test("clustered writes: sort-keyed tables produce range-disjoint files") {
+    val dir = TestSpark.tmpDir("gt-cluster")
+    val t = GraftTable.create(spark, dir, sampleSchema, key = Seq("age"))
+    val big = spark.range(20000).selectExpr("id AS age", "concat('u', id) AS name")
+      .repartition(8) // shuffled input: clustering must come from the write path
+    t.append(big)
+    // every parquet file's [min,max] age range must be disjoint
+    val files = new java.io.File(t.dir + "/data").listFiles().head
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val ranges = files.map { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val r = df.agg(min(col("age")), max(col("age"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(t.toDF.count() == 20000)
+  }
+
   test("small commits produce one data file (rebalance write sizing)") {
     val dir = TestSpark.tmpDir("gt-onefile")
     val t = GraftTable.create(spark, dir, sampleSchema)

@@ -48,6 +48,23 @@ class VectorDotSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderLong: interleave properties + codegen parity") {
+    import graft.functions.ZOrderLong
+    ZOrderLong.register(spark)
+    // bit-level golden values
+    assert(ZOrderLong.interleave(0L, 0L) == 0L)
+    assert(ZOrderLong.interleave(1L, 0L) == 1L)   // a -> even bits
+    assert(ZOrderLong.interleave(0L, 1L) == 2L)   // b -> odd bits
+    assert(ZOrderLong.interleave(3L, 3L) == 15L)  // 0b1111
+    // locality: close points interleave to close z-values more often than
+    // far points — check monotone prefix property on a quadrant
+    assert(ZOrderLong.interleave(2L, 2L) < ZOrderLong.interleave(4L, 4L))
+    val df = Seq((5L, 9L), (0L, 0L), (0xFFFFFFFFL, 0L)).toDF("a", "b")
+    val viaExpr = df.select(ZOrderLong.z_order($"a", $"b")).as[Long].collect().toSeq
+    assert(viaExpr == Seq(ZOrderLong.interleave(5L, 9L), 0L,
+      ZOrderLong.interleave(0xFFFFFFFFL, 0L)))
+  }
+
   test("VectorDot nulls: null array or null element -> null") {
     GraftFunctions.register(spark)
     val df = Seq(
