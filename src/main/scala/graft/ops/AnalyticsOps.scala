@@ -79,9 +79,13 @@ object AnalyticsOps {
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
-        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+        // both quantiles from ONE sort-based aggregation pass
+        percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50_qty"),
+        round(element_at(col("ps"), 2), 6).as("p90_qty"),
+        col("n"))
       .orderBy("l_returnflag")
 
   // window functions: top-3 orders per customer
