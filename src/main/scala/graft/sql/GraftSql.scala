@@ -1,12 +1,14 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.expressions.{Literal => TLiteral, Transform}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.dml._
-import graft.table.GraftTable
+import graft.table.{GraftTable, PartitionField}
 
 /** Text-SQL front for graft tables — entry point A of the reference
   * (`spark.sql("MERGE INTO …")`, `IcebergSQLMerge.java:46`;
@@ -26,8 +28,11 @@ import graft.table.GraftTable
   * and resolved inside MergePlanner's aliased join — no private analyzer
   * API needed.
   */
-final class GraftSql(spark: SparkSession) {
+final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = None) {
   private val tables = scala.collection.mutable.Map.empty[String, GraftTable]
+
+  private lazy val warehouseDir: String = defaultWarehouse.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft_sql_wh").toString)
 
   /** Registers a graft table under a SQL name (also as a temp view so
     * SELECTs resolve; the view is refreshed after every DML). */
@@ -109,9 +114,61 @@ final class GraftSql(spark: SparkSession) {
     * through the graft planner; other statements run via `spark.sql`
     * (registered tables are visible to SELECTs as `<name with . as __>`
     * temp views). Returns the post-state for DML, the result otherwise. */
+  /** Iceberg-style partition transforms from CREATE TABLE ... PARTITIONED
+    * BY (identity cols, bucket(n, c), months(c), truncate(w, c)). */
+  private def toPartitionField(t: Transform): PartitionField = {
+    def ref = t.references().head.fieldNames().last
+    def intArg = t.arguments().collectFirst {
+      case l: TLiteral[_] if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(s"missing numeric arg in ${t.describe()}"))
+    t.name() match {
+      case "identity"           => PartitionField(ref, "identity")
+      case "bucket"             => PartitionField(ref, "bucket", intArg)
+      case "months" | "month"   => PartitionField(ref, "month")
+      case "truncate"           => PartitionField(ref, "truncate", intArg)
+      case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
+    }
+  }
+
+  /** Where a CREATE TABLE lands: a configured GraftCatalog's warehouse
+    * for `graft.ns.t` names, this GraftSql's default warehouse otherwise
+    * (dots become directory levels, like the reference's hadoop catalog). */
+  private def createDirFor(parts: Seq[String]): String = {
+    val confKey = s"spark.sql.catalog.${parts.head}"
+    if (parts.length >= 2 &&
+        spark.conf.getOption(confKey).contains(classOf[graft.catalog.GraftCatalog].getName))
+      parts.tail.mkString(spark.conf.get(s"$confKey.warehouse") + "/", "/", "")
+    else parts.mkString(s"$warehouseDir/", "/", "")
+  }
+
+  private def runCreate(nameParts: Seq[String], schema: StructType,
+                        partitioning: Seq[Transform], ignoreIfExists: Boolean,
+                        data: Option[DataFrame]): DataFrame = {
+    val name = nameParts.mkString(".").toLowerCase
+    val dir = createDirFor(nameParts)
+    if (GraftTable.exists(spark, dir)) {
+      if (!ignoreIfExists) throw new IllegalStateException(s"table $name already exists")
+    } else {
+      GraftTable.create(spark, dir, schema, spec = partitioning.map(toPartitionField))
+    }
+    register(name, GraftTable.load(spark, dir))
+    data.foreach(df => { tables(name).append(df); refreshView(name) })
+    tables(name).toDF
+  }
+
   def sql(text: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     parsed match {
+      case c: CreateTable =>
+        val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts
+        val schema = StructType(c.columns.map(cd =>
+          StructField(cd.name, cd.dataType, cd.nullable)))
+        runCreate(parts, schema, c.partitioning, c.ignoreIfExists, None)
+      case c: CreateTableAsSelect =>
+        val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts
+        val df = GraftShim.ofRows(spark, resolveRegistered(c.query))
+        runCreate(parts, df.schema, c.partitioning, c.ignoreIfExists, Some(df))
       case m: MergeIntoTable if targetTable(m.targetTable).isDefined =>
         runMerge(m)
       case d: DeleteFromTable if targetTable(d.table).isDefined =>

@@ -186,6 +186,37 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(_._1).toSeq == Seq(9L))
   }
 
+  test("reference CREATE TABLE DDL: full SQL-only flow (IcebergSQLMerge.java:17-48)") {
+    val g = GraftSql(spark)
+    // the reference's exact DDL text, partition transforms included
+    g.sql("""CREATE TABLE default.test_table (
+            |    customer_id bigint COMMENT 'unique id',
+            |    name string,
+            |    lastname string
+            |) USING iceberg""".stripMargin)
+    g.sql("INSERT INTO default.test_table select 1, 'customer_a', 'lastname-1'")
+    g.sql(
+      """MERGE INTO default.test_table t
+        |USING (SELECT 2 as customer_id, 'customer_b' as name, 'lastname-2' as lastname) s
+        |ON s.customer_id = t.customer_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = g.sql("SELECT count(*) AS n FROM default__test_table").as[Long].head()
+    assert(got == 2)
+    assert(g.table("default.test_table").toDF.count() == 2)
+    // duplicate create errors; IF NOT EXISTS is a no-op
+    assertThrows[IllegalStateException] {
+      g.sql("CREATE TABLE default.test_table (x int) USING iceberg")
+    }
+    g.sql("CREATE TABLE IF NOT EXISTS default.test_table (x int) USING iceberg")
+    // partitioned create + CTAS
+    g.sql("""CREATE TABLE default.events_p (id bigint, d date)
+            |USING graft PARTITIONED BY (months(d), bucket(4, id))""".stripMargin)
+    assert(g.table("default.events_p").spec.map(_.transform) == Seq("month", "bucket"))
+    g.sql("CREATE TABLE default.copy AS SELECT * FROM default.test_table")
+    assert(g.table("default.copy").toDF.count() == 2)
+  }
+
   test("SELECT passthrough sees registered table state") {
     val (g, t) = freshTable("sel")
     g.sql("INSERT INTO test_table select 1, 'a', 'b'")
