@@ -91,6 +91,14 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
   private def targetTable(plan: LogicalPlan): Option[GraftTable] =
     nameOf(plan).flatMap(n => tables.get(n).orElse(catalogLookup(n)))
 
+  /** ALTER TABLE targets parse as UnresolvedTable, not UnresolvedRelation. */
+  private def tableOfAlter(plan: LogicalPlan): Option[(String, GraftTable)] = plan match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      val n = u.multipartIdentifier.mkString(".").toLowerCase
+      tables.get(n).orElse(catalogLookup(n)).map(n -> _)
+    case _ => None
+  }
+
   /** Renders an unresolved parsed expression back to SQL and re-parses it
     * as a Column, rewriting the target/source qualifiers to the planner's
     * `t`/`s` aliases. */
@@ -169,6 +177,20 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts
         val df = GraftShim.ofRows(spark, resolveRegistered(c.query))
         runCreate(parts, df.schema, c.partitioning, c.ignoreIfExists, Some(df))
+      case a: AddColumns if tableOfAlter(a.table).isDefined =>
+        val (name, t) = tableOfAlter(a.table).get
+        a.columnsToAdd.foreach(c => t.addColumn(c.name.last, c.dataType))
+        refreshView(name)
+        t.toDF
+      case d: DropColumns if tableOfAlter(d.table).isDefined =>
+        val (name, t) = tableOfAlter(d.table).get
+        d.columnsToDrop.foreach { f =>
+          val fieldName = f.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName]
+            .name.last
+          t.dropColumn(fieldName)
+        }
+        refreshView(name)
+        t.toDF
       case m: MergeIntoTable if targetTable(m.targetTable).isDefined =>
         runMerge(m)
       case d: DeleteFromTable if targetTable(d.table).isDefined =>

@@ -217,6 +217,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.table("default.copy").toDF.count() == 2)
   }
 
+  test("reference ALTER TABLE SQL: ADD COLUMN then DROP COLUMN") {
+    val (g, t) = freshTable("alter")
+    g.sql("INSERT INTO test_table select 1, 'customer_a', 'lastname-1'")
+    // IcebergSQLMerge.java:69
+    g.sql("ALTER TABLE test_table ADD COLUMN email string")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("customer_id", "name", "lastname", "email"))
+    assert(t.toDF.filter($"email".isNull).count() == 1)
+    // IcebergSQLDelete.java:35
+    g.sql("ALTER TABLE test_table DROP COLUMN name")
+    assert(t.schema.fieldNames.toSeq == Seq("customer_id", "lastname", "email"))
+    assert(g.sql("SELECT * FROM test_table").columns.toSeq ==
+      Seq("customer_id", "lastname", "email"))
+  }
+
   test("SELECT passthrough sees registered table state") {
     val (g, t) = freshTable("sel")
     g.sql("INSERT INTO test_table select 1, 'a', 'b'")
