@@ -119,6 +119,8 @@ object TextOps {
     val r = k / bands
     val reps = documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      // NUL separator: distinct sets with ambiguous concatenations
+      // ({"a","bc"} vs {"ab","c"}) must not collide
       .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
       .groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))

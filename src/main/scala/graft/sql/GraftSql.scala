@@ -222,9 +222,17 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         val name = nameOf(i.table).get
         val t = tables(name)
         val df = GraftShim.ofRows(spark, resolveRegistered(i.query))
-        // INSERT INTO ... SELECT <literals>: positional column mapping
-        // with implicit casts (reference X2), like a SQL insert
-        t.append(df.toDF(t.schema.fieldNames.take(df.columns.length).toIndexedSeq: _*))
+        // positional column mapping with implicit casts (reference X2):
+        // into the user-specified column list when present, else into the
+        // table schema's leading columns
+        val targets =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else t.schema.fieldNames.take(df.columns.length).toSeq
+        require(targets.length == df.columns.length,
+          s"INSERT column count mismatch: ${targets.length} target columns, " +
+            s"${df.columns.length} query columns")
+        val aligned = df.toDF(targets: _*)
+        if (i.overwrite) t.overwrite(aligned) else t.append(aligned)
         refreshView(name)
         t.toDF
       case _ => spark.sql(text) // SELECT / DDL passthrough

@@ -132,22 +132,33 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def allSnapshots: Seq[Snapshot] = (0 to currentVersion).map(snapshotAt)
 
   /** Optimistic-concurrency commit: write-once `v{N}.json`; on collision
-    * (concurrent writer) retry at N+1. The snapshot is REBUILT at the
-    * retried version so data-dir/delete-file version stamps stay
-    * consistent with the final snapshot id. Atomicity = file create-new. */
-  private def commit(startAt: Int)(mk: Int => Snapshot): Snapshot = {
+    * (a concurrent writer took the slot) the delta is RE-APPLIED against
+    * the freshly-read current snapshot — re-stamping the stale pre-read
+    * base would silently drop the other writer's committed changes (lost
+    * update). Structural conflicts (e.g. both writers adding the same
+    * column) surface as the delta's own validation errors against the
+    * new base. Atomicity = file create-new. */
+  private def commit(startAt: Int)(mk: (Snapshot, Int) => Snapshot): Snapshot = {
+    var base: Snapshot = null // first attempt uses the caller's pre-read state
     var v = startAt
     var done = false
     var out: Snapshot = null
     while (!done) {
-      out = mk(v)
+      out = mk(if (base == null) null else base, v)
       val p = new Path(logDir, f"v$v%05d.json")
       try {
         val os = fs.create(p, false) // fail if exists
         try os.write(writeSnapshot(out).getBytes("UTF-8")) finally os.close()
         done = true
       } catch {
-        case _: java.io.IOException if fs.exists(p) => v += 1
+        case _: java.io.IOException if fs.exists(p) =>
+          // next slot comes from the log's FILE numbering — a snapshot
+          // whose content carries a different version field (e.g. a
+          // hand-copied or corrupted entry) must never re-target an
+          // occupied slot (that would loop forever)
+          val cur = currentVersion
+          base = snapshotAt(cur) // re-read the winner's state
+          v = cur + 1
       }
     }
     out
@@ -220,8 +231,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def append(df: DataFrame): GraftTable = {
     val s = snapshot
     val (sub, rows) = writeData(df, s)
-    commit(s.version + 1)(v => s.copy(version = v, op = "append",
-      dataDirs = s.dataDirs :+ DataDir(sub, v, rows)))
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
+    })
     this
   }
 
@@ -230,8 +243,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def overwrite(df: DataFrame): GraftTable = {
     val s = snapshot
     val (sub, rows) = writeData(df, s)
-    commit(s.version + 1)(v => s.copy(version = v, op = "overwrite",
-      dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty))
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "overwrite",
+        dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty)
+    })
     this
   }
 
@@ -243,15 +259,21 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     require(s.formatVersion >= 2,
       s"rowDelta requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
+    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+      s"rowDelta key set $keys differs from existing delete files' key set " +
+        s"${s.deletes.head.keys}; mixed equality-delete keys are not supported")
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
     deleteKeys.select(keys.map(col): _*)
       .toDF(physKeys: _*)
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
     val (rsub, nrows) = writeData(rows, s)
-    commit(s.version + 1)(v => s.copy(version = v, op = "rowdelta",
-      dataDirs = s.dataDirs :+ DataDir(rsub, v, nrows),
-      deletes = s.deletes :+ DeleteFile(dsub, keys, v)))
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "rowdelta",
+        dataDirs = b.dataDirs :+ DataDir(rsub, v, nrows),
+        deletes = b.deletes :+ DeleteFile(dsub, keys, v))
+    })
     this
   }
 
@@ -264,9 +286,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val phys =
       if (s.retiredPhysical.contains(name) || s.fields.exists(_.physical == name)) s"${name}__r${s.version + 1}"
       else name
-    commit(s.version + 1)(v => s.copy(version = v, op = "add-column",
-      schema = StructType(s.schema.fields :+ StructField(name, dt, nullable = true)),
-      fields = s.fields :+ FieldInfo(name, phys, v)))
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      require(!b.schema.fieldNames.contains(name), s"column exists: $name")
+      b.copy(version = v, op = "add-column",
+        schema = StructType(b.schema.fields :+ StructField(name, dt, nullable = true)),
+        fields = b.fields :+ FieldInfo(name, phys, v))
+    })
     this
   }
 
@@ -274,24 +300,29 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     val phys = s.physicalOf(name)
     require(!s.spec.exists(_.source == name), s"cannot drop partition source column $name")
-    commit(s.version + 1)(v => s.copy(version = v, op = "drop-column",
-      schema = StructType(s.schema.fields.filterNot(_.name == name)),
-      fields = s.fields.filterNot(_.logical == name),
-      retiredPhysical = s.retiredPhysical :+ phys))
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "drop-column",
+        schema = StructType(b.schema.fields.filterNot(_.name == name)),
+        fields = b.fields.filterNot(_.logical == name),
+        retiredPhysical = b.retiredPhysical :+ phys)
+    })
     this
   }
 
   def upgradeFormat(v: Int): GraftTable = {
     val s = snapshot
     require(v >= s.formatVersion, "format version cannot be downgraded")
-    commit(s.version + 1)(nv => s.copy(version = nv, op = "upgrade-format", formatVersion = v))
+    commit(s.version + 1)((rebase, nv) => Option(rebase).getOrElse(s)
+      .copy(version = nv, op = "upgrade-format", formatVersion = v))
     this
   }
 
   def replaceSortKey(keys: Seq[String]): GraftTable = {
     val s = snapshot
     keys.foreach(s.physicalOf) // validate
-    commit(s.version + 1)(v => s.copy(version = v, op = "replace-key", key = keys))
+    commit(s.version + 1)((rebase, v) => Option(rebase).getOrElse(s)
+      .copy(version = v, op = "replace-key", key = keys))
     this
   }
 
@@ -506,7 +537,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
 
-  def delete(pred: Column): GraftTable = overwrite(toDF.filter(!coalesce(pred, lit(false))))
+  def delete(pred: Column): GraftTable =
+    overwrite(graft.dml.MergePlanner.delete(toDF, pred))
 
   def update(set: Map[String, Column], pred: Column): GraftTable =
     overwrite(graft.dml.MergePlanner.update(toDF, set, pred))

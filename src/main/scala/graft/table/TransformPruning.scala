@@ -98,8 +98,11 @@ object TransformPruning {
     }
     case "bucket" =>
       // same hash family as the write path: pmod(hash(value), n) — a
-      // constant expression Catalyst folds at plan time
-      Some(pmod(hash(lit(v)), lit(pf.param)))
+      // constant expression Catalyst folds at plan time. The literal MUST
+      // be cast to the source column's type first: Murmur3 hashes Int 5
+      // and Long 5L differently, and the write path hashed the typed
+      // column value.
+      Some(pmod(hash(lit(v).cast(srcType)), lit(pf.param)))
     case _ => None
   }
 

@@ -232,6 +232,17 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq("customer_id", "lastname", "email"))
   }
 
+  test("INSERT OVERWRITE replaces; INSERT with column list maps by name") {
+    val (g, t) = freshTable("insover")
+    g.sql("INSERT INTO test_table select 1, 'a', 'l1'")
+    g.sql("INSERT OVERWRITE test_table select 9, 'z', 'l9'")
+    assert(t.toDF.as[(Long, String, String)].collect().toSeq == Seq((9L, "z", "l9")))
+    // explicit column list in a different order than the schema
+    g.sql("INSERT INTO test_table (name, customer_id, lastname) select 'named', 5, 'l5'")
+    val row5 = t.toDF.filter($"customer_id" === 5L).as[(Long, String, String)].head()
+    assert(row5 == ((5L, "named", "l5")))
+  }
+
   test("SELECT passthrough sees registered table state") {
     val (g, t) = freshTable("sel")
     g.sql("INSERT INTO test_table select 1, 'a', 'b'")

@@ -54,6 +54,17 @@ class TransformPruningSpec extends AnyFunSuite {
       s"derived predicate not pushed to scan: $pushed")
   }
 
+  test("bucket pruning hashes the literal at the SOURCE column's type") {
+    // o_orderkey is LongType; an Int literal must hash like the Long value
+    // (Murmur3 hashes Int 42 and Long 42L differently)
+    val t = partitionedOrders()
+    val viaInt = t.scan(col("o_orderkey") === 42)
+      .select("o_orderkey").as[Long].collect().toSeq
+    val viaLong = t.scan(col("o_orderkey") === 42L)
+      .select("o_orderkey").as[Long].collect().toSeq
+    assert(viaInt == Seq(42L) && viaLong == Seq(42L))
+  }
+
   test("unsound derivations are not produced") {
     val t = partitionedOrders()
     // range on a bucket source must NOT derive (hash kills ordering)
