@@ -31,11 +31,17 @@ final case class PartitionField(source: String, transform: String, param: Int = 
     case "month"    => s"${source}_month"
     case "truncate" => s"${source}_trunc"
   }
-  def expr(c: Column): Column = transform match {
-    case "identity" => c
-    case "bucket"   => pmod(hash(c), lit(param))
-    case "month"    => date_format(c, "yyyy-MM")
-    case "truncate" => substring(c, 1, param) // string form; numeric handled by caller
+  def expr(c: Column): Column = exprFor(c, StringType)
+
+  /** Type-aware derived-column expression (truncate floors integrals,
+    * prefixes strings). */
+  def exprFor(c: Column, srcType: DataType): Column = (transform, srcType) match {
+    case ("identity", _) => c
+    case ("bucket", _)   => pmod(hash(c), lit(param))
+    case ("month", _)    => date_format(c, "yyyy-MM")
+    case ("truncate", LongType | IntegerType | ShortType | ByteType) =>
+      c - pmod(c, lit(param))
+    case ("truncate", _) => substring(c, 1, param)
   }
 }
 
@@ -186,13 +192,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     val partCols = snap.spec.map(_.name)
     val withParts = snap.spec.foldLeft(renamed) { (d, pf) =>
-      val src = col(snap.physicalOf(pf.source))
-      val dt = snap.schema(pf.source).dataType
-      val e = (pf.transform, dt) match {
-        case ("truncate", LongType | IntegerType | ShortType | ByteType) => src - pmod(src, lit(pf.param))
-        case _                             => pf.expr(src)
-      }
-      d.withColumn(pf.name, e)
+      d.withColumn(pf.name,
+        pf.exprFor(col(snap.physicalOf(pf.source)), snap.schema(pf.source).dataType))
     }
     // Layout strategy:
     //  - sort key set → range-repartition + sort by it: files carry
@@ -580,12 +581,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     require(s.spec.nonEmpty, "table is not partitioned")
     concat_ws("/", s.spec.map { pf =>
-      val src = col(pf.source)
-      val dt = s.schema(pf.source).dataType
-      val e = (pf.transform, dt) match {
-        case ("truncate", LongType | IntegerType | ShortType | ByteType) => src - pmod(src, lit(pf.param))
-        case _                             => pf.expr(src)
-      }
+      val e = pf.exprFor(col(pf.source), s.schema(pf.source).dataType)
       concat(lit(pf.name + "="), e.cast(StringType))
     }: _*)
   }
