@@ -2,27 +2,31 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.table.GraftTable
+import graft.table.{GraftTable, PartitionField}
 
 import java.util
 
 /** DSv2 catalog plugin for graft tables — entry point for plain
-  * `spark.sql("SELECT * FROM graft.<ns>.<table>")` and `SHOW VIEWS IN
-  * graft.<ns>` with no registration step.
+  * `spark.sql` over `graft.<ns>.<table>` names with no registration step:
+  * SELECT, INSERT INTO / INSERT OVERWRITE, CREATE TABLE (incl. CTAS and
+  * `PARTITIONED BY` transforms), ALTER TABLE ADD/DROP COLUMN, DROP TABLE,
+  * plus `df.writeTo("graft.ns.t").append()` and the programmatic
+  * `createTable`/`loadTable` pair the reference's Java-API examples use
+  * (`/root/reference/src/main/java/IcebergJavaApiAppend.java:55-69`).
   *
-  * Tables are served as catalog VIEWS: `loadView` renders the table's
-  * current snapshot to self-contained SQL over `parquet.`path``
-  * relations ([[GraftTable.viewSql]]), so reads resolve through
-  * Catalyst's normal view pipeline and keep full filter/column pushdown
-  * into the vectorized parquet scans. Snapshot isolation comes free:
-  * each query plans against the snapshot current at resolution time.
-  * Reads only — writes go through the GraftTable API / GraftSql (a
-  * DSv2 write path needs SupportsWrite and is future work).
+  * `loadTable` serves a [[GraftSparkTable]] (SupportsRead + SupportsWrite);
+  * writes commit through the snapshot log via the V1 write fallback. For
+  * reads, sessions built with [[GraftSparkSessionExtensions]] swap
+  * read-position relations for the snapshot's self-contained SQL view
+  * over `parquet.`path`` relations ([[GraftTable.viewSql]]) — full
+  * filter/column pushdown into vectorized parquet scans; other sessions
+  * fall back to the table's V1Scan. Snapshot isolation comes free: each
+  * query plans against the snapshot current at resolution time.
   *
   * Configuration:
   * {{{
@@ -92,19 +96,63 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("read-only catalog")
 
-  // ---- TableCatalog (tables surface as views; loadTable defers) -------
+  // ---- TableCatalog (the write path + programmatic DDL) ---------------
 
-  override def loadTable(ident: Identifier): Table = throw new NoSuchTableException(ident)
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(dirOf(ident),
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    listViews(namespace.toIndexedSeq: _*)
+
+  /** Column[]-based variant so DDL column comments survive into the log
+    * (they ride StructField metadata through StructType.json). */
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      val f = StructField(c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).map(f.withComment).getOrElse(f)
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("use GraftTable.create(spark, dir, schema, ...)")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("use the GraftTable evolution API")
-  override def dropTable(ident: Identifier): Boolean = false
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val key = Option(properties.get("key")).map(_.split(',').toSeq.map(_.trim))
+      .getOrElse(Seq.empty)
+    GraftTable.create(spark, dirOf(ident), schema,
+      spec = partitions.toSeq.map(PartitionField.fromTransform), key = key)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, dirOf(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested columns are not supported")
+        t.addColumn(add.fieldNames.head, add.dataType)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested columns are not supported")
+        t.dropColumn(del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other (use the GraftTable evolution API)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val p = new Path(dirOf(ident))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("rename is not supported")
 
   // ---- SupportsNamespaces ---------------------------------------------
 

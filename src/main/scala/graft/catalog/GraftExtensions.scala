@@ -1,20 +1,28 @@
 package graft.catalog
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import graft.table.GraftTable
 
-/** Analyzer integration for graft catalog names. Spark 4.1 ships the
-  * DSv2 `ViewCatalog` SPI but its analyzer never calls `loadView` — view
-  * resolution is left to engine extensions (Iceberg wires its own rules
-  * the same way). This resolution rule expands
-  * `UnresolvedRelation([<graft catalog>, ns…, table])` into the table's
-  * snapshot view plan ([[GraftTable.viewSql]] parsed back through
-  * Spark's parser); the surrounding fixed-point analysis then resolves
-  * the inner `parquet.`path`` relations normally, keeping vectorized
-  * scans + pushdown.
+/** Analyzer integration for graft catalog names.
+  *
+  * [[GraftCatalog.loadTable]] gives every `graft.<ns>.<table>` reference a
+  * real DSv2 [[GraftSparkTable]]; writes (`df.writeTo(...).append()`,
+  * `INSERT INTO`) flow through its SupportsWrite as vanilla Spark plans.
+  * For READS this rule swaps the resolved relation for the snapshot's
+  * self-contained SQL view ([[GraftTable.viewSql]] re-parsed), so scans
+  * stay vectorized multi-path parquet reads with full filter/column
+  * pushdown — strictly better than funnelling rows through the table's
+  * V1Scan fallback. Iceberg wires its analyzer extensions the same way.
+  *
+  * ExprId stability: by the time this rule runs, parent operators may
+  * already reference the relation's output attributes, so the substituted
+  * plan must expose the SAME exprIds. The placeholder holds the original
+  * output; once the parsed view subtree resolves, a projection aliases
+  * the view's columns back onto the original attribute ids.
   *
   * Install at session build time:
   * {{{
@@ -25,21 +33,51 @@ import graft.table.GraftTable
   */
 case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def isGraftCatalog(name: String): Boolean =
-    spark.conf.getOption(s"spark.sql.catalog.$name")
-      .contains(classOf[GraftCatalog].getName)
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length >= 2
-        && isGraftCatalog(u.multipartIdentifier.head) =>
-      val parts = u.multipartIdentifier
-      val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
-      val dir = parts.tail.mkString(s"$wh/", "/", "")
-      if (GraftTable.exists(spark, dir)) {
-        val t = GraftTable.load(spark, dir)
-        SubqueryAlias(parts.last, spark.sessionState.sqlParser.parsePlan(t.viewSql))
-      } else u // fall through to the normal "not found" error
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Relations in WRITE position keep the DSv2 table: AppendData /
+    // OverwriteByExpression plan against SupportsWrite, and row-level
+    // commands must fail with Spark's own "not supported" guidance
+    // (GraftSql is the engine's row-level SQL front).
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    plan.foreach {
+      case c: V2WriteCommand        => writeTargets.add(strip(c.table))
+      case i: InsertIntoStatement   => writeTargets.add(strip(i.table))
+      case d: DeleteFromTable       => writeTargets.add(strip(d.table))
+      case u: UpdateTable           => writeTargets.add(strip(u.table))
+      case m: MergeIntoTable        => writeTargets.add(strip(m.targetTable))
+      case _ =>
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftSparkTable].graftTable
+        GraftViewPlaceholder(r.output,
+          spark.sessionState.sqlParser.parsePlan(t.viewSql))
+      case h: GraftViewPlaceholder if h.child.resolved =>
+        val aliased: Seq[NamedExpression] = h.output.zip(h.child.output).map {
+          case (o, c) =>
+            val e = if (c.dataType == o.dataType) c else Cast(c, o.dataType)
+            Alias(e, o.name)(exprId = o.exprId)
+        }
+        Project(aliased, h.child)
+    }
   }
+}
+
+/** Holds a graft relation's original output attributes while the parsed
+  * view subtree underneath resolves; [[ResolveGraftTables]] then projects
+  * the resolved columns back onto those attribute ids. Never survives
+  * analysis (`resolved` is false until replaced). */
+case class GraftViewPlaceholder(output: Seq[Attribute], child: LogicalPlan)
+    extends UnaryNode {
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftViewPlaceholder =
+    copy(child = newChild)
 }
 
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {

@@ -1,0 +1,167 @@
+package graft.catalog
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession, Column => SCol}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.{GraftTable, PartitionField}
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** The DSv2 `Table` served by [[GraftCatalog.loadTable]] — the surface
+  * behind `df.writeTo("graft.ns.t").append()` / `.overwritePartitions()`,
+  * plain-SQL `INSERT INTO graft.ns.t`, and programmatic
+  * `catalog.createTable(...).loadTable(...)` (the reference's primary
+  * write API: `/root/reference/src/main/java/IcebergJavaApiAppend.java:55-69`).
+  *
+  * Writes use Spark's V1 write fallback ([[V1Write]] →
+  * [[InsertableRelation]]): the aligned query DataFrame is handed to
+  * [[GraftTable.append]]/[[GraftTable.overwrite]], so the DSv2 path
+  * commits through exactly the same snapshot-log machinery as the Scala
+  * API — AQE-rebalanced/range-clustered file layout, observed row-count
+  * stats, OCC commit. No second write implementation to keep consistent.
+  *
+  * Reads: sessions built with [[GraftSparkSessionExtensions]] never scan
+  * through this class — the resolution rule swaps read-position
+  * relations for the snapshot's `parquet.`path`` view plan (full
+  * vectorized-scan pushdown). The [[V1Scan]] fallback here keeps catalog
+  * reads *correct* on sessions without the extensions (column pruning
+  * pushed, filters forwarded to [[GraftTable.scan]] for transform/footer
+  * skipping, then re-applied by Spark).
+  */
+final class GraftSparkTable(val dir: String, tableName: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  /** Always-fresh handle; snapshot state lives in the log. */
+  def graftTable: GraftTable = GraftTable.load(spark, dir)
+
+  override def name(): String = tableName
+  override def schema(): StructType = graftTable.schema
+  override def columns(): Array[Column] = graftTable.schema.fields.map { f =>
+    Column.create(f.name, f.dataType, f.nullable, f.getComment().orNull, null)
+  }
+
+  override def partitioning(): Array[Transform] =
+    graftTable.spec.map {
+      case PartitionField(src, "identity", _) => Expressions.identity(src)
+      case PartitionField(src, "bucket", n)   => Expressions.bucket(n, src)
+      case PartitionField(src, "month", _)    => Expressions.months(src)
+      case PartitionField(src, "truncate", w) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))
+      case pf => throw new IllegalStateException(s"unknown transform in spec: $pf")
+    }.toArray
+
+  override def properties(): util.Map[String, String] = {
+    val t = graftTable
+    val m = new util.HashMap[String, String]()
+    m.put("format-version", t.formatVersion.toString)
+    m.put("provider", "graft")
+    if (t.sortKey.nonEmpty) m.put("key", t.sortKey.mkString(","))
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(graftTable)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir)
+}
+
+/** Append / truncate-overwrite write builder; `build()` yields the V1
+  * fallback that routes the query DataFrame into the snapshot log. */
+private final class GraftWriteBuilder(dir: String)
+    extends WriteBuilder with SupportsOverwriteV2 {
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    // INSERT OVERWRITE / writeTo().overwrite(lit(true)) arrive as a single
+    // AlwaysTrue; predicate-scoped overwrite is GraftSql's DELETE+INSERT
+    require(predicates.forall(_.isInstanceOf[AlwaysTrue]),
+      s"graft supports overwrite by truncation only; for conditional " +
+        s"rewrites use DELETE/MERGE (got: ${predicates.map(_.describe()).mkString(", ")})")
+    replace = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val t = GraftTable.load(data.sparkSession, dir)
+        if (replace || overwrite) t.overwrite(data) else t.append(data)
+      }
+    }
+  }
+}
+
+/** Fallback read: prunes columns at the source, forwards convertible
+  * filters to [[GraftTable.scan]] (transform pruning + parquet footer
+  * skipping), and reports everything as residual so Spark re-applies the
+  * full predicate — pushdown is an optimization here, never a contract. */
+private final class GraftScanBuilder(table: GraftTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = table.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var pred: Option[SCol] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => toColumn(f).isDefined)
+    pred = accepted.flatMap(toColumn).reduceOption(_ && _)
+    filters // all residual: Spark re-evaluates, we only use them to skip files
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  private def toColumn(f: Filter): Option[SCol] = {
+    def c(n: String) = col(s"`$n`")
+    f match {
+      case sources.EqualTo(a, v)            => Some(c(a) === lit(v))
+      case sources.GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v)           => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case sources.In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a)                => Some(c(a).isNull)
+      case sources.IsNotNull(a)             => Some(c(a).isNotNull)
+      case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = {
+    val schema = required
+    val filter = pred
+    new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = readSchema()
+          override def buildScan(): RDD[Row] = {
+            val base = filter.map(table.scan).getOrElse(table.toDF)
+            base.select(readSchema().fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
+          }
+        }.asInstanceOf[T]
+    }
+  }
+}

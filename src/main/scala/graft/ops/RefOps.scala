@@ -279,6 +279,32 @@ object RefOps {
       .orderBy("month")
   }
 
+  // K3/K1/D1/D2 — the DSv2 catalog write path end-to-end: plain-SQL
+  // CREATE TABLE (with a column comment), df.writeTo(...).append()
+  // (IcebergJavaApiAppend.java:69), plain-SQL INSERT INTO ... SELECT
+  // reading the same catalog table. Everything flows through
+  // GraftCatalog/GraftSparkTable — no GraftSql, no direct GraftTable call.
+  private def writetoAppend(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("writeto_wh")
+    // unique catalog name per invocation: CatalogManager caches plugin
+    // instances by name, so reusing a name across temp warehouses would
+    // serve a stale root (purity under arbitrary query ordering)
+    val cat = s"graftwt${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    spark.sql(s"""CREATE TABLE $cat.db.cust (
+                 |  customer_id bigint COMMENT 'unique id',
+                 |  name string,
+                 |  acctbal double)""".stripMargin)
+    val base = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    base.filter(col("customer_id") % 2 === 0).writeTo(s"$cat.db.cust").append()
+    base.filter(col("customer_id") % 2 =!= 0).writeTo(s"$cat.db.cust").append()
+    spark.sql(s"""INSERT INTO $cat.db.cust
+                 |SELECT customer_id + 3000000, name || '-ins', acctbal
+                 |FROM $cat.db.cust WHERE customer_id % 100 = 0""".stripMargin)
+    spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -307,6 +333,7 @@ object RefOps {
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
     "partition_pruned_scan" -> partitionPrunedScan,
+    "writeto_append" -> writetoAppend,
     "snapshots_meta" -> snapshotsMeta,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
@@ -401,6 +428,12 @@ object RefOps {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01'
         |GROUP BY 1 ORDER BY month""".stripMargin,
+    "writeto_append" ->
+      """WITH base AS (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal FROM customer)
+        |SELECT customer_id, name, acctbal FROM base
+        |UNION ALL
+        |SELECT customer_id + 3000000, name || '-ins', acctbal FROM base WHERE customer_id % 100 = 0
+        |ORDER BY customer_id""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.connector.expressions.{Literal => TLiteral, Transform}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{StructField, StructType}
 import graft.dml._
@@ -122,23 +122,6 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     * through the graft planner; other statements run via `spark.sql`
     * (registered tables are visible to SELECTs as `<name with . as __>`
     * temp views). Returns the post-state for DML, the result otherwise. */
-  /** Iceberg-style partition transforms from CREATE TABLE ... PARTITIONED
-    * BY (identity cols, bucket(n, c), months(c), truncate(w, c)). */
-  private def toPartitionField(t: Transform): PartitionField = {
-    def ref = t.references().head.fieldNames().last
-    def intArg = t.arguments().collectFirst {
-      case l: TLiteral[_] if l.value().isInstanceOf[Number] =>
-        l.value().asInstanceOf[Number].intValue()
-    }.getOrElse(throw new IllegalArgumentException(s"missing numeric arg in ${t.describe()}"))
-    t.name() match {
-      case "identity"           => PartitionField(ref, "identity")
-      case "bucket"             => PartitionField(ref, "bucket", intArg)
-      case "months" | "month"   => PartitionField(ref, "month")
-      case "truncate"           => PartitionField(ref, "truncate", intArg)
-      case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
-    }
-  }
-
   /** Where a CREATE TABLE lands: a configured GraftCatalog's warehouse
     * for `graft.ns.t` names, this GraftSql's default warehouse otherwise
     * (dots become directory levels, like the reference's hadoop catalog). */
@@ -158,7 +141,7 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     if (GraftTable.exists(spark, dir)) {
       if (!ignoreIfExists) throw new IllegalStateException(s"table $name already exists")
     } else {
-      GraftTable.create(spark, dir, schema, spec = partitioning.map(toPartitionField))
+      GraftTable.create(spark, dir, schema, spec = partitioning.map(PartitionField.fromTransform))
     }
     register(name, GraftTable.load(spark, dir))
     data.foreach(df => { tables(name).append(df); refreshView(name) })
@@ -170,8 +153,13 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     parsed match {
       case c: CreateTable =>
         val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts
-        val schema = StructType(c.columns.map(cd =>
-          StructField(cd.name, cd.dataType, cd.nullable)))
+        val schema = StructType(c.columns.map { cd =>
+          val f = StructField(cd.name, cd.dataType, cd.nullable)
+          // column comments round-trip through StructField metadata →
+          // StructType.json in the log (reference: `customer_id bigint
+          // COMMENT 'unique id'`, IcebergSQLMerge.java:18)
+          cd.comment.map(f.withComment).getOrElse(f)
+        })
         runCreate(parts, schema, c.partitioning, c.ignoreIfExists, None)
       case c: CreateTableAsSelect =>
         val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts

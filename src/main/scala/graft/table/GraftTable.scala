@@ -45,6 +45,26 @@ final case class PartitionField(source: String, transform: String, param: Int = 
   }
 }
 
+object PartitionField {
+  /** Iceberg-style partition transform from a DSv2 [[Transform]] (CREATE
+    * TABLE ... PARTITIONED BY (c, bucket(5, c), months(c), truncate(4, c))
+    * — both the SQL route and `TableCatalog.createTable`). */
+  def fromTransform(t: org.apache.spark.sql.connector.expressions.Transform): PartitionField = {
+    def ref = t.references().head.fieldNames().last
+    def intArg = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(s"missing numeric arg in ${t.describe()}"))
+    t.name() match {
+      case "identity"         => PartitionField(ref, "identity")
+      case "bucket"           => PartitionField(ref, "bucket", intArg)
+      case "months" | "month" => PartitionField(ref, "month")
+      case "truncate"         => PartitionField(ref, "truncate", intArg)
+      case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
+    }
+  }
+}
+
 /** An equality-delete file: parquet of key tuples that delete matching rows
   * from data committed in snapshots strictly before `version`. */
 final case class DeleteFile(path: String, keys: Seq[String], version: Int)

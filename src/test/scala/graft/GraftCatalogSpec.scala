@@ -129,6 +129,87 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 150.0), (2L, 200.0), (3L, 300.0)))
   }
 
+  test("DSv2 write path: df.writeTo(graft.ns.t).append() commits through the log") {
+    val t = mkTable("db4", "appended", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").writeTo("graft.db4.appended").append()
+    Seq((3L, "c")).toDF("id", "name").writeTo("graft.db4.appended").append()
+    val got = spark.sql("SELECT id, name FROM graft.db4.appended ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // both appends are real snapshot commits
+    assert(t.currentVersion == 2)
+  }
+
+  test("plain SQL INSERT INTO / INSERT OVERWRITE through the catalog") {
+    mkTable("db4", "ins", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    spark.sql("INSERT INTO graft.db4.ins VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT INTO graft.db4.ins SELECT 3, 'z'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db4.ins").as[Long].head() == 3)
+    spark.sql("INSERT OVERWRITE graft.db4.ins VALUES (9, 'only')")
+    val got = spark.sql("SELECT id, v FROM graft.db4.ins").as[(Long, String)].collect().toSeq
+    assert(got == Seq((9L, "only")))
+  }
+
+  test("plain SQL CREATE TABLE with comments and transforms; ALTER; DROP") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.db5.cust (
+        |  customer_id bigint COMMENT 'unique id',
+        |  name string,
+        |  d date
+        |) PARTITIONED BY (months(d))""".stripMargin)
+    val t = GraftTable.load(spark, s"$warehouse/db5/cust")
+    assert(t.schema("customer_id").getComment().contains("unique id"))
+    assert(t.spec == Seq(PartitionField("d", "month")))
+    spark.sql("INSERT INTO graft.db5.cust VALUES (1, 'a', DATE'2020-01-15')")
+    spark.sql("ALTER TABLE graft.db5.cust ADD COLUMN email string")
+    spark.sql("INSERT INTO graft.db5.cust VALUES (2, 'b', DATE'2020-02-15', 'b@x.com')")
+    val got = spark.sql(
+      "SELECT customer_id, email FROM graft.db5.cust ORDER BY customer_id").collect()
+    assert(got(0).isNullAt(1) && got(1).getString(1) == "b@x.com")
+    // DESCRIBE surfaces the column comment from the log round-trip
+    val desc = spark.sql("DESCRIBE TABLE graft.db5.cust").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc("customer_id") == "unique id")
+    spark.sql("ALTER TABLE graft.db5.cust DROP COLUMN name")
+    assert(!GraftTable.load(spark, s"$warehouse/db5/cust").schema.fieldNames.contains("name"))
+    spark.sql("DROP TABLE graft.db5.cust")
+    assert(!GraftTable.exists(spark, s"$warehouse/db5/cust"))
+  }
+
+  test("plain SQL CTAS through the catalog") {
+    warehouse
+    spark.sql("CREATE TABLE graft.db5.squares AS SELECT id, id * id AS sq FROM range(5)")
+    val got = spark.sql("SELECT sq FROM graft.db5.squares ORDER BY id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 4L, 9L, 16L))
+  }
+
+  test("V1Scan fallback (sessions without the extensions): pruning + filter") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, TableCatalog}
+    import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = mkTable("db6", "plainread", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val tbl = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("db6"), "plainread")).asInstanceOf[SupportsRead]
+    val sb = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(Seq(StructField("v", StringType))))
+    // all filters stay residual (Spark re-applies); pushed set is informational
+    val residual = sb.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(sources.EqualTo("id", 2L)))
+    assert(residual.length == 1)
+    val rel = sb.build().asInstanceOf[V1Scan]
+      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation with org.apache.spark.sql.sources.TableScan](
+        spark.sqlContext)
+    assert(rel.schema.fieldNames.toSeq == Seq("v"))
+    assert(rel.buildScan().collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
