@@ -66,8 +66,11 @@ object PartitionField {
 }
 
 /** An equality-delete file: parquet of key tuples that delete matching rows
-  * from data committed in snapshots strictly before `version`. */
-final case class DeleteFile(path: String, keys: Seq[String], version: Int)
+  * from data committed in snapshots strictly before `version`. `rowCount`
+  * is captured by df.observe() during the write (-1 for pre-stats log
+  * entries) — it gates the broadcast decision when deletes are applied. */
+final case class DeleteFile(path: String, keys: Seq[String], version: Int,
+                            rowCount: Long = -1L)
 
 /** One committed data directory (a Spark parquet write) + the snapshot
   * version that committed it + its row count (captured by df.observe()
@@ -130,6 +133,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   import GraftTable._
 
   private def fs: FileSystem = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Max total delete-key rows that may be broadcast when applying
+    * equality deletes; above this (or when counts are unknown) the
+    * anti-join falls back to the planner's shuffle strategy. */
+  private def deleteBroadcastMaxRows: Long =
+    spark.conf.getOption("graft.delete.broadcastMaxRows").map(_.toLong).getOrElse(1000000L)
 
   // ---- log access ------------------------------------------------------
   private def logDir = new Path(dir, "_graft_log")
@@ -285,15 +294,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"${s.deletes.head.keys}; mixed equality-delete keys are not supported")
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
+    val delObs = org.apache.spark.sql.Observation()
     deleteKeys.select(keys.map(col): _*)
       .toDF(physKeys: _*)
+      .observe(delObs, count(lit(1)).as("rows"))
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
+    val dRows = try delObs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
     val (rsub, nrows) = writeData(rows, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       b.copy(version = v, op = "rowdelta",
         dataDirs = b.dataDirs :+ DataDir(rsub, v, nrows),
-        deletes = b.deletes :+ DeleteFile(dsub, keys, v))
+        deletes = b.deletes :+ DeleteFile(dsub, keys, v, dRows))
     })
     this
   }
@@ -380,41 +392,119 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           .select(physKeys.map(col): _*)
           .withColumn("__dv", lit(d.version))
       }.reduce(_ unionByName _)
-      // broadcast delete keys: delete files are small key sets by design
+      // Broadcast delete keys ONLY when their total row count (tracked in
+      // the log at write time) is known and small. A CDC-heavy table can
+      // accumulate delete keys far past broadcast size — forcing the hint
+      // there means executor OOM with no graceful degradation; above the
+      // threshold (or when any count is unknown) Spark's planner picks a
+      // shuffle anti-join instead.
       val keys = s.deletes.head.keys.map(s.physicalOf)
       val cond = keys.map(k => dataByVersion(k) <=> delDf(k)).reduce(_ && _) &&
         dataByVersion("__cv") < delDf("__dv")
-      selectLogical(dataByVersion.join(broadcast(delDf), cond, "left_anti").drop("__cv"))
+      val counts = s.deletes.map(_.rowCount)
+      val broadcastable = counts.forall(_ >= 0) && counts.sum <= deleteBroadcastMaxRows
+      val delSide = if (broadcastable) broadcast(delDf) else delDf
+      selectLogical(dataByVersion.join(delSide, cond, "left_anti").drop("__cv"))
     }
   }
 
-  /** Filtered scan with Iceberg-style transform pruning: predicates on a
-    * partition transform's SOURCE column derive implied predicates on the
-    * DERIVED column (stored in-file), which push to the Parquet scan and
-    * skip whole files via footer min/max — see [[TransformPruning]].
+  /** Filtered scan with Iceberg-style transform pruning, two levels deep:
+    *
+    *  1. DIRECTORY pruning — predicates on a transform's SOURCE column
+    *     derive implied predicates on the DERIVED partition column
+    *     ([[TransformPruning]]); those are evaluated against the parsed
+    *     `k=v` directory layout so non-matching partitions are never even
+    *     LISTED. At 100 TB this is the difference between opening every
+    *     file's footer and touching only the matching partitions — the
+    *     same role Iceberg's manifest filtering plays. The evaluation is
+    *     a driver-side job over O(partition dirs) rows (metadata scale,
+    *     never row data).
+    *  2. File/row-group skipping — the derived columns are ALSO stored
+    *     in-file, so the same predicates push to the Parquet scan and
+    *     footer min/max stats skip row groups inside the surviving dirs.
+    *
     * Falls back to a plain filtered read when nothing is derivable. */
   def scan(pred: Column): DataFrame = {
     val s = snapshot
-    val derived = TransformPruning.derive(s.spec, s.schema, pred)
+    val derived = TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true)
     if (s.spec.isEmpty || s.deletes.nonEmpty || s.dataDirs.isEmpty || derived.isEmpty)
       return toDF.filter(pred)
     // read schema includes the derived partition columns (they are stored
     // in-file precisely so this filter can reach the footer stats)
     val derivedFields = s.spec.filterNot(_.transform == "identity").map { pf =>
-      val dt = pf.transform match {
-        case "month"  => StringType
-        case "bucket" => IntegerType
-        case _        => s.schema(pf.source).dataType
-      }
-      StructField(pf.name, dt, nullable = true)
+      StructField(pf.name, dirColType(pf, s.schema), nullable = true)
     }
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)) ++ derivedFields)
+    val roots = s.dataDirs.map(d => s"$dir/${d.path}")
+    val paths = prunedLeafDirs(roots, s, derived.get).getOrElse(roots)
+    if (paths.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     spark.read.schema(physSchema)
       .option("recursiveFileLookup", "true")
-      .parquet(s.dataDirs.map(d => s"$dir/${d.path}"): _*)
+      .parquet(paths: _*)
       .filter(pred && derived.get)
       .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
+  /** Leaf partition directories across `roots` that can match `derived`,
+    * or None when the layout is not the expected uniform `__dir_k=v`
+    * nesting (caller then reads the roots unpruned — pruning is an
+    * optimization, never a correctness dependency). */
+  private def prunedLeafDirs(roots: Seq[String], s: Snapshot,
+                             derived: Column): Option[Seq[String]] = {
+    val f = fs
+    val depth = s.spec.length
+    // walk the k=v nesting level by level, accumulating parsed values
+    var frontier: Seq[(Path, Seq[String])] = roots.map(r => (new Path(r), Seq.empty[String]))
+    var level = 0
+    while (level < depth) {
+      val expect = s"__dir_${s.spec(level).name}="
+      val next = frontier.flatMap { case (p, vals) =>
+        f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith(expect)) return None // unexpected layout: read unpruned
+          (st.getPath, vals :+ unescapePathName(n.substring(expect.length)))
+        }
+      }
+      frontier = next
+      level += 1
+    }
+    if (frontier.isEmpty) return Some(Seq.empty)
+    // typed evaluation of the derived predicate over the dir tuples — a
+    // tiny local DataFrame job over O(partition dirs) rows
+    val strSchema = StructType(StructField("__path", StringType) +:
+      s.spec.map(pf => StructField(pf.name, StringType)))
+    val rows = frontier.map { case (p, vals) =>
+      org.apache.spark.sql.Row.fromSeq(p.toString +: vals.map(v =>
+        if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+    }
+    val df0 = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
+    val typed = s.spec.foldLeft(df0)((d, pf) =>
+      d.withColumn(pf.name, col(pf.name).cast(dirColType(pf, s.schema))))
+    Some(typed.filter(derived).select("__path").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Type of a partition-derived column as written to dirs/files. */
+  private def dirColType(pf: PartitionField, schema: StructType): DataType = pf.transform match {
+    case "month"  => StringType
+    case "bucket" => IntegerType
+    case _        => schema(pf.source).dataType // identity, truncate
+  }
+
+  /** Inverse of Hive/Spark partition-path escaping (%XX sequences). */
+  private def unescapePathName(v: String): String = {
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 3 <= v.length) {
+        try { sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Streaming read: an unbounded DataFrame tailing this table's APPENDS
@@ -676,6 +766,7 @@ object GraftTable {
     val de = root.putArray("deletes")
     s.deletes.foreach { d =>
       val o = de.addObject(); o.put("path", d.path); o.put("version", d.version)
+      o.put("rowCount", d.rowCount)
       val k = o.putArray("keys"); d.keys.foreach(k.add)
     }
     val rp = root.putArray("retiredPhysical"); s.retiredPhysical.foreach(rp.add)
@@ -698,7 +789,8 @@ object GraftTable {
       dataDirs = arr("dataDirs").map(o => DataDir(o.get("path").asText(), o.get("version").asInt(),
         if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
       deletes = arr("deletes").map(o => DeleteFile(o.get("path").asText(),
-        o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt())),
+        o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt(),
+        if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
       retiredPhysical = arr("retiredPhysical").map(_.asText())
     )
   }

@@ -27,9 +27,17 @@ import org.apache.spark.sql.types._
 object TransformPruning {
 
   /** Derived predicates for `pred` under `spec`, as a conjunction to AND
-    * into the scan filter (None when nothing derivable). */
-  def derive(spec: Seq[PartitionField], schema: StructType, pred: Column): Option[Column] = {
-    val parts = spec.filterNot(_.transform == "identity").flatMap { pf =>
+    * into the scan filter (None when nothing derivable).
+    *
+    * `includeIdentity` additionally derives for identity transforms (the
+    * derived predicate is then just the original equality/range restated
+    * on the same column) — redundant for in-file filtering, but it is
+    * what lets [[GraftTable.scan]] prune identity-partitioned
+    * DIRECTORIES before listing a single file. */
+  def derive(spec: Seq[PartitionField], schema: StructType, pred: Column,
+             includeIdentity: Boolean = false): Option[Column] = {
+    val fields = if (includeIdentity) spec else spec.filterNot(_.transform == "identity")
+    val parts = fields.flatMap { pf =>
       deriveFor(pf, schema(pf.source).dataType, GraftShim.toNode(pred))
     }
     parts.reduceOption(_ && _)
@@ -87,6 +95,7 @@ object TransformPruning {
     * ColumnNode literals carry plain Scala/Java values. */
   private def transformLiteral(pf: PartitionField, srcType: DataType,
                                v: Any): Option[Column] = pf.transform match {
+    case "identity" => Some(lit(v).cast(srcType))
     case "month" => monthOf(v).map(lit)
     case "truncate" => v match {
       case s: String => Some(lit(s.take(pf.param)))

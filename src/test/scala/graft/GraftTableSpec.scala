@@ -94,6 +94,28 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.toDF.orderBy("name").as[(Long, String)].collect().toSeq == got2)
   }
 
+  test("delete-key broadcast is size-gated by logged rowCount") {
+    val dir = TestSpark.tmpDir("gt-delgate")
+    val t = GraftTable.create(spark, dir, sampleSchema, key = Seq("name"), formatVersion = 2)
+    t.append(sampleDf)
+    t.rowDelta(Seq("User-1", "User-2").toDF("name"),
+      Seq((7L, "User-1")).toDF("age", "name"), Seq("name"))
+    // the write observed and logged the delete-key count
+    assert(t.snapshot.deletes.map(_.rowCount) == Seq(2L))
+    // small delete set -> broadcast hint present in the optimized plan
+    assert(t.toDF.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "small delete set should take the broadcast anti-join path")
+    // force the threshold below the logged count -> no forced broadcast
+    // (a CDC-heavy table's giant delete set must not OOM an executor)
+    spark.conf.set("graft.delete.broadcastMaxRows", "1")
+    try assert(!t.toDF.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "oversized delete set must fall back to the planner's join choice")
+    finally spark.conf.unset("graft.delete.broadcastMaxRows")
+    // rows are identical either way
+    assert(t.toDF.orderBy("name").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "User-1"), (1119L, "User-3")))
+  }
+
   test("D3/D9 partition spec: layout + partition path derivation") {
     val dir = TestSpark.tmpDir("gt-part")
     val schema = StructType(Seq(

@@ -54,6 +54,30 @@ class TransformPruningSpec extends AnyFunSuite {
       s"derived predicate not pushed to scan: $pushed")
   }
 
+  test("scan prunes partition DIRECTORIES: non-matching dirs are never listed") {
+    val t = partitionedOrders()
+    val all = t.toDF.inputFiles.length
+    val pruned = t.scan(col("o_orderdate") === java.sql.Date.valueOf("2020-03-15"))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.length < all,
+      s"expected fewer input files than $all, got ${files.length}")
+    // every surviving file sits under the matching month dir
+    assert(files.forall(_.contains("__dir_o_orderdate_month=2020-03")),
+      s"unpruned file paths:\n${files.filterNot(_.contains("2020-03")).take(3).mkString("\n")}")
+    // identity + multi-transform: a no-match predicate lists nothing
+    assert(t.scan(col("o_orderdate") === java.sql.Date.valueOf("2031-01-01")).count() == 0)
+  }
+
+  test("scan dir pruning survives appends and mixed predicates") {
+    val t = partitionedOrders()
+    t.append(Seq((1000L, java.sql.Date.valueOf("2020-03-15"), "late"))
+      .toDF("o_orderkey", "o_orderdate", "o_name"))
+    val got = t.scan(col("o_orderdate") === java.sql.Date.valueOf("2020-03-15")
+        && col("o_orderkey") >= 900L)
+      .select("o_orderkey").as[Long].collect().toSeq
+    assert(got == Seq(1000L))
+  }
+
   test("bucket pruning hashes the literal at the SOURCE column's type") {
     // o_orderkey is LongType; an Int literal must hash like the Long value
     // (Murmur3 hashes Int 42 and Long 42L differently)
