@@ -110,7 +110,16 @@ object TextOps {
     * signature is map-side HOF math, candidates come from an equi-join on
     * (band, band-hash) of tiny scalar keys (no arrays in shuffle keys),
     * pairs are deduped on ids alone, and token sets are re-attached by id
-    * afterwards for the exact-Jaccard verification. */
+    * afterwards for the exact-Jaccard verification.
+    *
+    * The representatives (token arrays post-shuffle) feed FOUR plan
+    * branches (both band-join sides + both verify-join sides); they are
+    * persisted so the documents scan + set-digest shuffle runs once, not
+    * four times. (At warehouse scale the equivalent is checkpointing the
+    * representative set to a temp table.) Exact-Jaccard verification uses
+    * the sorted-merge [[graft.functions.SortedIntersectCount]] — the
+    * arrays arrive sorted+distinct, so intersection is a two-pointer
+    * merge and union size is |a|+|b|-inter; no per-pair hash sets. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       k: Int = 64, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     // b=8, r=8 puts the LSH s-curve threshold at (1/8)^(1/8) ≈ 0.77 —
@@ -119,11 +128,13 @@ object TextOps {
     val r = k / bands
     val reps = documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
-      // NUL separator: distinct sets with ambiguous concatenations
-      // ({"a","bc"} vs {"ab","c"}) must not collide
+      // SOH (\u0001) separator: distinct sets with ambiguous
+      // concatenations ({"a","bc"} vs {"ab","c"}) must not collide;
+      // tokens are space-split so they cannot contain the separator
       .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
       .groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps
       .withColumn("sig",
@@ -137,12 +148,13 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     val toksById = reps.select(col("doc_id"), col("toks"))
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("a_toks"), col("b_toks"))
     candidates
       .join(toksById.toDF("a_id", "a_toks"), "a_id")
       .join(toksById.toDF("b_id", "b_toks"), "b_id")
-      .withColumn("jac",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
-          size(array_union(col("a_toks"), col("b_toks"))))
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("a_toks")) + size(col("b_toks")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
       .orderBy("a_id", "b_id")

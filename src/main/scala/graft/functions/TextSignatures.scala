@@ -155,6 +155,73 @@ case class SimHash(child: Expression) extends TokenSignature {
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED, DISTINCT `array<string>` columns via
+  * a two-pointer merge — O(|a|+|b|) with zero per-row allocation. The
+  * `size(array_intersect(a,b))` formulation builds a hash set per row;
+  * on a verify stage touching millions of candidate pairs that hash-set
+  * churn dominates. Jaccard follows without `array_union`:
+  * `inter / (size(a)+size(b)-inter)` (exact for distinct inputs).
+  * Precondition (unchecked): both arrays ascending per UTF8String binary
+  * order — exactly what `array_sort(array_distinct(...))` produces.
+  * Null elements are skipped (cannot occur from `split`). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (array<string>, array<string>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val la = x.numElements(); val lb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < la && j < lb) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $la && $j < $lb) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; }
+         |    else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextSignatureFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -165,8 +232,13 @@ object TextSignatureFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash", exprs => SimHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
   }
   def minhash_signature(toks: Column, k: Int): Column =
     call_function("minhash_signature", toks, org.apache.spark.sql.functions.lit(k))
   def simhash(toks: Column): Column = call_function("simhash", toks)
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

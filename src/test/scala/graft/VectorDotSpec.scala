@@ -34,7 +34,9 @@ class VectorDotSpec extends AnyFunSuite {
     def results() = df.select(
       GraftFunctions.vec_dot($"a", $"b"),
       graft.functions.TextSignatureFunctions.minhash_signature($"toks", 8),
-      graft.functions.TextSignatureFunctions.simhash($"toks")).collect().map(_.toString).toSeq
+      graft.functions.TextSignatureFunctions.simhash($"toks"),
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"toks", $"toks"))
+      .collect().map(_.toString).toSeq
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     try {
       spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
@@ -63,6 +65,29 @@ class VectorDotSpec extends AnyFunSuite {
     val viaExpr = df.select(ZOrderLong.z_order($"a", $"b")).as[Long].collect().toSeq
     assert(viaExpr == Seq(ZOrderLong.interleave(5L, 9L), 0L,
       ZOrderLong.interleave(0xFFFFFFFFL, 0L)))
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted-distinct arrays") {
+    graft.functions.TextSignatureFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def randSet() = (0 until rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(30)}").distinct.sorted
+    val rows = (0 until 200).map(_ => (randSet(), randSet()))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"a", $"b"),
+      size(array_intersect($"a", $"b"))).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // jaccard identity: inter/(|a|+|b|-inter) == intersect/union
+    val jac = df.filter(size($"a") > 0 || size($"b") > 0).select(
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"a", $"b")
+        .cast("double") / (size($"a") + size($"b") -
+          graft.functions.TextSignatureFunctions.sorted_intersect_count($"a", $"b")),
+      size(array_intersect($"a", $"b")).cast("double") / size(array_union($"a", $"b")))
+      .collect()
+    jac.foreach { r =>
+      val (x, y) = (r.getDouble(0), r.getDouble(1))
+      assert((x.isNaN && y.isNaN) || x == y, r.toString)
+    }
   }
 
   test("VectorDot nulls: null array or null element -> null") {
