@@ -1,0 +1,142 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.table.GraftTable
+
+/** DSv2 Batch scan for a bucket-partitioned graft table that REPORTS its
+  * layout ([[SupportsReportPartitioning]] → [[KeyGroupedPartitioning]]),
+  * enabling storage-partitioned joins: two graft tables bucketed with the
+  * same count on their join keys join with NO Exchange on either side —
+  * at 100 TB the difference between a full-table shuffle and a purely
+  * local merge of pre-clustered files. This is Spark's own SPJ machinery
+  * (`spark.sql.sources.v2.bucketing.enabled`); the scan only has to tell
+  * the truth about the file layout:
+  *
+  *  - one [[InputPartition]] per bucket VALUE (files grouped across all
+  *    data dirs), carrying the value as [[HasPartitionKey]];
+  *  - `outputPartitioning` reports `bucket(n, src)`, which Spark resolves
+  *    against [[GraftCatalog]]'s FunctionCatalog ([[GraftBucketFunction]])
+  *    so both sides bind to the same canonical function;
+  *  - rows are read by Spark's own parquet reader function
+  *    ([[GraftShim.parquetFileReader]]): footer filter pushdown, column
+  *    pruning, and missing-physical-column-as-null schema evolution all
+  *    behave exactly like the view-based read path.
+  *
+  * Eligibility (checked by the caller): single bucket partition field, no
+  * equality deletes, at least one data dir.
+  */
+final class GraftBucketedScan(table: GraftTable, required: StructType,
+                              pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning {
+
+  private val snap = table.snapshot
+  private val pf = snap.spec.head
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBucketedScan(${table.dir}, bucket(${pf.param}, ${pf.source}))"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(pf.param, pf.source)), partitions.length)
+
+  /** Leaf files grouped by bucket value across every data dir. Built once
+    * on the driver — O(partition dirs + files) filesystem metadata. */
+  private lazy val partitions: Array[GraftBucketPartition] = {
+    val fs = new Path(table.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"__dir_${pf.name}="
+    val byBucket = scala.collection.mutable.Map.empty[Int, Vector[(String, Long)]]
+    snap.dataDirs.foreach { d =>
+      val root = new Path(s"${table.dir}/${d.path}")
+      fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        require(n.startsWith(prefix), s"unexpected layout under $root: $n")
+        val v = n.substring(prefix.length).toInt
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, f.getLen)).toVector
+        if (files.nonEmpty) byBucket(v) = byBucket.getOrElse(v, Vector.empty) ++ files
+      }
+    }
+    byBucket.toArray.sortBy(_._1).map { case (v, files) =>
+      GraftBucketPartition(v, files.toArray)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // physical projection in the same order as the logical read schema —
+    // InternalRow consumption is positional, names only matter at the file
+    val physRequired = StructType(required.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physData = StructType(snap.schema.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) :+
+      StructField(pf.name, IntegerType, nullable = true))
+    val physFilters = pushed.flatMap(renameToPhysical)
+    val readFunc = GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq)
+    new GraftBucketReaderFactory(readFunc)
+  }
+
+  /** Pushed filters re-addressed to in-file (physical) column names; a
+    * filter on an unknown/renamed-away column is dropped (filters here
+    * only skip row groups — Spark re-applies the full predicate). */
+  private def renameToPhysical(f: Filter): Option[Filter] = {
+    def phys(n: String): Option[String] =
+      snap.fields.find(_.logical == n).map(_.physical)
+    f match {
+      case sources.EqualTo(a, v) => phys(a).map(sources.EqualTo(_, v))
+      case sources.GreaterThan(a, v) => phys(a).map(sources.GreaterThan(_, v))
+      case sources.GreaterThanOrEqual(a, v) => phys(a).map(sources.GreaterThanOrEqual(_, v))
+      case sources.LessThan(a, v) => phys(a).map(sources.LessThan(_, v))
+      case sources.LessThanOrEqual(a, v) => phys(a).map(sources.LessThanOrEqual(_, v))
+      case sources.In(a, vs) => phys(a).map(sources.In(_, vs))
+      case sources.IsNull(a) => phys(a).map(sources.IsNull(_))
+      case sources.IsNotNull(a) => phys(a).map(sources.IsNotNull(_))
+      case sources.And(l, r) =>
+        for (lc <- renameToPhysical(l); rc <- renameToPhysical(r)) yield sources.And(lc, rc)
+      case _ => None
+    }
+  }
+}
+
+/** All files of one bucket value; the key makes Spark group and co-locate
+  * matching buckets across the two join sides. */
+final case class GraftBucketPartition(bucket: Int, files: Array[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+private final class GraftBucketReaderFactory(
+    readFunc: (String, Long) => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[InternalRow] {
+      // OPTION_RETURNING_BATCH=false in the reader build guarantees plain
+      // row iterators (never ColumnarBatch disguised as InternalRow)
+      private val it: Iterator[InternalRow] = p.files.iterator
+        .flatMap { case (path, len) => readFunc(path, len) }
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -35,7 +35,8 @@ import java.util
   * }}}
   * with tables at `<warehouse>/<namespace>/<table>`.
   */
-class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -153,6 +154,19 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- FunctionCatalog (storage-partitioned joins) --------------------
+  // Spark resolves a scan-reported `bucket(n, col)` partition transform by
+  // loading `bucket` from the table's catalog; serving it here is what
+  // lets two graft scans be recognized as co-partitioned (SPJ).
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket")) else Array.empty
 
   // ---- SupportsNamespaces ---------------------------------------------
 

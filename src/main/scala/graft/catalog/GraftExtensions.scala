@@ -52,9 +52,18 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable        => writeTargets.add(strip(m.targetTable))
       case _ =>
     }
+    // With V2 bucketing enabled, SPJ-shaped tables KEEP their DSv2
+    // relation: the partition-reporting GraftBucketedScan is what makes
+    // co-bucketed joins shuffle-free, and it matches the view path on
+    // pushdown (same parquet reader function). Everything else still gets
+    // the parquet-view swap.
+    val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      .contains("true")
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>
+          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) &&
+            !(spjOn && GraftSparkTable.spjEligible(
+              r.table.asInstanceOf[GraftSparkTable].graftTable)) =>
         val t = r.table.asInstanceOf[GraftSparkTable].graftTable
         GraftViewPlaceholder(r.output,
           spark.sessionState.sqlParser.parsePlan(t.viewSql))

@@ -83,6 +83,17 @@ final class GraftSparkTable(val dir: String, tableName: String)
     new GraftWriteBuilder(dir)
 }
 
+object GraftSparkTable {
+  /** A table reads through [[GraftBucketedScan]] (partition-reporting
+    * Batch) when its layout is exactly one bucket field with no pending
+    * equality deletes — the storage-partitioned-join shape. */
+  def spjEligible(t: GraftTable): Boolean = {
+    val s = t.snapshot
+    s.spec.length == 1 && s.spec.head.transform == "bucket" &&
+      s.deletes.isEmpty && s.dataDirs.nonEmpty
+  }
+}
+
 /** Append / truncate-overwrite write builder; `build()` yields the V1
   * fallback that routes the query DataFrame into the snapshot log. */
 private final class GraftWriteBuilder(dir: String)
@@ -149,6 +160,10 @@ private final class GraftScanBuilder(table: GraftTable)
   }
 
   override def build(): Scan = {
+    // single-bucket-spec tables with no deletes get the partition-reporting
+    // Batch scan, unlocking storage-partitioned (shuffle-free) joins
+    if (GraftSparkTable.spjEligible(table))
+      return new GraftBucketedScan(table, required, accepted)
     val schema = required
     val filter = pred
     new V1Scan {

@@ -305,6 +305,31 @@ object RefOps {
     spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
   }
 
+  // Storage-partitioned join: customer/orders bucketed on custkey with the
+  // same count join WITHOUT an Exchange on either side (Spark SPJ against
+  // the partition-reporting GraftBucketedScan + the catalog's bucket
+  // function). At 100 TB this turns the fact-fact join from a full
+  // two-sided shuffle into a local merge of co-located buckets.
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("spj_wh")
+    val cat = s"graftbj${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    // opt-in Spark feature; leaving it on only changes plan shape for
+    // SPJ-eligible graft scans (correctness is conf-independent)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    GraftTable.create(spark, s"$wh/db/cust", c.schema,
+      spec = Seq(PartitionField("c_custkey", "bucket", 8))).append(c)
+    GraftTable.create(spark, s"$wh/db/ords", o.schema,
+      spec = Seq(PartitionField("o_custkey", "bucket", 8))).append(o)
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+         |FROM $cat.db.cust c JOIN $cat.db.ords o ON c.c_custkey = o.o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -334,6 +359,7 @@ object RefOps {
     "partition_transform" -> partitionTransform,
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
+    "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
@@ -434,6 +460,11 @@ object RefOps {
         |UNION ALL
         |SELECT customer_id + 3000000, name || '-ins', acctbal FROM base WHERE customer_id % 100 = 0
         |ORDER BY customer_id""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)

@@ -1,6 +1,11 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.paths.SparkPath
 
 /** Minimal accessor into `private[sql]` Spark API: builds a DataFrame
   * from a LogicalPlan (used by graft.sql.GraftSql to execute the query
@@ -24,6 +29,24 @@ object GraftShim {
   final case class AttrNode(name: String) extends Node
   final case class LitNode(value: Any) extends Node
   case object OtherNode extends Node
+
+  /** Serializable per-file parquet row reader built from Spark's own
+    * ParquetFileFormat (vectorized machinery, footer filter pushdown,
+    * missing-column-as-null schema evolution) — lets a custom DSv2 Batch
+    * scan read files without a second parquet implementation. The
+    * returned closure is driver-built (it broadcasts the hadoop conf
+    * internally) and is shipped to executors inside a reader factory. */
+  def parquetFileReader(spark: SparkSession, dataSchema: StructType,
+                        requiredSchema: StructType,
+                        filters: Seq[sources.Filter]): (String, Long) => Iterator[InternalRow] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      cs, dataSchema, StructType(Nil), requiredSchema, filters,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      cs.sessionState.newHadoopConf())
+    (path: String, len: Long) =>
+      readFunc(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L, len))
+  }
 
   def toNode(c: Column): Node = conv(c.node)
   private def conv(n: internal.ColumnNode): Node = n match {

@@ -210,6 +210,50 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rel.buildScan().collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("storage-partitioned join: co-bucketed tables join with no Exchange") {
+    warehouse
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val a = GraftTable.create(spark, s"$warehouse/db7/ba", schema,
+      spec = Seq(PartitionField("k", "bucket", 4)))
+    val b = GraftTable.create(spark, s"$warehouse/db7/bb", schema,
+      spec = Seq(PartitionField("k", "bucket", 4)))
+    val rows = (1L to 200L).map(i => (i, s"v$i"))
+    a.append(rows.toDF("k", "v"))
+    b.append(rows.filter(_._1 % 2 == 0).toDF("k", "v"))
+    val q = "SELECT a.k, a.v, b.v AS bv FROM graft.db7.ba a JOIN graft.db7.bb b ON a.k = b.k"
+    def run() = spark.sql(q)
+    // without SPJ: plain correct join (through the view path)
+    val expected = run().collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(expected.size == 100)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = run()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan"), s"expected the SPJ batch scan in:\n$plan")
+      assert(!plan.contains("Exchange"), s"expected a shuffle-free plan, got:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("SPJ scan stays correct standalone: pushdown, evolution, fresh state") {
+    warehouse
+    val t = GraftTable.create(spark, s"$warehouse/db7/bsolo", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      spec = Seq(PartitionField("k", "bucket", 4)))
+    t.append((1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.addColumn("extra", StringType)
+    t.append(Seq((51L, "v51", "e")).toDF("k", "v", "extra"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql("SELECT k, extra FROM graft.db7.bsolo WHERE k >= 50 ORDER BY k")
+      assert(df.queryExecution.executedPlan.toString.contains("GraftBucketedScan"))
+      val got = df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(got == Seq((50L, None), (51L, Some("e"))))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
