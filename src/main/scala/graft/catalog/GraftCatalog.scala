@@ -100,7 +100,17 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   // ---- TableCatalog (the write path + programmatic DDL) ---------------
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // Iceberg-style metadata table names: graft.<ns>.<table>.snapshots
+      // (also #-suffix via format("graft"): IcebergHadoopTables.java:44-47)
+      val meta = ident.name().toLowerCase
+      if (ident.namespace().nonEmpty && graft.sources.GraftMetadataTable.names.contains(meta)) {
+        val parentDir = ident.namespace().mkString(s"$warehouse/", "/", "")
+        if (GraftTable.exists(spark, parentDir))
+          return new graft.sources.GraftMetadataTable(parentDir, meta)
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSparkTable(dirOf(ident),
       (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
   }

@@ -72,6 +72,10 @@ final class GraftSparkTable(val dir: String, tableName: String)
 
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
+    // BATCH_WRITE advertises writability to DataFrameWriter.save()'s
+    // capability gate; the build() below still yields a V1Write, which the
+    // planner's V1 fallback routes into the snapshot-log commit machinery
+    TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER)

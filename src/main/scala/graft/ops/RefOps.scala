@@ -305,6 +305,22 @@ object RefOps {
     spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
   }
 
+  // K4 — path-addressed v1 writer surface: df.write.format("graft")
+  // .mode(...).save(path) then spark.read.format("graft").load(path)
+  // (SparkTestWrite.java:48-50); both writes commit snapshots, the read
+  // resolves through the DataSource registration.
+  private def formatSaveRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("fmt_save")
+    val base = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    base.write.format("graft").mode("append").save(path)
+    base.filter(col("customer_id") % 100 === 0)
+      .withColumn("name", concat(col("name"), lit("-dup")))
+      .write.format("graft").mode("append").save(path)
+    spark.read.format("graft").load(path)
+      .orderBy("customer_id", "name")
+  }
+
   // Storage-partitioned join: customer/orders bucketed on custkey with the
   // same count join WITHOUT an Exchange on either side (Spark SPJ against
   // the partition-reporting GraftBucketedScan + the catalog's bucket
@@ -328,6 +344,19 @@ object RefOps {
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
          |FROM $cat.db.cust c JOIN $cat.db.ords o ON c.c_custkey = o.o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  // S4 — #history metadata suffix read through the DataSource registration
+  // (IcebergHadoopTables.java:44: spark.read.format("iceberg").load(path + "#history"))
+  private def historyMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("history"), cust.schema)
+    t.append(cust)
+    t.delete(col("customer_id") % 5 === 0)
+    spark.read.format("graft").load(s"${t.dir}#history")
+      .select(col("version"), col("parent_version"), col("operation"), col("is_current"))
+      .orderBy("version")
   }
 
   // S4/D8 — snapshot-log metadata table
@@ -359,8 +388,10 @@ object RefOps {
     "partition_transform" -> partitionTransform,
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
+    "format_save_roundtrip" -> formatSaveRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
+    "history_meta" -> historyMeta,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync
@@ -460,11 +491,22 @@ object RefOps {
         |UNION ALL
         |SELECT customer_id + 3000000, name || '-ins', acctbal FROM base WHERE customer_id % 100 = 0
         |ORDER BY customer_id""".stripMargin,
+    "format_save_roundtrip" ->
+      """WITH base AS (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal FROM customer)
+        |SELECT customer_id, name, acctbal FROM (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT customer_id, name || '-dup', acctbal FROM base WHERE customer_id % 100 = 0
+        |) ORDER BY customer_id, name""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "history_meta" ->
+      """SELECT CAST(v AS INT) AS version, CAST(p AS INT) AS parent_version, op AS operation, cur AS is_current
+        |FROM (VALUES (0,-1,'create',false),(1,0,'append',false),(2,1,'overwrite',true)) t(v,p,op,cur)
+        |ORDER BY version""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.{GraftTable, PartitionField}
+
+import java.util
+
+/** Path-addressed DataSource registration: the
+  * `df.write.format("graft").mode("append").save(path)` /
+  * `spark.read.format("graft").load(path)` surface (the reference's
+  * format("iceberg") v1 writer path,
+  * `/root/reference/src/main/java/SparkTestWrite.java:48-50`,
+  * `IcebergHadoopTables.java:38-39`), plus the `path#<meta>` suffix reads
+  * the reference demonstrates over `#history/#snapshots/#manifests/#files`
+  * (`IcebergHadoopTables.java:44-47`).
+  *
+  * Serves the same [[graft.catalog.GraftSparkTable]] as the catalog, so
+  * writes commit through the snapshot log and reads get the parquet-view
+  * swap (sessions with the extensions) or the V1Scan fallback. A write to
+  * a path with no table yet CREATES one with the frame's schema and the
+  * writer's `partitionBy` columns as identity transforms — matching
+  * `save`-to-new-location semantics.
+  *
+  * Note Spark's DSv2 save() contract: only Append / Overwrite save modes
+  * are supported for TableProvider sources (ErrorIfExists/Ignore raise in
+  * Spark itself).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def spark: SparkSession = SparkSession.active
+  private def pathOf(m: java.util.Map[String, String]): String = {
+    val p = m.get("path")
+    require(p != null && p.nonEmpty, "format(\"graft\") requires .load(path)/.save(path) or option(\"path\", ...)")
+    p
+  }
+  /** Splits `dir#meta` (metadata read) from a plain table dir. */
+  private def metaOf(path: String): (String, Option[String]) = path.lastIndexOf('#') match {
+    case -1 => (path, None)
+    case i  => (path.substring(0, i), Some(path.substring(i + 1).toLowerCase))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (dir, meta) = metaOf(pathOf(options))
+    val t = GraftTable.load(spark, dir)
+    meta.map(GraftMetadataTable.frameOf(t, _).schema).getOrElse(t.schema)
+  }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val (dir, meta) = metaOf(pathOf(options))
+    if (meta.isDefined) return Array.empty
+    val t = GraftTable.load(spark, dir)
+    new graft.catalog.GraftSparkTable(t.dir, s"graft.`${t.dir}`").partitioning()
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val (dir, meta) = metaOf(pathOf(properties))
+    meta match {
+      case Some(m) => new GraftMetadataTable(dir, m)
+      case None =>
+        if (!GraftTable.exists(spark, dir))
+          GraftTable.create(spark, dir, schema,
+            spec = partitioning.toSeq.map(PartitionField.fromTransform))
+        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.GraftTable
+
+import java.util
+
+/** Read-only table for a `path#<meta>` metadata read: resolves one of the
+  * snapshot-log-derived DataFrames ([[GraftTable.history]] /
+  * `snapshots` / `manifests` / `files`) — always fresh at scan time, all
+  * O(snapshots + tracked dirs) metadata, never row data. */
+final class GraftMetadataTable(dir: String, meta: String)
+    extends Table with SupportsRead {
+
+  private def frame: DataFrame =
+    GraftMetadataTable.frameOf(GraftTable.load(SparkSession.active, dir), meta)
+
+  override def name(): String = s"graft.`$dir#$meta`"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        private val df = frame
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object GraftMetadataTable {
+  val names: Set[String] = Set("history", "snapshots", "manifests", "files")
+
+  def frameOf(t: GraftTable, meta: String): DataFrame = meta match {
+    case "history"   => t.history
+    case "snapshots" => t.snapshots
+    case "manifests" => t.manifests
+    case "files"     => t.files
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table '$other' (expected one of ${names.mkString(", ")})")
+  }
+}

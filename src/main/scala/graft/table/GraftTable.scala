@@ -674,6 +674,29 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         "total_data_rows")
   }
 
+  /** Lineage view (Iceberg's `#history` metadata table,
+    * `IcebergHadoopTables.java:44`): one row per commit with its parent
+    * and whether it is an ancestor of the current snapshot (always true
+    * here — the log is linear; expired snapshots remain as markers). */
+  def history: DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    allSnapshots.map(s => (s.version, if (s.version == 0) -1 else s.version - 1,
+        s.op, s.version == cur, s.op != "expired"))
+      .toDF("version", "parent_version", "operation", "is_current", "is_readable")
+  }
+
+  /** Physical-layout view (Iceberg's `#manifests`): one row per tracked
+    * data dir / delete file of the CURRENT snapshot with commit version,
+    * content kind, and logged row count. */
+  def manifests: DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    (s.dataDirs.map(d => (d.path, "data", d.version, d.rowCount)) ++
+      s.deletes.map(d => (d.path, "deletes", d.version, d.rowCount)))
+      .toDF("path", "content", "committed_version", "row_count")
+  }
+
   /** Recursive file listing with sizes (the reference's MinIO object
     * listing, `Minio.java:79-114`), as a DataFrame. */
   def files: DataFrame = {

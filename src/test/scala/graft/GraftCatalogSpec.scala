@@ -254,6 +254,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("metadata tables: graft.ns.t.snapshots SQL route + #suffix loads") {
+    val t = mkTable("db8", "meta", StructType(Seq(StructField("id", LongType))))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    // catalog route (Iceberg-style dotted metadata name)
+    val snaps = spark.sql(
+      "SELECT version, operation FROM graft.db8.meta.snapshots ORDER BY version")
+      .as[(Int, String)].collect().toSeq
+    assert(snaps == Seq((0, "create"), (1, "append"), (2, "append")))
+    // #suffix route through format("graft")
+    val hist = spark.read.format("graft").load(s"$warehouse/db8/meta#history")
+      .orderBy("version")
+      .select("version", "parent_version", "operation", "is_current")
+      .as[(Int, Int, String, Boolean)].collect().toSeq
+    assert(hist == Seq((0, -1, "create", false), (1, 0, "append", false),
+      (2, 1, "append", true)))
+    val manifests = spark.read.format("graft").load(s"$warehouse/db8/meta#manifests")
+    assert(manifests.count() == 2)
+    assert(manifests.select("content").distinct().as[String].collect().toSeq == Seq("data"))
+    assert(spark.read.format("graft").load(s"$warehouse/db8/meta#files").count() > 0)
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {

@@ -116,6 +116,29 @@ class GraftTableSpec extends AnyFunSuite {
       Seq((7L, "User-1"), (1119L, "User-3")))
   }
 
+  test("format(\"graft\") DataSource: save creates + appends; load reads back") {
+    val dir = TestSpark.tmpDir("gt-fmt") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // both writes committed through the snapshot log
+    assert(GraftTable.load(spark, dir).currentVersion == 2)
+    // overwrite truncates
+    Seq((9L, "only")).toDF("id", "v").write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "only")))
+    // partitionBy on first save becomes an identity partition spec
+    val pdir = TestSpark.tmpDir("gt-fmtp") + "/t"
+    Seq((1L, "x", "us"), (2L, "y", "eu")).toDF("id", "v", "region")
+      .write.format("graft").partitionBy("region").mode("append").save(pdir)
+    assert(GraftTable.load(spark, pdir).spec == Seq(PartitionField("region", "identity")))
+    assert(spark.read.format("graft").load(pdir).count() == 2)
+  }
+
   test("D3/D9 partition spec: layout + partition path derivation") {
     val dir = TestSpark.tmpDir("gt-part")
     val schema = StructType(Seq(
