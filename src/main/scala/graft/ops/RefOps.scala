@@ -248,9 +248,13 @@ object RefOps {
     t.append(cust)                                     // v1
     t.append(cust.filter(col("customer_id") % 2 === 0)) // v2
     t.delete(col("customer_id") % 3 === 0)             // v3 (overwrite)
-    import spark.implicits._
-    Seq(1, 2, 3).map(v => (v.toLong, t.asOf(v).count()))
-      .toDF("version", "n_rows").orderBy("version")
+    // all three historical counts in ONE Spark job (union of dfAt frames),
+    // not three sequential driver-side count() round trips
+    Seq(1, 2, 3).map(v =>
+        t.asOf(v).select(lit(v.toLong).as("version")))
+      .reduce(_ unionAll _)
+      .groupBy("version").agg(count(lit(1)).as("n_rows"))
+      .orderBy("version")
   }
 
   // incremental changelog read: only the rows appended after a version
@@ -346,6 +350,21 @@ object RefOps {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  // Bloom dir skipping: point lookups on a NON-layout column consult the
+  // per-commit bloom sidecars and read only matching data dirs — Iceberg's
+  // per-file bloom metrics role, captured with zero extra passes (the
+  // aggregate rides the write job's Observation).
+  private def bloomPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = GraftTable.create(spark, tmp("bloom"), o.schema, bloomKeys = Seq("o_custkey"))
+    // three commits with disjoint custkey ranges -> point lookups hit one
+    t.append(o.filter(col("o_custkey") % 3 === 0))
+    t.append(o.filter(col("o_custkey") % 3 === 1))
+    t.append(o.filter(col("o_custkey") % 3 === 2))
+    t.scan(col("o_custkey") === 1L)
+      .orderBy("o_orderkey")
+  }
+
   // S4 — #history metadata suffix read through the DataSource registration
   // (IcebergHadoopTables.java:44: spark.read.format("iceberg").load(path + "#history"))
   private def historyMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -392,6 +411,7 @@ object RefOps {
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
     "history_meta" -> historyMeta,
+    "bloom_pruned_scan" -> bloomPrunedScan,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync
@@ -503,6 +523,9 @@ object RefOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "bloom_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = 1 ORDER BY o_orderkey""".stripMargin,
     "history_meta" ->
       """SELECT CAST(v AS INT) AS version, CAST(p AS INT) AS parent_version, op AS operation, cur AS is_current
         |FROM (VALUES (0,-1,'create',false),(1,0,'append',false),(2,1,'overwrite',true)) t(v,p,op,cur)

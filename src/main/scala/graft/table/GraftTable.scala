@@ -95,7 +95,8 @@ final case class Snapshot(
     key: Seq[String],              // upsert/sort key (K8)
     dataDirs: Seq[DataDir],
     deletes: Seq[DeleteFile],
-    retiredPhysical: Seq[String]   // tombstoned physical names
+    retiredPhysical: Seq[String],  // tombstoned physical names
+    bloomKeys: Seq[String] = Seq.empty // columns with per-commit bloom sidecars
 ) {
   def physicalOf(logical: String): String = fieldOf(logical).physical
   def fieldOf(logical: String): FieldInfo =
@@ -243,7 +244,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         withParts.hint("rebalance")
       }
     val obs = org.apache.spark.sql.Observation()
-    val observed = sorted.observe(obs, count(lit(1)).as("rows"))
+    // per-commit key blooms ride the SAME write job as extra observed
+    // metrics — stats + blooms with zero additional passes over the data
+    val bloomMetrics = snap.bloomKeys.map { k =>
+      org.apache.spark.sql.GraftShim.bloomAgg(
+        col(snap.physicalOf(k)), bloomExpectedItems).as(s"__bloom_$k")
+    }
+    val observed = sorted.observe(obs, count(lit(1)).as("rows"), bloomMetrics: _*)
     if (partCols.nonEmpty) {
       // duplicate each derived column into the directory layout; the
       // in-file copy keeps footer min/max stats for file skipping on
@@ -255,8 +262,29 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
     val rows = try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    // persist bloom sidecars under the log (metadata, not data):
+    // _graft_log/blooms/<dir-uuid>__<logical-key>.bloom
+    if (snap.bloomKeys.nonEmpty) {
+      val metrics: scala.collection.Map[String, Any] =
+        try obs.get catch { case _: Throwable => Map.empty[String, Any] }
+      val f = fs
+      val uuid = sub.substring(sub.lastIndexOf('/') + 1)
+      snap.bloomKeys.foreach { k =>
+        metrics.get(s"__bloom_$k") match {
+          case Some(bytes: Array[Byte]) =>
+            val p = new Path(logDir, s"blooms/${uuid}__$k.bloom")
+            val os = f.create(p, true)
+            try os.write(bytes) finally os.close()
+          case _ => // metric missing: no sidecar, scans simply cannot skip
+        }
+      }
+    }
     (sub, rows)
   }
+
+  /** Sizing for per-commit key blooms (~0.9 MB at the 1M default, 3% fpp). */
+  private def bloomExpectedItems: Long =
+    spark.conf.getOption("graft.bloom.expectedItems").map(_.toLong).getOrElse(1000000L)
 
   def append(df: DataFrame): GraftTable = {
     val s = snapshot
@@ -359,6 +387,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** Declares columns whose point-lookups should skip whole data dirs via
+    * per-commit bloom sidecars (captured on FUTURE writes; existing dirs
+    * have no sidecar and are never skipped — pruning stays sound). */
+  def setBloomKeys(keys: Seq[String]): GraftTable = {
+    val s = snapshot
+    keys.foreach(s.physicalOf) // validate
+    commit(s.version + 1)((rebase, v) => Option(rebase).getOrElse(s)
+      .copy(version = v, op = "set-bloom-keys", bloomKeys = keys))
+    this
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Current-snapshot DataFrame: newest logical schema over live files,
@@ -423,12 +462,21 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     *     in-file, so the same predicates push to the Parquet scan and
     *     footer min/max stats skip row groups inside the surviving dirs.
     *
+    *  3. Bloom dir skipping — point predicates on declared `bloomKeys`
+    *     probe the per-commit bloom sidecars and drop whole data dirs
+    *     whose keys definitely don't contain the value — file skipping on
+    *     NON-layout columns, the role Iceberg's per-file bloom metrics
+    *     play. Sound: a missing/unreadable sidecar keeps the dir.
+    *
     * Falls back to a plain filtered read when nothing is derivable. */
   def scan(pred: Column): DataFrame = {
     val s = snapshot
+    if (s.deletes.nonEmpty || s.dataDirs.isEmpty) return toDF.filter(pred)
+    val live = bloomLiveDirs(s, pred)
+    if (live.isEmpty) return emptyDF(s)
     val derived = TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true)
-    if (s.spec.isEmpty || s.deletes.nonEmpty || s.dataDirs.isEmpty || derived.isEmpty)
-      return toDF.filter(pred)
+    if (s.spec.isEmpty || derived.isEmpty)
+      return readLogical(s, live).filter(pred)
     // read schema includes the derived partition columns (they are stored
     // in-file precisely so this filter can reach the footer stats)
     val derivedFields = s.spec.filterNot(_.transform == "identity").map { pf =>
@@ -436,15 +484,62 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)) ++ derivedFields)
-    val roots = s.dataDirs.map(d => s"$dir/${d.path}")
+    val roots = live.map(d => s"$dir/${d.path}")
     val paths = prunedLeafDirs(roots, s, derived.get).getOrElse(roots)
-    if (paths.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    if (paths.isEmpty) return emptyDF(s)
     spark.read.schema(physSchema)
       .option("recursiveFileLookup", "true")
       .parquet(paths: _*)
       .filter(pred && derived.get)
       .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
+  private def emptyDF(s: Snapshot): DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+
+  /** Multi-dir physical read aliased to the logical schema (no deletes). */
+  private def readLogical(s: Snapshot, dirs: Seq[DataDir]): DataFrame = {
+    val physSchema = StructType(s.schema.fields.map(f =>
+      StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
+    spark.read.schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(dirs.map(d => s"$dir/${d.path}"): _*)
+      .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
+  /** Data dirs that can match `pred`'s point predicates per the bloom
+    * sidecars; a dir is dropped only when some conjunct's EVERY candidate
+    * value is definitely absent. O(dirs) driver metadata work. */
+  private def bloomLiveDirs(s: Snapshot, pred: Column): Seq[DataDir] = {
+    if (s.bloomKeys.isEmpty) return s.dataDirs
+    val conjuncts = TransformPruning.pointConjuncts(pred)
+      .filter { case (c, _) => s.bloomKeys.contains(c) }
+    if (conjuncts.isEmpty) return s.dataDirs
+    val f = fs
+    val bloomsDir = new Path(logDir, "blooms")
+    val present: Set[String] =
+      if (f.exists(bloomsDir)) f.listStatus(bloomsDir).map(_.getPath.getName).toSet
+      else return s.dataDirs
+    val cache = scala.collection.mutable.Map.empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+    def bloomOf(name: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+      cache.getOrElseUpdate(name, {
+        try {
+          val in = f.open(new Path(bloomsDir, name))
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
+        } catch { case _: Exception => None } // unreadable -> never skip
+      })
+    s.dataDirs.filter { d =>
+      val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+      conjuncts.forall { case (c, values) =>
+        val name = s"${uuid}__$c.bloom"
+        if (!present.contains(name)) true
+        else bloomOf(name).forall { bloom =>
+          val dt = s.schema(c).dataType
+          values.exists(v =>
+            org.apache.spark.sql.GraftShim.xxh64Of(v, dt).forall(bloom.mightContainLong))
+        }
+      }
+    }
   }
 
   /** Leaf partition directories across `roots` that can match `derived`,
@@ -737,14 +832,16 @@ object GraftTable {
   def create(spark: SparkSession, dir: String, schema: StructType,
              spec: Seq[PartitionField] = Seq.empty,
              key: Seq[String] = Seq.empty,
-             formatVersion: Int = 1): GraftTable = {
+             formatVersion: Int = 1,
+             bloomKeys: Seq[String] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(dir, "_graft_log")
     require(!fs.exists(logDir), s"table already exists at $dir")
     fs.mkdirs(logDir)
     val snap = Snapshot(0, formatVersion, "create", schema,
-      schema.fieldNames.toSeq.map(n => FieldInfo(n, n, 0)), spec, key, Seq.empty, Seq.empty, Seq.empty)
+      schema.fieldNames.toSeq.map(n => FieldInfo(n, n, 0)), spec, key, Seq.empty, Seq.empty,
+      Seq.empty, bloomKeys)
     val p = new Path(logDir, "v00000.json")
     val os = fs.create(p, false)
     try os.write(writeSnapshot(snap).getBytes("UTF-8")) finally os.close()
@@ -793,6 +890,7 @@ object GraftTable {
       val k = o.putArray("keys"); d.keys.foreach(k.add)
     }
     val rp = root.putArray("retiredPhysical"); s.retiredPhysical.foreach(rp.add)
+    val bk = root.putArray("bloomKeys"); s.bloomKeys.foreach(bk.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -814,7 +912,8 @@ object GraftTable {
       deletes = arr("deletes").map(o => DeleteFile(o.get("path").asText(),
         o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt(),
         if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
-      retiredPhysical = arr("retiredPhysical").map(_.asText())
+      retiredPhysical = arr("retiredPhysical").map(_.asText()),
+      bloomKeys = if (n.has("bloomKeys")) arr("bloomKeys").map(_.asText()) else Seq.empty
     )
   }
 }

@@ -115,6 +115,29 @@ object TransformPruning {
     case _ => None
   }
 
+  /** Point-lookup conjuncts of `pred`: every top-level-ANDed `col = lit`
+    * or `col IN (lits)` as (column, candidate values). Each entry must
+    * independently hold for a row to match — a data dir whose bloom
+    * rejects ALL candidate values of any entry cannot contain matches. */
+  def pointConjuncts(pred: Column): Seq[(String, Seq[Any])] = {
+    def walk(n: Node): Seq[(String, Seq[Any])] = n match {
+      case f: FnNode if f.name.equalsIgnoreCase("and") && f.args.length == 2 =>
+        walk(f.args(0)) ++ walk(f.args(1))
+      case f: FnNode if f.name == "=" && f.args.length == 2 =>
+        f.args match {
+          case Seq(a, LitNode(v)) => attrNameOf(a).map(c => (c, Seq(v))).toSeq
+          case Seq(LitNode(v), a) => attrNameOf(a).map(c => (c, Seq(v))).toSeq
+          case _ => Seq.empty
+        }
+      case f: FnNode if f.name.equalsIgnoreCase("in") && f.args.nonEmpty
+          && f.args.tail.nonEmpty && f.args.tail.forall(_.isInstanceOf[LitNode]) =>
+        attrNameOf(f.args.head)
+          .map(c => (c, f.args.tail.map(_.asInstanceOf[LitNode].value))).toSeq
+      case _ => Seq.empty
+    }
+    walk(GraftShim.toNode(pred))
+  }
+
   private def monthOf(v: Any): Option[String] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toString.substring(0, 7))
     case d: java.time.LocalDate => Some(d.toString.substring(0, 7))

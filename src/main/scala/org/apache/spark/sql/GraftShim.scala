@@ -48,6 +48,28 @@ object GraftShim {
       readFunc(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L, len))
   }
 
+  /** Bloom-filter aggregate over xxhash64(c) as an observable metric —
+    * the same (internal) aggregate Spark's runtime bloom join filters use;
+    * evaluates to the serialized `org.apache.spark.util.sketch.BloomFilter`
+    * bytes. Riding an Observation, it captures a per-commit key bloom with
+    * NO extra pass over the data. */
+  def bloomAgg(c: Column, expectedItems: Long): Column = {
+    val child = new catalyst.expressions.XxHash64(Seq(expression(c)))
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(child, expectedItems)
+      .toAggregateExpression())
+  }
+
+  /** Driver-side xxhash64 of a literal AS the given column type — must
+    * match the write-side `XxHash64(cast(col))` hashing for bloom probes
+    * (hashing Int 42 and Long 42L differ). */
+  def xxh64Of(v: Any, dt: types.DataType): Option[Long] =
+    try {
+      val lit = catalyst.expressions.Literal.create(v)
+      val e = if (lit.dataType == dt) lit
+        else catalyst.expressions.Cast(lit, dt, Some(java.util.TimeZone.getDefault.getID))
+      Option(new catalyst.expressions.XxHash64(Seq(e)).eval(null)).map(_.asInstanceOf[Long])
+    } catch { case _: Exception => None }
+
   def toNode(c: Column): Node = conv(c.node)
   private def conv(n: internal.ColumnNode): Node = n match {
     case f: internal.UnresolvedFunction => FnNode(f.functionName, f.arguments.map(conv))

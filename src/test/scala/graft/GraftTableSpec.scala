@@ -116,6 +116,47 @@ class GraftTableSpec extends AnyFunSuite {
       Seq((7L, "User-1"), (1119L, "User-3")))
   }
 
+  test("bloom sidecars skip whole data dirs on point lookups") {
+    val dir = TestSpark.tmpDir("gt-bloom")
+    val t = GraftTable.create(spark, dir, sampleSchema, bloomKeys = Seq("name"))
+    // three commits with disjoint name sets -> three dirs, three sidecars
+    t.append(Seq((1L, "alpha"), (2L, "beta")).toDF("age", "name"))
+    t.append(Seq((3L, "gamma"), (4L, "delta")).toDF("age", "name"))
+    t.append(Seq((5L, "epsilon")).toDF("age", "name"))
+    val all = t.toDF.inputFiles.length
+    assert(all == 3)
+    // point lookup reads ONE dir (bloom pruned), result identical to full filter
+    val hit = t.scan(col("name") === "gamma")
+    assert(hit.inputFiles.length == 1, s"expected 1 file, got ${hit.inputFiles.length}")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((3L, "gamma")))
+    // IN probes keep every dir containing any candidate
+    val in2 = t.scan(col("name").isin("alpha", "epsilon"))
+    assert(in2.inputFiles.length == 2)
+    assert(in2.select("age").as[Long].collect().toSet == Set(1L, 5L))
+    // absent value -> zero dirs, empty result (modulo ~0 fpp at this size)
+    assert(t.scan(col("name") === "nosuch").count() == 0)
+    // non-point predicates never skip
+    assert(t.scan(col("name") > "a").count() == 5)
+    // conjunct with a non-bloom column still prunes on the bloom key
+    assert(t.scan(col("name") === "gamma" && col("age") > 0L).inputFiles.length == 1)
+    // survives reload (sidecars + keys are on disk)
+    assert(GraftTable.load(spark, dir).scan(col("name") === "beta")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
+  }
+
+  test("setBloomKeys: pre-existing dirs are never skipped (no sidecar)") {
+    val dir = TestSpark.tmpDir("gt-bloom2")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(Seq((1L, "early")).toDF("age", "name"))
+    t.setBloomKeys(Seq("name"))
+    t.append(Seq((2L, "late")).toDF("age", "name"))
+    // "early" lives in a sidecar-less dir: must still be found
+    assert(t.scan(col("name") === "early").count() == 1)
+    // "late"'s lookup can drop nothing except bloom-rejecting dirs with
+    // sidecars; the early dir (no sidecar) is always kept
+    assert(t.scan(col("name") === "late").count() == 1)
+  }
+
   test("format(\"graft\") DataSource: save creates + appends; load reads back") {
     val dir = TestSpark.tmpDir("gt-fmt") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
