@@ -66,17 +66,30 @@ object MergePlanner {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             matched: Seq[MergeClause], notMatched: Seq[MergeClause],
             notMatchedBySource: Seq[MergeClause] = Seq.empty,
-            validateCardinality: Boolean = true): DataFrame = {
+            validateCardinality: Boolean = true): DataFrame =
+    mergeOn(target, source, keys.map(k => (k, k)), matched, notMatched,
+      notMatchedBySource, validateCardinality)
+
+  /** General-ON form: each key pair is (target column, source column) —
+    * `ON t.customer_id = s.id` style conditions where the two sides name
+    * the key differently. Star clauses still align by NAME (SQL `SET *`
+    * semantics), so a differently-named key is never star-assigned. */
+  def mergeOn(target: DataFrame, source: DataFrame, keyPairs: Seq[(String, String)],
+              matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+              notMatchedBySource: Seq[MergeClause] = Seq.empty,
+              validateCardinality: Boolean = true): DataFrame = {
     val targetCols = target.columns.toSeq
     val sourceCols = source.columns.toSeq
-    require(keys.nonEmpty, "merge requires at least one key column")
+    require(keyPairs.nonEmpty, "merge requires at least one key column")
+    val srcKeys = keyPairs.map(_._2)
 
     if (validateCardinality) {
       // duplicate source keys can only break rows that exist in the target:
       // check duplicates among source keys that hit the target (semi-join
       // keeps this cheap and fully distributed)
-      val dup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        .join(target.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      val dup = source.groupBy(srcKeys.map(col): _*).count().filter(col("count") > 1)
+        .join(target.select(keyPairs.map { case (tk, sk) => col(tk).as(sk) }: _*).distinct(),
+          srcKeys, "left_semi")
         .limit(1).count()
       if (dup > 0) throw new IllegalStateException(
         "MERGE: a target row matches more than one source row (ON clause is not unique)")
@@ -86,7 +99,8 @@ object MergePlanner {
     val s = source.withColumn("__s_exists", lit(true)).alias("s")
     // plain equality (not null-safe): NULL keys never match, same as SQL
     // MERGE ON and the DuckDB oracle's FULL OUTER JOIN
-    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val joinCond = keyPairs.map { case (tk, sk) => col(s"t.$tk") === col(s"s.$sk") }
+      .reduce(_ && _)
     val j = t.join(s, joinCond, "full_outer")
 
     val isMatched = col("t.__t_exists").isNotNull && col("s.__s_exists").isNotNull

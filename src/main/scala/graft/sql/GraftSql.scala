@@ -237,20 +237,35 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
       case other => other
     }))
 
-    // ON condition must be an equi-conjunction on same-named columns (the
-    // planner joins on keys); extract them
-    def keysOf(e: Expression): Seq[String] = e match {
+    // ON condition must be an equi-conjunction between the two sides;
+    // sides are told apart by alias qualifier (general `ON s.id = t.cid`),
+    // falling back to same-name equality for unqualified conjuncts
+    def side(a: UnresolvedAttribute): Option[String] =
+      if (a.nameParts.length <= 1) None
+      else {
+        val q = a.nameParts.head.toLowerCase
+        if (tAlias.contains(q)) Some("t")
+        else if (sAlias.contains(q)) Some("s")
+        else None
+      }
+    def keysOf(e: Expression): Seq[(String, String)] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => keysOf(l) ++ keysOf(r)
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         val an = a.nameParts.last; val bn = b.nameParts.last
-        require(an.equalsIgnoreCase(bn),
-          s"MERGE ON supports same-named key equality, got ${a.sql} = ${b.sql}")
-        Seq(an)
+        (side(a), side(b)) match {
+          case (Some("t"), Some("s")) => Seq((an, bn))
+          case (Some("s"), Some("t")) => Seq((bn, an))
+          case _ =>
+            require(an.equalsIgnoreCase(bn),
+              s"MERGE ON with differently-named keys needs alias-qualified sides, " +
+                s"got ${a.sql} = ${b.sql}")
+            Seq((an, bn))
+        }
       case other => throw new IllegalArgumentException(
         s"MERGE ON supports conjunctions of key equalities, got ${other.sql}")
     }
-    val keys = keysOf(m.mergeCondition)
+    val keyPairs = keysOf(m.mergeCondition)
 
     def assignments(as: Seq[Assignment]): Map[String, org.apache.spark.sql.Column] =
       as.map(a => a.key.asInstanceOf[UnresolvedAttribute].nameParts.last ->
@@ -277,7 +292,7 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         s"unsupported not-matched-by-source action: $other")
     }
 
-    t.merge(source, keys, matched, notMatched, notMatchedBySource)
+    t.mergeOn(source, keyPairs, matched, notMatched, notMatchedBySource)
     refreshView(name)
     t.toDF
   }

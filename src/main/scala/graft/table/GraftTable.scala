@@ -753,8 +753,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             matched: Seq[graft.dml.MergeClause],
             notMatched: Seq[graft.dml.MergeClause],
             notMatchedBySource: Seq[graft.dml.MergeClause] = Seq.empty,
-            validateCardinality: Boolean = true): GraftTable = {
-    val merged = graft.dml.MergePlanner.merge(toDF, source, keys, matched, notMatched,
+            validateCardinality: Boolean = true): GraftTable =
+    mergeOn(source, keys.map(k => (k, k)), matched, notMatched,
+      notMatchedBySource, validateCardinality)
+
+  /** MERGE with (target, source) key pairs — `ON t.customer_id = s.id`. */
+  def mergeOn(source: DataFrame, keyPairs: Seq[(String, String)],
+              matched: Seq[graft.dml.MergeClause],
+              notMatched: Seq[graft.dml.MergeClause],
+              notMatchedBySource: Seq[graft.dml.MergeClause] = Seq.empty,
+              validateCardinality: Boolean = true): GraftTable = {
+    val merged = graft.dml.MergePlanner.mergeOn(toDF, source, keyPairs, matched, notMatched,
       notMatchedBySource, validateCardinality)
     overwrite(merged)
   }

@@ -243,6 +243,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(row5 == ((5L, "named", "l5")))
   }
 
+  test("MERGE ON with differently-named keys (ON s.id = t.customer_id)") {
+    val (g, t) = freshTable("mkeys")
+    g.sql("INSERT INTO test_table VALUES (1, 'a', 'l1'), (2, 'b', 'l2')")
+    g.sql(
+      """MERGE INTO test_table t
+        |USING (
+        |  SELECT 2 AS id, 'b-upd' AS name
+        |  UNION ALL
+        |  SELECT 3 AS id, 'c-new' AS name
+        |) s
+        |ON s.id = t.customer_id
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name
+        |WHEN NOT MATCHED THEN INSERT (customer_id, name) VALUES (s.id, s.name)""".stripMargin)
+    val got = t.toDF.orderBy("customer_id")
+      .select("customer_id", "name", "lastname")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(got == Seq((1L, "a", Some("l1")), (2L, "b-upd", Some("l2")),
+      (3L, "c-new", None)))
+  }
+
   test("SELECT passthrough sees registered table state") {
     val (g, t) = freshTable("sel")
     g.sql("INSERT INTO test_table select 1, 'a', 'b'")
