@@ -158,10 +158,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (exact): upper-triangle self
+    * join, codegen'd [[graft.functions.VectorDot]] cosine, threshold
+    * filter. Exactness is the point here (it oracle-verifies bit-exact
+    * against DuckDB); an exact threshold pair-join is inherently O(N²),
+    * so the 100 TB path is the LSH-bucketed candidate generation of
+    * [[annLshBucketed]] with this cosine as the verify stage — the same
+    * two-phase shape as MinHash near-dup dedup. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String,
+                           threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val a = e.toDF("a_id", "a_e")
+    val b = e.toDF("b_id", "b_e")
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_e"), col("b_e")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) => annLshBucketed(s, d)),
-    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d))
+    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +194,15 @@ object Similarity {
         |      FROM q, e WHERE e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -72,6 +72,19 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 
+  // per-doc token counting two ways: whitespace words and a BPE-ish
+  // subword regex (alnum runs + single punctuation marks) — the token
+  // budget estimator of a training-data pipeline; pure map-side codegen
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpeish = regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens).as("n_ws_tokens"),
+        size(bpeish).as("n_bpe_tokens"),
+        round(col("n_chars").cast(DoubleType) / size(bpeish), 4).as("chars_per_bpe_token"))
+      .orderBy("doc_id")
+  }
+
   // n-gram Jaccard near-dup pairs, blocked by (lang, n_chars) so the
   // pair space stays linear-ish in corpus size
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -230,6 +243,7 @@ object TextOps {
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -261,6 +275,12 @@ object TextOps {
         |       ELSE 'unk' END AS pred_lang,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 4) AS chars_per_bpe_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS toks FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
