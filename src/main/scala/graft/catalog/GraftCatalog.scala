@@ -115,6 +115,24 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
   }
 
+  /** `VERSION AS OF <v>` — a read-only relation pinned to snapshot v. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(dirOf(ident),
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
+      Some(version.toInt))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — resolved to the latest snapshot whose log
+    * entry was committed at or before the timestamp (micros, per DSv2). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, dirOf(ident))
+    new GraftSparkTable(dirOf(ident),
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
+      Some(t.versionAsOfTimestamp(timestamp / 1000L)))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     listViews(namespace.toIndexedSeq: _*)
 

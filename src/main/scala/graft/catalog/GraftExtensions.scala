@@ -62,11 +62,13 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) &&
-            !(spjOn && GraftSparkTable.spjEligible(
-              r.table.asInstanceOf[GraftSparkTable].graftTable)) =>
-        val t = r.table.asInstanceOf[GraftSparkTable].graftTable
+            !(spjOn && r.table.asInstanceOf[GraftSparkTable].asOfVersion.isEmpty &&
+              GraftSparkTable.spjEligible(
+                r.table.asInstanceOf[GraftSparkTable].graftTable)) =>
+        // version-pinned (AS OF) relations render the pinned snapshot's view
         GraftViewPlaceholder(r.output,
-          spark.sessionState.sqlParser.parsePlan(t.viewSql))
+          spark.sessionState.sqlParser.parsePlan(
+            r.table.asInstanceOf[GraftSparkTable].readViewSql))
       case h: GraftViewPlaceholder if h.child.resolved =>
         val aliased: Seq[NamedExpression] = h.output.zip(h.child.output).map {
           case (o, c) =>

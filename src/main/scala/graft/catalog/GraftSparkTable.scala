@@ -38,21 +38,37 @@ import scala.jdk.CollectionConverters._
   * pushed, filters forwarded to [[GraftTable.scan]] for transform/footer
   * skipping, then re-applied by Spark).
   */
-final class GraftSparkTable(val dir: String, tableName: String)
+final class GraftSparkTable(val dir: String, tableName: String,
+                            val asOfVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
   /** Always-fresh handle; snapshot state lives in the log. */
   def graftTable: GraftTable = GraftTable.load(spark, dir)
 
-  override def name(): String = tableName
-  override def schema(): StructType = graftTable.schema
-  override def columns(): Array[Column] = graftTable.schema.fields.map { f =>
+  /** The snapshot this relation reads: pinned for `VERSION AS OF` /
+    * `TIMESTAMP AS OF` relations, current otherwise. */
+  def readSnapshot: graft.table.Snapshot =
+    asOfVersion.map { v =>
+      val s = graftTable.snapshotAt(v)
+      require(s.op != "expired",
+        s"snapshot v$v has been expired (expireSnapshots); cannot time travel to it")
+      s
+    }.getOrElse(graftTable.snapshot)
+
+  /** The snapshot's self-contained SQL view (what the extensions rule
+    * swaps read relations for) — version-pinned when this table is. */
+  def readViewSql: String = graftTable.viewSqlOf(readSnapshot)
+
+  override def name(): String =
+    tableName + asOfVersion.map(v => s"@v$v").getOrElse("")
+  override def schema(): StructType = readSnapshot.schema
+  override def columns(): Array[Column] = readSnapshot.schema.fields.map { f =>
     Column.create(f.name, f.dataType, f.nullable, f.getComment().orNull, null)
   }
 
   override def partitioning(): Array[Transform] =
-    graftTable.spec.map {
+    readSnapshot.spec.map {
       case PartitionField(src, "identity", _) => Expressions.identity(src)
       case PartitionField(src, "bucket", n)   => Expressions.bucket(n, src)
       case PartitionField(src, "month", _)    => Expressions.months(src)
@@ -81,10 +97,12 @@ final class GraftSparkTable(val dir: String, tableName: String)
     TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(graftTable)
+    new GraftScanBuilder(graftTable, asOfVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
     new GraftWriteBuilder(dir)
+  }
 }
 
 object GraftSparkTable {
@@ -130,10 +148,11 @@ private final class GraftWriteBuilder(dir: String)
   * filters to [[GraftTable.scan]] (transform pruning + parquet footer
   * skipping), and reports everything as residual so Spark re-applies the
   * full predicate — pushdown is an optimization here, never a contract. */
-private final class GraftScanBuilder(table: GraftTable)
+private final class GraftScanBuilder(table: GraftTable, asOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = table.schema
+  private var required: StructType =
+    asOf.map(v => table.snapshotAt(v).schema).getOrElse(table.schema)
   private var accepted: Array[Filter] = Array.empty
   private var pred: Option[SCol] = None
 
@@ -166,10 +185,12 @@ private final class GraftScanBuilder(table: GraftTable)
   override def build(): Scan = {
     // single-bucket-spec tables with no deletes get the partition-reporting
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
-    if (GraftSparkTable.spjEligible(table))
+    // (current-snapshot reads only; version-pinned reads take the V1 path)
+    if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
       return new GraftBucketedScan(table, required, accepted)
     val schema = required
     val filter = pred
+    val pinned = asOf
     new V1Scan {
       override def readSchema(): StructType = schema
       override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
@@ -177,7 +198,10 @@ private final class GraftScanBuilder(table: GraftTable)
           override def sqlContext: SQLContext = context
           override def schema: StructType = readSchema()
           override def buildScan(): RDD[Row] = {
-            val base = filter.map(table.scan).getOrElse(table.toDF)
+            val base = pinned match {
+              case Some(v) => filter.foldLeft(table.asOf(v))(_ filter _)
+              case None    => filter.map(table.scan).getOrElse(table.toDF)
+            }
             base.select(readSchema().fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
           }
         }.asInstanceOf[T]

@@ -632,6 +632,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     dfAt(s)
   }
 
+  /** Latest version whose log entry was committed at or before
+    * `tsMillis` (file modification time) — `TIMESTAMP AS OF` resolution. */
+  def versionAsOfTimestamp(tsMillis: Long): Int = {
+    val entries = fs.listStatus(logDir)
+      .filter(_.getPath.getName.matches("v\\d+\\.json"))
+      .map(st => (st.getPath.getName.drop(1).dropRight(5).toInt, st.getModificationTime))
+    val ok = entries.filter(_._2 <= tsMillis)
+    require(ok.nonEmpty, s"no snapshot committed at or before timestamp $tsMillis")
+    ok.map(_._1).max
+  }
+
   /** Incremental (changelog) read: rows APPENDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive) — the CDC-consumer pattern.
     * Reads only the data dirs committed in that range, never the whole
@@ -664,8 +675,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * Evolution-aware: dirs committed before a column's add-version
     * project typed NULLs; equality deletes become a version-guarded
     * NOT EXISTS; physical names alias back to logical ones. */
-  def viewSql: String = {
-    val s = snapshot
+  def viewSql: String = viewSqlOf(snapshot)
+
+  def viewSqlOf(s: Snapshot): String = {
     def q(n: String) = s"`${n.replace("`", "``")}`"
     val logicalList = s.schema.fields.map(f => q(f.name)).mkString(", ")
     if (s.dataDirs.isEmpty) {

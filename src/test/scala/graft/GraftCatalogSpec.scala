@@ -276,6 +276,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(s"$warehouse/db8/meta#files").count() > 0)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val t = mkTable("db9", "tt", StructType(Seq(StructField("id", LongType))))
+    t.append(Seq(1L, 2L).toDF("id"))        // v1
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq(3L).toDF("id"))            // v2
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db9.tt").as[Long].head() == 3)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db9.tt VERSION AS OF 1")
+      .as[Long].head() == 2)
+    assert(spark.sql("SELECT id FROM graft.db9.tt VERSION AS OF 0").count() == 0)
+    // timestamp between v1 and v2 resolves to v1
+    val ts = new java.sql.Timestamp(between)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.db9.tt TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 2)
+    // writes to a pinned relation are rejected
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db9.tt VERSION AS OF 1 VALUES (9)")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(as of|time travel|syntax|version).*"))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
