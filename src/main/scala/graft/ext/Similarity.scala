@@ -167,12 +167,19 @@ object Similarity {
     * two-phase shape as MinHash near-dup dedup. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String,
                            threshold: Double = 0.4): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
     graft.functions.GraftFunctions.register(spark)
-    val e = embeddings(spark, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    val a = e.toDF("a_id", "a_e")
-    val b = e.toDF("b_id", "b_e")
+    // norms computed ONCE per vector (map-side), not per pair — the pair
+    // stage then does a single dot product. sqrt(na)*sqrt(nb) is the same
+    // expression shape as the oracle, so doubles stay bit-identical.
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(vec_dot(col("e"), col("e"))))
+    val a = e.toDF("a_id", "a_e", "a_nrm")
+    val b = e.toDF("b_id", "b_e", "b_nrm")
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_e"), col("b_e")).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        (vec_dot(col("a_e"), col("b_e")) / (col("a_nrm") * col("b_nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("a_id", "b_id")
   }
