@@ -154,15 +154,30 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   def snapshotAt(v: Int): Snapshot = {
     val p = new Path(logDir, f"v$v%05d.json")
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } finally in.close()
-    readSnapshot(new String(bytes, "UTF-8"))
+    // The commit protocol claims a slot atomically with create-new, then
+    // streams the JSON in: a reader racing the writer can observe an
+    // empty/truncated file for a moment. The claim guarantees content is
+    // coming — retry briefly before declaring the entry corrupt.
+    var attempt = 0
+    while (true) {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+      try return readSnapshot(new String(bytes, "UTF-8"))
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 100) throw new IllegalStateException(
+            s"unreadable snapshot entry $p after $attempt attempts", e)
+          Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def allSnapshots: Seq[Snapshot] = (0 to currentVersion).map(snapshotAt)
@@ -182,22 +197,45 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     while (!done) {
       out = mk(if (base == null) null else base, v)
       val p = new Path(logDir, f"v$v%05d.json")
-      try {
-        val os = fs.create(p, false) // fail if exists
-        try os.write(writeSnapshot(out).getBytes("UTF-8")) finally os.close()
+      if (writeOnce(p, writeSnapshot(out).getBytes("UTF-8"))) {
         done = true
-      } catch {
-        case _: java.io.IOException if fs.exists(p) =>
-          // next slot comes from the log's FILE numbering — a snapshot
-          // whose content carries a different version field (e.g. a
-          // hand-copied or corrupted entry) must never re-target an
-          // occupied slot (that would loop forever)
-          val cur = currentVersion
-          base = snapshotAt(cur) // re-read the winner's state
-          v = cur + 1
+      } else {
+        // next slot comes from the log's FILE numbering — a snapshot
+        // whose content carries a different version field (e.g. a
+        // hand-copied or corrupted entry) must never re-target an
+        // occupied slot (that would loop forever)
+        val cur = currentVersion
+        base = snapshotAt(cur) // re-read the winner's state
+        v = cur + 1
       }
     }
     out
+  }
+
+  /** Atomic write-once claim of `p` with `content`; false if another
+    * writer holds the slot. Hadoop's `create(p, overwrite=false)` is
+    * namenode-atomic on HDFS but CHECK-THEN-ACT on the local filesystem
+    * (two racing creators can both pass the exists check and the second
+    * silently truncates the first — a lost commit). On `file:` schemes
+    * the claim therefore goes through `File.createNewFile()` (O_EXCL,
+    * kernel-atomic); content streams in right after, and readers tolerate
+    * the brief empty-file window (see [[snapshotAt]]'s retry). */
+  private def writeOnce(p: Path, content: Array[Byte]): Boolean = {
+    val f = fs
+    if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
+      val jf = new java.io.File(p.toUri.getPath)
+      jf.getParentFile.mkdirs()
+      if (!jf.createNewFile()) return false
+      val os = new java.io.FileOutputStream(jf)
+      try os.write(content) finally os.close()
+      true
+    } else {
+      try {
+        val os = f.create(p, false) // atomic create-new (namenode)
+        try os.write(content) finally os.close()
+        true
+      } catch { case _: java.io.IOException if f.exists(p) => false }
+    }
   }
 
   // ---- schema / spec accessors ----------------------------------------
@@ -652,8 +690,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshotAt(toVersion)
     (fromVersion + 1 to toVersion).foreach { v =>
       val op = snapshotAt(v).op
-      require(op != "overwrite",
-        s"incremental read crosses an overwrite commit at v$v; start from v$v instead")
+      // overwrite replaces rows; rewrite re-stamps OLD rows with a new
+      // commit version — crossing either would surface non-appended rows
+      require(op != "overwrite" && op != "rewrite",
+        s"incremental read crosses an $op commit at v$v; start from v$v instead")
     }
     val newDirs = s.dataDirs.filter(d => d.version > fromVersion && d.version <= toVersion)
     if (newDirs.isEmpty)
@@ -717,6 +757,38 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Compaction: rewrite live rows into one data dir, dropping delete
     * files (the maintenance action a 100 TB deployment runs continuously). */
   def compact(): GraftTable = overwrite(toDF)
+
+  /** Bin-packing compaction (Iceberg's `rewrite_data_files` shape): only
+    * dirs whose total bytes fall under `smallDirBytes` are rewritten into
+    * one consolidated dir; large dirs keep their files untouched — at
+    * 100 TB rewriting everything (compact()) is not an option, the
+    * steady-state maintenance loop folds the small-commit long tail.
+    * No-ops (and never commits) unless at least two small dirs exist.
+    * Requires no pending deletes (apply them first via compact()). */
+  def rewriteSmallDirs(smallDirBytes: Long = 64L * 1024 * 1024): GraftTable = {
+    val s = snapshot
+    require(s.deletes.isEmpty, "rewriteSmallDirs requires no pending deletes; compact() first")
+    val f = fs
+    def sizeOf(d: DataDir): Long =
+      f.getContentSummary(new Path(dir, d.path)).getLength
+    val (small, big) = s.dataDirs.partition(d => sizeOf(d) < smallDirBytes)
+    if (small.length < 2) return this
+    val (sub, rows) = writeData(readLogical(s, small), s)
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      // a concurrent rowDelta would make the rewritten rows (now stamped
+      // with a NEWER commit version) escape its version-guarded deletes —
+      // abort instead of silently resurrecting deleted rows
+      require(b.deletes.isEmpty,
+        "rewriteSmallDirs lost a race with a rowDelta commit; re-run after compact()")
+      // keep dirs the rebased snapshot still references that we did NOT
+      // rewrite; a concurrent commit adding dirs keeps its additions
+      val rewritten = small.map(_.path).toSet
+      b.copy(version = v, op = "rewrite",
+        dataDirs = b.dataDirs.filterNot(d => rewritten.contains(d.path)) :+ DataDir(sub, v, rows))
+    })
+    this
+  }
 
   /** Snapshot expiry (Iceberg's `expire_snapshots`): physically deletes
     * data/delete dirs referenced ONLY by snapshots older than

@@ -157,6 +157,48 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.scan(col("name") === "late").count() == 1)
   }
 
+  test("OCC: four genuinely concurrent appenders all land, no lost updates") {
+    val dir = TestSpark.tmpDir("gt-occ-par")
+    GraftTable.create(spark, dir, sampleSchema)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map { i =>
+      Future {
+        // each writer loads its own handle (separate pre-read state)
+        GraftTable.load(spark, dir).append(
+          Seq((i.toLong, s"writer-$i")).toDF("age", "name"))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val t = GraftTable.load(spark, dir)
+    assert(t.currentVersion == 4)
+    assert(t.toDF.select("name").as[String].collect().toSet ==
+      (0 until 4).map(i => s"writer-$i").toSet)
+    // every snapshot retains ALL earlier writers' dirs (no lost update)
+    assert(t.snapshot.dataDirs.length == 4)
+  }
+
+  test("rewriteSmallDirs: bin-packs small commits, leaves big dirs alone") {
+    val dir = TestSpark.tmpDir("gt-rewrite")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(Seq((1L, "a")).toDF("age", "name"))
+    t.append(Seq((2L, "b")).toDF("age", "name"))
+    t.append(Seq((3L, "c")).toDF("age", "name"))
+    assert(t.snapshot.dataDirs.length == 3)
+    val before = t.toDF.orderBy("age").as[(Long, String)].collect().toSeq
+    t.rewriteSmallDirs() // all three are tiny -> one consolidated dir
+    assert(t.snapshot.dataDirs.length == 1)
+    assert(t.snapshot.op == "rewrite")
+    assert(t.toDF.orderBy("age").as[(Long, String)].collect().toSeq == before)
+    // second run is a no-op (nothing to consolidate) and does not commit
+    val v = t.currentVersion
+    t.rewriteSmallDirs()
+    assert(t.currentVersion == v)
+    // incremental reads refuse to cross the rewrite
+    assertThrows[IllegalArgumentException] { t.appendsBetween(1, v).count() }
+  }
+
   test("format(\"graft\") DataSource: save creates + appends; load reads back") {
     val dir = TestSpark.tmpDir("gt-fmt") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
