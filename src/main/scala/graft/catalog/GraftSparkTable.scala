@@ -40,7 +40,8 @@ import scala.jdk.CollectionConverters._
   */
 final class GraftSparkTable(val dir: String, tableName: String,
                             val asOfVersion: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   /** Always-fresh handle; snapshot state lives in the log. */
@@ -103,6 +104,18 @@ final class GraftSparkTable(val dir: String, tableName: String,
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
     new GraftWriteBuilder(dir)
   }
+
+  // Plain `spark.sql("DELETE FROM graft.ns.t WHERE …")` — Spark routes a
+  // fully filter-translatable condition here (copy-on-write through the
+  // same snapshot machinery as GraftTable.delete / GraftSql).
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    asOfVersion.isEmpty && filters.forall(f => GraftSparkTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val pred = filters.flatMap(GraftSparkTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graftTable.delete(pred)
+  }
 }
 
 object GraftSparkTable {
@@ -113,6 +126,33 @@ object GraftSparkTable {
     val s = t.snapshot
     s.spec.length == 1 && s.spec.head.transform == "bucket" &&
       s.deletes.isEmpty && s.dataDirs.nonEmpty
+  }
+
+  /** Column form of a DSv2 source Filter (None = not convertible). */
+  def filterToColumn(f: sources.Filter): Option[SCol] = {
+    def c(n: String) = col(s"`$n`")
+    f match {
+      case sources.EqualTo(a, v)            => Some(c(a) === lit(v))
+      case sources.EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
+      case sources.GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v)           => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case sources.In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a)                => Some(c(a).isNull)
+      case sources.IsNotNull(a)             => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v)     => Some(c(a).contains(v))
+      case _: sources.AlwaysTrue            => Some(lit(true))
+      case _: sources.AlwaysFalse           => Some(lit(false))
+      case sources.Not(x)                   => filterToColumn(x).map(!_)
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case _ => None
+    }
   }
 }
 
@@ -160,27 +200,11 @@ private final class GraftScanBuilder(table: GraftTable, asOf: Option[Int] = None
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(f => toColumn(f).isDefined)
-    pred = accepted.flatMap(toColumn).reduceOption(_ && _)
+    accepted = filters.filter(f => GraftSparkTable.filterToColumn(f).isDefined)
+    pred = accepted.flatMap(GraftSparkTable.filterToColumn).reduceOption(_ && _)
     filters // all residual: Spark re-evaluates, we only use them to skip files
   }
   override def pushedFilters(): Array[Filter] = accepted
-
-  private def toColumn(f: Filter): Option[SCol] = {
-    def c(n: String) = col(s"`$n`")
-    f match {
-      case sources.EqualTo(a, v)            => Some(c(a) === lit(v))
-      case sources.GreaterThan(a, v)        => Some(c(a) > lit(v))
-      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
-      case sources.LessThan(a, v)           => Some(c(a) < lit(v))
-      case sources.LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
-      case sources.In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
-      case sources.IsNull(a)                => Some(c(a).isNull)
-      case sources.IsNotNull(a)             => Some(c(a).isNotNull)
-      case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-      case _ => None
-    }
-  }
 
   override def build(): Scan = {
     // single-bucket-spec tables with no deletes get the partition-reporting

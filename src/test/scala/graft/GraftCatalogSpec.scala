@@ -298,6 +298,21 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.matches("(?s).*(as of|time travel|syntax|version).*"))
   }
 
+  test("plain spark.sql DELETE FROM / TRUNCATE via SupportsDelete") {
+    val t = mkTable("db10", "deltest", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    spark.sql("DELETE FROM graft.db10.deltest WHERE id > 2")
+    assert(spark.sql("SELECT id FROM graft.db10.deltest ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    spark.sql("DELETE FROM graft.db10.deltest WHERE v = 'a' OR v = 'zzz'")
+    assert(spark.sql("SELECT id FROM graft.db10.deltest").as[Long].collect().toSeq == Seq(2L))
+    spark.sql("TRUNCATE TABLE graft.db10.deltest")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db10.deltest").as[Long].head() == 0)
+    // each DELETE/TRUNCATE is a real copy-on-write snapshot commit
+    assert(GraftTable.load(spark, s"$warehouse/db10/deltest").currentVersion == 4)
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
