@@ -56,24 +56,37 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
     // relation: the partition-reporting GraftBucketedScan is what makes
     // co-bucketed joins shuffle-free, and it matches the view path on
     // pushdown (same parquet reader function). Everything else still gets
-    // the parquet-view swap.
+    // the parquet-view swap. The snapshot is loaded ONCE per relation per
+    // rule pass (the analyzer iterates to fixpoint; per-check loads would
+    // multiply driver metadata I/O on object stores).
     val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .contains("true")
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) &&
-            !(spjOn && r.table.asInstanceOf[GraftSparkTable].asOfVersion.isEmpty &&
-              GraftSparkTable.spjEligible(
-                r.table.asInstanceOf[GraftSparkTable].graftTable)) =>
-        // version-pinned (AS OF) relations render the pinned snapshot's view
-        GraftViewPlaceholder(r.output,
-          spark.sessionState.sqlParser.parsePlan(
-            r.table.asInstanceOf[GraftSparkTable].readViewSql))
+          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>
+        val gst = r.table.asInstanceOf[GraftSparkTable]
+        val gt = gst.graftTable
+        val snap = gst.asOfVersion.map { v =>
+          val s = gt.snapshotAt(v)
+          require(s.op != "expired", s"snapshot v$v has been expired; cannot time travel to it")
+          s
+        }.getOrElse(gt.snapshot)
+        if (spjOn && gst.asOfVersion.isEmpty && GraftSparkTable.spjEligible(snap)) r
+        else GraftViewPlaceholder(r.output,
+          spark.sessionState.sqlParser.parsePlan(gt.viewSqlOf(snap)))
       case h: GraftViewPlaceholder if h.child.resolved =>
-        val aliased: Seq[NamedExpression] = h.output.zip(h.child.output).map {
-          case (o, c) =>
-            val e = if (c.dataType == o.dataType) c else Cast(c, o.dataType)
-            Alias(e, o.name)(exprId = o.exprId)
+        // rebind by NAME, not position: the view was rendered from the
+        // CURRENT snapshot while h.output was resolved earlier in
+        // analysis — under a concurrent schema change positional zip
+        // would silently mislabel columns; a missing name fails loudly
+        val byName = h.child.output.map(a => a.name.toLowerCase -> a).toMap
+        val aliased: Seq[NamedExpression] = h.output.map { o =>
+          val c = byName.getOrElse(o.name.toLowerCase,
+            throw new IllegalStateException(
+              s"column ${o.name} disappeared from the table view during analysis " +
+                "(concurrent schema change); re-run the query"))
+          val e = if (c.dataType == o.dataType) c else Cast(c, o.dataType)
+          Alias(e, o.name)(exprId = o.exprId)
         }
         Project(aliased, h.child)
     }

@@ -122,11 +122,11 @@ object GraftSparkTable {
   /** A table reads through [[GraftBucketedScan]] (partition-reporting
     * Batch) when its layout is exactly one bucket field with no pending
     * equality deletes — the storage-partitioned-join shape. */
-  def spjEligible(t: GraftTable): Boolean = {
-    val s = t.snapshot
+  def spjEligible(t: GraftTable): Boolean = spjEligible(t.snapshot)
+
+  def spjEligible(s: graft.table.Snapshot): Boolean =
     s.spec.length == 1 && s.spec.head.transform == "bucket" &&
       s.deletes.isEmpty && s.dataDirs.nonEmpty
-  }
 
   /** Column form of a DSv2 source Filter (None = not convertible). */
   def filterToColumn(f: sources.Filter): Option[SCol] = {

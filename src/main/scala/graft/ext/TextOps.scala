@@ -147,6 +147,8 @@ object TextOps {
       .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
       .groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      // intentionally NOT unpersisted: the returned frame consumes the
+      // cache lazily; session LRU reclaims the blocks under pressure
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps

@@ -249,11 +249,17 @@ object RefOps {
     t.append(cust.filter(col("customer_id") % 2 === 0)) // v2
     t.delete(col("customer_id") % 3 === 0)             // v3 (overwrite)
     // all three historical counts in ONE Spark job (union of dfAt frames),
-    // not three sequential driver-side count() round trips
-    Seq(1, 2, 3).map(v =>
+    // not three sequential driver-side count() round trips; the literal
+    // versions frame left-joins the counts so an EMPTY historical
+    // snapshot still yields its (version, 0) row
+    import spark.implicits._
+    val versions = Seq(1L, 2L, 3L).toDF("version")
+    val counts = Seq(1, 2, 3).map(v =>
         t.asOf(v).select(lit(v.toLong).as("version")))
       .reduce(_ unionAll _)
-      .groupBy("version").agg(count(lit(1)).as("n_rows"))
+      .groupBy("version").agg(count(lit(1)).as("n"))
+    versions.join(counts, Seq("version"), "left")
+      .select(col("version"), coalesce(col("n"), lit(0L)).as("n_rows"))
       .orderBy("version")
   }
 
@@ -334,8 +340,12 @@ object RefOps {
     val wh = tmp("spj_wh")
     val cat = s"graftbj${java.util.UUID.randomUUID().toString.take(8)}"
     graft.catalog.GraftCatalog.register(spark, wh, cat)
-    // opt-in Spark feature; leaving it on only changes plan shape for
-    // SPJ-eligible graft scans (correctness is conf-independent)
+    // opt-in Spark feature; INTENTIONALLY left on for the session: the
+    // returned frame plans its physical join lazily, so a try/finally
+    // unset would strip the storage-partitioned join at execution time.
+    // Only bucket-SPEC catalog tables change plan shape under it, and
+    // this query's temp tables are the suite's only ones (correctness is
+    // conf-independent either way).
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val c = customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
     val o = orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))

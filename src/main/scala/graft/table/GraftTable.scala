@@ -399,11 +399,16 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     val phys = s.physicalOf(name)
     require(!s.spec.exists(_.source == name), s"cannot drop partition source column $name")
+    require(!s.key.contains(name),
+      s"cannot drop sort-key column $name; replaceSortKey first")
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       b.copy(version = v, op = "drop-column",
         schema = StructType(b.schema.fields.filterNot(_.name == name)),
         fields = b.fields.filterNot(_.logical == name),
+        // a bloom key on the dropped column would break every future
+        // write (physicalOf throws); existing sidecars just go unused
+        bloomKeys = b.bloomKeys.filterNot(_ == name),
         retiredPhysical = b.retiredPhysical :+ phys)
     })
     this
@@ -625,20 +630,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     case _        => schema(pf.source).dataType // identity, truncate
   }
 
-  /** Inverse of Hive/Spark partition-path escaping (%XX sequences). */
-  private def unescapePathName(v: String): String = {
-    if (!v.contains('%')) return v
-    val sb = new StringBuilder(v.length)
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '%' && i + 3 <= v.length) {
-        try { sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** Inverse of Hive/Spark partition-path escaping — Spark's own decoder,
+    * so it can never drift from what `partitionBy` writes. */
+  private def unescapePathName(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   /** Streaming read: an unbounded DataFrame tailing this table's APPENDS
     * (Iceberg's streaming read is likewise append-tailing). Built on
@@ -781,6 +776,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       // abort instead of silently resurrecting deleted rows
       require(b.deletes.isEmpty,
         "rewriteSmallDirs lost a race with a rowDelta commit; re-run after compact()")
+      // a concurrent overwrite/delete/merge REPLACED the dirs we rewrote:
+      // committing their old rows on top would resurrect deleted data —
+      // every rewritten dir must still be referenced by the rebased state
+      require(small.map(_.path).toSet.subsetOf(b.dataDirs.map(_.path).toSet),
+        "rewriteSmallDirs lost a race with an overwrite commit; re-run")
       // keep dirs the rebased snapshot still references that we did NOT
       // rewrite; a concurrent commit adding dirs keeps its additions
       val rewritten = small.map(_.path).toSet

@@ -144,6 +144,44 @@ class GraftTableSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
   }
 
+  test("dropColumn guards sort key and clears bloom keys") {
+    val dir = TestSpark.tmpDir("gt-dropguard")
+    val t = GraftTable.create(spark, dir, sampleSchema,
+      key = Seq("age"), bloomKeys = Seq("name"))
+    t.append(sampleDf)
+    // sort-key column cannot be dropped (writeData would break)
+    assertThrows[IllegalArgumentException] { t.dropColumn("age") }
+    // dropping a bloom-keyed column clears the key; writes keep working
+    t.dropColumn("name")
+    assert(t.snapshot.bloomKeys.isEmpty)
+    t.append(Seq(Tuple1(9L)).toDF("age"))
+    assert(t.toDF.count() == 4)
+  }
+
+  test("rewriteSmallDirs racing a delete never resurrects deleted rows") {
+    // whatever interleaving the scheduler produces, the invariant holds:
+    // either the rewrite aborts (lost the rebase race) or it consolidated
+    // a state the delete then rewrote — age=1 must stay deleted
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { i =>
+      val dir = TestSpark.tmpDir(s"gt-rewrite-race-$i")
+      val t = GraftTable.create(spark, dir, sampleSchema)
+      t.append(Seq((1L, "a")).toDF("age", "name"))
+      t.append(Seq((2L, "b")).toDF("age", "name"))
+      t.append(Seq((3L, "c")).toDF("age", "name"))
+      val rewrite = Future {
+        try GraftTable.load(spark, dir).rewriteSmallDirs()
+        catch { case _: IllegalArgumentException => /* lost the race: correct */ }
+      }
+      val del = Future { GraftTable.load(spark, dir).delete(col("age") === 1L) }
+      Await.result(Future.sequence(Seq(rewrite, del)), 120.seconds)
+      assert(GraftTable.load(spark, dir).toDF.filter(col("age") === 1L).count() == 0,
+        s"iteration $i resurrected a deleted row")
+    }
+  }
+
   test("setBloomKeys: pre-existing dirs are never skipped (no sidecar)") {
     val dir = TestSpark.tmpDir("gt-bloom2")
     val t = GraftTable.create(spark, dir, sampleSchema)
