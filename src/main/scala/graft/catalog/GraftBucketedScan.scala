@@ -53,6 +53,28 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(pf.param, pf.source)), partitions.length)
 
+  /** Bucket values that can satisfy the pushed point predicates on the
+    * bucket SOURCE column (None = no point predicate ⇒ keep all). Static
+    * bucket pruning: `WHERE k = 42` reads exactly one bucket partition. */
+  private lazy val wantedBuckets: Option[Set[Int]] = {
+    val points = pushed.toSeq.collect {
+      case sources.EqualTo(a, v) if a.equalsIgnoreCase(pf.source) => Seq(v)
+      case sources.In(a, vs) if a.equalsIgnoreCase(pf.source) => vs.toSeq
+    }
+    if (points.isEmpty) None
+    else {
+      // bucket of each literal AT THE COLUMN TYPE (hash differs by type);
+      // an un-hashable literal keeps all buckets (sound)
+      val dt = snap.schema(pf.source).dataType
+      val sets = points.map { vs =>
+        val hashed = vs.map(v => GraftBucketedScan.bucketOf(v, dt, pf.param))
+        if (hashed.exists(_.isEmpty)) None else Some(hashed.flatten.toSet)
+      }
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.flatten.reduce(_ intersect _))
+    }
+  }
+
   /** Leaf files grouped by bucket value across every data dir. Built once
     * on the driver — O(partition dirs + files) filesystem metadata. */
   private lazy val partitions: Array[GraftBucketPartition] = {
@@ -71,9 +93,9 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
         if (files.nonEmpty) byBucket(v) = byBucket.getOrElse(v, Vector.empty) ++ files
       }
     }
-    byBucket.toArray.sortBy(_._1).map { case (v, files) =>
-      GraftBucketPartition(v, files.toArray)
-    }
+    byBucket.toArray.sortBy(_._1)
+      .filter { case (v, _) => wantedBuckets.forall(_.contains(v)) }
+      .map { case (v, files) => GraftBucketPartition(v, files.toArray) }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -120,6 +142,34 @@ final case class GraftBucketPartition(bucket: Int, files: Array[(String, Long)])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+}
+
+object GraftBucketedScan {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Bucket of a pushed-filter literal at the column type — mirrors the
+    * write-side `pmod(hash(col), n)` / [[GraftBucketFunction]]. None when
+    * the literal's type cannot be hashed confidently (caller keeps all
+    * buckets — pruning stays sound). */
+  def bucketOf(v: Any, dt: DataType, n: Int): Option[Int] = {
+    val h: Option[Int] = (dt, v) match {
+      case (LongType, x: Number) => Some(Murmur3_x86_32.hashLong(x.longValue(), 42))
+      case (IntegerType, x: Number) => Some(Murmur3_x86_32.hashInt(x.intValue(), 42))
+      case (ShortType, x: Number) => Some(Murmur3_x86_32.hashInt(x.intValue(), 42))
+      case (ByteType, x: Number) => Some(Murmur3_x86_32.hashInt(x.intValue(), 42))
+      case (DateType, d: java.sql.Date) =>
+        Some(Murmur3_x86_32.hashInt(d.toLocalDate.toEpochDay.toInt, 42))
+      case (DateType, d: java.time.LocalDate) =>
+        Some(Murmur3_x86_32.hashInt(d.toEpochDay.toInt, 42))
+      case (StringType, s: String) =>
+        val u = UTF8String.fromString(s)
+        Some(Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+      case _ => None
+    }
+    h.map(x => ((x % n) + n) % n)
+  }
 }
 
 private final class GraftBucketReaderFactory(

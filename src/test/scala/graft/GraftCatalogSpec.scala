@@ -276,6 +276,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(s"$warehouse/db8/meta#files").count() > 0)
   }
 
+  test("SPJ scan prunes bucket partitions statically on point predicates") {
+    warehouse
+    val t = GraftTable.create(spark, s"$warehouse/db7/bprune", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      spec = Seq(PartitionField("k", "bucket", 8)))
+    t.append((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // rdd partition count == surviving bucket InputPartitions (no
+      // exchange in these plans; inputFiles is blind to DSv2 batch scans)
+      val all = spark.sql("SELECT * FROM graft.db7.bprune").rdd.getNumPartitions
+      assert(all == 8, s"expected 8 bucket partitions, got $all")
+      val one = spark.sql("SELECT v FROM graft.db7.bprune WHERE k = 42")
+      assert(one.queryExecution.executedPlan.toString.contains("GraftBucketedScan"))
+      assert(one.rdd.getNumPartitions == 1,
+        s"expected 1 surviving bucket, got ${one.rdd.getNumPartitions}")
+      assert(one.as[String].collect().toSeq == Seq("v42"))
+      // IN across two values reads at most two buckets; results exact
+      val in2 = spark.sql("SELECT v FROM graft.db7.bprune WHERE k IN (1, 2)")
+      assert(in2.rdd.getNumPartitions <= 2)
+      assert(in2.as[String].collect().toSet == Set("v1", "v2"))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     val t = mkTable("db9", "tt", StructType(Seq(StructField("id", LongType))))
     t.append(Seq(1L, 2L).toDF("id"))        // v1
