@@ -337,6 +337,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.load(spark, s"$warehouse/db10/deltest").currentVersion == 4)
   }
 
+  test("writeTo CTAS surface: create / append / replace through the catalog") {
+    warehouse
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo("graft.db11.ctas").create()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db11.ctas").as[Long].head() == 2)
+    Seq((3L, "c")).toDF("id", "v").writeTo("graft.db11.ctas").append()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db11.ctas").as[Long].head() == 3)
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.db11.ctas").replace()
+    assert(spark.sql("SELECT id, v FROM graft.db11.ctas").as[(Long, String)]
+      .collect().toSeq == Seq((9L, "z")))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
