@@ -251,7 +251,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * derives partition columns (stored in-file AND as k=v dirs), sorts
     * within partitions by the table key if set. The row count comes from
     * an Observation riding the write job — stats without a second pass. */
-  private def writeData(df: DataFrame, snap: Snapshot): (String, Long) = {
+  private def writeData(df: DataFrame, snap: Snapshot,
+                        layoutOverride: Option[DataFrame => DataFrame] = None): (String, Long) = {
     val sub = s"data/${UUID.randomUUID()}"
     val aligned0 = alignToSchema(df, snap.schema)
     // logical -> physical rename
@@ -264,6 +265,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         pf.exprFor(col(snap.physicalOf(pf.source)), snap.schema(pf.source).dataType))
     }
     // Layout strategy:
+    //  - explicit override (e.g. rewriteZOrder) → caller-provided
+    //    clustering over the physical frame.
     //  - sort key set → range-repartition + sort by it: files carry
     //    DISJOINT key ranges, so footer min/max stats skip all but the
     //    matching files on key predicates (clustered writes). AQE still
@@ -272,15 +275,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     //    rolling-writer goal) with no hardcoded partition count. With a
     //    partition spec, rebalance on the derived columns co-locates
     //    partition values.
-    val sorted =
-      if (snap.key.nonEmpty) {
-        val keyCols = snap.key.map(k => col(snap.physicalOf(k)))
-        withParts.repartitionByRange(keyCols: _*).sortWithinPartitions(keyCols: _*)
-      } else if (partCols.nonEmpty) {
-        withParts.hint("rebalance", partCols.map(col): _*)
-      } else {
-        withParts.hint("rebalance")
-      }
+    val sorted = layoutOverride match {
+      case Some(fn) => fn(withParts)
+      case None =>
+        if (snap.key.nonEmpty) {
+          val keyCols = snap.key.map(k => col(snap.physicalOf(k)))
+          withParts.repartitionByRange(keyCols: _*).sortWithinPartitions(keyCols: _*)
+        } else if (partCols.nonEmpty) {
+          withParts.hint("rebalance", partCols.map(col): _*)
+        } else {
+          withParts.hint("rebalance")
+        }
+    }
     val obs = org.apache.spark.sql.Observation()
     // per-commit key blooms ride the SAME write job as extra observed
     // metrics — stats + blooms with zero additional passes over the data
@@ -752,6 +758,51 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Compaction: rewrite live rows into one data dir, dropping delete
     * files (the maintenance action a 100 TB deployment runs continuously). */
   def compact(): GraftTable = overwrite(toDF)
+
+  /** Z-order layout rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`):
+    * rewrites the live rows clustered by the Morton interleave of two
+    * columns, so ONE sorted layout serves range predicates on EITHER
+    * dimension — every file carries tight min/max footer bounds on both
+    * columns and point/box scans skip most files. Integral/date columns
+    * map monotonically (offset into unsigned 32-bit space); other types
+    * hash (groups equal values, no range locality). Commits as a
+    * `rewrite` (excluded from incremental reads like overwrite). */
+  def rewriteZOrder(a: String, b: String): GraftTable = {
+    val s = snapshot
+    require(s.deletes.isEmpty, "apply pending deletes first (compact())")
+    graft.functions.ZOrderLong.register(spark)
+    def zlong(name: String): Column = {
+      val c = col(s.physicalOf(name))
+      s.schema(name).dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          // monotone shift into [0, 2^32): order-preserving for the full
+          // int range; wider longs rely on the low bits (pre-bucket if so)
+          greatest(least(c.cast(LongType) + lit(2147483648L),
+            lit(4294967295L)), lit(0L))
+        case DateType => unix_date(c).cast(LongType) + lit(2147483648L)
+        case _ => pmod(xxhash64(c), lit(4294967296L))
+      }
+    }
+    val layout: DataFrame => DataFrame = df => {
+      val z = graft.functions.ZOrderLong.z_order(zlong(a), zlong(b))
+      df.withColumn("__z", z)
+        .repartitionByRange(col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+    val (sub, rows) = writeData(toDF, s, Some(layout))
+    commit(s.version + 1)((rebase, v) => {
+      val b0 = Option(rebase).getOrElse(s)
+      require(b0.deletes.isEmpty,
+        "rewriteZOrder lost a race with a rowDelta commit; re-run after compact()")
+      require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
+        "rewriteZOrder lost a race with an overwrite commit; re-run")
+      val replaced = s.dataDirs.map(_.path).toSet
+      b0.copy(version = v, op = "rewrite",
+        dataDirs = b0.dataDirs.filterNot(d => replaced.contains(d.path)) :+ DataDir(sub, v, rows))
+    })
+    this
+  }
 
   /** Bin-packing compaction (Iceberg's `rewrite_data_files` shape): only
     * dirs whose total bytes fall under `smallDirBytes` are rewritten into

@@ -182,6 +182,42 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("rewriteZOrder clusters both dimensions; rows unchanged") {
+    val dir = TestSpark.tmpDir("gt-zorder")
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val t = GraftTable.create(spark, dir, schema)
+    // 64x64 grid appended in row-major order: a row-range file layout has
+    // tight x bounds but FULL-width y bounds
+    val grid = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    t.append(grid.toDF("x", "y").repartitionByRange(8, col("x")))
+    // files whose footer y-bounds intersect y in [0, 7]: the x-range
+    // layout leaves y unbounded per file (EVERY file intersects); the
+    // z layout bounds both dims, so a y-only predicate skips most files
+    def filesMatchingY(lo: Long, hi: Long): (Int, Int) = {
+      val files = t.toDF.inputFiles
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(smin("y"), smax("y")).head()
+        r.getLong(1) >= lo && r.getLong(0) <= hi
+      }
+      (hit, files.length)
+    }
+    val (hitBefore, nBefore) = filesMatchingY(0, 7)
+    assert(hitBefore == nBefore, "row-major layout: every file spans all y")
+    val before = t.toDF.orderBy("x", "y").as[(Long, Long)].collect().toSeq
+    // keep the z range shuffle un-coalesced so the rewrite produces
+    // multiple files and the skipping assertion is non-vacuous
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.rewriteZOrder("x", "y")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert(t.snapshot.op == "rewrite")
+    assert(t.toDF.orderBy("x", "y").as[(Long, Long)].collect().toSeq == before)
+    val (hitAfter, nAfter) = filesMatchingY(0, 7)
+    assert(nAfter > 1, "rewrite should emit multiple files here")
+    assert(hitAfter < nAfter,
+      s"z layout should let a y-only range skip files: $hitAfter of $nAfter still match")
+  }
+
   test("setBloomKeys: pre-existing dirs are never skipped (no sidecar)") {
     val dir = TestSpark.tmpDir("gt-bloom2")
     val t = GraftTable.create(spark, dir, sampleSchema)
