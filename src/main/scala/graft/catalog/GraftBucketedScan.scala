@@ -109,39 +109,74 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
     val physData = StructType(snap.schema.fields.map(f =>
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) :+
       StructField(pf.name, IntegerType, nullable = true))
-    val physFilters = pushed.flatMap(renameToPhysical)
+    val physFilters = pushed.flatMap(f => GraftBucketedScan.renamePushedFilter(f, n =>
+      snap.fields.find(_.logical == n).map(_.physical)))
     val readFunc = GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq)
     new GraftBucketReaderFactory(readFunc)
   }
+}
 
-  /** Pushed filters re-addressed to in-file (physical) column names; a
-    * filter on an unknown/renamed-away column is dropped (filters here
-    * only skip row groups — Spark re-applies the full predicate). */
-  private def renameToPhysical(f: Filter): Option[Filter] = {
-    def phys(n: String): Option[String] =
-      snap.fields.find(_.logical == n).map(_.physical)
-    f match {
-      case sources.EqualTo(a, v) => phys(a).map(sources.EqualTo(_, v))
-      case sources.GreaterThan(a, v) => phys(a).map(sources.GreaterThan(_, v))
-      case sources.GreaterThanOrEqual(a, v) => phys(a).map(sources.GreaterThanOrEqual(_, v))
-      case sources.LessThan(a, v) => phys(a).map(sources.LessThan(_, v))
-      case sources.LessThanOrEqual(a, v) => phys(a).map(sources.LessThanOrEqual(_, v))
-      case sources.In(a, vs) => phys(a).map(sources.In(_, vs))
-      case sources.IsNull(a) => phys(a).map(sources.IsNull(_))
-      case sources.IsNotNull(a) => phys(a).map(sources.IsNotNull(_))
-      case sources.And(l, r) =>
-        for (lc <- renameToPhysical(l); rc <- renameToPhysical(r)) yield sources.And(lc, rc)
-      case _ => None
-    }
-  }
+/** An input partition backed by a set of parquet files. */
+sealed trait GraftFilesPartition extends InputPartition {
+  def files: Array[(String, Long)]
 }
 
 /** All files of one bucket value; the key makes Spark group and co-locate
   * matching buckets across the two join sides. */
 final case class GraftBucketPartition(bucket: Int, files: Array[(String, Long)])
-    extends InputPartition with HasPartitionKey {
+    extends GraftFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+}
+
+/** One plain file set (the flat batch scan's unit). */
+final case class GraftFilePartition(files: Array[(String, Long)])
+    extends GraftFilesPartition
+
+/** Flat (non-partition-reporting) DSv2 Batch scan over a table's data
+  * files — the read side of the row-level ReplaceData path, which plans
+  * the operation's scan as a real Batch (no V1 fallback). One
+  * InputPartition per file; same pushdown/evolution behavior as the
+  * bucketed scan (shared reader function). Requires no pending equality
+  * deletes (a leaf scan cannot apply the anti-join). */
+final class GraftFlatBatchScan(table: GraftTable, required: StructType,
+                               pushed: Array[Filter]) extends Scan with Batch {
+
+  private val snap = table.snapshot
+  require(snap.deletes.isEmpty, "flat batch scan requires no pending equality deletes")
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftFlatBatchScan(${table.dir})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(table.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.dataDirs.flatMap { d =>
+      val it = fs.listFiles(new Path(s"${table.dir}/${d.path}"), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)))
+      }
+      buf
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val physRequired = StructType(required.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physData = StructType(snap.schema.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physFilters = pushed.flatMap { f =>
+      GraftBucketedScan.renamePushedFilter(f, n =>
+        snap.fields.find(_.logical == n).map(_.physical))
+    }
+    val readFunc = org.apache.spark.sql.GraftShim.parquetFileReader(
+      spark, physData, physRequired, physFilters.toSeq)
+    new GraftBucketReaderFactory(readFunc)
+  }
 }
 
 object GraftBucketedScan {
@@ -170,14 +205,32 @@ object GraftBucketedScan {
     }
     h.map(x => ((x % n) + n) % n)
   }
+
+  /** Pushed filters re-addressed to in-file (physical) column names; a
+    * filter on an unknown/renamed-away column is dropped (filters here
+    * only skip row groups — Spark re-applies the full predicate). */
+  def renamePushedFilter(f: Filter, phys: String => Option[String]): Option[Filter] = f match {
+    case sources.EqualTo(a, v) => phys(a).map(sources.EqualTo(_, v))
+    case sources.GreaterThan(a, v) => phys(a).map(sources.GreaterThan(_, v))
+    case sources.GreaterThanOrEqual(a, v) => phys(a).map(sources.GreaterThanOrEqual(_, v))
+    case sources.LessThan(a, v) => phys(a).map(sources.LessThan(_, v))
+    case sources.LessThanOrEqual(a, v) => phys(a).map(sources.LessThanOrEqual(_, v))
+    case sources.In(a, vs) => phys(a).map(sources.In(_, vs))
+    case sources.IsNull(a) => phys(a).map(sources.IsNull(_))
+    case sources.IsNotNull(a) => phys(a).map(sources.IsNotNull(_))
+    case sources.And(l, r) =>
+      for (lc <- renamePushedFilter(l, phys); rc <- renamePushedFilter(r, phys))
+        yield sources.And(lc, rc)
+    case _ => None
+  }
 }
 
-private final class GraftBucketReaderFactory(
+private[catalog] final class GraftBucketReaderFactory(
     readFunc: (String, Long) => Iterator[InternalRow])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftBucketPartition]
+    val p = partition.asInstanceOf[GraftFilesPartition]
     new PartitionReader[InternalRow] {
       // OPTION_RETURNING_BATCH=false in the reader build guarantees plain
       // row iterators (never ColumnarBatch disguised as InternalRow)

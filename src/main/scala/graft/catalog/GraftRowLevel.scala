@@ -1,0 +1,132 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+import graft.table.GraftTable
+
+import java.util.UUID
+
+/** Group-based DSv2 row-level operation: what makes plain
+  * `spark.sql("UPDATE graft.ns.t SET … WHERE …")` and
+  * `spark.sql("MERGE INTO graft.ns.t …")` work with NO GraftSql front —
+  * Spark's RewriteUpdateTable/RewriteMergeIntoTable rewrite the statement
+  * into ReplaceData over this operation's scan, and the replacement rows
+  * arrive at [[GraftReplaceBatchWrite]], a real distributed batch write:
+  *
+  *  - executors write the rows through Spark's own parquet
+  *    OutputWriterFactory ([[GraftShim.parquetWriterFactory]]) into a
+  *    fresh data dir, with the table's PHYSICAL column names (order is
+  *    positional, so renaming is just the dataSchema passed to the
+  *    writer);
+  *  - the driver's commit() stamps ONE overwrite snapshot via the normal
+  *    OCC log machinery — deletes fold away exactly like
+  *    [[GraftTable.overwrite]].
+  *
+  * The group is the whole table (the scan reports no finer granularity),
+  * so this is copy-on-write at table scope — the same cost shape as the
+  * engine's other DML paths. Supported for unpartitioned, unsorted
+  * tables; partitioned/sorted layouts need the write-side clustering of
+  * [[GraftTable]]'s write path (use the Scala API / GraftSql there).
+  */
+final class GraftRowLevelOperation(dir: String,
+                                   cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftRowLevelOperation($cmd, $dir)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(dir, info.schema())
+      }
+    }
+}
+
+/** Distributed replacement write: parquet files per task + one OCC
+  * overwrite commit on the driver. */
+private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
+    extends BatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val sub = s"data/${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val snap = GraftTable.load(spark, dir).snapshot
+    // physical file schema in the QUERY's column order (rows are
+    // positional; names come from this schema)
+    val physSchema = StructType(querySchema.fields.map { f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
+    })
+    val (factory, conf) = GraftShim.parquetWriterFactory(spark, physSchema)
+    new GraftReplaceWriterFactory(s"$dir/$sub", physSchema, factory, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: GraftFileCommit => m.rows }.sum
+    GraftTable.load(spark, dir).commitReplace(sub, rows)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$dir/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+private final case class GraftFileCommit(path: String, rows: Long)
+    extends WriterCommitMessage
+
+private final class GraftReplaceWriterFactory(
+    targetDir: String, physSchema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val path = s"$targetDir/part-$partitionId-$taskId.parquet"
+      private var rows = 0L
+      // opened on first row: empty tasks leave no file behind
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      // ReplaceData queries prepend RowDeltaUtils.OPERATION_COLUMN; when
+      // the runtime row is one field wider than the data schema, field 0
+      // is that marker: skip DELETE-marked rows, strip it from the rest
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        physSchema, (1 to physSchema.length).toIndexedSeq)
+
+      override def write(record: InternalRow): Unit = {
+        val out =
+          if (record.numFields == physSchema.length + 1) {
+            val op = record.getInt(0)
+            if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) return
+            proj.project(record)
+            proj
+          } else record
+        if (writer == null)
+          writer = GraftShim.newParquetOutputWriter(
+            factory, conf, path, physSchema, partitionId, taskId)
+        writer.write(out)
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftFileCommit(path, rows)
+      }
+      override def abort(): Unit =
+        if (writer != null) { try writer.close() catch { case _: Exception => } }
+      override def close(): Unit = ()
+    }
+}

@@ -41,7 +41,8 @@ import scala.jdk.CollectionConverters._
 final class GraftSparkTable(val dir: String, tableName: String,
                             val asOfVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
   /** Always-fresh handle; snapshot state lives in the log. */
@@ -103,6 +104,23 @@ final class GraftSparkTable(val dir: String, tableName: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
     new GraftWriteBuilder(dir)
+  }
+
+  // Plain `spark.sql` UPDATE / MERGE (and non-filter-translatable
+  // DELETE): Spark rewrites the statement into ReplaceData over this
+  // group-based operation — see GraftRowLevelOperation.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfVersion.isEmpty, "cannot modify a VERSION/TIMESTAMP AS OF relation")
+    val snap = graftTable.snapshot
+    require(snap.spec.isEmpty && snap.key.isEmpty,
+      s"SQL ${info.command} on partitioned/sorted graft tables needs the " +
+        "write-side clustering of the Scala API or GraftSql; this path " +
+        "supports unpartitioned, unsorted tables")
+    require(snap.deletes.isEmpty,
+      s"SQL ${info.command} requires no pending equality deletes; compact() first")
+    () => new GraftRowLevelOperation(dir, info.command)
   }
 
   // Plain `spark.sql("DELETE FROM graft.ns.t WHERE …")` — Spark routes a
@@ -188,7 +206,8 @@ private final class GraftWriteBuilder(dir: String)
   * filters to [[GraftTable.scan]] (transform pruning + parquet footer
   * skipping), and reports everything as residual so Spark re-applies the
   * full predicate — pushdown is an optimization here, never a contract. */
-private final class GraftScanBuilder(table: GraftTable, asOf: Option[Int] = None)
+private[catalog] final class GraftScanBuilder(table: GraftTable,
+    asOf: Option[Int] = None, batchOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType =
@@ -207,6 +226,8 @@ private final class GraftScanBuilder(table: GraftTable, asOf: Option[Int] = None
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = {
+    // row-level operations plan their scan as a real Batch (no V1 path)
+    if (batchOnly) return new GraftFlatBatchScan(table, required, accepted)
     // single-bucket-spec tables with no deletes get the partition-reporting
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)

@@ -759,6 +759,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * files (the maintenance action a 100 TB deployment runs continuously). */
   def compact(): GraftTable = overwrite(toDF)
 
+  /** Commit of an externally-written data dir as a full replace — the
+    * DSv2 row-level ReplaceData path lands here after its executors wrote
+    * the replacement parquet (same semantics as [[overwrite]]). */
+  private[graft] def commitReplace(sub: String, rows: Long): Unit = {
+    val s = snapshot
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "overwrite",
+        dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty)
+    })
+  }
+
   /** Z-order layout rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`):
     * rewrites the live rows clustered by the Morton interleave of two
     * columns, so ONE sorted layout serves range predicates on EITHER

@@ -48,6 +48,34 @@ object GraftShim {
       readFunc(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L, len))
   }
 
+  /** Driver-side half of a distributed parquet write through Spark's own
+    * ParquetFileFormat: prepares the write support on a Hadoop job and
+    * returns the (serializable) OutputWriterFactory plus the configured
+    * conf wrapped for shipping to executors. */
+  def parquetWriterFactory(spark: SparkSession, dataSchema: StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(cs.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(cs, job, Map.empty, dataSchema)
+    (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  /** Executor-side half: instantiate an OutputWriter for one task. */
+  def newParquetOutputWriter(
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      path: String, dataSchema: StructType,
+      partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+    factory.newInstance(path, dataSchema, ctx)
+  }
+
   /** Bloom-filter aggregate over xxhash64(c) as an observable metric —
     * the same (internal) aggregate Spark's runtime bloom join filters use;
     * evaluates to the serialized `org.apache.spark.util.sketch.BloomFilter`

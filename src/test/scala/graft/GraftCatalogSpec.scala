@@ -348,6 +348,51 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq((9L, "z")))
   }
 
+  test("plain spark.sql UPDATE / MERGE via row-level operations") {
+    val t = mkTable("db12", "rlo", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    spark.sql("UPDATE graft.db12.rlo SET v = concat(v, '-upd') WHERE id >= 2")
+    assert(spark.sql("SELECT id, v FROM graft.db12.rlo ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b-upd"), (3L, "c-upd")))
+    spark.sql(
+      """MERGE INTO graft.db12.rlo t
+        |USING (SELECT 3 AS id, 'c2' AS v UNION ALL SELECT 9 AS id, 'i' AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db12.rlo ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b-upd"), (3L, "c2"), (9L, "i")))
+    // MERGE with a DELETE clause exercises the DELETE-marked-row skip
+    spark.sql(
+      """MERGE INTO graft.db12.rlo t
+        |USING (SELECT 2 AS id UNION ALL SELECT 9 AS id) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.id = 9 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = 'kept'""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db12.rlo ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "kept"), (3L, "c2")))
+    // non-filter-translatable DELETE routes through the row-level path too
+    spark.sql("DELETE FROM graft.db12.rlo WHERE length(v) = 4")
+    assert(spark.sql("SELECT id FROM graft.db12.rlo ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    // every statement was a real snapshot commit
+    assert(t.currentVersion == 5)
+  }
+
+  test("row-level SQL after schema evolution fills old rows correctly") {
+    val t = mkTable("db12", "rloevo", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.addColumn("extra", StringType)
+    spark.sql("UPDATE graft.db12.rloevo SET extra = 'filled' WHERE id = 1")
+    val got = spark.sql("SELECT id, extra FROM graft.db12.rloevo ORDER BY id").collect()
+    assert(got(0).getString(1) == "filled" && got(1).isNullAt(1))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
