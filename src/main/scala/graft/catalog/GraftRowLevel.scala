@@ -72,7 +72,7 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
     })
     val (factory, conf) = GraftShim.parquetWriterFactory(spark, physSchema)
-    new GraftReplaceWriterFactory(s"$dir/$sub", physSchema, factory, conf)
+    new GraftParquetWriterFactory(s"$dir/$sub", physSchema, factory, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -87,10 +87,14 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
   }
 }
 
-private final case class GraftFileCommit(path: String, rows: Long)
+private[catalog] final case class GraftFileCommit(path: String, rows: Long)
     extends WriterCommitMessage
 
-private final class GraftReplaceWriterFactory(
+/** Executor-side parquet task writer (shared by the row-level ReplaceData
+  * write and the streaming sink): one file per non-empty task, physical
+  * column names, DELETE-marked rows skipped when the operation column is
+  * present. */
+private[catalog] final class GraftParquetWriterFactory(
     targetDir: String, physSchema: StructType,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableConfiguration) extends DataWriterFactory {

@@ -95,6 +95,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
     // planner's V1 fallback routes into the snapshot-log commit machinery
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
+    TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER)
 
@@ -103,7 +104,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
-    new GraftWriteBuilder(dir)
+    new GraftWriteBuilder(dir, info)
   }
 
   // Plain `spark.sql` UPDATE / MERGE (and non-filter-translatable
@@ -174,9 +175,11 @@ object GraftSparkTable {
   }
 }
 
-/** Append / truncate-overwrite write builder; `build()` yields the V1
-  * fallback that routes the query DataFrame into the snapshot log. */
-private final class GraftWriteBuilder(dir: String)
+/** Append / truncate-overwrite write builder; batch `build()` yields the
+  * V1 fallback that routes the query DataFrame into the snapshot log;
+  * `toStreaming` serves `writeStream.format("graft")` / `.toTable` (the
+  * streaming planner calls truncate() first under OutputMode.Complete). */
+private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwriteV2 {
   private var replace = false
 
@@ -199,6 +202,8 @@ private final class GraftWriteBuilder(dir: String)
         if (replace || overwrite) t.overwrite(data) else t.append(data)
       }
     }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace)
   }
 }
 

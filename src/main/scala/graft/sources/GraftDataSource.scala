@@ -48,13 +48,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, meta) = metaOf(pathOf(options))
+    require(GraftTable.exists(spark, dir), s"no graft table at $dir")
     val t = GraftTable.load(spark, dir)
     meta.map(GraftMetadataTable.frameOf(t, _).schema).getOrElse(t.schema)
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val (dir, meta) = metaOf(pathOf(options))
-    if (meta.isDefined) return Array.empty
+    // a write to a fresh path (batch save or stream start) has no table
+    // yet — getTable() below creates it from the query's schema
+    if (meta.isDefined || !GraftTable.exists(spark, dir)) return Array.empty
     val t = GraftTable.load(spark, dir)
     new graft.catalog.GraftSparkTable(t.dir, s"graft.`${t.dir}`").partitioning()
   }

@@ -96,7 +96,11 @@ final case class Snapshot(
     dataDirs: Seq[DataDir],
     deletes: Seq[DeleteFile],
     retiredPhysical: Seq[String],  // tombstoned physical names
-    bloomKeys: Seq[String] = Seq.empty // columns with per-commit bloom sidecars
+    bloomKeys: Seq[String] = Seq.empty, // columns with per-commit bloom sidecars
+    // streaming-sink exactly-once ledger: per writing query, the last
+    // committed epoch; a post-failure epoch retry sees its id here and
+    // skips (bounded by the number of distinct streaming writers)
+    streamEpochs: Map[String, Long] = Map.empty
 ) {
   def physicalOf(logical: String): String = fieldOf(logical).physical
   def fieldOf(logical: String): FieldInfo =
@@ -771,6 +775,51 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     })
   }
 
+  /** Streaming-sink epoch commit of an externally-written raw data dir
+    * (unpartitioned/unsorted tables — executor files ARE the layout).
+    * Exactly-once: if `epochId` is already in the [[Snapshot.streamEpochs]]
+    * ledger for `queryId` (a post-failure Spark retry of a committed
+    * micro-batch), nothing commits and this returns false. Epochs of one
+    * query are driver-serial, so the pre-check cannot race itself; OCC
+    * rebase only ever merges commits from OTHER writers. */
+  private[graft] def commitStreamEpoch(queryId: String, epochId: Long,
+                                       sub: String, rows: Long,
+                                       replace: Boolean): Boolean = {
+    val s = snapshot
+    if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      val d = DataDir(sub, v, rows)
+      b.copy(version = v,
+        op = if (replace) "overwrite" else "append",
+        dataDirs = if (replace) Seq(d) else b.dataDirs :+ d,
+        deletes = if (replace) Seq.empty else b.deletes,
+        streamEpochs = b.streamEpochs + (queryId -> epochId))
+    })
+    true
+  }
+
+  /** Streaming-sink epoch commit through the FULL write path (partition
+    * derivation, k=v dirs, key clustering) — the layout-maintaining form
+    * for partitioned/sorted tables. Same exactly-once ledger as
+    * [[commitStreamEpoch]]. */
+  private[graft] def streamEpochWrite(df: DataFrame, queryId: String,
+                                      epochId: Long, replace: Boolean): Boolean = {
+    val s = snapshot
+    if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
+    val (sub, rows) = writeData(df, s)
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      val d = DataDir(sub, v, rows)
+      b.copy(version = v,
+        op = if (replace) "overwrite" else "append",
+        dataDirs = if (replace) Seq(d) else b.dataDirs :+ d,
+        deletes = if (replace) Seq.empty else b.deletes,
+        streamEpochs = b.streamEpochs + (queryId -> epochId))
+    })
+    true
+  }
+
   /** Z-order layout rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`):
     * rewrites the live rows clustered by the Morton interleave of two
     * columns, so ONE sorted layout serves range predicates on EITHER
@@ -1047,6 +1096,10 @@ object GraftTable {
     }
     val rp = root.putArray("retiredPhysical"); s.retiredPhysical.foreach(rp.add)
     val bk = root.putArray("bloomKeys"); s.bloomKeys.foreach(bk.add)
+    if (s.streamEpochs.nonEmpty) {
+      val se = root.putObject("streamEpochs")
+      s.streamEpochs.foreach { case (q, e) => se.put(q, e) }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -1069,7 +1122,13 @@ object GraftTable {
         o.get("keys").asInstanceOf[ArrayNode].asScala.toSeq.map(_.asText()), o.get("version").asInt(),
         if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
       retiredPhysical = arr("retiredPhysical").map(_.asText()),
-      bloomKeys = if (n.has("bloomKeys")) arr("bloomKeys").map(_.asText()) else Seq.empty
+      bloomKeys = if (n.has("bloomKeys")) arr("bloomKeys").map(_.asText()) else Seq.empty,
+      streamEpochs =
+        if (!n.has("streamEpochs")) Map.empty
+        else {
+          val o = n.get("streamEpochs")
+          o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
+        }
     )
   }
 }

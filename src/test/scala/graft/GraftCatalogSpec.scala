@@ -393,6 +393,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getString(1) == "filled" && got(1).isNullAt(1))
   }
 
+  test("writeStream.toTable streams into a catalog table") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = mkTable("db13", "sink", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sink-cp").toString)
+      .outputMode("append")
+      .toTable("graft.db13.sink")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id, v FROM graft.db13.sink ORDER BY id")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+      assert(t.currentVersion == 1)
+    } finally q.stop()
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
