@@ -30,9 +30,9 @@ import java.util.UUID
   *
   * The group is the whole table (the scan reports no finer granularity),
   * so this is copy-on-write at table scope — the same cost shape as the
-  * engine's other DML paths. Supported for unpartitioned, unsorted
-  * tables; partitioned/sorted layouts need the write-side clustering of
-  * [[GraftTable]]'s write path (use the Scala API / GraftSql there).
+  * engine's other DML paths. Partitioned/sorted tables re-route the
+  * replacement rows through [[GraftTable.overwrite]]'s clustering write
+  * at commit (one extra write, layout contract kept).
   */
 final class GraftRowLevelOperation(dir: String,
                                    cmd: RowLevelOperation.Command)
@@ -77,7 +77,26 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.collect { case m: GraftFileCommit => m.rows }.sum
-    GraftTable.load(spark, dir).commitReplace(sub, rows)
+    val t = GraftTable.load(spark, dir)
+    val snap = t.snapshot
+    if (snap.spec.isEmpty && snap.key.isEmpty) {
+      t.commitReplace(sub, rows) // executor files ARE the layout
+    } else {
+      // partitioned/sorted layout: run the replacement rows back through
+      // the table's clustering write (partition dirs, key-sorted files) —
+      // one extra write, same whole-table-replace semantics
+      val physSchema = StructType(querySchema.fields.map { f =>
+        StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
+      })
+      import org.apache.spark.sql.functions.col
+      val df =
+        if (rows == 0L) t.toDF.limit(0)
+        else spark.read.schema(physSchema).parquet(s"$dir/$sub")
+          .select(querySchema.fields.map(f =>
+            col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+      t.overwrite(df)
+      abort(messages) // raw epoch dir was scratch
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

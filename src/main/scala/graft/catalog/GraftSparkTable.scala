@@ -114,12 +114,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOfVersion.isEmpty, "cannot modify a VERSION/TIMESTAMP AS OF relation")
-    val snap = graftTable.snapshot
-    require(snap.spec.isEmpty && snap.key.isEmpty,
-      s"SQL ${info.command} on partitioned/sorted graft tables needs the " +
-        "write-side clustering of the Scala API or GraftSql; this path " +
-        "supports unpartitioned, unsorted tables")
-    require(snap.deletes.isEmpty,
+    require(graftTable.snapshot.deletes.isEmpty,
       s"SQL ${info.command} requires no pending equality deletes; compact() first")
     () => new GraftRowLevelOperation(dir, info.command)
   }
@@ -224,6 +219,10 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // row-level ReplaceData: the scan's output IS the replacement data —
+    // skipping a file whose rows don't match the condition would DROP
+    // those rows from the table, so nothing may be pushed into the reader
+    if (batchOnly) return filters
     accepted = filters.filter(f => GraftSparkTable.filterToColumn(f).isDefined)
     pred = accepted.flatMap(GraftSparkTable.filterToColumn).reduceOption(_ && _)
     filters // all residual: Spark re-evaluates, we only use them to skip files

@@ -383,6 +383,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentVersion == 5)
   }
 
+  test("row-level SQL keeps rows in files the condition never touches") {
+    // regression: pushed filters must not skip files in the ReplaceData
+    // scan — a skipped file's rows would vanish from the table
+    val t = mkTable("db12", "rlofiles", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // file 1
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v")) // file 2
+    spark.sql("UPDATE graft.db12.rlofiles SET v = 'upd' WHERE id = 10")
+    assert(spark.sql("SELECT id, v FROM graft.db12.rlofiles ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "upd"), (11L, "y")))
+  }
+
+  test("row-level SQL on a partitioned, key-sorted table keeps the layout") {
+    val dir = s"$warehouse/db12/rlopart"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))),
+      spec = Seq(PartitionField("d", "month", 0)), key = Seq("id"))
+    t.append(Seq((1L, "2024-01-05"), (2L, "2024-02-06"), (3L, "2024-02-07"))
+      .toDF("id", "ds").select($"id", to_date($"ds").as("d")))
+    spark.sql("UPDATE graft.db12.rlopart SET d = DATE'2024-03-01' WHERE id = 2")
+    assert(spark.sql("SELECT id, CAST(d AS STRING) FROM graft.db12.rlopart ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "2024-01-05"), (2L, "2024-03-01"), (3L, "2024-02-07")))
+    // replacement went through the clustering write: month k=v dirs exist
+    // for the NEW layout and transform pruning still works
+    val reloaded = GraftTable.load(spark, dir)
+    assert(reloaded.scan($"d" === java.sql.Date.valueOf("2024-03-01")).count() == 1)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+    val leaf = dataDirs.flatMap(_.listFiles()).map(_.getName).toSet
+    assert(leaf.exists(_.contains("2024-03")), s"expected month k=v dirs, got $leaf")
+  }
+
   test("row-level SQL after schema evolution fills old rows correctly") {
     val t = mkTable("db12", "rloevo", StructType(Seq(
       StructField("id", LongType), StructField("v", StringType))))
