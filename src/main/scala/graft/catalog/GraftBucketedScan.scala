@@ -46,6 +46,10 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, required, pushed, skipReplaceCommits = false)
+
   override def description(): String =
     s"GraftBucketedScan(${table.dir}, bucket(${pf.param}, ${pf.source}))"
 

@@ -1,0 +1,94 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.table.GraftTable
+
+/** Snapshot-version offset of the streaming read (serialized into the
+  * query checkpoint). */
+final case class GraftOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Micro-batch streaming read over a graft table — what
+  * `spark.readStream.table("graft.ns.t")` / `.format("graft").load(dir)`
+  * plan (Iceberg's incremental streaming read; the exact-offset upgrade
+  * of [[graft.table.GraftTable.toStreamDF]]'s file tail).
+  *
+  * Offsets are SNAPSHOT VERSIONS: each micro-batch delivers precisely
+  * the data dirs committed in `(start, end]`, so batch boundaries align
+  * with table commits and a checkpoint restart resumes at an exact
+  * snapshot — no file-listing races. The initial batch (start = 0) is
+  * the live table as of the first offset (dirs of THAT snapshot only),
+  * which stays correct even when history contains overwrites. After
+  * that, append-only semantics: crossing an overwrite/rewrite commit
+  * raises (its diff is not representable as appends) unless
+  * `option("skipReplaceCommits", true)`, which surfaces the commit's
+  * new dirs as appends (replaced rows are not retracted; rewritten rows
+  * re-surface — pair with a downstream dedup/CDC consumer).
+  *
+  * Scale shape: planning is O(new dirs) against the O(snapshots) log;
+  * one InputPartition per parquet file; the shared pushdown reader
+  * applies row-group skipping (reads re-apply residual predicates, so
+  * skipping is safe here, unlike the ReplaceData scan). */
+final class GraftMicroBatchStream(table: GraftTable, required: StructType,
+                                  pushed: Array[Filter], skipReplaceCommits: Boolean)
+    extends MicroBatchStream {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialOffset(): Offset = GraftOffset(0)
+  override def latestOffset(): Offset = GraftOffset(table.currentVersion)
+  override def deserializeOffset(json: String): Offset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    GraftOffset(m.get("version").asInt())
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val to = end.asInstanceOf[GraftOffset].version
+    if (to <= from) return Array.empty
+    val endSnap = table.snapshotAt(to)
+    // the initial catch-up (from = 0) reads the LIVE dirs of the end
+    // snapshot, so replaced history needs no append representation
+    if (from > 0 && !skipReplaceCommits)
+      (from + 1 to to).foreach { v =>
+        val op = table.snapshotAt(v).op
+        require(op != "overwrite" && op != "rewrite",
+          s"streaming read crosses an $op commit at v$v (not representable " +
+            "as appends); restart the stream or set skipReplaceCommits=true")
+      }
+    val fs = new Path(table.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    endSnap.dataDirs.filter(d => d.version > from && d.version <= to).flatMap { d =>
+      val it = fs.listFiles(new Path(s"${table.dir}/${d.path}"), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)))
+      }
+      buf
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snap = table.snapshot
+    val physRequired = StructType(required.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physData = StructType(snap.schema.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physFilters = pushed.flatMap { f =>
+      GraftBucketedScan.renamePushedFilter(f, n =>
+        snap.fields.find(_.logical == n).map(_.physical))
+    }
+    val readFunc = org.apache.spark.sql.GraftShim.parquetFileReader(
+      spark, physData, physRequired, physFilters.toSeq)
+    new GraftBucketReaderFactory(readFunc)
+  }
+}

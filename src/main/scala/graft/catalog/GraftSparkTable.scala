@@ -90,6 +90,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
 
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     // BATCH_WRITE advertises writability to DataFrameWriter.save()'s
     // capability gate; the build() below still yields a V1Write, which the
     // planner's V1 fallback routes into the snapshot-log commit machinery
@@ -100,7 +101,8 @@ final class GraftSparkTable(val dir: String, tableName: String,
     TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(graftTable, asOfVersion)
+    new GraftScanBuilder(graftTable, asOfVersion,
+      skipReplaceCommits = options.getBoolean("skipReplaceCommits", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
@@ -207,7 +209,8 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
   * skipping), and reports everything as residual so Spark re-applies the
   * full predicate — pushdown is an optimization here, never a contract. */
 private[catalog] final class GraftScanBuilder(table: GraftTable,
-    asOf: Option[Int] = None, batchOnly: Boolean = false)
+    asOf: Option[Int] = None, batchOnly: Boolean = false,
+    skipReplaceCommits: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType =
@@ -240,8 +243,16 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     val schema = required
     val filter = pred
     val pinned = asOf
+    val filters = accepted
+    val skipReplace = skipReplaceCommits
+    val t = table
     new V1Scan {
       override def readSchema(): StructType = schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(pinned.isEmpty, "cannot stream a VERSION/TIMESTAMP AS OF relation")
+        new GraftMicroBatchStream(t, schema, filters, skipReplace)
+      }
       override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
         new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context

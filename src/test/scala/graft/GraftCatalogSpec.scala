@@ -446,6 +446,40 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("readStream.table delivers commit-aligned micro-batches") {
+    val t = mkTable("db14", "tail", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val q = spark.readStream.table("graft.db14.tail")
+      .writeStream.format("memory").queryName("dsv2tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv2tail").count() == 2)
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("dsv2tail").orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("streaming read starts from the live snapshot even after overwrites") {
+    val t = mkTable("db14", "tail2", StructType(Seq(StructField("id", LongType))))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.overwrite(Seq(10L).toDF("id")) // history has a replace BEFORE stream start
+    val q = spark.readStream.table("graft.db14.tail2")
+      .writeStream.format("memory").queryName("dsv2tail2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial batch = live rows only, not the replaced history
+      assert(spark.table("dsv2tail2").as[Long].collect().toSeq == Seq(10L))
+      // crossing an overwrite MID-stream is not representable as appends
+      t.overwrite(Seq(20L).toDF("id"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("overwrite") ||
+        e.getCause != null && e.getCause.getMessage.contains("overwrite"))
+    } finally q.stop()
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
