@@ -133,21 +133,30 @@ final case class GraftBucketPartition(bucket: Int, files: Array[(String, Long)])
     new GenericInternalRow(Array[Any](bucket))
 }
 
-/** One plain file set (the flat batch scan's unit). */
-final case class GraftFilePartition(files: Array[(String, Long)])
+/** One plain file set; `dirVersion` is the commit version of the data
+  * dir the files belong to (equality deletes apply only to strictly
+  * older versions). */
+final case class GraftFilePartition(files: Array[(String, Long)],
+                                    dirVersion: Int = Int.MaxValue)
     extends GraftFilesPartition
 
 /** Flat (non-partition-reporting) DSv2 Batch scan over a table's data
-  * files — the read side of the row-level ReplaceData path, which plans
-  * the operation's scan as a real Batch (no V1 fallback). One
-  * InputPartition per file; same pushdown/evolution behavior as the
-  * bucketed scan (shared reader function). Requires no pending equality
-  * deletes (a leaf scan cannot apply the anti-join). */
+  * files — the read side of the row-level ReplaceData/WriteDelta paths,
+  * which plan the operation's scan as a real Batch (no V1 fallback).
+  * One InputPartition per file; same pushdown/evolution behavior as the
+  * bucketed scan (shared reader function).
+  *
+  * Pending equality deletes are applied READER-SIDE: the driver folds
+  * the delete files into a (key → newest delete version) map — gated by
+  * `graft.delete.broadcastMaxRows`, the same bound the view path uses
+  * for its broadcast anti-join — and each reader drops rows whose key
+  * has a delete strictly newer than the row's dir version. This is what
+  * lets MoR DML chain: UPDATE → UPDATE works without a compact between
+  * statements. */
 final class GraftFlatBatchScan(table: GraftTable, required: StructType,
                                pushed: Array[Filter]) extends Scan with Batch {
 
   private val snap = table.snapshot
-  require(snap.deletes.isEmpty, "flat batch scan requires no pending equality deletes")
   private def spark = SparkSession.active
 
   override def readSchema(): StructType = required
@@ -162,7 +171,7 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
       while (it.hasNext) {
         val st = it.next()
         if (st.getPath.getName.endsWith(".parquet"))
-          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)))
+          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)), d.version)
       }
       buf
     }.toArray
@@ -179,7 +188,65 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
     }
     val readFunc = org.apache.spark.sql.GraftShim.parquetFileReader(
       spark, physData, physRequired, physFilters.toSeq)
-    new GraftBucketReaderFactory(readFunc)
+    val inner = new GraftBucketReaderFactory(readFunc)
+    if (snap.deletes.isEmpty) return inner
+
+    // ---- reader-side equality-delete application ----
+    import org.apache.spark.sql.functions.{col, lit, max => fmax}
+    val delKeys = snap.deletes.head.keys // uniform key set (enforced at commit)
+    val physKeys = delKeys.map(snap.physicalOf)
+    val counts = snap.deletes.map(_.rowCount)
+    val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    require(counts.forall(_ >= 0) && counts.sum <= maxRows,
+      s"pending equality deletes too large for the row-level scan " +
+        s"(${counts.sum} > graft.delete.broadcastMaxRows=$maxRows); compact() first")
+    val keyIdx = physKeys.map(k => physRequired.fieldNames.indexOf(k)).toArray
+    require(keyIdx.forall(_ >= 0),
+      s"row-level scan must read the delete key columns $delKeys")
+    val keyTypes = keyIdx.map(i => physRequired.fields(i).dataType)
+    val merged = snap.deletes.map { d =>
+      spark.read.parquet(s"${table.dir}/${d.path}")
+        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
+    }.reduce(_ unionAll _)
+      .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
+    val conv = keyTypes.map(org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+    val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
+      val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
+      k -> r.getInt(conv.length)
+    }.toMap
+    new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
+  }
+}
+
+/** Wraps the file reader with the (key → newest delete version) filter:
+  * a row is dropped iff its key has a delete strictly newer than its
+  * dir's commit version (rows reinserted in the same commit survive —
+  * sequence-number semantics). */
+private final class GraftDeleteFilteringReaderFactory(
+    inner: GraftBucketReaderFactory, keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    dels: Map[Seq[Any], Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val dirV = partition match {
+      case p: GraftFilePartition => p.dirVersion
+      case _ => Int.MaxValue
+    }
+    val r = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val k: Seq[Any] = (0 until keyIdx.length).map(i => row.get(keyIdx(i), keyTypes(i)))
+          if (!dels.get(k).exists(_ > dirV)) { cur = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = r.close()
+    }
   }
 }
 

@@ -153,3 +153,112 @@ private[catalog] final class GraftParquetWriterFactory(
       override def close(): Unit = ()
     }
 }
+
+/** Delta-based (merge-on-read) DSv2 row-level operation — chosen over
+  * the group-based rewrite when the table has an upsert key and format
+  * v2 (the layouts where MoR is defined). Instead of rewriting the
+  * whole table, Spark's WriteDelta plan delivers only the CHANGED rows:
+  * deletes/update-olds as rowId projections, inserts/update-news as
+  * full rows (`representUpdateAsDeleteAndInsert`). Executors split them
+  * into an equality-delete key file and a data file; the driver commits
+  * both as one `rowdelta` snapshot — at 100 TB a one-row SQL UPDATE
+  * costs one key file + one row file, not a table rewrite (the
+  * copy-on-write vs merge-on-read trade, Iceberg's
+  * `write.update.mode`). Sequence-number semantics make it sound: the
+  * delete file applies to strictly-older commits only, so reinserted
+  * rows survive their own key's delete. */
+final class GraftDeltaOperation(dir: String, cmd: RowLevelOperation.Command,
+                                keys: Seq[String])
+    extends RowLevelOperation with SupportsDelta {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDeltaOperation($cmd, $dir)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true)
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keys.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new GraftDeltaBatchWrite(dir, info.schema(),
+            info.rowIdSchema().orElse(null), keys)
+      }
+    }
+}
+
+/** Distributed MoR write: per task, one data file + one delete-key file
+  * (each created lazily on first row), then one rowDelta commit. */
+private final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
+                                         idSchema: StructType, keys: Seq[String])
+    extends DeltaBatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val dataSub = s"data/${UUID.randomUUID()}"
+  private val delSub = s"deletes/${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val snap = GraftTable.load(spark, dir).snapshot
+    def phys(s: StructType) = StructType(s.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physRow = phys(rowSchema)
+    val physId = phys(Option(idSchema).getOrElse(
+      StructType(keys.map(k => snap.schema(k)))))
+    val (rowF, rowC) = GraftShim.parquetWriterFactory(spark, physRow)
+    val (idF, idC) = GraftShim.parquetWriterFactory(spark, physId)
+    new GraftDeltaWriterFactory(
+      new GraftParquetWriterFactory(s"$dir/$dataSub", physRow, rowF, rowC),
+      new GraftParquetWriterFactory(s"$dir/$delSub", physId, idF, idC))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: GraftDeltaCommit => m }
+    GraftTable.load(spark, dir).commitDelta(
+      dataSub, ms.map(_.dataRows).sum, delSub, ms.map(_.delRows).sum, keys)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq(dataSub, delSub).foreach { sub =>
+      val p = new Path(s"$dir/$sub")
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+}
+
+private final case class GraftDeltaCommit(dataRows: Long, delRows: Long)
+    extends WriterCommitMessage
+
+private final class GraftDeltaWriterFactory(
+    dataF: GraftParquetWriterFactory, delF: GraftParquetWriterFactory)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dataW = dataF.createWriter(partitionId, taskId)
+      private val delW = delF.createWriter(partitionId, taskId)
+
+      override def insert(row: InternalRow): Unit = dataW.write(row)
+      override def reinsert(meta: InternalRow, row: InternalRow): Unit = dataW.write(row)
+      override def delete(meta: InternalRow, id: InternalRow): Unit = delW.write(id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delW.write(id); dataW.write(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val d = dataW.commit().asInstanceOf[GraftFileCommit]
+        val k = delW.commit().asInstanceOf[GraftFileCommit]
+        GraftDeltaCommit(d.rows, k.rows)
+      }
+      override def abort(): Unit = { dataW.abort(); delW.abort() }
+      override def close(): Unit = { dataW.close(); delW.close() }
+    }
+}

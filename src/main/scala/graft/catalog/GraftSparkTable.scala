@@ -64,8 +64,16 @@ final class GraftSparkTable(val dir: String, tableName: String,
 
   override def name(): String =
     tableName + asOfVersion.map(v => s"@v$v").getOrElse("")
-  override def schema(): StructType = readSnapshot.schema
-  override def columns(): Array[Column] = readSnapshot.schema.fields.map { f =>
+  /** Upsert-key columns surface as non-nullable — semantically true (a
+    * NULL key can never be upsert-matched) and required by Spark's
+    * delta-based row-level rewrites (rowId attributes must be non-null;
+    * ANSI store assignment guards writes with runtime null checks). */
+  override def schema(): StructType = {
+    val s = readSnapshot
+    StructType(s.schema.fields.map(f =>
+      if (s.key.contains(f.name)) f.copy(nullable = false) else f))
+  }
+  override def columns(): Array[Column] = schema().fields.map { f =>
     Column.create(f.name, f.dataType, f.nullable, f.getComment().orNull, null)
   }
 
@@ -116,9 +124,16 @@ final class GraftSparkTable(val dir: String, tableName: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOfVersion.isEmpty, "cannot modify a VERSION/TIMESTAMP AS OF relation")
-    require(graftTable.snapshot.deletes.isEmpty,
-      s"SQL ${info.command} requires no pending equality deletes; compact() first")
-    () => new GraftRowLevelOperation(dir, info.command)
+    val snap = graftTable.snapshot
+    // pending equality deletes are applied reader-side by the row-level
+    // scan (size-gated), so MoR DML chains without compacting between
+    // statements
+    // keyed v2 tables get merge-on-read deltas (a sparse UPDATE writes
+    // one key file + one row file); everything else rewrites the group
+    if (snap.key.nonEmpty && snap.formatVersion >= 2)
+      () => new GraftDeltaOperation(dir, info.command, snap.key)
+    else
+      () => new GraftRowLevelOperation(dir, info.command)
   }
 
   // Plain `spark.sql("DELETE FROM graft.ns.t WHERE …")` — Spark routes a

@@ -820,6 +820,27 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     true
   }
 
+  /** Commit of an externally-written (delete-keys dir, data dir) pair as
+    * one merge-on-read rowDelta — the DSv2 delta write (plain-SQL MoR
+    * UPDATE/MERGE/DELETE) lands here after its executors wrote the files.
+    * Same sequence-number semantics as [[rowDelta]]: the delete file only
+    * hits strictly-older commits, so the new rows survive. */
+  private[graft] def commitDelta(dataSub: String, dataRows: Long,
+                                 delSub: String, delRows: Long,
+                                 keys: Seq[String]): Unit = {
+    val s = snapshot
+    require(s.formatVersion >= 2,
+      s"delta write requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
+    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+      s"delta key set $keys differs from existing delete files' key set")
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "rowdelta",
+        dataDirs = if (dataRows > 0) b.dataDirs :+ DataDir(dataSub, v, dataRows) else b.dataDirs,
+        deletes = if (delRows > 0) b.deletes :+ DeleteFile(delSub, keys, v, delRows) else b.deletes)
+    })
+  }
+
   /** Z-order layout rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`):
     * rewrites the live rows clustered by the Morton interleave of two
     * columns, so ONE sorted layout serves range predicates on EITHER

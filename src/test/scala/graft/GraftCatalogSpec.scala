@@ -416,6 +416,58 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leaf.exists(_.contains("2024-03")), s"expected month k=v dirs, got $leaf")
   }
 
+  test("keyed v2 table: SQL UPDATE/MERGE commit merge-on-read deltas") {
+    val dir = s"$warehouse/db12/mor"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val dataV1 = t.snapshot.dataDirs.map(_.path).toSet
+    spark.sql("UPDATE graft.db12.mor SET v = 'B' WHERE id = 2")
+    val s2 = GraftTable.load(spark, dir).snapshot
+    // MoR: one rowdelta commit — original data dirs untouched, one new
+    // dir with just the changed row, one delete-key file
+    assert(s2.op == "rowdelta", s"expected rowdelta, got ${s2.op}")
+    assert(dataV1.subsetOf(s2.dataDirs.map(_.path).toSet))
+    assert(s2.dataDirs.size == dataV1.size + 1 && s2.deletes.size == 1)
+    assert(s2.dataDirs.map(_.rowCount).sum == 4 && s2.deletes.head.rowCount == 1)
+    assert(spark.sql("SELECT id, v FROM graft.db12.mor ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // MoR DML CHAINS: the row-level scan applies pending deletes
+    // reader-side, so no compact() is needed between statements
+    spark.sql(
+      """MERGE INTO graft.db12.mor t
+        |USING (SELECT 2 AS id, 'B2' AS v UNION ALL SELECT 9 AS id, 'i' AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val sM = GraftTable.load(spark, dir).snapshot
+    assert(sM.op == "rowdelta" && sM.deletes.size == 2)
+    // non-translatable condition → delta DELETE (translatable ones route
+    // through SupportsDelete's copy-on-write, by design)
+    spark.sql("DELETE FROM graft.db12.mor WHERE length(v) = 1 AND v = 'a'")
+    val s3 = GraftTable.load(spark, dir).snapshot
+    assert(s3.op == "rowdelta" && s3.deletes.size == 3)
+    assert(spark.sql("SELECT id, v FROM graft.db12.mor ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((2L, "B2"), (3L, "c"), (9L, "i")))
+  }
+
+  test("group-based SQL DML applies pending rowDelta deletes from the API") {
+    val dir = s"$warehouse/db12/morless"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      formatVersion = 2) // NO key: SQL DML takes the group-based path
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    // UPDATE must see the upserted state (b2, not b) and fold it in
+    spark.sql("UPDATE graft.db12.morless SET v = upper(v) WHERE id >= 1")
+    assert(spark.sql("SELECT id, v FROM graft.db12.morless ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "A"), (2L, "B2")))
+    assert(GraftTable.load(spark, dir).snapshot.deletes.isEmpty) // folded away
+  }
+
   test("row-level SQL after schema evolution fills old rows correctly") {
     val t = mkTable("db12", "rloevo", StructType(Seq(
       StructField("id", LongType), StructField("v", StringType))))
