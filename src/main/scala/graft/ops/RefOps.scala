@@ -315,6 +315,38 @@ object RefOps {
     spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
   }
 
+  // M2/M6 at the plain-SQL surface — delta-based (merge-on-read) UPDATE +
+  // MERGE through the catalog: keyed v2 tables commit rowDelta snapshots
+  // (one key file + one changed-row file per statement), never a table
+  // rewrite, and the two statements CHAIN without a compact between them.
+  private def sqlMorDml(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("mor_wh")
+    val cat = s"graftmr${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val base = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, s"$wh/db/cust", base.schema,
+      key = Seq("customer_id"), formatVersion = 2)
+    t.append(base)
+    val src = s"mor_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    base.filter(col("customer_id") % 7 === 0)
+      .select(col("customer_id"), concat(col("name"), lit("-u")).as("name"),
+        (col("acctbal") * 2).as("acctbal"))
+      .unionAll(base.filter(col("customer_id") % 50 === 0)
+        .select((col("customer_id") + 2000000L).as("customer_id"),
+          concat(col("name"), lit("-m")).as("name"), col("acctbal")))
+      .createOrReplaceTempView(src)
+    spark.sql(s"UPDATE $cat.db.cust SET acctbal = acctbal + 50.0 WHERE customer_id % 5 = 0")
+    spark.sql(
+      s"""MERGE INTO $cat.db.cust t USING $src s
+         |ON t.customer_id = s.customer_id
+         |WHEN MATCHED THEN UPDATE SET t.acctbal = s.acctbal
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftTable.load(spark, s"$wh/db/cust").snapshot.op == "rowdelta",
+      "SQL DML on a keyed v2 table must take the merge-on-read path")
+    spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
+  }
+
   // K4 — path-addressed v1 writer surface: df.write.format("graft")
   // .mode(...).save(path) then spark.read.format("graft").load(path)
   // (SparkTestWrite.java:48-50); both writes commit snapshots, the read
@@ -417,6 +449,7 @@ object RefOps {
     "partition_transform" -> partitionTransform,
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
+    "sql_mor_dml" -> sqlMorDml,
     "format_save_roundtrip" -> formatSaveRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
@@ -520,6 +553,15 @@ object RefOps {
         |SELECT customer_id, name, acctbal FROM base
         |UNION ALL
         |SELECT customer_id + 3000000, name || '-ins', acctbal FROM base WHERE customer_id % 100 = 0
+        |ORDER BY customer_id""".stripMargin,
+    "sql_mor_dml" ->
+      """SELECT customer_id, name,
+        |       CASE WHEN customer_id % 7 = 0 THEN orig * 2
+        |            WHEN customer_id % 5 = 0 THEN orig + 50.0
+        |            ELSE orig END AS acctbal
+        |FROM (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS orig FROM customer)
+        |UNION ALL
+        |SELECT c_custkey + 2000000, c_name || '-m', c_acctbal FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY customer_id""".stripMargin,
     "format_save_roundtrip" ->
       """WITH base AS (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal FROM customer)
