@@ -958,6 +958,37 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** Orphan-file sweep (Iceberg's `remove_orphan_files`): deletes
+    * `data/` / `deletes/` subdirs referenced by NO snapshot in the log —
+    * the residue of crashed writers (a streaming epoch that died between
+    * file write and commit, an aborted DSv2 job, a lost OCC race whose
+    * abort never ran). Only dirs last modified before `olderThanMs` are
+    * touched: an in-flight writer's dir is younger than any sane grace
+    * period, so the sweep can run concurrently with live traffic — the
+    * maintenance action a 100 TB deployment schedules alongside
+    * [[expireSnapshots]] and [[rewriteSmallDirs]]. The default grace of
+    * 3 days (Iceberg's remove_orphan_files default) must exceed the
+    * longest plausible write job: a k=v-partitioned write only bumps the
+    * top dir's mtime at subdir creation. Returns removed (relative) dir
+    * paths. */
+  def vacuumOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val cur = currentVersion
+    val referenced: Set[String] = (0 to cur).flatMap { v =>
+      val s = snapshotAt(v)
+      s.dataDirs.map(_.path) ++ s.deletes.map(_.path)
+    }.toSet
+    val f = fs
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    Seq("data", "deletes").flatMap { root =>
+      val rp = new Path(dir, root)
+      if (!f.exists(rp)) Seq.empty
+      else f.listStatus(rp).toSeq
+        .filter(st => st.isDirectory && st.getModificationTime < cutoff &&
+          !referenced.contains(s"$root/${st.getPath.getName}"))
+        .map { st => f.delete(st.getPath, true); s"$root/${st.getPath.getName}" }
+    }
+  }
+
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
 
   def delete(pred: Column): GraftTable =

@@ -428,4 +428,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.currentVersion == 3)
     assert(t.toDF.filter(col("name") === "late").count() == 1)
   }
+
+  test("vacuumOrphans removes only old unreferenced dirs") {
+    val dir = TestSpark.tmpDir("vac")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType))))
+    t.append(Seq(1L, 2L).toDF("id"))
+    // orphans: a crashed writer's dir (old) and an in-flight one (fresh)
+    val old = new java.io.File(s"$dir/data/orphan-old")
+    val fresh = new java.io.File(s"$dir/data/orphan-fresh")
+    old.mkdirs(); fresh.mkdirs()
+    old.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    val removed = t.vacuumOrphans()
+    assert(removed == Seq("data/orphan-old"))
+    assert(!old.exists() && fresh.exists())
+    // referenced data survived, table intact
+    assert(t.toDF.count() == 2)
+    // fresh orphan goes once the grace covers it
+    assert(t.vacuumOrphans(olderThanMs = -1000) == Seq("data/orphan-fresh"))
+    assert(t.toDF.count() == 2)
+  }
 }
