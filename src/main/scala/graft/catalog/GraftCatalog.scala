@@ -168,6 +168,9 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested columns are not supported")
         t.dropColumn(del.fieldNames.head)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1, "nested columns are not supported")
+        t.renameColumn(ren.fieldNames.head, ren.newName)
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other (use the GraftTable evolution API)")
     }

@@ -179,6 +179,13 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         }
         refreshView(name)
         t.toDF
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
+          if tableOfAlter(r.table).isDefined =>
+        val (name, t) = tableOfAlter(r.table).get
+        t.renameColumn(r.column.asInstanceOf[
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName].name.last, r.newName)
+        refreshView(name)
+        t.toDF
       case m: MergeIntoTable if targetTable(m.targetTable).isDefined =>
         runMerge(m)
       case d: DeleteFromTable if targetTable(d.table).isDefined =>

@@ -424,6 +424,35 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** Metadata-only rename: the PHYSICAL (in-file) name never changes, so
+    * no data rewrite at any scale — the logical→physical field mapping is
+    * the whole mechanism (Iceberg renames are likewise field-id metadata
+    * ops). Sort-key and bloom-key references follow the rename (old bloom
+    * sidecars go unused — skipping degrades, soundly); partition sources
+    * refuse because the k=v directory layout embeds the derived name. */
+  def renameColumn(name: String, newName: String): GraftTable = {
+    val s = snapshot
+    s.physicalOf(name) // validate exists
+    require(!s.schema.fieldNames.contains(newName), s"column exists: $newName")
+    require(!s.spec.exists(_.source == name),
+      s"cannot rename partition source column $name (directory layout embeds it)")
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      require(b.schema.fieldNames.contains(name) && !b.schema.fieldNames.contains(newName),
+        s"concurrent schema change conflicts with rename $name -> $newName")
+      def r(k: String) = if (k == name) newName else k
+      b.copy(version = v, op = "rename-column",
+        schema = StructType(b.schema.fields.map(f =>
+          if (f.name == name) f.copy(name = newName) else f)),
+        fields = b.fields.map(fi =>
+          if (fi.logical == name) fi.copy(logical = newName) else fi),
+        key = b.key.map(r),
+        bloomKeys = b.bloomKeys.map(r),
+        deletes = b.deletes.map(d => d.copy(keys = d.keys.map(r))))
+    })
+    this
+  }
+
   def upgradeFormat(v: Int): GraftTable = {
     val s = snapshot
     require(v >= s.formatVersion, "format version cannot be downgraded")

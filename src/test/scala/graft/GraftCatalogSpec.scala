@@ -175,6 +175,9 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc("customer_id") == "unique id")
     spark.sql("ALTER TABLE graft.db5.cust DROP COLUMN name")
     assert(!GraftTable.load(spark, s"$warehouse/db5/cust").schema.fieldNames.contains("name"))
+    spark.sql("ALTER TABLE graft.db5.cust RENAME COLUMN email TO contact")
+    assert(spark.sql("SELECT contact FROM graft.db5.cust WHERE customer_id = 2")
+      .as[String].head() == "b@x.com")
     spark.sql("DROP TABLE graft.db5.cust")
     assert(!GraftTable.exists(spark, s"$warehouse/db5/cust"))
   }

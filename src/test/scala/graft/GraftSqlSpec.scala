@@ -230,6 +230,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(t.schema.fieldNames.toSeq == Seq("customer_id", "lastname", "email"))
     assert(g.sql("SELECT * FROM test_table").columns.toSeq ==
       Seq("customer_id", "lastname", "email"))
+    g.sql("ALTER TABLE test_table RENAME COLUMN lastname TO surname")
+    assert(t.schema.fieldNames.toSeq == Seq("customer_id", "surname", "email"))
+    assert(g.sql("SELECT surname FROM test_table").as[String].collect().toSeq ==
+      Seq("lastname-1"))
   }
 
   test("INSERT OVERWRITE replaces; INSERT with column list maps by name") {

@@ -429,6 +429,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("name") === "late").count() == 1)
   }
 
+  test("renameColumn is metadata-only and follows key/delete references") {
+    val dir = TestSpark.tmpDir("ren")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // MoR state BEFORE the rename: DeleteFile.keys hold the old name
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    val dataBefore = t.snapshot.dataDirs.map(_.path).toSet
+    t.renameColumn("id", "ident")
+    val s = t.snapshot
+    assert(s.schema.fieldNames.toSeq == Seq("ident", "v"))
+    assert(s.key == Seq("ident") && s.deletes.head.keys == Seq("ident"))
+    // metadata-only: the data dirs are untouched (no rewrite)
+    assert(s.dataDirs.map(_.path).toSet == dataBefore)
+    // reads resolve through the unchanged physical name
+    assert(t.toDF.orderBy("ident").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+    // upserts keep working against the renamed key
+    t.rowDelta(Seq(1L).toDF("ident"), Seq((1L, "a2")).toDF("ident", "v"), Seq("ident"))
+    assert(t.toDF.orderBy("ident").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a2"), (2L, "b2")))
+    // old name is free for re-add; values do NOT resurrect
+    t.addColumn("id", StringType)
+    assert(t.toDF.filter(col("id").isNotNull).count() == 0)
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+  }
+
   test("vacuumOrphans removes only old unreferenced dirs") {
     val dir = TestSpark.tmpDir("vac")
     val t = GraftTable.create(spark, dir, StructType(Seq(
