@@ -45,7 +45,8 @@ final class GraftRowLevelOperation(dir: String,
   override def description(): String = s"GraftRowLevelOperation($cmd, $dir)"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true)
+    new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true,
+      pushIntoReader = false)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -176,6 +177,9 @@ final class GraftDeltaOperation(dir: String, cmd: RowLevelOperation.Command,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftDeltaOperation($cmd, $dir)"
 
+  // delta scans keep reader pushdown: a row skipped by footer stats just
+  // produces no delta (its file is never replaced) — at scale a point
+  // UPDATE touches one file, not the table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true)
 

@@ -225,7 +225,7 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
   * full predicate — pushdown is an optimization here, never a contract. */
 private[catalog] final class GraftScanBuilder(table: GraftTable,
     asOf: Option[Int] = None, batchOnly: Boolean = false,
-    skipReplaceCommits: Boolean = false)
+    skipReplaceCommits: Boolean = false, pushIntoReader: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType =
@@ -237,10 +237,11 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // row-level ReplaceData: the scan's output IS the replacement data —
+    // group-based ReplaceData: the scan's output IS the replacement data —
     // skipping a file whose rows don't match the condition would DROP
-    // those rows from the table, so nothing may be pushed into the reader
-    if (batchOnly) return filters
+    // those rows from the table, so nothing may be pushed into the reader.
+    // (Delta scans DO push: an unmatched row just produces no delta.)
+    if (!pushIntoReader) return filters
     accepted = filters.filter(f => GraftSparkTable.filterToColumn(f).isDefined)
     pred = accepted.flatMap(GraftSparkTable.filterToColumn).reduceOption(_ && _)
     filters // all residual: Spark re-evaluates, we only use them to skip files

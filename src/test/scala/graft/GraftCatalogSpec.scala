@@ -457,6 +457,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((2L, "B2"), (3L, "c"), (9L, "i")))
   }
 
+  test("delta UPDATE with reader pushdown keeps rows in unmatched files") {
+    val dir = s"$warehouse/db12/morpush"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // file 1
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v")) // file 2
+    spark.sql("UPDATE graft.db12.morpush SET v = 'upd' WHERE id = 10")
+    // delta semantics: file 1 is skipped by footer stats AND its rows
+    // survive (they are never part of the replaced delta)
+    assert(spark.sql("SELECT id, v FROM graft.db12.morpush ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "upd"), (11L, "y")))
+    // one delete key, one changed row — not a whole-table rewrite
+    val s = GraftTable.load(spark, dir).snapshot
+    assert(s.op == "rowdelta" && s.deletes.head.rowCount == 1)
+  }
+
   test("group-based SQL DML applies pending rowDelta deletes from the API") {
     val dir = s"$warehouse/db12/morless"
     val t = GraftTable.create(spark, dir, StructType(Seq(
