@@ -475,6 +475,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.op == "rowdelta" && s.deletes.head.rowCount == 1)
   }
 
+  test("MoR DML chains on a string-keyed table (UTF8String delete keys)") {
+    val dir = s"$warehouse/db12/morstr"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType))),
+      key = Seq("name"), formatVersion = 2)
+    t.append(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "n"))
+    spark.sql("UPDATE graft.db12.morstr SET n = 20 WHERE name = 'b'")
+    // chained statement forces the delete-aware scan to ship string keys
+    spark.sql("UPDATE graft.db12.morstr SET n = 30 WHERE name = 'c'")
+    assert(spark.sql("SELECT name, n FROM graft.db12.morstr ORDER BY name")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+  }
+
   test("group-based SQL DML applies pending rowDelta deletes from the API") {
     val dir = s"$warehouse/db12/morless"
     val t = GraftTable.create(spark, dir, StructType(Seq(
