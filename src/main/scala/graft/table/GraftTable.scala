@@ -379,6 +379,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (rsub, nrows) = writeData(rows, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      // re-check on rebase: a racing rowDelta with a different key set
+      // must not slip past the pre-read validation
+      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
+        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs = b.dataDirs :+ DataDir(rsub, v, nrows),
         deletes = b.deletes :+ DeleteFile(dsub, keys, v, dRows))
@@ -864,6 +868,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       s"delta key set $keys differs from existing delete files' key set")
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
+        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs = if (dataRows > 0) b.dataDirs :+ DataDir(dataSub, v, dataRows) else b.dataDirs,
         deletes = if (delRows > 0) b.deletes :+ DeleteFile(delSub, keys, v, delRows) else b.deletes)
