@@ -35,7 +35,9 @@ import graft.table.GraftTable
   * equality deletes, at least one data dir.
   */
 final class GraftBucketedScan(table: GraftTable, required: StructType,
-                              pushed: Array[Filter]) extends Scan with Batch
+                              pushed: Array[Filter],
+                              skipReplaceCommits: Boolean = false)
+    extends Scan with Batch
     with SupportsReportPartitioning {
 
   private val snap = table.snapshot
@@ -48,7 +50,7 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table, required, pushed, skipReplaceCommits = false)
+    new GraftMicroBatchStream(table, required, pushed, skipReplaceCommits)
 
   override def description(): String =
     s"GraftBucketedScan(${table.dir}, bucket(${pf.param}, ${pf.source}))"
@@ -105,19 +107,11 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     partitions.toArray[InputPartition]
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
     // physical projection in the same order as the logical read schema —
     // InternalRow consumption is positional, names only matter at the file
-    val physRequired = StructType(required.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-    val physData = StructType(snap.schema.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) :+
-      StructField(pf.name, IntegerType, nullable = true))
-    val physFilters = pushed.flatMap(f => GraftBucketedScan.renamePushedFilter(f, n =>
-      snap.fields.find(_.logical == n).map(_.physical)))
-    val readFunc = GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq)
-    new GraftBucketReaderFactory(readFunc)
-  }
+    GraftBucketedScan.readerFactory(snap, required, pushed,
+      extraPhysCols = Seq(StructField(pf.name, IntegerType, nullable = true)))
 }
 
 /** An input partition backed by a set of parquet files. */
@@ -163,60 +157,14 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
   override def toBatch: Batch = this
   override def description(): String = s"GraftFlatBatchScan(${table.dir})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(table.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.dataDirs.flatMap { d =>
-      val it = fs.listFiles(new Path(s"${table.dir}/${d.path}"), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)), d.version)
-      }
-      buf
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    snap.dataDirs.flatMap(d =>
+      GraftBucketedScan.filePartitions(table.dir, d)).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val physRequired = StructType(required.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-    val physData = StructType(snap.schema.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-    val physFilters = pushed.flatMap { f =>
-      GraftBucketedScan.renamePushedFilter(f, n =>
-        snap.fields.find(_.logical == n).map(_.physical))
-    }
-    val readFunc = org.apache.spark.sql.GraftShim.parquetFileReader(
-      spark, physData, physRequired, physFilters.toSeq)
-    val inner = new GraftBucketReaderFactory(readFunc)
-    if (snap.deletes.isEmpty) return inner
-
-    // ---- reader-side equality-delete application ----
-    import org.apache.spark.sql.functions.{col, lit, max => fmax}
-    val delKeys = snap.deletes.head.keys // uniform key set (enforced at commit)
-    val physKeys = delKeys.map(snap.physicalOf)
-    val counts = snap.deletes.map(_.rowCount)
-    val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
-      .map(_.toLong).getOrElse(1000000L)
-    require(counts.forall(_ >= 0) && counts.sum <= maxRows,
-      s"pending equality deletes too large for the row-level scan " +
-        s"(${counts.sum} > graft.delete.broadcastMaxRows=$maxRows); compact() first")
-    val keyIdx = physKeys.map(k => physRequired.fieldNames.indexOf(k)).toArray
-    require(keyIdx.forall(_ >= 0),
-      s"row-level scan must read the delete key columns $delKeys")
-    val keyTypes = keyIdx.map(i => physRequired.fields(i).dataType)
-    val merged = snap.deletes.map { d =>
-      spark.read.parquet(s"${table.dir}/${d.path}")
-        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
-    }.reduce(_ unionAll _)
-      .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
-    val conv = keyTypes.map(org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
-    val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
-      val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
-      k -> r.getInt(conv.length)
-    }.toMap
-    new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftBucketedScan.deleteAware(
+      GraftBucketedScan.readerFactory(snap, required, pushed),
+      table.dir, snap, required)
 }
 
 /** Wraps the file reader with the (key → newest delete version) filter:
@@ -275,6 +223,77 @@ object GraftBucketedScan {
       case _ => None
     }
     h.map(x => ((x % n) + n) % n)
+  }
+
+  /** Shared evolution-aware parquet reader factory over physical names —
+    * one implementation for the bucketed, flat, and streaming scans. */
+  private[catalog] def readerFactory(snap: graft.table.Snapshot,
+      required: StructType, pushed: Array[Filter],
+      extraPhysCols: Seq[StructField] = Nil): GraftBucketReaderFactory = {
+    val spark = SparkSession.active
+    val physRequired = StructType(required.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+    val physData = StructType(snap.schema.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) ++ extraPhysCols)
+    val physFilters = pushed.flatMap(f => renamePushedFilter(f, n =>
+      snap.fields.find(_.logical == n).map(_.physical)))
+    new GraftBucketReaderFactory(
+      GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq))
+  }
+
+  /** Wraps `inner` with reader-side equality-delete filtering when the
+    * snapshot has pending deletes: the driver folds the delete files into
+    * a (key → newest delete version) map — size-gated by
+    * `graft.delete.broadcastMaxRows`, the bound the view path uses for
+    * its broadcast anti-join — and readers drop rows whose key has a
+    * delete strictly newer than the row's dir version. */
+  private[catalog] def deleteAware(inner: GraftBucketReaderFactory,
+      tableDir: String, snap: graft.table.Snapshot,
+      required: StructType): PartitionReaderFactory = {
+    if (snap.deletes.isEmpty) return inner
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit, max => fmax}
+    val delKeys = snap.deletes.head.keys // uniform key set (enforced at commit)
+    val physKeys = delKeys.map(snap.physicalOf)
+    val counts = snap.deletes.map(_.rowCount)
+    val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    require(counts.forall(_ >= 0) && counts.sum <= maxRows,
+      s"pending equality deletes too large for this scan " +
+        s"(${counts.sum} > graft.delete.broadcastMaxRows=$maxRows); compact() first")
+    val physRequired = required.fields.map(f => snap.physicalOf(f.name))
+    val keyIdx = physKeys.map(k => physRequired.indexOf(k)).toArray
+    require(keyIdx.forall(_ >= 0),
+      s"scan must read the delete key columns $delKeys (select them explicitly)")
+    val keyTypes = keyIdx.map(i => required.fields(i).dataType)
+    val merged = snap.deletes.map { d =>
+      spark.read.parquet(s"$tableDir/${d.path}")
+        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
+    }.reduce(_ unionAll _)
+      .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
+    val conv = keyTypes.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+    val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
+      val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
+      k -> r.getInt(conv.length)
+    }.toMap
+    new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
+  }
+
+  /** Recursive `.parquet` listing of one committed data dir, one
+    * InputPartition per file, stamped with the dir's commit version. */
+  private[catalog] def filePartitions(tableDir: String,
+      d: graft.table.DataDir): Seq[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(s"$tableDir/${d.path}"), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)), d.version)
+    }
+    buf.toSeq
   }
 
   /** Pushed filters re-addressed to in-file (physical) column names; a

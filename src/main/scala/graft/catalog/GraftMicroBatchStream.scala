@@ -59,36 +59,28 @@ final class GraftMicroBatchStream(table: GraftTable, required: StructType,
     // snapshot, so replaced history needs no append representation
     if (from > 0 && !skipReplaceCommits)
       (from + 1 to to).foreach { v =>
-        val op = table.snapshotAt(v).op
-        require(op != "overwrite" && op != "rewrite",
-          s"streaming read crosses an $op commit at v$v (not representable " +
-            "as appends); restart the stream or set skipReplaceCommits=true")
+        val sv = table.snapshotAt(v)
+        // a rowdelta that ADDED a delete file retracts rows already
+        // delivered — as un-representable as an overwrite; pure-insert
+        // rowdeltas (no delete file stamped at v) are plain appends
+        val replaces = sv.op == "overwrite" || sv.op == "rewrite" ||
+          sv.deletes.exists(_.version == v)
+        require(!replaces,
+          s"streaming read crosses a ${sv.op} commit at v$v that replaces " +
+            "or retracts rows (not representable as appends); restart the " +
+            "stream or set skipReplaceCommits=true")
       }
-    val fs = new Path(table.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    endSnap.dataDirs.filter(d => d.version > from && d.version <= to).flatMap { d =>
-      val it = fs.listFiles(new Path(s"${table.dir}/${d.path}"), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          buf += GraftFilePartition(Array((st.getPath.toString, st.getLen)))
-      }
-      buf
-    }.toArray
+    endSnap.dataDirs.filter(d => d.version > from && d.version <= to)
+      .flatMap(d => GraftBucketedScan.filePartitions(table.dir, d)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val snap = table.snapshot
-    val physRequired = StructType(required.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-    val physData = StructType(snap.schema.fields.map(f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-    val physFilters = pushed.flatMap { f =>
-      GraftBucketedScan.renamePushedFilter(f, n =>
-        snap.fields.find(_.logical == n).map(_.physical))
-    }
-    val readFunc = org.apache.spark.sql.GraftShim.parquetFileReader(
-      spark, physData, physRequired, physFilters.toSeq)
-    new GraftBucketReaderFactory(readFunc)
+    // pending equality deletes apply reader-side (version-guarded per
+    // dir), so the initial catch-up of a MoR table streams its LIVE
+    // rows, not the raw pre-delete file contents
+    GraftBucketedScan.deleteAware(
+      GraftBucketedScan.readerFactory(snap, required, pushed),
+      table.dir, snap, required)
   }
 }

@@ -40,6 +40,11 @@ final class GraftRowLevelOperation(dir: String,
 
   private def spark: SparkSession = SparkSession.active
 
+  // the snapshot this statement operates on: scan and commit both bind
+  // to it, so a concurrent commit mid-statement aborts instead of being
+  // silently overwritten by replacement rows computed from stale state
+  private val baseVersion = GraftTable.load(spark, dir).snapshot.version
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"GraftRowLevelOperation($cmd, $dir)"
@@ -52,14 +57,15 @@ final class GraftRowLevelOperation(dir: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftReplaceBatchWrite(dir, info.schema())
+          new GraftReplaceBatchWrite(dir, info.schema(), baseVersion)
       }
     }
 }
 
 /** Distributed replacement write: parquet files per task + one OCC
   * overwrite commit on the driver. */
-private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
+private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType,
+                                           baseVersion: Int)
     extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -81,7 +87,7 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
     val t = GraftTable.load(spark, dir)
     val snap = t.snapshot
     if (snap.spec.isEmpty && snap.key.isEmpty) {
-      t.commitReplace(sub, rows) // executor files ARE the layout
+      t.commitReplace(sub, rows, baseVersion) // executor files ARE the layout
     } else {
       // partitioned/sorted layout: run the replacement rows back through
       // the table's clustering write (partition dirs, key-sorted files) —
@@ -95,7 +101,7 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType)
         else spark.read.schema(physSchema).parquet(s"$dir/$sub")
           .select(querySchema.fields.map(f =>
             col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
-      t.overwrite(df)
+      t.overwriteExpecting(df, baseVersion)
       abort(messages) // raw epoch dir was scratch
     }
   }
@@ -121,7 +127,16 @@ private[catalog] final class GraftParquetWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val path = s"$targetDir/part-$partitionId-$taskId.parquet"
+      // task-attempt lifecycle: rows stream into a HIDDEN in-progress
+      // file (leading dot — invisible to *.parquet listings and to
+      // spark.read), which task COMMIT renames to its final name and
+      // task ABORT deletes. Commits reference the directory, so only
+      // files of committed attempts may ever carry the .parquet suffix
+      // there (failed/speculative-loser attempts leave nothing behind;
+      // Spark's commit coordinator guarantees one committed attempt per
+      // partition).
+      private val finalPath = s"$targetDir/part-$partitionId-$taskId.parquet"
+      private val tmpPath = s"$targetDir/.part-$partitionId-$taskId.parquet.inprogress"
       private var rows = 0L
       // opened on first row: empty tasks leave no file behind
       private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
@@ -141,16 +156,26 @@ private[catalog] final class GraftParquetWriterFactory(
           } else record
         if (writer == null)
           writer = GraftShim.newParquetOutputWriter(
-            factory, conf, path, physSchema, partitionId, taskId)
+            factory, conf, tmpPath, physSchema, partitionId, taskId)
         writer.write(out)
         rows += 1
       }
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        GraftFileCommit(path, rows)
+        if (writer != null) {
+          writer.close()
+          val fs = new Path(targetDir).getFileSystem(conf.value)
+          if (!fs.rename(new Path(tmpPath), new Path(finalPath)))
+            throw new java.io.IOException(s"task commit rename failed: $tmpPath -> $finalPath")
+        }
+        GraftFileCommit(finalPath, rows)
       }
-      override def abort(): Unit =
+      override def abort(): Unit = {
         if (writer != null) { try writer.close() catch { case _: Exception => } }
+        try {
+          val fs = new Path(targetDir).getFileSystem(conf.value)
+          fs.delete(new Path(tmpPath), false)
+        } catch { case _: Exception => }
+      }
       override def close(): Unit = ()
     }
 }
@@ -174,6 +199,10 @@ final class GraftDeltaOperation(dir: String, cmd: RowLevelOperation.Command,
 
   private def spark: SparkSession = SparkSession.active
 
+  // snapshot this statement's deltas are computed against (see
+  // GraftRowLevelOperation.baseVersion)
+  private val baseVersion = GraftTable.load(spark, dir).snapshot.version
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftDeltaOperation($cmd, $dir)"
 
@@ -193,7 +222,7 @@ final class GraftDeltaOperation(dir: String, cmd: RowLevelOperation.Command,
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
           new GraftDeltaBatchWrite(dir, info.schema(),
-            info.rowIdSchema().orElse(null), keys)
+            info.rowIdSchema().orElse(null), keys, baseVersion)
       }
     }
 }
@@ -201,7 +230,8 @@ final class GraftDeltaOperation(dir: String, cmd: RowLevelOperation.Command,
 /** Distributed MoR write: per task, one data file + one delete-key file
   * (each created lazily on first row), then one rowDelta commit. */
 private final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
-                                         idSchema: StructType, keys: Seq[String])
+                                         idSchema: StructType, keys: Seq[String],
+                                         baseVersion: Int)
     extends DeltaBatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -224,17 +254,40 @@ private final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftDeltaCommit => m }
-    GraftTable.load(spark, dir).commitDelta(
-      dataSub, ms.map(_.dataRows).sum, delSub, ms.map(_.delRows).sum, keys)
+    val dataRows = ms.map(_.dataRows).sum
+    val delRows = ms.map(_.delRows).sum
+    val t = GraftTable.load(spark, dir)
+    val snap = t.snapshot
+    // partitioned layouts REQUIRE the k=v dirs + in-file derived columns
+    // (a bucketed scan lists bucket subdirs; a pruned scan filters the
+    // derived column): re-route the delta's data files through the
+    // clustering write. Delete-key files carry no layout contract.
+    // Key-only (unpartitioned) tables keep raw files — the sort is a
+    // read optimization, not a correctness contract.
+    val finalDataSub =
+      if (snap.spec.isEmpty || dataRows == 0L) dataSub
+      else {
+        import org.apache.spark.sql.functions.col
+        val physRow = StructType(rowSchema.fields.map(f =>
+          StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+        val df = spark.read.schema(physRow).parquet(s"$dir/$dataSub")
+          .select(rowSchema.fields.map(f =>
+            col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+        val (sub, _) = t.writeClustered(df)
+        deleteDir(dataSub)
+        sub
+      }
+    t.commitDelta(finalDataSub, dataRows, delSub, delRows, keys, baseVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val hc = spark.sparkContext.hadoopConfiguration
-    Seq(dataSub, delSub).foreach { sub =>
-      val p = new Path(s"$dir/$sub")
-      val fs = p.getFileSystem(hc)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    deleteDir(dataSub); deleteDir(delSub)
+  }
+
+  private def deleteDir(sub: String): Unit = {
+    val p = new Path(s"$dir/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }
 

@@ -255,7 +255,7 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)
     if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
-      return new GraftBucketedScan(table, required, accepted)
+      return new GraftBucketedScan(table, required, accepted, skipReplaceCommits)
     val schema = required
     val filter = pred
     val pinned = asOf

@@ -258,7 +258,16 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   private def writeData(df: DataFrame, snap: Snapshot,
                         layoutOverride: Option[DataFrame => DataFrame] = None): (String, Long) = {
     val sub = s"data/${UUID.randomUUID()}"
-    val aligned0 = alignToSchema(df, snap.schema)
+    val alignedRaw = alignToSchema(df, snap.schema)
+    // a NULL upsert key can never be matched (delete anti-joins and
+    // merges all compare by equality) and the catalog truthfully reports
+    // key columns non-nullable — enforce it physically at write time
+    val aligned0 = snap.key.foldLeft(alignedRaw) { (d, k) =>
+      d.withColumn(k, org.apache.spark.sql.GraftShim.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.GraftShim.expression(d(k)),
+          Seq(s"upsert key column $k must not be NULL"))))
+    }
     // logical -> physical rename
     val renamed = snap.fields.foldLeft(aligned0) { (d, fi) =>
       if (fi.logical == fi.physical) d else d.withColumnRenamed(fi.logical, fi.physical)
@@ -798,11 +807,45 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   /** Commit of an externally-written data dir as a full replace — the
     * DSv2 row-level ReplaceData path lands here after its executors wrote
-    * the replacement parquet (same semantics as [[overwrite]]). */
-  private[graft] def commitReplace(sub: String, rows: Long): Unit = {
+    * the replacement parquet (same semantics as [[overwrite]]).
+    * `expectedVersion` is the snapshot the operation's scan read: a
+    * concurrent commit since then means the replacement was computed
+    * from stale rows, so the commit ABORTS instead of silently
+    * discarding the concurrent writer's rows (Iceberg's conflict
+    * validation for copy-on-write row-level ops). */
+  private[graft] def commitReplace(sub: String, rows: Long, expectedVersion: Int): Unit = {
+    commit(expectedVersion + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(snapshotAt(expectedVersion))
+      require(b.version == expectedVersion,
+        s"concurrent write during row-level operation (table advanced " +
+          s"v$expectedVersion -> v${b.version}); retry the statement")
+      b.copy(version = v, op = "overwrite",
+        // 0 replacement rows (e.g. DELETE matching everything): no dir
+        // was ever created — commit the empty table, not a ghost path
+        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        deletes = Seq.empty)
+    })
+  }
+
+  /** Clustering write of `df` into a fresh data dir WITHOUT a commit —
+    * for DSv2 paths that re-route raw executor output through the
+    * partition/sort layout and then stamp their own commit shape. */
+  private[graft] def writeClustered(df: DataFrame): (String, Long) =
+    writeData(df, snapshot)
+
+  /** [[overwrite]] guarded on the snapshot the caller derived `df` from —
+    * the layout-maintaining half of the row-level replace path. */
+  private[graft] def overwriteExpecting(df: DataFrame, expectedVersion: Int): Unit = {
     val s = snapshot
+    require(s.version == expectedVersion,
+      s"concurrent write during row-level operation (table advanced " +
+        s"v$expectedVersion -> v${s.version}); retry the statement")
+    val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      require(b.version == expectedVersion,
+        s"concurrent write during row-level operation (table advanced " +
+          s"v$expectedVersion -> v${b.version}); retry the statement")
       b.copy(version = v, op = "overwrite",
         dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty)
     })
@@ -860,7 +903,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * hits strictly-older commits, so the new rows survive. */
   private[graft] def commitDelta(dataSub: String, dataRows: Long,
                                  delSub: String, delRows: Long,
-                                 keys: Seq[String]): Unit = {
+                                 keys: Seq[String], expectedVersion: Int): Unit = {
     val s = snapshot
     require(s.formatVersion >= 2,
       s"delta write requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
@@ -868,6 +911,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       s"delta key set $keys differs from existing delete files' key set")
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      // the delta (delete keys + rows) was computed against
+      // expectedVersion: applying it over a concurrent commit would
+      // delete rows the operation never examined (write skew) — abort
+      require(b.version == expectedVersion,
+        s"concurrent write during row-level operation (table advanced " +
+          s"v$expectedVersion -> v${b.version}); retry the statement")
       require(b.deletes.isEmpty || b.deletes.head.keys == keys,
         s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",

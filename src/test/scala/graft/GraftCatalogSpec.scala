@@ -489,6 +489,89 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", 1L), ("b", 20L), ("c", 30L)))
   }
 
+  test("insert-only MERGE on a bucketed keyed v2 table keeps the bucket layout") {
+    val dir = s"$warehouse/db12/morbkt"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      spec = Seq(PartitionField("id", "bucket", 4)),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // matches nothing -> pure-insert delta; its data files MUST land in
+    // the k=v bucket layout or the bucketed scan silently misses them
+    spark.sql(
+      """MERGE INTO graft.db12.morbkt t
+        |USING (SELECT 9 AS id, 'i' AS v) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db12.morbkt ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "i")))
+    // and under SPJ (the bucketed Batch scan path) the row is still there
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try assert(spark.sql("SELECT count(*) FROM graft.db12.morbkt").head.getLong(0) == 3)
+    finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  test("row-level DELETE matching every row leaves a readable empty table") {
+    val t = mkTable("db12", "rloempty", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql("DELETE FROM graft.db12.rloempty WHERE length(v) = 1") // all rows
+    assert(spark.sql("SELECT * FROM graft.db12.rloempty").count() == 0)
+    assert(GraftTable.load(spark, s"$warehouse/db12/rloempty").toDF.count() == 0)
+  }
+
+  test("stale commitReplace aborts instead of clobbering a concurrent commit") {
+    val dir = s"$warehouse/db12/rlorace"
+    val t = GraftTable.create(spark, dir, StructType(Seq(StructField("id", LongType))))
+    t.append(Seq(1L).toDF("id"))
+    val staleVersion = t.currentVersion
+    t.append(Seq(2L).toDF("id")) // the "concurrent" writer wins
+    val e = intercept[IllegalArgumentException] {
+      t.commitReplace("data/whatever", 1L, staleVersion)
+    }
+    assert(e.getMessage.contains("concurrent write"))
+    assert(t.toDF.count() == 2) // nothing lost
+  }
+
+  test("in-progress task files are invisible to reads") {
+    val dir = s"$warehouse/db12/inprog"
+    val t = GraftTable.create(spark, dir, StructType(Seq(StructField("id", LongType))))
+    t.append(Seq(1L, 2L).toDF("id"))
+    // simulate an executor that died mid-write: garbage with no footer
+    val dd = t.snapshot.dataDirs.head.path
+    val stray = new java.io.File(s"$dir/$dd/.part-9-9.parquet.inprogress")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    assert(spark.sql("SELECT count(*) FROM graft.db12.inprog").head.getLong(0) == 2)
+    assert(t.toDF.count() == 2)
+    // and the row-level batch scan skips it too
+    spark.sql("UPDATE graft.db12.inprog SET id = id + 10 WHERE length(string(id)) = 1")
+    assert(t.toDF.orderBy("id").as[Long].collect().toSeq == Seq(11L, 12L))
+  }
+
+  test("readStream on a MoR table streams live rows and halts on retraction") {
+    val dir = s"$warehouse/db14/mortail"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    val q = spark.readStream.table("graft.db14.mortail")
+      .writeStream.format("memory").queryName("mortail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial batch = LIVE rows: (2,'b') is deleted, not delivered
+      assert(spark.table("mortail").orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b2")))
+      // mid-stream retraction (rowdelta WITH a delete file) must halt
+      t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("retracts")))
+    } finally q.stop()
+  }
+
   test("group-based SQL DML applies pending rowDelta deletes from the API") {
     val dir = s"$warehouse/db12/morless"
     val t = GraftTable.create(spark, dir, StructType(Seq(

@@ -457,6 +457,20 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
   }
 
+  test("writes reject NULL upsert keys") {
+    val dir = TestSpark.tmpDir("nullkey")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    val bad = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "v").select(col("id"), col("v"))
+    val e = intercept[Exception] { t.append(bad) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("id") || m.contains("NULL") || m.contains("null")))
+    assert(t.toDF.count() == 0) // nothing committed
+  }
+
   test("vacuumOrphans removes only old unreferenced dirs") {
     val dir = TestSpark.tmpDir("vac")
     val t = GraftTable.create(spark, dir, StructType(Seq(
