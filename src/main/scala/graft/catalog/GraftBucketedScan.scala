@@ -36,7 +36,8 @@ import graft.table.GraftTable
   */
 final class GraftBucketedScan(table: GraftTable, required: StructType,
                               pushed: Array[Filter],
-                              skipReplaceCommits: Boolean = false)
+                              skipReplaceCommits: Boolean = false,
+                              maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning {
 
@@ -50,7 +51,8 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table, required, pushed, skipReplaceCommits)
+    new GraftMicroBatchStream(table, required, pushed, skipReplaceCommits,
+      maxVersionsPerBatch)
 
   override def description(): String =
     s"GraftBucketedScan(${table.dir}, bucket(${pf.param}, ${pf.source}))"

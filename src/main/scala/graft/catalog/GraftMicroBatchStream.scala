@@ -36,13 +36,37 @@ final case class GraftOffset(version: Int) extends Offset {
   * applies row-group skipping (reads re-apply residual predicates, so
   * skipping is safe here, unlike the ReplaceData scan). */
 final class GraftMicroBatchStream(table: GraftTable, required: StructType,
-                                  pushed: Array[Filter], skipReplaceCommits: Boolean)
-    extends MicroBatchStream {
+                                  pushed: Array[Filter], skipReplaceCommits: Boolean,
+                                  maxVersionsPerBatch: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
 
+  // Trigger.AvailableNow: pin the end of the run at prepare time — the
+  // query drains (in rate-limited steps) to exactly this version, then
+  // stops, ignoring later commits
+  @volatile private var availableNowCap: Option[Int] = None
+
   override def initialOffset(): Offset = GraftOffset(0)
-  override def latestOffset(): Offset = GraftOffset(table.currentVersion)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.currentVersion)
+
+  /** Admission control: at most `maxVersionsPerBatch` table commits per
+    * micro-batch (a bounded catch-up after downtime instead of one giant
+    * batch over the backlog). */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val cur = availableNowCap.getOrElse(table.currentVersion)
+    GraftOffset(maxVersionsPerBatch.fold(cur)(m => math.min(cur, from + m)))
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(table.currentVersion)
+
   override def deserializeOffset(json: String): Offset = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     GraftOffset(m.get("version").asInt())

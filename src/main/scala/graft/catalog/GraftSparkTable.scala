@@ -110,7 +110,8 @@ final class GraftSparkTable(val dir: String, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(graftTable, asOfVersion,
-      skipReplaceCommits = options.getBoolean("skipReplaceCommits", false))
+      skipReplaceCommits = options.getBoolean("skipReplaceCommits", false),
+      maxVersionsPerBatch = Option(options.get("maxVersionsPerBatch")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
@@ -225,7 +226,8 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
   * full predicate — pushdown is an optimization here, never a contract. */
 private[catalog] final class GraftScanBuilder(table: GraftTable,
     asOf: Option[Int] = None, batchOnly: Boolean = false,
-    skipReplaceCommits: Boolean = false, pushIntoReader: Boolean = true)
+    skipReplaceCommits: Boolean = false, pushIntoReader: Boolean = true,
+    maxVersionsPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType =
@@ -255,19 +257,21 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)
     if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
-      return new GraftBucketedScan(table, required, accepted, skipReplaceCommits)
+      return new GraftBucketedScan(table, required, accepted,
+        skipReplaceCommits, maxVersionsPerBatch)
     val schema = required
     val filter = pred
     val pinned = asOf
     val filters = accepted
     val skipReplace = skipReplaceCommits
+    val maxPerBatch = maxVersionsPerBatch
     val t = table
     new V1Scan {
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
         require(pinned.isEmpty, "cannot stream a VERSION/TIMESTAMP AS OF relation")
-        new GraftMicroBatchStream(t, schema, filters, skipReplace)
+        new GraftMicroBatchStream(t, schema, filters, skipReplace, maxPerBatch)
       }
       override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
         new BaseRelation with TableScan {

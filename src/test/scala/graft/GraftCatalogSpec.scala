@@ -632,6 +632,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming read: maxVersionsPerBatch bounds catch-up; AvailableNow drains and stops") {
+    val t = mkTable("db14", "ratelim", StructType(Seq(StructField("id", LongType))))
+    (1 to 4).foreach(i => t.append(Seq(i.toLong).toDF("id"))) // 4 commits
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxVersionsPerBatch", "1")
+      .table("graft.db14.ratelim")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += batch.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      // one micro-batch per commit (4 batches of 1 row), then the
+      // AvailableNow query terminated on its own
+      assert(seen.toSeq == Seq(1L, 1L, 1L, 1L), s"got $seen")
+      assert(!q.isActive)
+    } finally q.stop()
+  }
+
   test("streaming read starts from the live snapshot even after overwrites") {
     val t = mkTable("db14", "tail2", StructType(Seq(StructField("id", LongType))))
     t.append(Seq(1L, 2L).toDF("id"))
