@@ -1076,10 +1076,50 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
 
   def delete(pred: Column): GraftTable =
-    overwrite(graft.dml.MergePlanner.delete(toDF, pred))
+    cowRewrite(pred, df => graft.dml.MergePlanner.delete(df, pred))
 
   def update(set: Map[String, Column], pred: Column): GraftTable =
-    overwrite(graft.dml.MergePlanner.update(toDF, set, pred))
+    cowRewrite(pred, df => graft.dml.MergePlanner.update(df, set, pred))
+
+  /** Partition-scoped copy-on-write: data dirs that provably cannot
+    * contain rows matching `pred` (every k=v leaf fails the derived
+    * transform predicate, or a bloom sidecar excludes every point value)
+    * are kept VERBATIM — only the possibly-matching dirs are rewritten.
+    * On a time-ordered 100 TB table, `DELETE WHERE month = X` rewrites
+    * the dirs holding month X, not the table (Iceberg's COW writes the
+    * same way: untouched files carry over into the new snapshot). Falls
+    * back to the whole-table rewrite when nothing is provably
+    * untouchable; a predicate that can match NO dir is a no-op (no empty
+    * snapshot committed). */
+  private def cowRewrite(pred: Column, f: DataFrame => DataFrame): GraftTable = {
+    val s = snapshot
+    def full(): GraftTable = overwrite(f(toDF))
+    if (s.deletes.nonEmpty || s.dataDirs.size <= 1) return full()
+    val bloomLive = bloomLiveDirs(s, pred)
+    val touched: Seq[DataDir] =
+      if (s.spec.isEmpty) bloomLive
+      else TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true) match {
+        case None => bloomLive
+        case Some(derived) =>
+          prunedLeafDirs(bloomLive.map(d => s"$dir/${d.path}"), s, derived) match {
+            case None => bloomLive // unexpected layout: treat all as touched
+            case Some(leaves) =>
+              // leaves come back fully qualified (file:/... on local FS);
+              // match on the dir-relative path (UUID-unique) instead
+              bloomLive.filter(d => leaves.exists(_.contains(s"/${d.path}/")))
+          }
+      }
+    if (touched.size == s.dataDirs.size) return full()
+    if (touched.isEmpty) return this // predicate can match nothing
+    val untouched = s.dataDirs.filterNot(touched.toSet)
+    val (sub, rows) = writeData(f(readLogical(s, touched)), s)
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "overwrite",
+        dataDirs = untouched :+ DataDir(sub, v, rows), deletes = Seq.empty)
+    })
+    this
+  }
 
   def merge(source: DataFrame, keys: Seq[String],
             matched: Seq[graft.dml.MergeClause],

@@ -457,6 +457,39 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
   }
 
+  test("DELETE/UPDATE rewrite only the data dirs the predicate can touch") {
+    val dir = TestSpark.tmpDir("cowscope")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))),
+      spec = Seq(PartitionField("d", "month", 0)))
+    def rows(m: Int, ids: Long*) =
+      ids.map(i => (i, s"2024-0$m-15")).toDF("id", "ds")
+        .select(col("id"), to_date(col("ds")).as("d"))
+    t.append(rows(1, 1L, 2L)) // dir A: only January
+    t.append(rows(2, 3L, 4L)) // dir B: only February
+    val dirA = t.snapshot.dataDirs.head.path
+    // predicate touches February only: January's dir must survive VERBATIM
+    t.delete(col("d") >= java.sql.Date.valueOf("2024-02-01") && col("id") === 3L)
+    val s = t.snapshot
+    assert(s.dataDirs.map(_.path).contains(dirA), "untouched dir was rewritten")
+    assert(s.dataDirs.size == 2) // January dir + rewritten February dir
+    assert(t.toDF.orderBy("id").as[(Long, java.sql.Date)].collect().map(_._1).toSeq ==
+      Seq(1L, 2L, 4L))
+    // UPDATE scoped the same way
+    val dirsBefore = t.snapshot.dataDirs.map(_.path).toSet
+    t.update(Map("id" -> (col("id") + 100L)),
+      col("d") <= java.sql.Date.valueOf("2024-01-31"))
+    val s2 = t.snapshot
+    assert(!s2.dataDirs.map(_.path).contains(dirA), "touched dir must be rewritten")
+    assert(s2.dataDirs.map(_.path).toSet.intersect(dirsBefore).size == 1)
+    assert(t.toDF.orderBy("id").as[(Long, java.sql.Date)].collect().map(_._1).toSeq ==
+      Seq(4L, 101L, 102L))
+    // predicate matching NO dir is a no-op (no snapshot churn)
+    val v = t.currentVersion
+    t.delete(col("d") >= java.sql.Date.valueOf("2030-01-01"))
+    assert(t.currentVersion == v)
+  }
+
   test("writes reject NULL upsert keys") {
     val dir = TestSpark.tmpDir("nullkey")
     val t = GraftTable.create(spark, dir, StructType(Seq(
