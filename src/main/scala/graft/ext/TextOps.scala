@@ -240,7 +240,25 @@ object TextOps {
       .select(col("doc_id"), concat_ws(",", col("fingerprint").cast(ArrayType(StringType)))
         .as("fp")).orderBy("doc_id")
 
+  /** Deterministic stratified subsample: per language, the k documents
+    * with the smallest md5(doc_id) — the standard training-mix op
+    * ("cap every language at N docs, reproducibly"). The hash order
+    * makes the sample stable across runs, clusters, and engines (md5 is
+    * bit-identical everywhere, unlike engine-native hash functions);
+    * the per-stratum top-k is a window over a single shuffle by lang —
+    * at 100 TB this is one pass, no driver-side sampling state. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    documents(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -253,6 +271,13 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
