@@ -175,6 +175,53 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation — the step that turns pairwise near-dup
+    * matches into the actual dedup decision ("keep the smallest id of
+    * every cluster"). Each iteration is one shuffle (every node adopts
+    * the smallest label among itself and its neighbors) and converges
+    * after O(component diameter) iterations — near-dup clusters are
+    * dense, so diameters are tiny. The loop touches only nodes that
+    * appear in a pair; convergence is one count per iteration (no
+    * driver-side graph state). Returns (node, cluster = min id of its
+    * component). */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(a).as("node"), col(b).as("peer"))
+      .unionAll(pairs.select(col(b).as("node"), col(a).as("peer")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("node"))
+      .agg(least(min(col("peer")), col("node")).as("label"))
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.select(col("node").as("peer"), col("label").as("peer_label")), "peer")
+        .groupBy(col("node")).agg(min(col("peer_label")).as("nbr_label"))
+        .join(labels, "node")
+        .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** Near-dup clusters of the documents table: MinHash-LSH pairs →
+    * connected components. (doc_id, cluster_id); docs in no pair are
+    * their own cluster and are omitted. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhashLsh(spark, dir), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+
   /** 64-bit SimHash: per-token xxhash64, bit-vote, sign → fingerprint.
     * Pure HOF fold over the token array — map-side, codegen-friendly. */
   def simhash(toks: Column): Column = {

@@ -107,4 +107,22 @@ class ExtOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "payload")
     assert(Multimodal.decodeFeatures(spark, jpeg).collect().head.format == "jpeg")
   }
+
+  test("connectedComponents: chains merge, separate clusters stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
+    // cross-listed order (7,5) exercises the undirected expansion
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 5L))
+      .toDF("a_id", "b_id")
+    val got = graft.ext.TextOps.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+    // end-to-end shape on the real corpus: every clustered doc points at
+    // its cluster's minimum member
+    val cl = graft.ext.TextOps.dedupClusters(spark, "/root/testdata/sf0.001")
+    assert(cl.filter($"cluster_id" > $"doc_id").count() == 0)
+    val roots = cl.select($"cluster_id".as("root")).distinct()
+    assert(cl.join(roots, cl("doc_id") === col("root"), "left_semi")
+      .filter($"doc_id" =!= $"cluster_id").count() == 0)
+  }
 }
