@@ -148,11 +148,40 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   // ---- log access ------------------------------------------------------
   private def logDir = new Path(dir, "_graft_log")
 
+  /** Latest committed version. Normally O(1): a best-effort `_head` hint
+    * (rewritten after every commit) names a known-committed version and
+    * the tail is found by probing forward slot-by-slot — write-once
+    * slots are never removed, so `exists(v+1)` is exact. Per-epoch
+    * streaming commits make table loads hot; a full directory listing
+    * of an O(100k)-snapshot log on every load would dominate. A
+    * missing/corrupt/ahead-of-reality hint falls back to the listing. */
   def currentVersion: Int = {
-    val st = fs.listStatus(logDir)
-    st.map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
-      .map(n => n.substring(1, n.length - 5).toInt).max
+    val f = fs
+    def slot(v: Int) = new Path(logDir, f"v$v%05d.json")
+    val hint =
+      try {
+        val in = f.open(new Path(logDir, "_head"))
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        s.toInt
+      } catch { case _: Exception => -1 }
+    if (hint >= 0 && f.exists(slot(hint))) {
+      var v = hint
+      while (f.exists(slot(v + 1))) v += 1
+      v
+    } else {
+      val st = f.listStatus(logDir)
+      st.map(_.getPath.getName).filter(_.matches("v\\d+\\.json"))
+        .map(n => n.substring(1, n.length - 5).toInt).max
+    }
   }
+
+  /** Best-effort head hint; readers validate by probing, so a torn or
+    * stale write is harmless and errors are swallowed. */
+  private def writeHead(v: Int): Unit =
+    try {
+      val os = fs.create(new Path(logDir, "_head"), true)
+      try os.write(v.toString.getBytes("UTF-8")) finally os.close()
+    } catch { case _: Exception => }
 
   def snapshot: Snapshot = snapshotAt(currentVersion)
 
@@ -202,6 +231,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       out = mk(if (base == null) null else base, v)
       val p = new Path(logDir, f"v$v%05d.json")
       if (writeOnce(p, writeSnapshot(out).getBytes("UTF-8"))) {
+        writeHead(v)
         done = true
       } else {
         // next slot comes from the log's FILE numbering — a snapshot
