@@ -106,7 +106,8 @@ final class GraftSparkTable(val dir: String, tableName: String,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
-    TableCapability.OVERWRITE_BY_FILTER)
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(graftTable, asOfVersion,
@@ -188,15 +189,20 @@ object GraftSparkTable {
   }
 }
 
-/** Append / truncate-overwrite write builder; batch `build()` yields the
-  * V1 fallback that routes the query DataFrame into the snapshot log;
-  * `toStreaming` serves `writeStream.format("graft")` / `.toTable` (the
-  * streaming planner calls truncate() first under OutputMode.Complete). */
+/** Append / truncate-overwrite / dynamic-partition-overwrite write
+  * builder; batch `build()` yields the V1 fallback that routes the query
+  * DataFrame into the snapshot log; `toStreaming` serves
+  * `writeStream.format("graft")` / `.toTable` (the streaming planner
+  * calls truncate() first under OutputMode.Complete). */
 private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwriteV2 {
+    extends WriteBuilder with SupportsOverwriteV2
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var replace = false
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
   override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
     // INSERT OVERWRITE / writeTo().overwrite(lit(true)) arrive as a single
@@ -215,6 +221,12 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
         if (replace || overwrite) t.overwrite(data) else t.append(data)
       }
     }
+    // dynamic partition overwrite has NO V1 fallback in Spark
+    // (OverwritePartitionsDynamicExec calls toBatch directly): stage the
+    // rows as raw parquet, then commit through overwriteDynamic
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+      if (dynamic) new GraftDynamicBatchWrite(dir, info.schema())
+      else super.toBatch
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace)
   }
@@ -286,5 +298,52 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
           }
         }.asInstanceOf[T]
     }
+  }
+}
+
+/** Distributed staging write for dynamic partition overwrite: executors
+  * write raw parquet into a scratch dir, the driver reads it back and
+  * commits through [[GraftTable.overwriteDynamic]] (which scopes the
+  * replace to exactly the partitions present), then the scratch dir is
+  * removed. */
+private final class GraftDynamicBatchWrite(dir: String, querySchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  import org.apache.spark.sql.connector.write._
+  private def spark: SparkSession = SparkSession.active
+  private val sub = s"staging/${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val snap = GraftTable.load(spark, dir).snapshot
+    val physSchema = StructType(querySchema.fields.map { f =>
+      org.apache.spark.sql.types.StructField(
+        snap.physicalOf(f.name), f.dataType, nullable = true)
+    })
+    val (factory, conf) = org.apache.spark.sql.GraftShim.parquetWriterFactory(spark, physSchema)
+    new GraftParquetWriterFactory(s"$dir/$sub", physSchema, factory, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: GraftFileCommit => m.rows }.sum
+    try {
+      if (rows > 0L) {
+        val t = GraftTable.load(spark, dir)
+        val snap = t.snapshot
+        val physSchema = StructType(querySchema.fields.map { f =>
+          org.apache.spark.sql.types.StructField(
+            snap.physicalOf(f.name), f.dataType, nullable = true)
+        })
+        val df = spark.read.schema(physSchema).parquet(s"$dir/$sub")
+          .select(querySchema.fields.map(f =>
+            col(s"`${snap.physicalOf(f.name)}`").as(f.name)).toIndexedSeq: _*)
+        t.overwriteDynamic(df)
+      }
+    } finally abort(messages)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

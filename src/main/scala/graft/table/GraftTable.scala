@@ -391,7 +391,60 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       b.copy(version = v, op = "overwrite",
-        dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty)
+        // a zero-row write on a partitioned table creates no files —
+        // commit the empty table, not a file-less dir
+        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        deletes = Seq.empty)
+    })
+    this
+  }
+
+  /** Dynamic partition overwrite (Iceberg's `overwritePartitions()` /
+    * `INSERT OVERWRITE` under dynamic mode): atomically replace exactly
+    * the partitions PRESENT in `df`, keep every other partition's rows.
+    * Partition-scoped like [[cowRewrite]]: dirs whose k=v leaves all
+    * fall outside the replaced partition set carry over verbatim; the
+    * touched dirs are rewritten minus the replaced partitions; the new
+    * rows land clustered — one commit, three dir groups. The distinct
+    * partition-tuple set is collected to the driver (bounded by the
+    * partition count of the incoming batch, the same cardinality any
+    * dynamic-overwrite implementation materializes). */
+  def overwriteDynamic(df: DataFrame): GraftTable = {
+    val s = snapshot
+    require(s.spec.nonEmpty, "dynamic partition overwrite requires a partition spec")
+    require(s.deletes.isEmpty, "dynamic overwrite with pending equality deletes; compact() first")
+    val aligned = alignToSchema(df, s.schema)
+    val transformed: Seq[Column] = s.spec.map(pf =>
+      pf.exprFor(col(pf.source), s.schema(pf.source).dataType).as(pf.name))
+    val tuples = aligned.select(transformed: _*).distinct().collect()
+    if (tuples.isEmpty) return this // empty input replaces nothing
+    // membership predicates: over the derived k=v dir columns (for dir
+    // pruning) and over the source-column transforms (for row filtering)
+    def member(colOf: PartitionField => Column): Column = tuples.map { r =>
+      s.spec.zipWithIndex.map { case (pf, i) =>
+        colOf(pf) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val dirPred = member(pf => col(pf.name))
+    val rowPred = member(pf => pf.exprFor(col(pf.source), s.schema(pf.source).dataType))
+    val touched = prunedLeafDirs(s.dataDirs.map(d => s"$dir/${d.path}"), s, dirPred) match {
+      case None => s.dataDirs // unexpected layout: rewrite everything
+      case Some(leaves) =>
+        s.dataDirs.filter(d => leaves.exists(_.contains(s"/${d.path}/")))
+    }
+    val untouched = s.dataDirs.filterNot(touched.toSet)
+    // a zero-row write on a partitioned table creates NO files
+    // (partitionBy of nothing) — such dirs must not enter the snapshot
+    val keptSub =
+      if (touched.isEmpty) None
+      else Some(writeData(readLogical(s, touched).filter(!rowPred), s))
+        .filter(_._2 > 0)
+    val (newSub, newRows) = writeData(aligned, s)
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "overwrite",
+        dataDirs = untouched ++ keptSub.map { case (p, r) => DataDir(p, v, r) } ++
+          (if (newRows > 0) Seq(DataDir(newSub, v, newRows)) else Seq.empty))
     })
     this
   }
@@ -877,7 +930,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"concurrent write during row-level operation (table advanced " +
           s"v$expectedVersion -> v${b.version}); retry the statement")
       b.copy(version = v, op = "overwrite",
-        dataDirs = Seq(DataDir(sub, v, rows)), deletes = Seq.empty)
+        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        deletes = Seq.empty)
     })
   }
 
@@ -916,10 +970,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
-      val d = DataDir(sub, v, rows)
+      val d = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty
       b.copy(version = v,
         op = if (replace) "overwrite" else "append",
-        dataDirs = if (replace) Seq(d) else b.dataDirs :+ d,
+        dataDirs = if (replace) d else b.dataDirs ++ d,
         deletes = if (replace) Seq.empty else b.deletes,
         streamEpochs = b.streamEpochs + (queryId -> epochId))
     })
@@ -1146,7 +1200,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       b.copy(version = v, op = "overwrite",
-        dataDirs = untouched :+ DataDir(sub, v, rows), deletes = Seq.empty)
+        // rows == 0 (everything in the touched dirs was deleted): a
+        // partitioned zero-row write creates no files — commit no dir
+        dataDirs = untouched ++
+          (if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
+        deletes = Seq.empty)
     })
     this
   }

@@ -596,6 +596,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getString(1) == "filled" && got(1).isNullAt(1))
   }
 
+  test("overwritePartitions replaces exactly the incoming partitions") {
+    val dir = s"$warehouse/db15/dyn"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))),
+      spec = Seq(PartitionField("d", "month", 0)))
+    def rows(pairs: (Long, String)*) = pairs.toSeq.toDF("id", "ds")
+      .select($"id", to_date($"ds").as("d"))
+    t.append(rows(1L -> "2024-01-10", 2L -> "2024-02-10")) // dir A: Jan+Feb
+    t.append(rows(3L -> "2024-03-10"))                     // dir B: Mar only
+    val dirB = t.snapshot.dataDirs.last.path
+    // replace January with fresh rows: Feb survives (same dir as Jan!),
+    // March's dir carries over verbatim
+    rows(10L -> "2024-01-20", 11L -> "2024-01-21")
+      .writeTo("graft.db15.dyn").overwritePartitions()
+    val s = GraftTable.load(spark, dir).snapshot
+    assert(s.dataDirs.map(_.path).contains(dirB), "untouched dir was rewritten")
+    assert(spark.sql("SELECT id FROM graft.db15.dyn ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L, 10L, 11L))
+    // replacing a partition nothing else touches keeps everything else
+    rows(20L -> "2024-03-01").writeTo("graft.db15.dyn").overwritePartitions()
+    assert(spark.sql("SELECT id FROM graft.db15.dyn ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 10L, 11L, 20L))
+  }
+
   test("writeStream.toTable streams into a catalog table") {
     implicit val sqlCtx = spark.sqlContext
     val t = mkTable("db13", "sink", StructType(Seq(

@@ -490,6 +490,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.currentVersion == v)
   }
 
+  test("emptying a partitioned table leaves it readable") {
+    // regression: a zero-row write on a partitioned table creates no
+    // files (partitionBy of nothing); the commit must reference no dir
+    val dir = TestSpark.tmpDir("emptypart")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))),
+      spec = Seq(PartitionField("d", "month", 0)))
+    t.append(Seq((1L, java.sql.Date.valueOf("2024-01-05"))).toDF("id", "d"))
+    t.overwrite(t.toDF.limit(0))
+    assert(t.toDF.count() == 0)
+    assert(t.snapshot.dataDirs.isEmpty)
+    // and DELETE of everything in the only touched dir
+    t.append(Seq((2L, java.sql.Date.valueOf("2024-02-05"))).toDF("id", "d"))
+    t.append(Seq((3L, java.sql.Date.valueOf("2024-03-05"))).toDF("id", "d"))
+    t.delete(col("d") <= java.sql.Date.valueOf("2024-02-28") && col("id") === 2L)
+    assert(t.toDF.as[(Long, java.sql.Date)].collect().map(_._1).toSeq == Seq(3L))
+  }
+
   test("writes reject NULL upsert keys") {
     val dir = TestSpark.tmpDir("nullkey")
     val t = GraftTable.create(spark, dir, StructType(Seq(
