@@ -73,7 +73,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         if (!GraftTable.exists(spark, dir))
           GraftTable.create(spark, dir, schema,
             spec = partitioning.toSeq.map(PartitionField.fromTransform))
-        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`")
+        // option-based time travel (Iceberg's snapshot-id / as-of-timestamp
+        // read options): .option("versionAsOf", n) pins a snapshot;
+        // .option("timestampAsOf", "<epoch-millis | yyyy-mm-dd hh:mm:ss>")
+        // resolves through the log's commit times
+        val asOf = Option(properties.get("versionAsOf")).map(_.trim.toInt)
+          .orElse(Option(properties.get("timestampAsOf")).map { ts =>
+            val millis =
+              try ts.trim.toLong
+              catch { case _: NumberFormatException =>
+                java.sql.Timestamp.valueOf(ts.trim).getTime }
+            GraftTable.load(spark, dir).versionAsOfTimestamp(millis)
+          })
+        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf)
     }
   }
 }

@@ -294,6 +294,14 @@ class GraftTableSpec extends AnyFunSuite {
       .write.format("graft").partitionBy("region").mode("append").save(pdir)
     assert(GraftTable.load(spark, pdir).spec == Seq(PartitionField("region", "identity")))
     assert(spark.read.format("graft").load(pdir).count() == 2)
+    // option-based time travel: versionAsOf pins a snapshot
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // timestampAsOf (epoch millis far in the future) resolves to current
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", (System.currentTimeMillis() + 60000).toString)
+      .load(dir).as[(Long, String)].collect().toSeq == Seq((9L, "only")))
   }
 
   test("D3/D9 partition spec: layout + partition path derivation") {
