@@ -92,25 +92,16 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType,
       // partitioned/sorted layout: run the replacement rows back through
       // the table's clustering write (partition dirs, key-sorted files) —
       // one extra write, same whole-table-replace semantics
-      val physSchema = StructType(querySchema.fields.map { f =>
-        StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
-      })
-      import org.apache.spark.sql.functions.col
       val df =
         if (rows == 0L) t.toDF.limit(0)
-        else spark.read.schema(physSchema).parquet(s"$dir/$sub")
-          .select(querySchema.fields.map(f =>
-            col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+        else GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
       t.overwriteExpecting(df, baseVersion)
       abort(messages) // raw epoch dir was scratch
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new Path(s"$dir/$sub")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftStagedFiles.deleteDir(spark, dir, sub)
 }
 
 private[catalog] final case class GraftFileCommit(path: String, rows: Long)
@@ -267,27 +258,17 @@ private final class GraftDeltaBatchWrite(dir: String, rowSchema: StructType,
     val finalDataSub =
       if (snap.spec.isEmpty || dataRows == 0L) dataSub
       else {
-        import org.apache.spark.sql.functions.col
-        val physRow = StructType(rowSchema.fields.map(f =>
-          StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
-        val df = spark.read.schema(physRow).parquet(s"$dir/$dataSub")
-          .select(rowSchema.fields.map(f =>
-            col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+        val df = GraftStagedFiles.readLogical(spark, dir, dataSub, snap, rowSchema)
         val (sub, _) = t.writeClustered(df)
-        deleteDir(dataSub)
+        GraftStagedFiles.deleteDir(spark, dir, dataSub)
         sub
       }
     t.commitDelta(finalDataSub, dataRows, delSub, delRows, keys, baseVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    deleteDir(dataSub); deleteDir(delSub)
-  }
-
-  private def deleteDir(sub: String): Unit = {
-    val p = new Path(s"$dir/$sub")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    GraftStagedFiles.deleteDir(spark, dir, dataSub)
+    GraftStagedFiles.deleteDir(spark, dir, delSub)
   }
 }
 
@@ -318,4 +299,30 @@ private final class GraftDeltaWriterFactory(
       override def abort(): Unit = { dataW.abort(); delW.abort() }
       override def close(): Unit = { dataW.close(); delW.close() }
     }
+}
+
+/** Shared staged-parquet plumbing for the DSv2 writes that stage raw
+  * executor output and re-route it through the table's own write paths
+  * (replace, delta, streaming sink, dynamic overwrite). */
+private[catalog] object GraftStagedFiles {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  /** Physical file schema in the query's column order. */
+  def physSchemaOf(snap: graft.table.Snapshot, querySchema: StructType): StructType =
+    StructType(querySchema.fields.map(f =>
+      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
+
+  /** Read a staged raw-parquet dir back under LOGICAL column names. */
+  def readLogical(spark: SparkSession, tableDir: String, sub: String,
+                  snap: graft.table.Snapshot, querySchema: StructType): DataFrame =
+    spark.read.schema(physSchemaOf(snap, querySchema)).parquet(s"$tableDir/$sub")
+      .select(querySchema.fields.map(f =>
+        col(s"`${snap.physicalOf(f.name)}`").as(f.name)).toIndexedSeq: _*)
+
+  def deleteDir(spark: SparkSession, tableDir: String, sub: String): Unit = {
+    val p = new Path(s"$tableDir/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -315,10 +315,7 @@ private final class GraftDynamicBatchWrite(dir: String, querySchema: StructType)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val snap = GraftTable.load(spark, dir).snapshot
-    val physSchema = StructType(querySchema.fields.map { f =>
-      org.apache.spark.sql.types.StructField(
-        snap.physicalOf(f.name), f.dataType, nullable = true)
-    })
+    val physSchema = GraftStagedFiles.physSchemaOf(snap, querySchema)
     val (factory, conf) = org.apache.spark.sql.GraftShim.parquetWriterFactory(spark, physSchema)
     new GraftParquetWriterFactory(s"$dir/$sub", physSchema, factory, conf)
   }
@@ -328,22 +325,12 @@ private final class GraftDynamicBatchWrite(dir: String, querySchema: StructType)
     try {
       if (rows > 0L) {
         val t = GraftTable.load(spark, dir)
-        val snap = t.snapshot
-        val physSchema = StructType(querySchema.fields.map { f =>
-          org.apache.spark.sql.types.StructField(
-            snap.physicalOf(f.name), f.dataType, nullable = true)
-        })
-        val df = spark.read.schema(physSchema).parquet(s"$dir/$sub")
-          .select(querySchema.fields.map(f =>
-            col(s"`${snap.physicalOf(f.name)}`").as(f.name)).toIndexedSeq: _*)
-        t.overwriteDynamic(df)
+        t.overwriteDynamic(
+          GraftStagedFiles.readLogical(spark, dir, sub, t.snapshot, querySchema))
       }
     } finally abort(messages)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftStagedFiles.deleteDir(spark, dir, sub)
 }

@@ -45,9 +45,7 @@ final class GraftStreamingWrite(dir: String, querySchema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val snap = GraftTable.load(spark, dir).snapshot
     currentSub = s"data/${UUID.randomUUID()}"
-    val physSchema = StructType(querySchema.fields.map { f =>
-      StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
-    })
+    val physSchema = GraftStagedFiles.physSchemaOf(snap, querySchema)
     val (factory, conf) = GraftShim.parquetWriterFactory(spark, physSchema)
     val batch = new GraftParquetWriterFactory(s"$dir/$currentSub", physSchema, factory, conf)
     (partitionId: Int, taskId: Long, _: Long) => batch.createWriter(partitionId, taskId)
@@ -72,12 +70,7 @@ final class GraftStreamingWrite(dir: String, querySchema: StructType,
       else {
         // layout-maintaining path: read the epoch's raw files back and
         // run them through the table's partitioning/clustering write
-        val physSchema = StructType(querySchema.fields.map { f =>
-          StructField(snap.physicalOf(f.name), f.dataType, nullable = true)
-        })
-        val df = spark.read.schema(physSchema).parquet(s"$dir/$sub")
-          .select(querySchema.fields.map(f =>
-            col(snap.physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+        val df = GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
         val ok = t.streamEpochWrite(df, queryId, epochId, replace)
         deleteDir(sub) // raw epoch dir is scratch on this path
         ok

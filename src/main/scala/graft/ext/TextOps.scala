@@ -211,6 +211,14 @@ object TextOps {
       i += 1
     }
     edges.unpersist()
+    // silent wrong labels are worse than failing: a component whose
+    // diameter exceeds the budget exits the loop split in pieces
+    require(converged,
+      s"connected components did not converge in $maxIters iterations " +
+        "(a component's diameter exceeds the budget); raise maxIters")
+    // NOTE: the returned frame consumes the final persisted labels — like
+    // dedupMinhashLsh's representatives it is intentionally left cached
+    // (session LRU reclaims); call .unpersist() on it when done
     labels.select(col("node"), col("label").as("cluster"))
   }
 

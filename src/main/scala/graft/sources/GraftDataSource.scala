@@ -76,9 +76,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         // option-based time travel (Iceberg's snapshot-id / as-of-timestamp
         // read options): .option("versionAsOf", n) pins a snapshot;
         // .option("timestampAsOf", "<epoch-millis | yyyy-mm-dd hh:mm:ss>")
-        // resolves through the log's commit times
-        val asOf = Option(properties.get("versionAsOf")).map(_.trim.toInt)
-          .orElse(Option(properties.get("timestampAsOf")).map { ts =>
+        // resolves through the log's commit times. getTable receives the
+        // ORIGINAL-case map — DSv2 options are case-insensitive, so look
+        // up through CaseInsensitiveStringMap
+        val opts = new CaseInsensitiveStringMap(properties)
+        val asOf = Option(opts.get("versionAsOf")).map(_.trim.toInt)
+          .orElse(Option(opts.get("timestampAsOf")).map { ts =>
             val millis =
               try ts.trim.toLong
               catch { case _: NumberFormatException =>

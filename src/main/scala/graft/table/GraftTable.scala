@@ -378,7 +378,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
-      b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
+      // zero-row appends commit no dir (a partitioned zero-row write
+      // creates no files; on object stores the empty path doesn't exist)
+      b.copy(version = v, op = "append", dataDirs =
+        if (rows > 0) b.dataDirs :+ DataDir(sub, v, rows) else b.dataDirs)
     })
     this
   }
@@ -442,6 +445,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (newSub, newRows) = writeData(aligned, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      // the dir split was computed against s: folding over a concurrent
+      // commit would silently drop its dirs (and carrying its deletes
+      // while stamping our rewrite NEWER would resurrect deleted rows) —
+      // abort like every other row-level commit
+      require(b.version == s.version,
+        s"concurrent write during dynamic overwrite (table advanced " +
+          s"v${s.version} -> v${b.version}); retry")
       b.copy(version = v, op = "overwrite",
         dataDirs = untouched ++ keptSub.map { case (p, r) => DataDir(p, v, r) } ++
           (if (newRows > 0) Seq(DataDir(newSub, v, newRows)) else Seq.empty))
@@ -476,8 +486,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       require(b.deletes.isEmpty || b.deletes.head.keys == keys,
         s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",
-        dataDirs = b.dataDirs :+ DataDir(rsub, v, nrows),
-        deletes = b.deletes :+ DeleteFile(dsub, keys, v, dRows))
+        dataDirs =
+          if (nrows > 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
+        deletes =
+          if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes)
     })
     this
   }
@@ -1147,7 +1159,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }.toSet
     val f = fs
     val cutoff = System.currentTimeMillis() - olderThanMs
-    Seq("data", "deletes").flatMap { root =>
+    // staging/ holds dynamic-overwrite scratch; never referenced by any
+    // snapshot, so age alone decides
+    Seq("data", "deletes", "staging").flatMap { root =>
       val rp = new Path(dir, root)
       if (!f.exists(rp)) Seq.empty
       else f.listStatus(rp).toSeq
