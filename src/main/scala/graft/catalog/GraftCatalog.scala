@@ -36,7 +36,8 @@ import java.util
   * with tables at `<warehouse>/<namespace>/<table>`.
   */
 class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -186,6 +187,55 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
 
+  // ---- ProcedureCatalog (SQL CALL maintenance surface) ----------------
+  // `CALL graft.system.compact('ns.t')` etc — the maintenance actions a
+  // deployment schedules (Iceberg exposes the same set as procedures).
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the system namespace: CALL ${name()}.system.<proc>(...)")
+    def tbl(r: org.apache.spark.sql.catalyst.InternalRow): GraftTable = {
+      val parts = r.getUTF8String(0).toString.split('.')
+      GraftTable.load(spark, s"$warehouse/${parts.mkString("/")}")
+    }
+    ident.name().toLowerCase match {
+      case "compact" =>
+        GraftCatalog.procedure("compact", Seq("table" -> StringType)) { r =>
+          tbl(r).compact(); ()
+        }
+      case "expire_snapshots" =>
+        GraftCatalog.procedure("expire_snapshots",
+          Seq("table" -> StringType, "keep_last" -> IntegerType)) { r =>
+          tbl(r).expireSnapshots(r.getInt(1)); ()
+        }
+      case "vacuum" =>
+        GraftCatalog.procedure("vacuum",
+          Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
+          tbl(r).vacuumOrphans(r.getLong(1)); ()
+        }
+      case "rewrite_small_dirs" =>
+        GraftCatalog.procedure("rewrite_small_dirs", Seq("table" -> StringType)) { r =>
+          tbl(r).rewriteSmallDirs(); ()
+        }
+      case "rewrite_zorder" =>
+        GraftCatalog.procedure("rewrite_zorder",
+          Seq("table" -> StringType, "a" -> StringType, "b" -> StringType)) { r =>
+          tbl(r).rewriteZOrder(r.getUTF8String(1).toString, r.getUTF8String(2).toString); ()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $other; available: compact, expire_snapshots, " +
+          "vacuum, rewrite_small_dirs, rewrite_zorder")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
+        "rewrite_zorder").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
   // ---- FunctionCatalog (storage-partitioned joins) --------------------
   // Spark resolves a scan-reported `bucket(n, col)` partition transform by
   // loading `bucket` from the table's catalog; serving it here is what
@@ -233,4 +283,29 @@ object GraftCatalog {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
   }
+
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.DataType
+
+  /** A void maintenance procedure with IN parameters. */
+  private[catalog] def procedure(procName: String, params: Seq[(String, DataType)])
+                                (run: InternalRow => Unit): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            run(input)
+            java.util.Collections.emptyIterator()
+          }
+        }
+    }
 }

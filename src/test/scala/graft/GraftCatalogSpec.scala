@@ -696,6 +696,27 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CALL graft.system.* maintenance procedures") {
+    val dir = s"$warehouse/db16/maint"
+    val t = GraftTable.create(spark, dir, StructType(Seq(StructField("id", LongType))))
+    (1 to 3).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    assert(t.snapshot.dataDirs.size == 3)
+    spark.sql("CALL graft.system.compact('db16.maint')")
+    val s = GraftTable.load(spark, dir).snapshot
+    assert(s.dataDirs.size == 1 && s.op == "overwrite")
+    assert(spark.sql("SELECT count(*) FROM graft.db16.maint").head.getLong(0) == 3)
+    // vacuum removes a planted orphan through SQL
+    val orphan = new java.io.File(s"$dir/data/zombie"); orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    spark.sql("CALL graft.system.vacuum('db16.maint', 1000)")
+    assert(!orphan.exists())
+    spark.sql("CALL graft.system.expire_snapshots('db16.maint', 1)")
+    assert(GraftTable.load(spark, dir).snapshotAt(0).op == "expired")
+    val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
+    assert(e.getMessage.contains("unknown procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
