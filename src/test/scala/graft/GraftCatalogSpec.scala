@@ -696,6 +696,43 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("subquery DELETE and NOT MATCHED BY SOURCE through plain SQL") {
+    val t = mkTable("db17", "subq", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    Seq(2L, 4L).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    // IN-subquery condition is not filter-translatable → row-level path
+    spark.sql("DELETE FROM graft.db17.subq WHERE id IN (SELECT bad_id FROM bad_ids)")
+    assert(spark.sql("SELECT id FROM graft.db17.subq ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    // NOT MATCHED BY SOURCE: rows absent from the source get deleted
+    spark.sql(
+      """MERGE INTO graft.db17.subq t
+        |USING (SELECT 3 AS id, 'c2' AS v) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db17.subq ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c2")))
+  }
+
+  test("MoR table: subquery DELETE and NOT MATCHED BY SOURCE via deltas") {
+    val dir = s"$warehouse/db17/subqmor"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq(2L).toDF("bad_id").createOrReplaceTempView("bad_ids_mor")
+    spark.sql("DELETE FROM graft.db17.subqmor WHERE id IN (SELECT bad_id FROM bad_ids_mor)")
+    assert(GraftTable.load(spark, dir).snapshot.op == "rowdelta")
+    spark.sql(
+      """MERGE INTO graft.db17.subqmor t
+        |USING (SELECT 1 AS id, 'a2' AS v) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db17.subqmor ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a2")))
+  }
+
   test("CALL graft.system.* maintenance procedures") {
     val dir = s"$warehouse/db16/maint"
     val t = GraftTable.create(spark, dir, StructType(Seq(StructField("id", LongType))))
