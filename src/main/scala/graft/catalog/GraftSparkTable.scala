@@ -196,7 +196,11 @@ object GraftSparkTable {
   * calls truncate() first under OutputMode.Complete). */
 private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwriteV2
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    // update-mode streams deliver changed rows as appends (the Kafka/
+    // console contract); with option("upsertKeys", ...) the sink applies
+    // them as keyed MoR upserts, without it they append (documented)
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var replace = false
   private var dynamic = false
 
@@ -227,8 +231,11 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
       if (dynamic) new GraftDynamicBatchWrite(dir, info.schema())
       else super.toBatch
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val upsertKeys = Option(info.options.get("upsertKeys"))
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace, upsertKeys)
+    }
   }
 }
 

@@ -33,7 +33,8 @@ import java.util.UUID
   * writer makes).
   */
 final class GraftStreamingWrite(dir: String, querySchema: StructType,
-                                queryId: String, replace: Boolean)
+                                queryId: String, replace: Boolean,
+                                upsertKeys: Seq[String] = Seq.empty)
     extends StreamingWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -65,7 +66,14 @@ final class GraftStreamingWrite(dir: String, querySchema: StructType,
       return
     }
     val committed =
-      if (snap.spec.isEmpty && snap.key.isEmpty)
+      if (upsertKeys.nonEmpty) {
+        // upsert mode (update-mode CDC sink): the epoch's rows become
+        // one merge-on-read rowDelta keyed by upsertKeys
+        val df = GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
+        val ok = t.streamEpochUpsert(df, upsertKeys, queryId, epochId)
+        deleteDir(sub) // raw epoch dir is scratch on this path
+        ok
+      } else if (snap.spec.isEmpty && snap.key.isEmpty)
         t.commitStreamEpoch(queryId, epochId, sub, rows, replace)
       else {
         // layout-maintaining path: read the epoch's raw files back and

@@ -1021,6 +1021,46 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     })
   }
 
+  /** Streaming-sink epoch commit as a merge-on-read UPSERT: the epoch's
+    * rows (deduped per key) become one rowDelta — equality deletes for
+    * the keys plus the new rows — with the same exactly-once
+    * [[Snapshot.streamEpochs]] ledger as the append sink. The
+    * update-mode streaming-CDC sink shape: each changed aggregate /
+    * change row lands as a keyed upsert, no foreachBatch needed. */
+  private[graft] def streamEpochUpsert(df: DataFrame, keys: Seq[String],
+                                       queryId: String, epochId: Long): Boolean = {
+    val s = snapshot
+    require(s.formatVersion >= 2,
+      s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
+    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+      s"upsert key set $keys differs from existing delete files' key set")
+    if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
+    // one row per key within the epoch (update mode re-emits a key's
+    // latest aggregate; dropDuplicates keeps one deterministically
+    // enough for the re-emit-latest contract)
+    val rows = df.dropDuplicates(keys)
+    val dsub = s"deletes/${UUID.randomUUID()}"
+    val physKeys = keys.map(s.physicalOf)
+    val delObs = org.apache.spark.sql.Observation()
+    rows.select(keys.map(col): _*).toDF(physKeys: _*)
+      .observe(delObs, count(lit(1)).as("rows"))
+      .write.mode("errorifexists").parquet(s"$dir/$dsub")
+    val dRows = try delObs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    val (rsub, nrows) = writeData(rows, s)
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
+        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
+      b.copy(version = v, op = "rowdelta",
+        dataDirs =
+          if (nrows > 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
+        deletes =
+          if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes,
+        streamEpochs = b.streamEpochs + (queryId -> epochId))
+    })
+    true
+  }
+
   /** Z-order layout rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`):
     * rewrites the live rows clustered by the Morton interleave of two
     * columns, so ONE sorted layout serves range predicates on EITHER

@@ -217,6 +217,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sink: update-mode aggregation upserts by key (MoR)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("sink-upsert")
+    graft.table.GraftTable.create(spark, dir, StructType(Seq(
+      StructField("v", StringType), StructField("n", LongType))),
+      key = Seq("v"), formatVersion = 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "v")
+      .groupBy($"v").agg(count("*").as("n"))
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("upsertKeys", "v")
+      .option("checkpointLocation", TestSpark.tmpDir("sink-upsert-cp"))
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "x"), (2L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      mem.addData((4L, "x")) // only x's count changes in this epoch
+      q.processAllAvailable()
+      val t = graft.table.GraftTable.load(spark, dir)
+      // the table holds the LATEST count per key: x upserted twice
+      assert(t.toDF.orderBy("v").as[(String, Long)].collect().toSeq ==
+        Seq(("x", 3L), ("y", 1L)))
+      assert(t.snapshot.op == "rowdelta")
+      // update mode only re-emitted x in epoch 2 — y's row was NOT
+      // rewritten (two delta commits, the second touching only x)
+      assert(t.snapshot.deletes.size == 2)
+    } finally q.stop()
+  }
+
   test("commitStreamEpoch is idempotent for a retried epoch") {
     import org.apache.spark.sql.types._
     val dir = TestSpark.tmpDir("epoch")
