@@ -312,6 +312,42 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** The full corpus-cleaning pipeline a training-data run composes, as
+    * one dataflow: exact dedup (keep min doc per identical text) →
+    * near-dup collapse (keep each LSH cluster's minimum) → quality gate
+    * (token count + type-token ratio) → deterministic per-language cap.
+    * Every stage is the already-tested operator; the value here is the
+    * COMPOSITION: one pass over documents + the pair-list machinery, no
+    * driver-side loops, each arrow a shuffle Spark can plan. Returns the
+    * surviving (doc_id, lang). */
+  def corpusClean(spark: SparkSession, dir: String,
+                  minTok: Int = 5, minTtr: Double = 0.2,
+                  perLangCap: Int = 200): DataFrame = {
+    val docs = documents(spark, dir)
+    // exact: one representative per identical text
+    val exact = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // near-dup: drop every clustered doc that is not its cluster minimum
+    val losers = connectedComponents(dedupMinhashLsh(spark, dir), "a_id", "b_id")
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"))
+    val surviving = exact.join(losers, Seq("doc_id"), "left_anti")
+      .join(docs, "doc_id")
+    // quality gate
+    val quality = surviving
+      .withColumn("n_tok", size(tokens))
+      .withColumn("ttr", size(array_distinct(tokens)).cast(DoubleType) / col("n_tok"))
+      .filter(col("n_tok") >= minTok && col("ttr") >= minTtr)
+    // deterministic per-language cap (same md5 order as stratifiedSample)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    quality.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perLangCap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,

@@ -108,6 +108,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(spark, jpeg).collect().head.format == "jpeg")
   }
 
+  test("corpusClean: composed dedup/quality/cap pipeline holds its invariants") {
+    val out = graft.ext.TextOps.corpusClean(spark, "/root/testdata/sf0.001",
+      perLangCap = 50)
+    val rows = out.as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    // no language exceeds the cap
+    assert(rows.groupBy(_._2).values.forall(_.length <= 50))
+    // survivors contain no two members of one near-dup cluster
+    val cl = graft.ext.TextOps.dedupClusters(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    val survivorClusters = rows.map(_._1).flatMap(cl.get)
+    assert(survivorClusters.length == survivorClusters.distinct.length,
+      "two near-dups survived the pipeline")
+    // survivors are real docs, at most one per exact text
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id".isin(rows.map(_._1).toSeq: _*))
+      .select($"text").as[String].collect()
+    assert(texts.length == texts.distinct.length)
+  }
+
   test("connectedComponents: chains merge, separate clusters stay apart") {
     // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
     // cross-listed order (7,5) exercises the undirected expansion
