@@ -197,8 +197,19 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
     require(ident.namespace().sameElements(Array("system")),
       s"procedures live in the system namespace: CALL ${name()}.system.<proc>(...)")
     def tbl(r: org.apache.spark.sql.catalyst.InternalRow): GraftTable = {
-      val parts = r.getUTF8String(0).toString.split('.')
-      GraftTable.load(spark, s"$warehouse/${parts.mkString("/")}")
+      require(!r.isNullAt(0), "table argument must not be NULL")
+      val parts = r.getUTF8String(0).toString.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"bad table name '${r.getUTF8String(0)}': use 'namespace.table'")
+      def identOf(ps: Seq[String]) = Identifier.of(ps.init.toArray, ps.last)
+      // accept the catalog-qualified spelling too ('graft.ns.t') as long
+      // as it is unambiguous
+      val ident =
+        if (tableExists(identOf(parts))) identOf(parts)
+        else if (parts.length > 1 && parts.head == name() &&
+          tableExists(identOf(parts.tail))) identOf(parts.tail)
+        else throw new NoSuchTableException(identOf(parts))
+      GraftTable.load(spark, dirOf(ident))
     }
     ident.name().toLowerCase match {
       case "compact" =>

@@ -234,7 +234,8 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val upsertKeys = Option(info.options.get("upsertKeys"))
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
-      new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace, upsertKeys)
+      new GraftStreamingWrite(dir, info.schema(), info.queryId(), replace,
+        upsertKeys, Option(info.options.get("upsertOrderBy")).map(_.trim))
     }
   }
 }

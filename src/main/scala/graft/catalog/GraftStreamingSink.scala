@@ -34,8 +34,13 @@ import java.util.UUID
   */
 final class GraftStreamingWrite(dir: String, querySchema: StructType,
                                 queryId: String, replace: Boolean,
-                                upsertKeys: Seq[String] = Seq.empty)
+                                upsertKeys: Seq[String] = Seq.empty,
+                                upsertOrderBy: Option[String] = None)
     extends StreamingWrite {
+
+  require(!(replace && upsertKeys.nonEmpty),
+    "complete mode with upsertKeys is contradictory (complete already " +
+      "replaces the whole result); use update or append mode")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -70,7 +75,7 @@ final class GraftStreamingWrite(dir: String, querySchema: StructType,
         // upsert mode (update-mode CDC sink): the epoch's rows become
         // one merge-on-read rowDelta keyed by upsertKeys
         val df = GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
-        val ok = t.streamEpochUpsert(df, upsertKeys, queryId, epochId)
+        val ok = t.streamEpochUpsert(df, upsertKeys, queryId, epochId, upsertOrderBy)
         deleteDir(sub) // raw epoch dir is scratch on this path
         ok
       } else if (snap.spec.isEmpty && snap.key.isEmpty)

@@ -324,8 +324,14 @@ object TextOps {
                   minTok: Int = 5, minTtr: Double = 0.2,
                   perLangCap: Int = 200): DataFrame = {
     val docs = documents(spark, dir)
-    // exact: one representative per identical text
-    val exact = docs.groupBy(col("text"))
+    // exact: one representative per identical TOKEN SET (the same
+    // set-digest collapse dedupMinhashLsh's phase 0 performs — "a b" vs
+    // "b a" are Jaccard-1.0 duplicates the pair list never emits, so
+    // text-level dedup here would let them slip through the composition)
+    val exact = docs
+      .withColumn("__set_key",
+        xxhash64(concat_ws("", array_sort(array_distinct(tokens)))))
+      .groupBy(col("__set_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     // near-dup: drop every clustered doc that is not its cluster minimum

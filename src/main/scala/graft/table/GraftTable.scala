@@ -1028,17 +1028,33 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * update-mode streaming-CDC sink shape: each changed aggregate /
     * change row lands as a keyed upsert, no foreachBatch needed. */
   private[graft] def streamEpochUpsert(df: DataFrame, keys: Seq[String],
-                                       queryId: String, epochId: Long): Boolean = {
-    val s = snapshot
+                                       queryId: String, epochId: Long,
+                                       orderBy: Option[String] = None): Boolean = {
+    var s = snapshot
     require(s.formatVersion >= 2,
       s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
     require(s.deletes.isEmpty || s.deletes.head.keys == keys,
       s"upsert key set $keys differs from existing delete files' key set")
     if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
-    // one row per key within the epoch (update mode re-emits a key's
-    // latest aggregate; dropDuplicates keeps one deterministically
-    // enough for the re-emit-latest contract)
-    val rows = df.dropDuplicates(keys)
+    // a per-epoch delta stream grows one (data dir, delete file) pair per
+    // commit; past the threshold the read-side union/anti-join plan grows
+    // with it — fold inline so a long-running stream never needs a manual
+    // compact (one amortized rewrite every N epochs)
+    val maxPending = spark.conf.getOption("graft.stream.maxPendingDeletes")
+      .map(_.toInt).getOrElse(64)
+    if (s.deletes.size >= maxPending) { compact(); s = snapshot }
+    // one row per key within the epoch: with an orderBy column the
+    // greatest value wins (multi-emission sources — CDC unions, chained
+    // stateful ops); without it keep an arbitrary row, which is exact
+    // for the common one-emission-per-key aggregation shape
+    val rows = (orderBy match {
+      case Some(oc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(oc).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => df.dropDuplicates(keys)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
     val delObs = org.apache.spark.sql.Observation()
@@ -1047,6 +1063,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
     val dRows = try delObs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
     val (rsub, nrows) = writeData(rows, s)
+    rows.unpersist()
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       require(b.deletes.isEmpty || b.deletes.head.keys == keys,

@@ -749,6 +749,9 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!orphan.exists())
     spark.sql("CALL graft.system.expire_snapshots('db16.maint', 1)")
     assert(GraftTable.load(spark, dir).snapshotAt(0).op == "expired")
+    // catalog-qualified spelling resolves too
+    spark.sql("CALL graft.system.compact('graft.db16.maint')")
+    assert(spark.sql("SELECT count(*) FROM graft.db16.maint").head.getLong(0) == 3)
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
     assert(e.getMessage.contains("unknown procedure") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))

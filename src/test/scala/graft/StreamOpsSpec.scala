@@ -248,6 +248,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert sink: upsertOrderBy makes the latest row win within an epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("sink-ord")
+    graft.table.GraftTable.create(spark, dir, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ts", LongType))), key = Seq("k"), formatVersion = 2)
+    val mem = MemoryStream[(Long, String, Long)]
+    // append-mode passthrough: a CDC feed can emit one key many times
+    // per epoch; upsertOrderBy picks the greatest ts
+    val q = mem.toDS().toDF("k", "v", "ts")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("upsertKeys", "k").option("upsertOrderBy", "ts")
+      .option("checkpointLocation", TestSpark.tmpDir("sink-ord-cp"))
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "old", 10L), (1L, "new", 20L), (2L, "b", 5L))
+      q.processAllAvailable()
+      mem.addData((1L, "stale-late", 15L)) // later epoch still upserts (by key)
+      q.processAllAvailable()
+      val t = graft.table.GraftTable.load(spark, dir)
+      // epoch 1 kept ts=20 for k=1; epoch 2's row replaced it (per-key
+      // upsert across epochs is last-writer-wins, ordering is per-epoch)
+      assert(t.toDF.orderBy("k").as[(Long, String, Long)].collect().toSeq ==
+        Seq((1L, "stale-late", 15L), (2L, "b", 5L)))
+    } finally q.stop()
+  }
+
   test("commitStreamEpoch is idempotent for a retried epoch") {
     import org.apache.spark.sql.types._
     val dir = TestSpark.tmpDir("epoch")
