@@ -29,6 +29,22 @@ object StreamOps {
       .parquet(dir)
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each id,
+    * dropping re-deliveries that arrive within the watermark horizon
+    * (at-least-once sources re-send; this makes the downstream
+    * exactly-once). `dropDuplicatesWithinWatermark` keys the state store
+    * by id and EXPIRES entries once the watermark passes — bounded
+    * state, unlike a plain streaming dropDuplicates whose key set grows
+    * forever. `tsCol` must be the event-time column (nanoseconds, like
+    * the events table). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+      .drop("__ts")
+
   /** Tumbling 1-hour aggregation with a 2-hour watermark: late events
     * beyond the watermark are dropped, finalized windows emit in append
     * mode. Identical expressions to the batch query. */

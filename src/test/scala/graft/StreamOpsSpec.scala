@@ -248,6 +248,24 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event_id, ts_ns)
+    val src = mem.toDS().toDF("event_id", "ts")
+    val q = StreamOps.dedupStream(src, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedupst").outputMode("append").start()
+    try {
+      val H = 3600L * 1000000000L // ns
+      mem.addData((1L, H), (2L, H), (1L, H + 1)) // 1 re-delivered in-batch
+      q.processAllAvailable()
+      mem.addData((1L, H + 2), (3L, H + 3)) // 1 re-delivered next batch
+      q.processAllAvailable()
+      val ids = spark.table("dedupst").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("upsert sink: upsertOrderBy makes the latest row win within an epoch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.types._
