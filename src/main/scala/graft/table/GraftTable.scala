@@ -1123,6 +1123,64 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** N-column z-order rewrite (`OPTIMIZE ZORDER BY (a, b, c, …)`):
+    * round-robin bit interleave of the normalized columns, built from
+    * Spark's own bit expressions — fully codegen'd, no custom
+    * Expression needed. Each column contributes its normalized value's
+    * top `63/n` bits; bit j of column i lands at position `j*n + i`, so
+    * every dimension's high bits shape the curve equally. Two columns
+    * delegate to the 64-bit [[graft.functions.ZOrderLong]] interleave
+    * (denser: 32 bits per column). */
+  def rewriteZOrder(cols: Seq[String]): GraftTable = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    if (cols.size == 2) return rewriteZOrder(cols.head, cols(1))
+    val s = snapshot
+    require(s.deletes.isEmpty, "apply pending deletes first (compact())")
+    if (s.dataDirs.isEmpty) return this
+    val n = cols.size
+    val bits = 63 / n
+    def norm(name: String, c: Column): Column =
+      s.schema(name).dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          greatest(least(c.cast(LongType) + lit(2147483648L),
+            lit(4294967295L)), lit(0L))
+        case DateType => unix_date(c).cast(LongType) + lit(2147483648L)
+        case _ => pmod(xxhash64(c), lit(4294967296L))
+      }
+    // min/max-scale each column into its bit budget: the data's ACTUAL
+    // range fills the bits, so narrow-range columns still shape the
+    // curve (taking raw top bits would collapse them to one value).
+    // One cheap agg pass — the rewrite reads everything anyway.
+    val stats = toDF.select(cols.flatMap(name =>
+      Seq(min(norm(name, col(name))), max(norm(name, col(name))))): _*).head()
+    val z = cols.zipWithIndex.map { case (name, i) =>
+      val lo = stats.getLong(2 * i)
+      val span = math.max(1L, stats.getLong(2 * i + 1) - lo)
+      val scaled = ((norm(name, col(s.physicalOf(name))) - lit(lo)) *
+        lit((1L << bits) - 1) / lit(span)).cast(LongType)
+      (0 until bits).map { j =>
+        shiftleft(shiftright(scaled, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val layout: DataFrame => DataFrame = df =>
+      df.withColumn("__z", z)
+        .repartitionByRange(col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    val (sub, rows) = writeData(toDF, s, Some(layout))
+    commit(s.version + 1)((rebase, v) => {
+      val b0 = Option(rebase).getOrElse(s)
+      require(b0.deletes.isEmpty,
+        "rewriteZOrder lost a race with a rowDelta commit; re-run after compact()")
+      require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
+        "rewriteZOrder lost a race with an overwrite commit; re-run")
+      val replaced = s.dataDirs.map(_.path).toSet
+      b0.copy(version = v, op = "rewrite",
+        dataDirs = b0.dataDirs.filterNot(d => replaced.contains(d.path)) :+ DataDir(sub, v, rows))
+    })
+    this
+  }
+
   /** Bin-packing compaction (Iceberg's `rewrite_data_files` shape): only
     * dirs whose total bytes fall under `smallDirBytes` are rewritten into
     * one consolidated dir; large dirs keep their files untouched — at

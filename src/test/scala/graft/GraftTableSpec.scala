@@ -498,6 +498,40 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.currentVersion == v)
   }
 
+  test("N-column z-order bounds every dimension's footer ranges") {
+    val dir = TestSpark.tmpDir("gt-zn")
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("z", LongType)))
+    val t = GraftTable.create(spark, dir, schema)
+    // 16^3 grid appended x-major: an x-range layout leaves y and z
+    // unbounded per file
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+      yield (x, y, z)
+    t.append(grid.toDF("x", "y", "z").repartitionByRange(8, col("x")))
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    def filesMatching(c: String, lo: Long, hi: Long): (Int, Int) = {
+      val files = t.toDF.inputFiles
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(smin(c), smax(c)).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+      (hit, files.length)
+    }
+    val (beforeHit, beforeN) = filesMatching("z", 0L, 1L)
+    assert(beforeHit == beforeN, "x-major layout: every file spans full z")
+    // tiny test data coalesces to one file otherwise; bound records per
+    // file so the layout's per-file ranges are observable
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "512")
+    try t.rewriteZOrder(Seq("x", "y", "z"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val (afterHit, afterN) = filesMatching("z", 0L, 1L)
+    assert(afterHit < afterN, s"z-layout should skip files: $afterHit/$afterN")
+    // rows unchanged
+    assert(t.toDF.count() == 16L * 16 * 16)
+    assert(t.toDF.agg(smax("x"), smax("y"), smax("z")).head() ==
+      org.apache.spark.sql.Row(15L, 15L, 15L))
+  }
+
   test("zero-row append commits no ghost dir; stale dynamic overwrite aborts") {
     val dir = TestSpark.tmpDir("guards")
     val t = GraftTable.create(spark, dir, StructType(Seq(
