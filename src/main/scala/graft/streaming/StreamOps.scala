@@ -38,12 +38,16 @@ object StreamOps {
     * forever. `tsCol` must be the event-time column (nanoseconds, like
     * the events table). */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
-                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    val tmp = "__graft_dedup_ts"
+    require(!events.columns.contains(tmp), s"input must not carry a $tmp column")
     events
-      .withColumn("__ts", timestamp_micros(expr(s"$tsCol div 1000")))
-      .withWatermark("__ts", watermark)
+      // integer ns→µs division via col() — no raw-SQL splice of the name
+      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withWatermark(tmp, watermark)
       .dropDuplicatesWithinWatermark(idCol)
-      .drop("__ts")
+      .drop(tmp)
+  }
 
   /** Tumbling 1-hour aggregation with a 2-hour watermark: late events
     * beyond the watermark are dropped, finalized windows emit in append

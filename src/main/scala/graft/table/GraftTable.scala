@@ -1086,22 +1086,39 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * map monotonically (offset into unsigned 32-bit space); other types
     * hash (groups equal values, no range locality). Commits as a
     * `rewrite` (excluded from incremental reads like overwrite). */
+  /** Monotone map of a z-order column into [0, 2^32): order-preserving
+    * for the full int range (clamp BEFORE the offset — adding first
+    * overflows Long.MaxValue-band values, an ANSI-mode crash); other
+    * types hash. Shared by the 2- and N-column rewrites. */
+  private def zNormalize(s: Snapshot, name: String, c: Column): Column =
+    s.schema(name).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        greatest(least(c.cast(LongType), lit(2147483647L)),
+          lit(-2147483648L)) + lit(2147483648L)
+      case DateType => unix_date(c).cast(LongType) + lit(2147483648L)
+      case _ => pmod(xxhash64(c), lit(4294967296L))
+    }
+
+  /** One rewrite commit: `s`'s dirs replaced by the rewritten dir; any
+    * concurrently-appended dirs carry over (the rewrite read dfAt(s), so
+    * they are NOT in the rewritten data — no duplication). */
+  private def commitRewrite(s: Snapshot, sub: String, rows: Long): Unit =
+    commit(s.version + 1)((rebase, v) => {
+      val b0 = Option(rebase).getOrElse(s)
+      require(b0.deletes.isEmpty,
+        "rewrite lost a race with a rowDelta commit; re-run after compact()")
+      require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
+        "rewrite lost a race with an overwrite commit; re-run")
+      val replaced = s.dataDirs.map(_.path).toSet
+      b0.copy(version = v, op = "rewrite",
+        dataDirs = b0.dataDirs.filterNot(d => replaced.contains(d.path)) :+ DataDir(sub, v, rows))
+    })
+
   def rewriteZOrder(a: String, b: String): GraftTable = {
     val s = snapshot
     require(s.deletes.isEmpty, "apply pending deletes first (compact())")
     graft.functions.ZOrderLong.register(spark)
-    def zlong(name: String): Column = {
-      val c = col(s.physicalOf(name))
-      s.schema(name).dataType match {
-        case LongType | IntegerType | ShortType | ByteType =>
-          // monotone shift into [0, 2^32): order-preserving for the full
-          // int range; wider longs rely on the low bits (pre-bucket if so)
-          greatest(least(c.cast(LongType) + lit(2147483648L),
-            lit(4294967295L)), lit(0L))
-        case DateType => unix_date(c).cast(LongType) + lit(2147483648L)
-        case _ => pmod(xxhash64(c), lit(4294967296L))
-      }
-    }
+    def zlong(name: String): Column = zNormalize(s, name, col(s.physicalOf(name)))
     val layout: DataFrame => DataFrame = df => {
       val z = graft.functions.ZOrderLong.z_order(zlong(a), zlong(b))
       df.withColumn("__z", z)
@@ -1109,17 +1126,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         .sortWithinPartitions(col("__z"))
         .drop("__z")
     }
-    val (sub, rows) = writeData(toDF, s, Some(layout))
-    commit(s.version + 1)((rebase, v) => {
-      val b0 = Option(rebase).getOrElse(s)
-      require(b0.deletes.isEmpty,
-        "rewriteZOrder lost a race with a rowDelta commit; re-run after compact()")
-      require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
-        "rewriteZOrder lost a race with an overwrite commit; re-run")
-      val replaced = s.dataDirs.map(_.path).toSet
-      b0.copy(version = v, op = "rewrite",
-        dataDirs = b0.dataDirs.filterNot(d => replaced.contains(d.path)) :+ DataDir(sub, v, rows))
-    })
+    // rewrite exactly snapshot s (dfAt, not toDF): a concurrent append
+    // must not be double-counted (kept by the rebase AND rewritten)
+    val (sub, rows) = writeData(dfAt(s), s, Some(layout))
+    commitRewrite(s, sub, rows)
     this
   }
 
@@ -1133,30 +1143,30 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * (denser: 32 bits per column). */
   def rewriteZOrder(cols: Seq[String]): GraftTable = {
     require(cols.size >= 2, "z-order needs at least two columns")
+    require(cols.size <= 16,
+      s"z-order over ${cols.size} columns gives <4 bits per dimension; cap is 16")
     if (cols.size == 2) return rewriteZOrder(cols.head, cols(1))
     val s = snapshot
     require(s.deletes.isEmpty, "apply pending deletes first (compact())")
     if (s.dataDirs.isEmpty) return this
     val n = cols.size
     val bits = 63 / n
-    def norm(name: String, c: Column): Column =
-      s.schema(name).dataType match {
-        case LongType | IntegerType | ShortType | ByteType =>
-          greatest(least(c.cast(LongType) + lit(2147483648L),
-            lit(4294967295L)), lit(0L))
-        case DateType => unix_date(c).cast(LongType) + lit(2147483648L)
-        case _ => pmod(xxhash64(c), lit(4294967296L))
-      }
     // min/max-scale each column into its bit budget: the data's ACTUAL
     // range fills the bits, so narrow-range columns still shape the
     // curve (taking raw top bits would collapse them to one value).
-    // One cheap agg pass — the rewrite reads everything anyway.
-    val stats = toDF.select(cols.flatMap(name =>
-      Seq(min(norm(name, col(name))), max(norm(name, col(name))))): _*).head()
+    // One cheap agg pass over snapshot s — the same frozen snapshot the
+    // rewrite reads and the commit replaces.
+    val base = dfAt(s)
+    val stats = base.select(cols.flatMap(name =>
+      Seq(min(zNormalize(s, name, col(name))),
+        max(zNormalize(s, name, col(name))))): _*).head()
     val z = cols.zipWithIndex.map { case (name, i) =>
-      val lo = stats.getLong(2 * i)
-      val span = math.max(1L, stats.getLong(2 * i + 1) - lo)
-      val scaled = ((norm(name, col(s.physicalOf(name))) - lit(lo)) *
+      // an all-NULL column has null stats: treat as constant (lo=0,
+      // span=1) — its rows carry null z bits and sort together
+      val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) lo else stats.getLong(2 * i + 1)
+      val span = math.max(1L, hi - lo)
+      val scaled = ((zNormalize(s, name, col(s.physicalOf(name))) - lit(lo)) *
         lit((1L << bits) - 1) / lit(span)).cast(LongType)
       (0 until bits).map { j =>
         shiftleft(shiftright(scaled, j).bitwiseAND(lit(1L)), j * n + i)
@@ -1167,17 +1177,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         .repartitionByRange(col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")
-    val (sub, rows) = writeData(toDF, s, Some(layout))
-    commit(s.version + 1)((rebase, v) => {
-      val b0 = Option(rebase).getOrElse(s)
-      require(b0.deletes.isEmpty,
-        "rewriteZOrder lost a race with a rowDelta commit; re-run after compact()")
-      require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
-        "rewriteZOrder lost a race with an overwrite commit; re-run")
-      val replaced = s.dataDirs.map(_.path).toSet
-      b0.copy(version = v, op = "rewrite",
-        dataDirs = b0.dataDirs.filterNot(d => replaced.contains(d.path)) :+ DataDir(sub, v, rows))
-    })
+    val (sub, rows) = writeData(base, s, Some(layout))
+    commitRewrite(s, sub, rows)
     this
   }
 

@@ -498,6 +498,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.currentVersion == v)
   }
 
+  test("z-order handles Long.MaxValue band and all-null columns") {
+    val dir = TestSpark.tmpDir("gt-zedge")
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("w", LongType)))
+    val t = GraftTable.create(spark, dir, schema)
+    // extreme values would overflow a clamp-after-offset normalization
+    // under ANSI mode; w is entirely NULL (stats come back null)
+    t.append(Seq((Long.MaxValue, 1L, Option.empty[Long]),
+      (Long.MinValue, 2L, Option.empty[Long]),
+      (0L, 3L, Option.empty[Long])).toDF("x", "y", "w"))
+    t.rewriteZOrder(Seq("x", "y", "w"))
+    assert(t.toDF.count() == 3)
+    assert(t.toDF.agg(org.apache.spark.sql.functions.max("x")).head.getLong(0) == Long.MaxValue)
+    // 2-col path shares the normalization
+    t.rewriteZOrder("x", "y")
+    assert(t.toDF.count() == 3)
+  }
+
   test("N-column z-order bounds every dimension's footer ranges") {
     val dir = TestSpark.tmpDir("gt-zn")
     val schema = StructType(Seq(StructField("x", LongType),
