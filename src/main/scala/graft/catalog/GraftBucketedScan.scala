@@ -164,9 +164,7 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
       GraftBucketedScan.filePartitions(table.dir, d)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftBucketedScan.deleteAware(
-      GraftBucketedScan.readerFactory(snap, required, pushed),
-      table.dir, snap, required)
+    GraftBucketedScan.deleteAware(table.dir, snap, required, pushed)
 }
 
 /** Wraps the file reader with the (key → newest delete version) filter:
@@ -243,31 +241,44 @@ object GraftBucketedScan {
       GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq))
   }
 
-  /** Wraps `inner` with reader-side equality-delete filtering when the
-    * snapshot has pending deletes: the driver folds the delete files into
-    * a (key → newest delete version) map — size-gated by
+  /** Builds a reader factory with reader-side equality-delete filtering
+    * when the snapshot has pending deletes: the driver folds the delete
+    * files into a (key → newest delete version) map — size-gated by
     * `graft.delete.broadcastMaxRows`, the bound the view path uses for
     * its broadcast anti-join — and readers drop rows whose key has a
-    * delete strictly newer than the row's dir version. */
-  private[catalog] def deleteAware(inner: GraftBucketReaderFactory,
-      tableDir: String, snap: graft.table.Snapshot,
-      required: StructType): PartitionReaderFactory = {
-    if (snap.deletes.isEmpty) return inner
+    * delete strictly newer than the row's dir version.
+    *
+    * Delete-key columns the caller did NOT select are widened into the
+    * physical read internally and projected away after filtering, so a
+    * non-key projection of a MoR table still returns live rows only. A
+    * delete file with no logged rowCount (legacy -1) is counted from its
+    * parquet footers instead of erroring. */
+  private[catalog] def deleteAware(tableDir: String, snap: graft.table.Snapshot,
+      required: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
+    if (snap.deletes.isEmpty) return readerFactory(snap, required, pushed)
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, lit, max => fmax}
     val delKeys = snap.deletes.head.keys // uniform key set (enforced at commit)
     val physKeys = delKeys.map(snap.physicalOf)
-    val counts = snap.deletes.map(_.rowCount)
+    // legacy delete files (rowCount -1) fall back to a footer-metadata
+    // count — unknown size is a fallback, never an error
+    val counts = snap.deletes.map(d =>
+      if (d.rowCount >= 0) d.rowCount
+      else spark.read.parquet(s"$tableDir/${d.path}").count())
     val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
       .map(_.toLong).getOrElse(1000000L)
-    require(counts.forall(_ >= 0) && counts.sum <= maxRows,
+    require(counts.sum <= maxRows,
       s"pending equality deletes too large for this scan " +
         s"(${counts.sum} > graft.delete.broadcastMaxRows=$maxRows); compact() first")
-    val physRequired = required.fields.map(f => snap.physicalOf(f.name))
+    // widen the read schema with unselected delete-key columns; the
+    // filtered rows are projected back to the caller's schema below
+    val missing = delKeys.filterNot(k =>
+      required.fieldNames.exists(_.equalsIgnoreCase(k)))
+    val widened = StructType(required.fields ++ missing.map(k => snap.schema(k)))
+    val inner = readerFactory(snap, widened, pushed)
+    val physRequired = widened.fields.map(f => snap.physicalOf(f.name))
     val keyIdx = physKeys.map(k => physRequired.indexOf(k)).toArray
-    require(keyIdx.forall(_ >= 0),
-      s"scan must read the delete key columns $delKeys (select them explicitly)")
-    val keyTypes = keyIdx.map(i => required.fields(i).dataType)
+    val keyTypes = keyIdx.map(i => widened.fields(i).dataType)
     val merged = snap.deletes.map { d =>
       spark.read.parquet(s"$tableDir/${d.path}")
         .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
@@ -279,7 +290,9 @@ object GraftBucketedScan {
       val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
       k -> r.getInt(conv.length)
     }.toMap
-    new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
+    val filtering = new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
+    if (missing.isEmpty) filtering
+    else new GraftProjectingReaderFactory(filtering, required)
   }
 
   /** Recursive `.parquet` listing of one committed data dir, one
@@ -314,6 +327,24 @@ object GraftBucketedScan {
       for (lc <- renamePushedFilter(l, phys); rc <- renamePushedFilter(r, phys))
         yield sources.And(lc, rc)
     case _ => None
+  }
+}
+
+/** Projects rows back to the caller's schema after internal widening
+  * (the widened delete-key columns sit at the tail, so the projection is
+  * the leading prefix). */
+private[catalog] final class GraftProjectingReaderFactory(
+    inner: PartitionReaderFactory, out: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        out, (0 until out.length).toIndexedSeq)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = { proj.project(r.get()); proj }
+      override def close(): Unit = r.close()
+    }
   }
 }
 

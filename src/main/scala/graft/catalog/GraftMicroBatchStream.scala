@@ -74,11 +74,21 @@ final class GraftMicroBatchStream(table: GraftTable, required: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  // end-offset snapshot of the most recently planned batch: the reader
+  // factory must see the table AS OF the batch's end offset, not "now" —
+  // a rowDelta committed after planning (or current state during a
+  // checkpoint replay of an old batch) must not leak into this batch's
+  // delete map, or the batch's content stops being a deterministic
+  // function of its (start, end] range (the replayability contract
+  // exactly-once sinks rely on)
+  @volatile private var plannedEndSnap: Option[graft.table.Snapshot] = None
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
     val endSnap = table.snapshotAt(to)
+    plannedEndSnap = Some(endSnap)
     // the initial catch-up (from = 0) reads the LIVE dirs of the end
     // snapshot, so replaced history needs no append representation
     if (from > 0 && !skipReplaceCommits)
@@ -99,12 +109,11 @@ final class GraftMicroBatchStream(table: GraftTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val snap = table.snapshot
     // pending equality deletes apply reader-side (version-guarded per
     // dir), so the initial catch-up of a MoR table streams its LIVE
-    // rows, not the raw pre-delete file contents
-    GraftBucketedScan.deleteAware(
-      GraftBucketedScan.readerFactory(snap, required, pushed),
-      table.dir, snap, required)
+    // rows, not the raw pre-delete file contents; the snapshot is the
+    // planned batch's END OFFSET, never the current table state
+    val snap = plannedEndSnap.getOrElse(table.snapshot)
+    GraftBucketedScan.deleteAware(table.dir, snap, required, pushed)
   }
 }

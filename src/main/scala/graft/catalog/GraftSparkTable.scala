@@ -39,14 +39,30 @@ import scala.jdk.CollectionConverters._
   * skipping, then re-applied by Spark).
   */
 final class GraftSparkTable(val dir: String, tableName: String,
-                            val asOfVersion: Option[Int] = None)
+                            val asOfVersion: Option[Int] = None,
+                            // path write to a location with no table yet:
+                            // the table is created ON FIRST WRITE with this
+                            // schema/spec — a read of the missing path must
+                            // error, never side-effect a table onto disk
+                            pendingCreate: Option[(StructType, Seq[PartitionField])] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
+  private def existsOnDisk: Boolean = GraftTable.exists(spark, dir)
+  private def isPending: Boolean = pendingCreate.isDefined && !existsOnDisk
   /** Always-fresh handle; snapshot state lives in the log. */
   def graftTable: GraftTable = GraftTable.load(spark, dir)
+
+  /** Creates the pending table (write path only); no-op when it exists —
+    * a concurrent creator winning the race is fine, the write appends to
+    * whichever creation landed. */
+  private def ensureCreated(): Unit = pendingCreate.foreach { case (s, spec) =>
+    if (!existsOnDisk)
+      try GraftTable.create(spark, dir, s, spec = spec)
+      catch { case _: IllegalArgumentException if existsOnDisk => }
+  }
 
   /** The snapshot this relation reads: pinned for `VERSION AS OF` /
     * `TIMESTAMP AS OF` relations, current otherwise. */
@@ -69,6 +85,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
     * delta-based row-level rewrites (rowId attributes must be non-null;
     * ANSI store assignment guards writes with runtime null checks). */
   override def schema(): StructType = {
+    if (isPending) return pendingCreate.get._1
     val s = readSnapshot
     StructType(s.schema.fields.map(f =>
       if (s.key.contains(f.name)) f.copy(nullable = false) else f))
@@ -78,7 +95,7 @@ final class GraftSparkTable(val dir: String, tableName: String,
   }
 
   override def partitioning(): Array[Transform] =
-    readSnapshot.spec.map {
+    (if (isPending) pendingCreate.get._2 else readSnapshot.spec).map {
       case PartitionField(src, "identity", _) => Expressions.identity(src)
       case PartitionField(src, "bucket", n)   => Expressions.bucket(n, src)
       case PartitionField(src, "month", _)    => Expressions.months(src)
@@ -88,6 +105,11 @@ final class GraftSparkTable(val dir: String, tableName: String,
     }.toArray
 
   override def properties(): util.Map[String, String] = {
+    if (isPending) {
+      val m = new util.HashMap[String, String]()
+      m.put("provider", "graft")
+      return m
+    }
     val t = graftTable
     val m = new util.HashMap[String, String]()
     m.put("format-version", t.formatVersion.toString)
@@ -109,13 +131,19 @@ final class GraftSparkTable(val dir: String, tableName: String,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a user-supplied read schema bypasses inferSchema — reads of a
+    // missing path must fail HERE, not auto-create an empty table
+    if (isPending) throw new IllegalArgumentException(
+      s"no graft table at $dir (reads do not create tables)")
     new GraftScanBuilder(graftTable, asOfVersion,
       skipReplaceCommits = options.getBoolean("skipReplaceCommits", false),
       maxVersionsPerBatch = Option(options.get("maxVersionsPerBatch")).map(_.toInt))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, "cannot write to a VERSION/TIMESTAMP AS OF relation")
+    ensureCreated() // a write (and only a write) creates a fresh-path table
     new GraftWriteBuilder(dir, info)
   }
 

@@ -70,9 +70,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     meta match {
       case Some(m) => new GraftMetadataTable(dir, m)
       case None =>
-        if (!GraftTable.exists(spark, dir))
-          GraftTable.create(spark, dir, schema,
-            spec = partitioning.toSeq.map(PartitionField.fromTransform))
+        // a missing table is NOT created here: reads with a user-supplied
+        // schema reach this point too (supportsExternalMetadata), and a
+        // read must never side-effect an empty table onto disk — creation
+        // is deferred to the first WRITE (GraftSparkTable.newWriteBuilder)
+        val pending =
+          if (GraftTable.exists(spark, dir)) None
+          else Some((schema, partitioning.toSeq.map(PartitionField.fromTransform)))
         // option-based time travel (Iceberg's snapshot-id / as-of-timestamp
         // read options): .option("versionAsOf", n) pins a snapshot;
         // .option("timestampAsOf", "<epoch-millis | yyyy-mm-dd hh:mm:ss>")
@@ -88,7 +92,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                 java.sql.Timestamp.valueOf(ts.trim).getTime }
             GraftTable.load(spark, dir).versionAsOfTimestamp(millis)
           })
-        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf)
+        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf, pending)
     }
   }
 }

@@ -100,7 +100,12 @@ final case class Snapshot(
     // streaming-sink exactly-once ledger: per writing query, the last
     // committed epoch; a post-failure epoch retry sees its id here and
     // skips (bounded by the number of distinct streaming writers)
-    streamEpochs: Map[String, Long] = Map.empty
+    streamEpochs: Map[String, Long] = Map.empty,
+    // wall-clock commit time stamped INSIDE the entry at commit (-1 for
+    // pre-stamp log entries): TIMESTAMP AS OF resolves from this, never
+    // from file mtimes — expireSnapshots rewrites old entries (bumping
+    // their mtime) and copied/restored tables drift mtimes arbitrarily
+    commitTimeMs: Long = -1L
 ) {
   def physicalOf(logical: String): String = fieldOf(logical).physical
   def fieldOf(logical: String): FieldInfo =
@@ -228,7 +233,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     var done = false
     var out: Snapshot = null
     while (!done) {
-      out = mk(if (base == null) null else base, v)
+      // stamp the wall-clock commit time inside the entry (TIMESTAMP AS OF
+      // resolves from it); re-stamped on every OCC retry so the recorded
+      // time is the time the slot was actually won
+      out = mk(if (base == null) null else base, v).copy(
+        commitTimeMs = System.currentTimeMillis())
       val p = new Path(logDir, f"v$v%05d.json")
       if (writeOnce(p, writeSnapshot(out).getBytes("UTF-8"))) {
         writeHead(v)
@@ -677,11 +686,19 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val roots = live.map(d => s"$dir/${d.path}")
     val paths = prunedLeafDirs(roots, s, derived.get).getOrElse(roots)
     if (paths.isEmpty) return emptyDF(s)
+    // alias physical -> logical names BEFORE applying the user predicate
+    // (a predicate on a renamed column must bind to the renamed data, not
+    // to whatever file column happens to carry its old name); the derived
+    // partition columns ride along so the combined filter still reaches
+    // the parquet footers (Catalyst pushes filters through aliases)
+    val logicalCols = s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name))
+    val derivedCols = derivedFields.map(df => col(df.name))
     spark.read.schema(physSchema)
       .option("recursiveFileLookup", "true")
       .parquet(paths: _*)
+      .select(logicalCols ++ derivedCols: _*)
       .filter(pred && derived.get)
-      .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+      .select(s.schema.fields.map(f => col(f.name)): _*)
   }
 
   private def emptyDF(s: Snapshot): DataFrame = spark.createDataFrame(
@@ -812,15 +829,27 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     dfAt(s)
   }
 
-  /** Latest version whose log entry was committed at or before
-    * `tsMillis` (file modification time) — `TIMESTAMP AS OF` resolution. */
+  /** Latest version committed at or before `tsMillis` — `TIMESTAMP AS OF`
+    * resolution. Times come from the `commitTimeMs` stamped INSIDE each
+    * snapshot at commit: file mtimes are unusable (expireSnapshots
+    * rewrites old entries in place, and copies/restores drift mtimes);
+    * the mtime is only a fallback for pre-stamp legacy entries. Scans
+    * newest → oldest and stops at the first satisfying version, so the
+    * common recent-timestamp lookup touches O(1) log entries. */
   def versionAsOfTimestamp(tsMillis: Long): Int = {
-    val entries = fs.listStatus(logDir)
-      .filter(_.getPath.getName.matches("v\\d+\\.json"))
-      .map(st => (st.getPath.getName.drop(1).dropRight(5).toInt, st.getModificationTime))
-    val ok = entries.filter(_._2 <= tsMillis)
-    require(ok.nonEmpty, s"no snapshot committed at or before timestamp $tsMillis")
-    ok.map(_._1).max
+    val f = fs
+    def timeOf(v: Int): Long = {
+      val stamped = snapshotAt(v).commitTimeMs
+      if (stamped >= 0) stamped
+      else f.getFileStatus(new Path(logDir, f"v$v%05d.json")).getModificationTime
+    }
+    var v = currentVersion
+    while (v >= 0) {
+      if (timeOf(v) <= tsMillis) return v
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"no snapshot committed at or before timestamp $tsMillis")
   }
 
   /** Incremental (changelog) read: rows APPENDED between `fromVersion`
@@ -1440,7 +1469,7 @@ object GraftTable {
     fs.mkdirs(logDir)
     val snap = Snapshot(0, formatVersion, "create", schema,
       schema.fieldNames.toSeq.map(n => FieldInfo(n, n, 0)), spec, key, Seq.empty, Seq.empty,
-      Seq.empty, bloomKeys)
+      Seq.empty, bloomKeys, commitTimeMs = System.currentTimeMillis())
     val p = new Path(logDir, "v00000.json")
     val os = fs.create(p, false)
     try os.write(writeSnapshot(snap).getBytes("UTF-8")) finally os.close()
@@ -1494,6 +1523,7 @@ object GraftTable {
       val se = root.putObject("streamEpochs")
       s.streamEpochs.foreach { case (q, e) => se.put(q, e) }
     }
+    if (s.commitTimeMs >= 0) root.put("commitTimeMs", s.commitTimeMs)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -1522,7 +1552,8 @@ object GraftTable {
         else {
           val o = n.get("streamEpochs")
           o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
-        }
+        },
+      commitTimeMs = if (n.has("commitTimeMs")) n.get("commitTimeMs").asLong() else -1L
     )
   }
 }
