@@ -116,12 +116,18 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
   }
 
-  /** `VERSION AS OF <v>` — a read-only relation pinned to snapshot v. */
+  /** `VERSION AS OF <v>` — a read-only relation pinned to snapshot v. A
+    * non-numeric version is resolved as a named ref (tag or branch):
+    * `VERSION AS OF 'audited'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        GraftTable.load(spark, dirOf(ident)).refOf(version).version }
     new GraftSparkTable(dirOf(ident),
       (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
-      Some(version.toInt))
+      Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` — resolved to the latest snapshot whose log
@@ -235,16 +241,49 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "a" -> StringType, "b" -> StringType)) { r =>
           tbl(r).rewriteZOrder(r.getUTF8String(1).toString, r.getUTF8String(2).toString); ()
         }
+      case "rollback_to_snapshot" =>
+        GraftCatalog.procedure("rollback_to_snapshot",
+          Seq("table" -> StringType, "version" -> IntegerType)) { r =>
+          tbl(r).rollbackTo(r.getInt(1)); ()
+        }
+      case "cherrypick_snapshot" =>
+        GraftCatalog.procedure("cherrypick_snapshot",
+          Seq("table" -> StringType, "version" -> IntegerType)) { r =>
+          tbl(r).cherryPick(r.getInt(1)); ()
+        }
+      case "create_tag" =>
+        GraftCatalog.procedure("create_tag",
+          Seq("table" -> StringType, "tag" -> StringType, "version" -> IntegerType)) { r =>
+          tbl(r).createTag(r.getUTF8String(1).toString, r.getInt(2)); ()
+        }
+      case "create_branch" =>
+        GraftCatalog.procedure("create_branch",
+          Seq("table" -> StringType, "branch" -> StringType)) { r =>
+          tbl(r).createBranch(r.getUTF8String(1).toString); ()
+        }
+      case "fast_forward" =>
+        GraftCatalog.procedure("fast_forward",
+          Seq("table" -> StringType, "branch" -> StringType)) { r =>
+          tbl(r).fastForward(r.getUTF8String(1).toString); ()
+        }
+      case "drop_ref" =>
+        GraftCatalog.procedure("drop_ref",
+          Seq("table" -> StringType, "ref" -> StringType)) { r =>
+          tbl(r).dropRef(r.getUTF8String(1).toString); ()
+        }
+      case "publish_staged" =>
+        GraftCatalog.procedure("publish_staged",
+          Seq("table" -> StringType, "id" -> StringType)) { r =>
+          tbl(r).publishStaged(r.getUTF8String(1).toString); ()
+        }
       case other => throw new IllegalArgumentException(
-        s"unknown procedure $other; available: compact, expire_snapshots, " +
-          "vacuum, rewrite_small_dirs, rewrite_zorder")
+        s"unknown procedure $other; available: ${GraftCatalog.procedureNames.mkString(", ")}")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
-        "rewrite_zorder").map(Identifier.of(Array("system"), _))
+      GraftCatalog.procedureNames.map(Identifier.of(Array("system"), _))
     else Array.empty
 
   // ---- FunctionCatalog (storage-partitioned joins) --------------------
@@ -298,6 +337,11 @@ object GraftCatalog {
   import org.apache.spark.sql.connector.catalog.procedures._
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.types.DataType
+
+  private[catalog] val procedureNames: Array[String] = Array(
+    "compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
+    "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
+    "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged")
 
   /** A void maintenance procedure with IN parameters. */
   private[catalog] def procedure(procName: String, params: Seq[(String, DataType)])

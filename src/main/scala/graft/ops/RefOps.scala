@@ -433,6 +433,29 @@ object RefOps {
       .orderBy("version")
   }
 
+  // Named refs + rollback + write-audit-publish: tag the audited state,
+  // append junk, roll back to the tag (metadata-only, history preserved),
+  // then stage a new batch, audit it in isolation, and publish it as a
+  // metadata-only commit. Final table = audited state + published batch;
+  // the junk never survives. All three mechanisms are O(1) pointer/log
+  // operations — no data is copied at any scale.
+  private def refsWapRollback(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val good = cust.filter(col("customer_id") % 2 === 0)
+    val t = GraftTable.create(spark, tmp("refs_wap"), good.schema)
+    t.append(good)                                    // v1: the audited state
+    t.createTag("audited", t.currentVersion)
+    t.append(cust.withColumn("customer_id", col("customer_id") + 9000000)) // v2: junk
+    t.rollbackTo("audited")                           // v3 = v1's state, new commit
+    val staged = t.stageAppend(cust.filter(col("customer_id") % 2 =!= 0)
+      .withColumn("name", concat(col("name"), lit("-wap"))))
+    // audit gate: the staged rows are readable in isolation pre-publish
+    require(t.stagedDF(staged).count() > 0, "staged batch is empty")
+    t.publishStaged(staged)
+    t.toDF.orderBy("customer_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_json_infer" -> scanJsonInfer,
     "scan_filter_project" -> scanFilterProject,
@@ -457,7 +480,8 @@ object RefOps {
     "bloom_pruned_scan" -> bloomPrunedScan,
     "time_travel" -> timeTravel,
     "incremental_read" -> incrementalRead,
-    "merge_full_sync" -> mergeFullSync
+    "merge_full_sync" -> mergeFullSync,
+    "refs_wap_rollback" -> refsWapRollback
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,6 +623,12 @@ object RefOps {
         |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin,
     "merge_full_sync" ->
       """SELECT c_custkey AS customer_id, c_name || '-sync' AS name
-        |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin
+        |FROM customer WHERE c_custkey % 2 = 0 ORDER BY customer_id""".stripMargin,
+    "refs_wap_rollback" ->
+      """SELECT customer_id, name FROM (
+        |  SELECT c_custkey AS customer_id, c_name AS name FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || '-wap' FROM customer WHERE c_custkey % 2 <> 0
+        |) ORDER BY customer_id""".stripMargin
   )
 }

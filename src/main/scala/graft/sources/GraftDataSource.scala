@@ -84,7 +84,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         // ORIGINAL-case map — DSv2 options are case-insensitive, so look
         // up through CaseInsensitiveStringMap
         val opts = new CaseInsensitiveStringMap(properties)
-        val asOf = Option(opts.get("versionAsOf")).map(_.trim.toInt)
+        val asOf = Option(opts.get("versionAsOf")).map { v =>
+            // numeric snapshot version, or a named ref (tag/branch)
+            try v.trim.toInt
+            catch { case _: NumberFormatException =>
+              GraftTable.load(spark, dir).refOf(v.trim).version }
+          }
+          .orElse(Option(opts.get("branch")).orElse(Option(opts.get("tag")))
+            .map(r => GraftTable.load(spark, dir).refOf(r.trim).version))
           .orElse(Option(opts.get("timestampAsOf")).map { ts =>
             val millis =
               try ts.trim.toLong

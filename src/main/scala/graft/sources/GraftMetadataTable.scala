@@ -43,13 +43,14 @@ final class GraftMetadataTable(dir: String, meta: String)
 }
 
 object GraftMetadataTable {
-  val names: Set[String] = Set("history", "snapshots", "manifests", "files")
+  val names: Set[String] = Set("history", "snapshots", "manifests", "files", "refs")
 
   def frameOf(t: GraftTable, meta: String): DataFrame = meta match {
     case "history"   => t.history
     case "snapshots" => t.snapshots
     case "manifests" => t.manifests
     case "files"     => t.files
+    case "refs"      => t.refsMeta
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (expected one of ${names.mkString(", ")})")
   }

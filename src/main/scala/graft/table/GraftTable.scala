@@ -84,6 +84,10 @@ final case class DataDir(path: String, version: Int, rowCount: Long = -1L)
   * (the field-id problem Iceberg solves with ids — SURVEY.md D5). */
 final case class FieldInfo(logical: String, physical: String, since: Int = 0)
 
+/** A named ref over the snapshot log: a `tag` is an immutable named
+  * version, a `branch` a movable one (Iceberg's branch/tag surface). */
+final case class RefInfo(name: String, refType: String, version: Int)
+
 /** A committed table snapshot. */
 final case class Snapshot(
     version: Int,
@@ -1259,11 +1263,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val cur = currentVersion
     val cutoff = cur - keepLast + 1
     if (cutoff <= 0) return this
-    val keepSnaps = (cutoff to cur).map(snapshotAt)
+    // ref-pinned versions (tags/branches) survive expiry along with the
+    // dirs they reference — dropping a ref makes its snapshot expirable
+    val pinned = refs.map(_.version).toSet
+    val keepSnaps = ((cutoff to cur) ++ pinned.filter(_ < cutoff)).map(snapshotAt)
     val live: Set[String] =
       keepSnaps.flatMap(s => s.dataDirs.map(_.path) ++ s.deletes.map(_.path)).toSet
     val f = fs
-    (0 until cutoff).foreach { v =>
+    (0 until cutoff).filterNot(pinned.contains).foreach { v =>
       val p = new Path(logDir, f"v$v%05d.json")
       if (f.exists(p)) {
         val s = snapshotAt(v)
@@ -1283,6 +1290,200 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  // ---- named refs: tags, branches, rollback, cherry-pick ---------------
+
+  private def refsDir = new Path(logDir, "refs")
+  private def refPath(name: String) = new Path(refsDir, s"$name.json")
+  private def validRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid ref name: $name")
+
+  /** Creates an immutable TAG pointing at snapshot `version` (Iceberg's
+    * `create_tag`). Refs are O(1) JSON pointers under the log — no data
+    * copied at any scale; [[expireSnapshots]] keeps ref-pinned versions
+    * (and their data dirs) alive. */
+  def createTag(name: String, version: Int): GraftTable = createRef(name, "tag", version)
+
+  /** Creates a movable BRANCH pointer (default: at the current head). */
+  def createBranch(name: String, version: Int = -1): GraftTable =
+    createRef(name, "branch", if (version < 0) currentVersion else version)
+
+  private def createRef(name: String, tpe: String, version: Int): GraftTable = {
+    validRefName(name)
+    require(version >= 0 && version <= currentVersion, s"no snapshot v$version")
+    require(snapshotAt(version).op != "expired",
+      s"cannot create a ref at expired snapshot v$version")
+    fs.mkdirs(refsDir)
+    val json = s"""{"name":"$name","type":"$tpe","version":$version}"""
+    require(writeOnce(refPath(name), json.getBytes("UTF-8")), s"ref already exists: $name")
+    this
+  }
+
+  /** Moves a BRANCH pointer (tags are immutable). Forward or back — the
+    * underlying snapshots are immutable either way. */
+  def setBranch(name: String, version: Int): GraftTable = {
+    val r = refOf(name)
+    require(r.refType == "branch", s"ref $name is a tag; tags are immutable")
+    require(version >= 0 && version <= currentVersion, s"no snapshot v$version")
+    require(snapshotAt(version).op != "expired",
+      s"cannot point a ref at expired snapshot v$version")
+    val tmp = new Path(refsDir, s"$name.json.tmp")
+    val f = fs
+    val os = f.create(tmp, true)
+    try os.write(s"""{"name":"$name","type":"branch","version":$version}"""
+      .getBytes("UTF-8")) finally os.close()
+    f.delete(refPath(name), false)
+    f.rename(tmp, refPath(name))
+    this
+  }
+
+  /** Publishes everything committed since the branch was cut: moves the
+    * branch pointer to the current head (Iceberg's `fast_forward`). */
+  def fastForward(name: String): GraftTable = setBranch(name, currentVersion)
+
+  def dropRef(name: String): GraftTable = {
+    require(fs.exists(refPath(name)), s"no such ref: $name")
+    fs.delete(refPath(name), false)
+    this
+  }
+
+  def refs: Seq[RefInfo] = {
+    val f = fs
+    if (!f.exists(refsDir)) return Seq.empty
+    f.listStatus(refsDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        val n = mapper.readTree(txt)
+        RefInfo(n.get("name").asText(), n.get("type").asText(), n.get("version").asInt())
+      }.sortBy(_.name)
+  }
+
+  def refOf(name: String): RefInfo = refs.find(_.name == name)
+    .getOrElse(throw new IllegalArgumentException(s"no such ref: $name"))
+
+  /** The table as of a named ref — `VERSION AS OF '<ref>'`. */
+  def asOfRef(name: String): DataFrame = asOf(refOf(name).version)
+
+  /** Named-refs metadata table (`graft.ns.t.refs`). */
+  def refsMeta: DataFrame = {
+    import spark.implicits._
+    refs.map(r => (r.name, r.refType, r.version)).toDF("name", "type", "version")
+  }
+
+  /** Rolls the table back to snapshot `version` as a NEW commit — history
+    * is preserved (Iceberg's `rollback_to_snapshot`). Restores the FULL
+    * state as of that version: data, deletes, schema, spec, sort key.
+    * Metadata-only (the old snapshot's dirs are shared, never copied).
+    * The streaming-epoch ledger is carried FORWARD from the current
+    * state: epochs never rewind, or a restarted streaming writer would
+    * re-apply its last epoch and break exactly-once. */
+  def rollbackTo(version: Int): GraftTable = {
+    val cur = snapshot
+    require(version <= cur.version, s"no snapshot v$version")
+    val target = snapshotAt(version)
+    require(target.op != "expired",
+      s"snapshot v$version has been expired; cannot roll back to it")
+    commit(cur.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(cur)
+      target.copy(version = v, op = "rollback", streamEpochs = b.streamEpochs)
+    })
+    this
+  }
+
+  /** Rolls back to a named ref (tag or branch). */
+  def rollbackTo(refName: String): GraftTable = rollbackTo(refOf(refName).version)
+
+  /** Re-applies an append commit's data onto the CURRENT state as a new
+    * commit (Iceberg's `cherrypick_snapshot`) — the undo of a rollback
+    * that skipped it. Metadata-only: files are shared and stamped with
+    * the NEW commit version, so existing equality deletes (all strictly
+    * older) do not re-apply to them — sequence-number semantics. */
+  def cherryPick(version: Int): GraftTable = {
+    val src = snapshotAt(version)
+    require(src.op == "append",
+      s"only append commits can be cherry-picked; v$version is '${src.op}'")
+    val picked = src.dataDirs.filter(_.version == version)
+    if (picked.isEmpty) return this // zero-row append
+    val cur = snapshot
+    commit(cur.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(cur)
+      require(!picked.exists(d => b.dataDirs.exists(_.path == d.path)),
+        s"commit v$version is already present in the current state")
+      b.copy(version = v, op = "cherrypick",
+        dataDirs = b.dataDirs ++ picked.map(_.copy(version = v)))
+    })
+    this
+  }
+
+  // ---- write-audit-publish (staged appends) -----------------------------
+
+  private def stagedMetaDir = new Path(logDir, "staged")
+  private def stagedPath(id: String) = new Path(stagedMetaDir, s"$id.json")
+
+  /** WAP step 1 — WRITE: materializes `df` through the normal write
+    * discipline (aligned, clustered/rebalanced, k=v layout) into an
+    * UNCOMMITTED data dir and records a staged marker under the log.
+    * Readers cannot see it; [[vacuumOrphans]] spares marked dirs.
+    * Returns the staged id (Iceberg's WAP `wap.id` flow). */
+  def stageAppend(df: DataFrame): String = {
+    val s = snapshot
+    val (sub, rows) = writeData(df, s)
+    val id = sub.stripPrefix("data/")
+    fs.mkdirs(stagedMetaDir)
+    require(writeOnce(stagedPath(id),
+      s"""{"path":"$sub","rows":$rows,"stagedAt":${s.version}}""".getBytes("UTF-8")),
+      s"staged id collision: $id")
+    id
+  }
+
+  /** WAP step 2 — AUDIT: the staged rows, aliased to the logical schema
+    * (columns added since staging read as NULL). */
+  def stagedDF(id: String): DataFrame = {
+    val (sub, rows, _) = readStaged(id)
+    if (rows <= 0) emptyDF(snapshot)
+    else readLogical(snapshot, Seq(DataDir(sub, Int.MaxValue, rows)))
+  }
+
+  /** WAP step 3 — PUBLISH: metadata-only commit of the staged dir (no
+    * row data moves); the marker is consumed. */
+  def publishStaged(id: String): GraftTable = {
+    val (sub, rows, _) = readStaged(id)
+    if (rows > 0) {
+      val cur = snapshot
+      commit(cur.version + 1)((rebase, v) => {
+        val b = Option(rebase).getOrElse(cur)
+        require(!b.dataDirs.exists(_.path == sub), s"staged $id already published")
+        b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
+      })
+    }
+    fs.delete(stagedPath(id), false)
+    this
+  }
+
+  /** Discards a staged append (audit failed): files + marker removed. */
+  def abortStaged(id: String): Unit = {
+    val (sub, _, _) = readStaged(id)
+    fs.delete(new Path(dir, sub), true)
+    fs.delete(stagedPath(id), false)
+  }
+
+  /** Ids of pending staged appends. */
+  def stagedIds: Seq[String] = {
+    val f = fs
+    if (!f.exists(stagedMetaDir)) Seq.empty
+    else f.listStatus(stagedMetaDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  private def readStaged(id: String): (String, Long, Int) = {
+    require(fs.exists(stagedPath(id)), s"no staged append: $id")
+    val in = fs.open(stagedPath(id))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val n = mapper.readTree(txt)
+    (n.get("path").asText(), n.get("rows").asLong(), n.get("stagedAt").asInt())
+  }
+
   /** Orphan-file sweep (Iceberg's `remove_orphan_files`): deletes
     * `data/` / `deletes/` subdirs referenced by NO snapshot in the log —
     * the residue of crashed writers (a streaming epoch that died between
@@ -1298,10 +1499,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * paths. */
   def vacuumOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val cur = currentVersion
-    val referenced: Set[String] = (0 to cur).flatMap { v =>
+    val referenced: Set[String] = ((0 to cur).flatMap { v =>
       val s = snapshotAt(v)
       s.dataDirs.map(_.path) ++ s.deletes.map(_.path)
-    }.toSet
+    } ++ stagedIds.map(id => s"data/$id")).toSet // staged-but-unpublished WAP dirs
     val f = fs
     val cutoff = System.currentTimeMillis() - olderThanMs
     // staging/ holds dynamic-overwrite scratch; never referenced by any

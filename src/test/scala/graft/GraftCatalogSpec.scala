@@ -757,6 +757,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))
   }
 
+  test("VERSION AS OF a tag name and ref/WAP procedures through SQL") {
+    val dir = s"$warehouse/db17/reftbl"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a")).toDF("id", "v"))   // v1
+    spark.sql("CALL graft.system.create_tag('db17.reftbl', 'audited', 1)")
+    t.append(Seq((2L, "junk")).toDF("id", "v")) // v2
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db17.reftbl VERSION AS OF 'audited'")
+      .head.getLong(0) == 1)
+    // bad audit -> roll the table back to the tag
+    spark.sql("CALL graft.system.rollback_to_snapshot('db17.reftbl', 1)")
+    assert(spark.sql("SELECT id FROM graft.db17.reftbl ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L))
+    // re-apply the junk append after all (cherry-pick), then undo again
+    spark.sql("CALL graft.system.cherrypick_snapshot('db17.reftbl', 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.db17.reftbl").head.getLong(0) == 2)
+    // WAP: stage, audit via API, publish via SQL
+    val id = GraftTable.load(spark, dir).stageAppend(Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM graft.db17.reftbl").head.getLong(0) == 2)
+    spark.sql(s"CALL graft.system.publish_staged('db17.reftbl', '$id')")
+    assert(spark.sql("SELECT id FROM graft.db17.reftbl ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // refs metadata table through the catalog
+    assert(spark.sql("SELECT name, type, version FROM graft.db17.reftbl.refs")
+      .as[(String, String, Int)].collect().toSeq == Seq(("audited", "tag", 1)))
+    spark.sql("CALL graft.system.create_branch('db17.reftbl', 'main2')")
+    spark.sql("CALL graft.system.fast_forward('db17.reftbl', 'main2')")
+    spark.sql("CALL graft.system.drop_ref('db17.reftbl', 'main2')")
+    assert(GraftTable.load(spark, dir).refs.map(_.name) == Seq("audited"))
+  }
+
   test("missing table raises a clear error") {
     warehouse // force catalog registration
     val e = intercept[Exception] {
