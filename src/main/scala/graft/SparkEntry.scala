@@ -22,6 +22,7 @@ object SparkEntry {
       ext.TextOps.queries ++
       ext.Similarity.queries ++
       ext.EventOps.queries ++
+      ext.TemporalJoins.queries ++
       ext.Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
       ext.TextOps.oracles ++
       ext.Similarity.oracles ++
       ext.EventOps.oracles ++
+      ext.TemporalJoins.oracles ++
       ext.Multimodal.oracles
 }
