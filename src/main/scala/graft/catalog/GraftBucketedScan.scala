@@ -148,20 +148,63 @@ final case class GraftFilePartition(files: Array[(String, Long)],
   * for its broadcast anti-join — and each reader drops rows whose key
   * has a delete strictly newer than the row's dir version. This is what
   * lets MoR DML chain: UPDATE → UPDATE works without a compact between
-  * statements. */
+  * statements.
+  *
+  * Runtime group filtering ([[SupportsRuntimeV2Filtering]] on `_file`):
+  * Spark's RowLevelOperationRuntimeGroupFiltering pushes the DISTINCT
+  * `_file` set of condition-matching rows into this scan at runtime;
+  * [[filter]] keeps exactly the data DIRS containing a matched file (dir
+  * = replace group: keeping whole dirs is sound because every kept row
+  * flows through the replacement query unchanged) and reports the kept
+  * set through `groupFilter` so the ReplaceData commit swaps only those
+  * dirs — a copy-on-write UPDATE/MERGE rewrites the touched dirs, not
+  * the table. */
 final class GraftFlatBatchScan(table: GraftTable, required: StructType,
-                               pushed: Array[Filter]) extends Scan with Batch {
+                               pushed: Array[Filter],
+                               groupFilter: Option[java.util.concurrent.atomic.AtomicReference[Option[Set[String]]]] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private val snap = table.snapshot
   private def spark = SparkSession.active
+
+  // file partitions grouped by the data dir they belong to (the groups
+  // runtime filtering keeps or drops); built once on the driver
+  private lazy val byDir: Seq[(graft.table.DataDir, Seq[InputPartition])] =
+    snap.dataDirs.map(d => d -> GraftBucketedScan.filePartitions(table.dir, d))
+
+  @volatile private var keptDirs: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only when the scan actually outputs `_file` (the group-based
+    // row-level read): advertising it on other scans (e.g. delta ops)
+    // makes Spark's PartitionPruning try to resolve a column the
+    // relation doesn't have
+    if (required.fieldNames.contains(GraftMetaCols.FILE))
+      Array(Expressions.column(GraftMetaCols.FILE))
+    else Array.empty
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val fileSets = predicates.flatMap(GraftMetaCols.inFileSet)
+    if (fileSets.nonEmpty) {
+      val files = fileSets.reduce(_ intersect _)
+      val kept = byDir.filter { case (_, parts) =>
+        parts.exists {
+          case p: GraftFilesPartition => p.files.exists(f => files.contains(GraftMetaCols.norm(f._1)))
+          case _ => true // unknown partition shape: keep (sound)
+        }
+      }.map(_._1.path).toSet
+      keptDirs = Some(kept)
+      groupFilter.foreach(_.set(Some(kept)))
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"GraftFlatBatchScan(${table.dir})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    snap.dataDirs.flatMap(d =>
-      GraftBucketedScan.filePartitions(table.dir, d)).toArray
+    byDir.filter { case (d, _) => keptDirs.forall(_.contains(d.path)) }
+      .flatMap(_._2).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftBucketedScan.deleteAware(table.dir, snap, required, pushed)
@@ -226,19 +269,28 @@ object GraftBucketedScan {
   }
 
   /** Shared evolution-aware parquet reader factory over physical names —
-    * one implementation for the bucketed, flat, and streaming scans. */
+    * one implementation for the bucketed, flat, and streaming scans.
+    * A requested `_file` metadata column is not read from the file: the
+    * reader stamps each row with the path it is reading (appended last,
+    * then projected into place when `_file` is not the trailing field). */
   private[catalog] def readerFactory(snap: graft.table.Snapshot,
       required: StructType, pushed: Array[Filter],
       extraPhysCols: Seq[StructField] = Nil): GraftBucketReaderFactory = {
     val spark = SparkSession.active
-    val physRequired = StructType(required.fields.map(f =>
+    val fileIdx = required.fieldNames.indexOf(GraftMetaCols.FILE)
+    val innerRequired =
+      if (fileIdx < 0) required
+      else StructType(required.fields.filterNot(_.name == GraftMetaCols.FILE))
+    val physRequired = StructType(innerRequired.fields.map(f =>
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
     val physData = StructType(snap.schema.fields.map(f =>
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) ++ extraPhysCols)
     val physFilters = pushed.flatMap(f => renamePushedFilter(f, n =>
       snap.fields.find(_.logical == n).map(_.physical)))
     new GraftBucketReaderFactory(
-      GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq))
+      GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq),
+      stampFileAt = if (fileIdx < 0) None else Some(fileIdx),
+      outTypes = required.fields.map(_.dataType))
   }
 
   /** Builds a reader factory with reader-side equality-delete filtering
@@ -276,8 +328,10 @@ object GraftBucketedScan {
       required.fieldNames.exists(_.equalsIgnoreCase(k)))
     val widened = StructType(required.fields ++ missing.map(k => snap.schema(k)))
     val inner = readerFactory(snap, widened, pushed)
-    val physRequired = widened.fields.map(f => snap.physicalOf(f.name))
-    val keyIdx = physKeys.map(k => physRequired.indexOf(k)).toArray
+    // key positions by LOGICAL name (the widened schema may carry
+    // non-physical metadata columns like `_file`)
+    val keyIdx = delKeys.map(k =>
+      widened.fieldNames.indexWhere(_.equalsIgnoreCase(k))).toArray
     val keyTypes = keyIdx.map(i => widened.fields(i).dataType)
     val merged = snap.deletes.map { d =>
       spark.read.parquet(s"$tableDir/${d.path}")
@@ -349,7 +403,13 @@ private[catalog] final class GraftProjectingReaderFactory(
 }
 
 private[catalog] final class GraftBucketReaderFactory(
-    readFunc: (String, Long) => Iterator[InternalRow])
+    readFunc: (String, Long) => Iterator[InternalRow],
+    // `_file` support: Some(i) = stamp each row with the path of the file
+    // it came from, surfaced at output ordinal i (rows are read without
+    // it, the path is appended, then projected into place when i is not
+    // the trailing ordinal); outTypes = full output types incl. `_file`
+    stampFileAt: Option[Int] = None,
+    outTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -358,11 +418,73 @@ private[catalog] final class GraftBucketReaderFactory(
       // OPTION_RETURNING_BATCH=false in the reader build guarantees plain
       // row iterators (never ColumnarBatch disguised as InternalRow)
       private val it: Iterator[InternalRow] = p.files.iterator
-        .flatMap { case (path, len) => readFunc(path, len) }
+        .flatMap { case (path, len) =>
+          stampFileAt match {
+            case None => readFunc(path, len)
+            case Some(at) =>
+              val fileRow = new GenericInternalRow(
+                Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(path)))
+              val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+              val base = readFunc(path, len).map(r => joined(r, fileRow))
+              val n = outTypes.length
+              if (at == n - 1) base
+              else {
+                // reorder appended-last into place: out(i<at)=i, out(at)=last,
+                // out(i>at)=i-1 over the (data ++ _file) layout
+                val ordinals = (0 until n).map(i =>
+                  if (i == at) n - 1 else if (i < at) i else i - 1)
+                base.map(new GraftReorderRow(ordinals.toArray, outTypes, _))
+              }
+          }
+        }
       private var cur: InternalRow = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Ordinal-remapping InternalRow view (out ordinal i reads inner ordinal
+  * `map(i)`) — no per-row copying. */
+private[catalog] final class GraftReorderRow(
+    map: Array[Int], types: Array[org.apache.spark.sql.types.DataType],
+    inner: InternalRow) extends InternalRow {
+  import org.apache.spark.sql.types.{DataType, Decimal}
+  import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String, VariantVal}
+  override def numFields: Int = map.length
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(map(i))
+  override def getByte(i: Int): Byte = inner.getByte(map(i))
+  override def getShort(i: Int): Short = inner.getShort(map(i))
+  override def getInt(i: Int): Int = inner.getInt(map(i))
+  override def getLong(i: Int): Long = inner.getLong(map(i))
+  override def getFloat(i: Int): Float = inner.getFloat(map(i))
+  override def getDouble(i: Int): Double = inner.getDouble(map(i))
+  override def getDecimal(i: Int, p: Int, s: Int): Decimal = inner.getDecimal(map(i), p, s)
+  override def getUTF8String(i: Int): UTF8String = inner.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(map(i))
+  override def getInterval(i: Int): CalendarInterval = inner.getInterval(map(i))
+  override def getVariant(i: Int): VariantVal = inner.getVariant(map(i))
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    inner.getGeography(map(i))
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    inner.getGeometry(map(i))
+  override def getStruct(i: Int, n: Int): InternalRow = inner.getStruct(map(i), n)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData = inner.getArray(map(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData = inner.getMap(map(i))
+  override def get(i: Int, dt: DataType): AnyRef = inner.get(map(i), dt)
+  override def setNullAt(i: Int): Unit = throw new UnsupportedOperationException
+  override def update(i: Int, v: Any): Unit = throw new UnsupportedOperationException
+  override def copy(): InternalRow = {
+    val vals = new Array[Any](map.length)
+    var i = 0
+    while (i < map.length) {
+      vals(i) =
+        if (inner.isNullAt(map(i))) null
+        else InternalRow.copyValue(inner.get(map(i), types(i)))
+      i += 1
+    }
+    new GenericInternalRow(vals)
   }
 }

@@ -61,9 +61,19 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
     // multiply driver metadata I/O on object stores).
     val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .contains("true")
+    // An unresolved `_file` reference anywhere means Spark's
+    // AddMetadataColumns still has to widen the relation output — swap
+    // too early and the metadata column can never resolve. Defer one
+    // fixpoint round; the post-widening swap synthesizes `_file` below.
+    val pendingMetaRef = plan.exists(p => !p.resolved && p.expressions.exists(_.exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last.equalsIgnoreCase(GraftMetaCols.FILE)
+      case _ => false
+    }))
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>
+          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) &&
+            !pendingMetaRef =>
         val gst = r.table.asInstanceOf[GraftSparkTable]
         val gt = gst.graftTable
         val snap = gst.asOfVersion.map { v =>
@@ -71,7 +81,22 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
           require(s.op != "expired", s"snapshot v$v has been expired; cannot time travel to it")
           s
         }.getOrElse(gt.snapshot)
-        if (spjOn && gst.asOfVersion.isEmpty && GraftSparkTable.spjEligible(snap)) r
+        // metadata columns (`_file`) resolve against the relation's
+        // metadataOutput without widening its output — a referenced one
+        // means the relation must KEEP its DSv2 scan (the flat Batch scan
+        // stamps real file paths and applies deletes reader-side; the
+        // view's input_file_name would be illegal past its multi-source
+        // union/anti-join shape)
+        val usesMeta = r.metadataOutput.exists(m =>
+          plan.exists(p => p.expressions.exists(_.exists {
+            // resolved references only — an UnresolvedAttribute is an
+            // Attribute too, and .exprId on it throws
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.exprId == m.exprId
+            case _ => false
+          })))
+        if (usesMeta) r
+        else if (spjOn && gst.asOfVersion.isEmpty && GraftSparkTable.spjEligible(snap)) r
         else GraftViewPlaceholder(r.output,
           spark.sessionState.sqlParser.parsePlan(gt.viewSqlOf(snap)))
       case h: GraftViewPlaceholder if h.child.resolved =>
@@ -81,12 +106,21 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
         // would silently mislabel columns; a missing name fails loudly
         val byName = h.child.output.map(a => a.name.toLowerCase -> a).toMap
         val aliased: Seq[NamedExpression] = h.output.map { o =>
-          val c = byName.getOrElse(o.name.toLowerCase,
-            throw new IllegalStateException(
-              s"column ${o.name} disappeared from the table view during analysis " +
-                "(concurrent schema change); re-run the query"))
-          val e = if (c.dataType == o.dataType) c else Cast(c, o.dataType)
-          Alias(e, o.name)(exprId = o.exprId)
+          byName.get(o.name.toLowerCase) match {
+            case Some(c) =>
+              val e = if (c.dataType == o.dataType) c else Cast(c, o.dataType)
+              Alias(e, o.name)(exprId = o.exprId)
+            case None if o.name == GraftMetaCols.FILE =>
+              // `_file` metadata column on the view path: the file feeding
+              // the row (exact for direct scans; empty past a shuffled
+              // anti-join stage — large delete sets — a documented limit)
+              Alias(org.apache.spark.sql.catalyst.expressions.InputFileName(), o.name)(
+                exprId = o.exprId)
+            case None =>
+              throw new IllegalStateException(
+                s"column ${o.name} disappeared from the table view during analysis " +
+                  "(concurrent schema change); re-run the query")
+          }
         }
         Project(aliased, h.child)
     }

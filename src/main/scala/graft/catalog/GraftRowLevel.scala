@@ -45,27 +45,43 @@ final class GraftRowLevelOperation(dir: String,
   // silently overwritten by replacement rows computed from stale state
   private val baseVersion = GraftTable.load(spark, dir).snapshot.version
 
+  // runtime group filter result: the scan records which data dirs
+  // actually contain condition-matched rows (None = filter never fired
+  // → whole-table replace); the commit swaps exactly those dirs
+  private val groupFilter =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[String]]](None)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"GraftRowLevelOperation($cmd, $dir)"
 
+  // asking for `_file` is what arms Spark's
+  // RowLevelOperationRuntimeGroupFiltering: it computes the DISTINCT
+  // `_file` of matching rows and pushes the set into the scan at runtime
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftMetaCols.FILE))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true,
-      pushIntoReader = false)
+      pushIntoReader = false, groupFilter = Some(groupFilter))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftReplaceBatchWrite(dir, info.schema(), baseVersion)
+          new GraftReplaceBatchWrite(dir, info.schema(), baseVersion, groupFilter)
       }
     }
 }
 
 /** Distributed replacement write: parquet files per task + one OCC
-  * overwrite commit on the driver. */
+  * commit on the driver — a whole-table replace, or, when runtime group
+  * filtering fired, a swap of exactly the dirs the scan kept. */
 private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType,
-                                           baseVersion: Int)
+    baseVersion: Int,
+    groupFilter: java.util.concurrent.atomic.AtomicReference[Option[Set[String]]] =
+      new java.util.concurrent.atomic.AtomicReference(None))
     extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -86,17 +102,33 @@ private final class GraftReplaceBatchWrite(dir: String, querySchema: StructType,
     val rows = messages.collect { case m: GraftFileCommit => m.rows }.sum
     val t = GraftTable.load(spark, dir)
     val snap = t.snapshot
-    if (snap.spec.isEmpty && snap.key.isEmpty) {
-      t.commitReplace(sub, rows, baseVersion) // executor files ARE the layout
-    } else {
-      // partitioned/sorted layout: run the replacement rows back through
-      // the table's clustering write (partition dirs, key-sorted files) —
-      // one extra write, same whole-table-replace semantics
-      val df =
-        if (rows == 0L) t.toDF.limit(0)
-        else GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
-      t.overwriteExpecting(df, baseVersion)
-      abort(messages) // raw epoch dir was scratch
+    groupFilter.get() match {
+      case Some(replacedDirs) =>
+        // runtime group filtering fired: the scan read ONLY these dirs,
+        // so the replacement rows cover exactly them — swap them, keep
+        // every untouched dir verbatim (a 100 TB UPDATE touches the
+        // dirs with matched rows, not the table)
+        if (snap.spec.isEmpty && snap.key.isEmpty) {
+          t.commitReplaceDirs(sub, rows, replacedDirs, baseVersion)
+        } else {
+          val df =
+            if (rows == 0L) t.toDF.limit(0)
+            else GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
+          val (csub, crows) = t.writeClustered(df)
+          t.commitReplaceDirs(csub, crows, replacedDirs, baseVersion)
+          abort(messages) // raw executor dir was scratch
+        }
+      case None if snap.spec.isEmpty && snap.key.isEmpty =>
+        t.commitReplace(sub, rows, baseVersion) // executor files ARE the layout
+      case None =>
+        // partitioned/sorted layout: run the replacement rows back through
+        // the table's clustering write (partition dirs, key-sorted files) —
+        // one extra write, same whole-table-replace semantics
+        val df =
+          if (rows == 0L) t.toDF.limit(0)
+          else GraftStagedFiles.readLogical(spark, dir, sub, snap, querySchema)
+        t.overwriteExpecting(df, baseVersion)
+        abort(messages) // raw epoch dir was scratch
     }
   }
 

@@ -47,7 +47,8 @@ final class GraftSparkTable(val dir: String, tableName: String,
                             pendingCreate: Option[(StructType, Seq[PartitionField])] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
   private def existsOnDisk: Boolean = GraftTable.exists(spark, dir)
@@ -93,6 +94,12 @@ final class GraftSparkTable(val dir: String, tableName: String,
   override def columns(): Array[Column] = schema().fields.map { f =>
     Column.create(f.name, f.dataType, f.nullable, f.getComment().orNull, null)
   }
+
+  /** `_file` (the data file each row was read from) — queryable row
+    * provenance AND the group identity runtime group filtering keys on
+    * (see [[GraftMetaCols]]). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftMetaCols.FileColumn)
 
   override def partitioning(): Array[Transform] =
     (if (isPending) pendingCreate.get._2 else readSnapshot.spec).map {
@@ -275,7 +282,8 @@ private final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
 private[catalog] final class GraftScanBuilder(table: GraftTable,
     asOf: Option[Int] = None, batchOnly: Boolean = false,
     skipReplaceCommits: Boolean = false, pushIntoReader: Boolean = true,
-    maxVersionsPerBatch: Option[Int] = None)
+    maxVersionsPerBatch: Option[Int] = None,
+    groupFilter: Option[java.util.concurrent.atomic.AtomicReference[Option[Set[String]]]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType =
@@ -300,13 +308,20 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
 
   override def build(): Scan = {
     // row-level operations plan their scan as a real Batch (no V1 path)
-    if (batchOnly) return new GraftFlatBatchScan(table, required, accepted)
+    if (batchOnly) return new GraftFlatBatchScan(table, required, accepted, groupFilter)
     // single-bucket-spec tables with no deletes get the partition-reporting
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)
     if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
       return new GraftBucketedScan(table, required, accepted,
         skipReplaceCommits, maxVersionsPerBatch)
+    // a `_file` metadata column request needs the DSv2 reader (it stamps
+    // real file paths and applies deletes reader-side; the view path's
+    // input_file_name is illegal past multi-source plans)
+    if (required.fieldNames.contains(GraftMetaCols.FILE)) {
+      require(asOf.isEmpty, "_file is not available on VERSION/TIMESTAMP AS OF reads")
+      return new GraftFlatBatchScan(table, required, accepted)
+    }
     val schema = required
     val filter = pred
     val pinned = asOf
@@ -326,10 +341,17 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
           override def sqlContext: SQLContext = context
           override def schema: StructType = readSchema()
           override def buildScan(): RDD[Row] = {
-            val base = pinned match {
+            val base0 = pinned match {
               case Some(v) => filter.foldLeft(table.asOf(v))(_ filter _)
               case None    => filter.map(table.scan).getOrElse(table.toDF)
             }
+            // `_file` metadata column on the V1 fallback = the parquet
+            // file feeding the row (input_file_name of the view scan)
+            val base =
+              if (readSchema().fieldNames.contains(GraftMetaCols.FILE))
+                base0.withColumn(GraftMetaCols.FILE,
+                  org.apache.spark.sql.functions.input_file_name())
+              else base0
             base.select(readSchema().fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
           }
         }.asInstanceOf[T]

@@ -347,6 +347,48 @@ object RefOps {
     spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
   }
 
+  // M1/M2 at the plain-SQL surface, group-based (copy-on-write) with
+  // RUNTIME GROUP FILTERING: an unkeyed table's UPDATE/MERGE rewrite
+  // through ReplaceData, but Spark's group-filter subquery (keyed on the
+  // `_file` metadata column) prunes the scan to the dirs containing
+  // matched rows and the commit swaps ONLY those dirs — asserted
+  // in-query. At 100 TB a SQL UPDATE touches the matched dirs, not the
+  // table.
+  private def sqlCowDml(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("cow_wh")
+    val cat = s"graftcw${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val base = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, s"$wh/db/cust", base.schema) // no key → group-based
+    // three dirs holding disjoint residue classes of the key
+    t.append(base.filter(col("customer_id") % 4 === 0))
+    t.append(base.filter(col("customer_id") % 4 === 1 || col("customer_id") % 4 === 2))
+    t.append(base.filter(col("customer_id") % 4 === 3))
+    val before = GraftTable.load(spark, s"$wh/db/cust").snapshot.dataDirs.map(_.path)
+    spark.sql(s"UPDATE $cat.db.cust SET acctbal = acctbal + 50.0 WHERE customer_id % 4 = 3")
+    val mid = GraftTable.load(spark, s"$wh/db/cust").snapshot.dataDirs.map(_.path)
+    assert(mid.count(before.contains) == 2,
+      "group-filtered UPDATE must keep the two unmatched dirs verbatim")
+    val src = s"cow_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    base.filter(col("customer_id") % 20 === 0)
+      .select(col("customer_id"), col("name"), (col("acctbal") * 3).as("acctbal"))
+      .unionAll(base.filter(col("customer_id") % 50 === 0)
+        .select((col("customer_id") + 3000000L).as("customer_id"),
+          concat(col("name"), lit("-m")).as("name"), col("acctbal")))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""MERGE INTO $cat.db.cust t USING $src s
+         |ON t.customer_id = s.customer_id
+         |WHEN MATCHED THEN UPDATE SET t.acctbal = s.acctbal
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = GraftTable.load(spark, s"$wh/db/cust").snapshot.dataDirs.map(_.path)
+    // %20==0 rows live in the %4==0 dir only: the other two survive
+    assert(after.count(mid.contains) >= 2,
+      "group-filtered MERGE must keep unmatched dirs verbatim")
+    spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
+  }
+
   // K4 — path-addressed v1 writer surface: df.write.format("graft")
   // .mode(...).save(path) then spark.read.format("graft").load(path)
   // (SparkTestWrite.java:48-50); both writes commit snapshots, the read
@@ -473,6 +515,7 @@ object RefOps {
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
     "sql_mor_dml" -> sqlMorDml,
+    "sql_cow_dml" -> sqlCowDml,
     "format_save_roundtrip" -> formatSaveRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
@@ -586,6 +629,15 @@ object RefOps {
         |FROM (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS orig FROM customer)
         |UNION ALL
         |SELECT c_custkey + 2000000, c_name || '-m', c_acctbal FROM customer WHERE c_custkey % 50 = 0
+        |ORDER BY customer_id""".stripMargin,
+    "sql_cow_dml" ->
+      """SELECT customer_id, name,
+        |       CASE WHEN customer_id % 20 = 0 THEN orig * 3
+        |            WHEN customer_id % 4 = 3 THEN orig + 50.0
+        |            ELSE orig END AS acctbal
+        |FROM (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS orig FROM customer)
+        |UNION ALL
+        |SELECT c_custkey + 3000000, c_name || '-m', c_acctbal FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY customer_id""".stripMargin,
     "format_save_roundtrip" ->
       """WITH base AS (SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal FROM customer)

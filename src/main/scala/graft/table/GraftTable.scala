@@ -955,6 +955,35 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     })
   }
 
+  /** Commit of an externally-written data dir as a PARTIAL replace: the
+    * dirs in `replacedDirs` (the groups the row-level operation's scan
+    * actually read, after runtime group filtering) are swapped for the
+    * replacement dir; every other data dir is kept verbatim. This is what
+    * makes a plain-SQL UPDATE/MERGE on a copy-on-write table touch only
+    * the dirs containing matched rows instead of rewriting 100 TB — the
+    * group-filter analogue of Iceberg's copy-on-write file scoping.
+    *
+    * Pending equality deletes survive only while some kept dir is older
+    * than them (they were already applied reader-side to the replaced
+    * rows, whose new dir version is newer than every delete; a delete no
+    * kept dir predates can never fire again and folds away — on a
+    * full-coverage replace that leaves none, matching [[commitReplace]]).
+    * Same stale-base abort as [[commitReplace]]. */
+  private[graft] def commitReplaceDirs(sub: String, rows: Long,
+                                       replacedDirs: Set[String],
+                                       expectedVersion: Int): Unit = {
+    commit(expectedVersion + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(snapshotAt(expectedVersion))
+      require(b.version == expectedVersion,
+        s"concurrent write during row-level operation (table advanced " +
+          s"v$expectedVersion -> v${b.version}); retry the statement")
+      val kept = b.dataDirs.filterNot(d => replacedDirs.contains(d.path))
+      b.copy(version = v, op = "overwrite",
+        dataDirs = kept ++ (if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
+        deletes = b.deletes.filter(del => kept.exists(_.version < del.version)))
+    })
+  }
+
   /** Clustering write of `df` into a fresh data dir WITHOUT a commit —
     * for DSv2 paths that re-route raw executor output through the
     * partition/sort layout and then stamp their own commit shape. */
