@@ -39,7 +39,7 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
                               skipReplaceCommits: Boolean = false,
                               maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
   private val snap = table.snapshot
   private val pf = snap.spec.head
@@ -48,6 +48,45 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  // ---- runtime bucket pruning (the DPP analogue for bucket layouts):
+  // a join against a filtered dim hands this scan the IN-set of join-key
+  // values at runtime; hashing them yields the buckets that can match.
+  // Partitions outside the set keep their partition KEY but drop their
+  // files (SPJ requires the partition-value set to survive runtime
+  // filtering) — the I/O disappears, the partitioning contract stays.
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only when the source column is in the read schema — Spark resolves
+    // these against the relation output and throws otherwise
+    if (required.fieldNames.exists(_.equalsIgnoreCase(pf.source)))
+      Array(Expressions.column(pf.source))
+    else Array.empty
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val dt = snap.schema(pf.source).dataType
+    val sets = predicates.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().headOption match {
+        case Some(r: org.apache.spark.sql.connector.expressions.NamedReference)
+            if r.fieldNames().length == 1 && r.fieldNames()(0).equalsIgnoreCase(pf.source) =>
+          val vals = p.children().tail.flatMap {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] if l.value != null =>
+              Some(GraftBucketedScan.bucketOf(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(l.value, dt),
+                dt, pf.param))
+            case _ => None
+          }
+          // prune only when every member hashed (partial = unsound)
+          if (vals.length == p.children().length - 1 && vals.forall(_.isDefined))
+            Some(vals.flatten.toSet)
+          else None
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -107,7 +146,12 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray[InputPartition]
+    runtimeBuckets match {
+      case None => partitions.toArray[InputPartition]
+      case Some(w) => partitions.map(p =>
+        if (w.contains(p.bucket)) p
+        else p.copy(files = Array.empty)).toArray[InputPartition]
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // physical projection in the same order as the logical read schema —

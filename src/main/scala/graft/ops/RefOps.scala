@@ -263,6 +263,23 @@ object RefOps {
       .orderBy("version")
   }
 
+  // row-level CDC changelog: inserts read from their commit's data dirs,
+  // delete pre-images recovered by a keyed semi-join against the parent
+  // snapshot (an upsert reads as delete(old)+insert(new))
+  private def changelogRead(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("changelog"), cust.schema,
+      key = Seq("customer_id"), formatVersion = 2)
+    t.append(cust)                                            // v1: insert all
+    val hit = cust.filter(col("customer_id") % 10 === 0)
+    t.rowDelta(hit.select(col("customer_id")),                // v2: upsert
+      hit.select(col("customer_id"), concat(col("name"), lit("-v2")).as("name")),
+      Seq("customer_id"))
+    t.changesBetween(0, 2)
+      .orderBy("_commit_version", "_change_type", "customer_id")
+  }
+
   // incremental changelog read: only the rows appended after a version
   private def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -522,6 +539,7 @@ object RefOps {
     "history_meta" -> historyMeta,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "time_travel" -> timeTravel,
+    "changelog_read" -> changelogRead,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync,
     "refs_wap_rollback" -> refsWapRollback
@@ -630,6 +648,15 @@ object RefOps {
         |UNION ALL
         |SELECT c_custkey + 2000000, c_name || '-m', c_acctbal FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY customer_id""".stripMargin,
+    "changelog_read" ->
+      """SELECT customer_id, name, _change_type, _commit_version FROM (
+        |  SELECT c_custkey AS customer_id, c_name AS name,
+        |         'insert' AS _change_type, CAST(1 AS INT) AS _commit_version FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'delete', CAST(2 AS INT) FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || '-v2', 'insert', CAST(2 AS INT) FROM customer WHERE c_custkey % 10 = 0
+        |) ORDER BY _commit_version, _change_type, customer_id""".stripMargin,
     "sql_cow_dml" ->
       """SELECT customer_id, name,
         |       CASE WHEN customer_id % 20 = 0 THEN orig * 3
