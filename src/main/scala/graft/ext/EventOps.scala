@@ -56,10 +56,29 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  // sketch-based approximate aggregates next to their exact answers: HLL++
+  // distinct counts and T-digest-style quantiles are MERGEABLE, so they
+  // combine map-side and ship O(sketch) bytes per group through the
+  // shuffle — at 100 TB the difference between a bounded-memory
+  // aggregation and a full distinct/sort. No DuckDB oracle (sketch
+  // internals are engine-specific); ApproxAggsSpec bounds the error
+  // against the exact columns instead.
+  private def approxAggs(spark: SparkSession, dir: String): DataFrame =
+    eventsWithTs(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keyed_latest" -> dedupKeyedLatest,
     "events_hourly_agg" -> eventsHourlyAgg,
     "sessionize_gaps" -> sessionizeGaps,
+    "approx_aggs" -> approxAggs,
     "multimodal_json" -> multimodalJson
   )
 

@@ -354,11 +354,35 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  // Gopher-style repetition signals: the fraction of n-gram occurrences
+  // that are repeats within the doc (1 - distinct/total). Boilerplate and
+  // degenerate generations score high and get gated — a standard
+  // training-corpus quality filter. Pure map-side codegen'd HOFs (no
+  // explode, no shuffle): at 100 TB this runs at scan speed.
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def ngrams(n: Int): Column =
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast(DoubleType) / size(g), 4))
+        .otherwise(lit(0.0))
+    documents(spark, dir)
+      .withColumn("g2", ngrams(2)).withColumn("g3", ngrams(3))
+      .select(col("doc_id"), size(tokens).cast(IntegerType).as("n_tok"),
+        dupFrac(col("g2")).as("dup2_frac"), dupFrac(col("g3")).as("dup3_frac"))
+      .withColumn("keep", col("dup3_frac") < 0.5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "text_langid" -> textLangid,
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -390,6 +414,19 @@ object TextOps {
         |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
         |  ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text,' ')), 4) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(w) AS n_tok,
+        |    list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CASE WHEN len(g2) > 0 THEN ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 4) ELSE 0.0 END AS dup2_frac,
+        |  CASE WHEN len(g3) > 0 THEN ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 4) ELSE 0.0 END AS dup3_frac,
+        |  (CASE WHEN len(g3) > 0 THEN ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 4) ELSE 0.0 END) < 0.5 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """SELECT lang,
         |  CASE WHEN text LIKE '% the %' THEN 'en'
