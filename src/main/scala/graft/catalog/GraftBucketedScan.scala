@@ -219,11 +219,13 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
   @volatile private var keptDirs: Option[Set[String]] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // only when the scan actually outputs `_file` (the group-based
-    // row-level read): advertising it on other scans (e.g. delta ops)
-    // makes Spark's PartitionPruning try to resolve a column the
-    // relation doesn't have
-    if (required.fieldNames.contains(GraftMetaCols.FILE))
+    // only when the scan actually outputs the METADATA `_file` (the
+    // group-based row-level read): advertising it on other scans (e.g.
+    // delta ops) makes Spark's PartitionPruning try to resolve a column
+    // the relation doesn't have, and a shadowing DATA column named
+    // `_file` would key the group filter on data values (wrong pruning)
+    if (required.fieldNames.contains(GraftMetaCols.FILE) &&
+        !snap.schema.fieldNames.contains(GraftMetaCols.FILE))
       Array(Expressions.column(GraftMetaCols.FILE))
     else Array.empty
 
@@ -321,7 +323,11 @@ object GraftBucketedScan {
       required: StructType, pushed: Array[Filter],
       extraPhysCols: Seq[StructField] = Nil): GraftBucketReaderFactory = {
     val spark = SparkSession.active
-    val fileIdx = required.fieldNames.indexOf(GraftMetaCols.FILE)
+    // stamp only the METADATA `_file` — a data column of that name
+    // shadows it and must be read from the file like any other column
+    val fileIdx =
+      if (snap.schema.fieldNames.contains(GraftMetaCols.FILE)) -1
+      else required.fieldNames.indexOf(GraftMetaCols.FILE)
     val innerRequired =
       if (fileIdx < 0) required
       else StructType(required.fields.filterNot(_.name == GraftMetaCols.FILE))

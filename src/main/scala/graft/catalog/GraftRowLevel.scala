@@ -57,10 +57,17 @@ final class GraftRowLevelOperation(dir: String,
 
   // asking for `_file` is what arms Spark's
   // RowLevelOperationRuntimeGroupFiltering: it computes the DISTINCT
-  // `_file` of matching rows and pushes the set into the scan at runtime
+  // `_file` of matching rows and pushes the set into the scan at runtime.
+  // A user DATA column named `_file` shadows the metadata column — the
+  // group filter would then key on data values, prune wrongly, and
+  // silently no-op the statement, so such tables take the plain
+  // whole-table replace
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftMetaCols.FILE))
+    if (GraftTable.load(spark, dir).schema.fieldNames.contains(GraftMetaCols.FILE))
+      Array.empty
+    else
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftMetaCols.FILE))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(GraftTable.load(spark, dir), batchOnly = true,

@@ -97,9 +97,12 @@ final class GraftSparkTable(val dir: String, tableName: String,
 
   /** `_file` (the data file each row was read from) — queryable row
     * provenance AND the group identity runtime group filtering keys on
-    * (see [[GraftMetaCols]]). */
+    * (see [[GraftMetaCols]]). A user DATA column named `_file` shadows
+    * the metadata column entirely (no advertisement, no reader stamping
+    * — the data values win, matching Spark's shadowing contract). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftMetaCols.FileColumn)
+    if (schema().fieldNames.contains(GraftMetaCols.FILE)) Array.empty
+    else Array(GraftMetaCols.FileColumn)
 
   override def partitioning(): Array[Transform] =
     (if (isPending) pendingCreate.get._2 else readSnapshot.spec).map {
@@ -315,10 +318,12 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
       return new GraftBucketedScan(table, required, accepted,
         skipReplaceCommits, maxVersionsPerBatch)
-    // a `_file` metadata column request needs the DSv2 reader (it stamps
-    // real file paths and applies deletes reader-side; the view path's
-    // input_file_name is illegal past multi-source plans)
-    if (required.fieldNames.contains(GraftMetaCols.FILE)) {
+    // a METADATA `_file` request needs the DSv2 reader (it stamps real
+    // file paths and applies deletes reader-side; the view path's
+    // input_file_name is illegal past multi-source plans). A DATA column
+    // named `_file` shadows the metadata column and reads normally.
+    if (required.fieldNames.contains(GraftMetaCols.FILE) &&
+        !table.schema.fieldNames.contains(GraftMetaCols.FILE)) {
       require(asOf.isEmpty, "_file is not available on VERSION/TIMESTAMP AS OF reads")
       return new GraftFlatBatchScan(table, required, accepted)
     }
@@ -341,17 +346,12 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
           override def sqlContext: SQLContext = context
           override def schema: StructType = readSchema()
           override def buildScan(): RDD[Row] = {
-            val base0 = pinned match {
+            // (a metadata `_file` request never reaches this V1 path —
+            // build() routes it to the flat Batch scan above)
+            val base = pinned match {
               case Some(v) => filter.foldLeft(table.asOf(v))(_ filter _)
               case None    => filter.map(table.scan).getOrElse(table.toDF)
             }
-            // `_file` metadata column on the V1 fallback = the parquet
-            // file feeding the row (input_file_name of the view scan)
-            val base =
-              if (readSchema().fieldNames.contains(GraftMetaCols.FILE))
-                base0.withColumn(GraftMetaCols.FILE,
-                  org.apache.spark.sql.functions.input_file_name())
-              else base0
             base.select(readSchema().fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
           }
         }.asInstanceOf[T]

@@ -69,24 +69,16 @@ object TemporalJoins {
     * Ties within a microsecond go to the highest view event_id. */
   private def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = eventsWithTs(spark, dir)
-    val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts_us"), col("event_id"),
-        struct(col("event_id"), col("value")).as("__v"))
-      .withColumn("__side", lit(0))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"))
-      .withColumn("__v", lit(null).cast(StructType(Seq(
-        StructField("event_id", LongType), StructField("value", DoubleType)))))
-      .withColumn("__side", lit(1))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("__side"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionByName(views)
-      .withColumn("__m", last(when(col("__side") === 0, col("__v")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    asofJoin(purchases, views, Seq("user_id"),
+      leftTs = "ts_us", rightTs = "ts_us", tieBreak = "event_id",
+      payload = Seq("event_id", "value"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts_us").as("purchase_us"),
-        col("__m.event_id").as("view_id"), col("__m.value").as("view_value"))
+        col("asof.event_id").as("view_id"), col("asof.value").as("view_value"))
       .orderBy("purchase_id")
   }
 

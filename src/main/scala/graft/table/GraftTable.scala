@@ -901,10 +901,21 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * raise, mirroring [[appendsBetween]]. */
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     val s = snapshotAt(toVersion)
+    // ops whose row-level effect a changelog CAN carry: appends/rowdeltas
+    // (their dirs + delete files are read below), plus commits that touch
+    // no rows at all. Everything else — overwrite/rewrite/rollback/
+    // cherrypick/expiry — removes or re-stamps rows in ways an
+    // insert/delete stream cannot express; crossing one silently diverges
+    // a CDC consumer, so it raises instead (a whitelist: unknown future
+    // ops fail safe).
+    val expressible = Set("create", "append", "rowdelta", "cherrypick",
+      "add-column", "drop-column", "rename-column", "replace-key",
+      "upgrade-format", "set-bloom-keys")
     (fromVersion + 1 to toVersion).foreach { v =>
       val op = snapshotAt(v).op
-      require(op != "overwrite" && op != "rewrite",
-        s"changelog read crosses an $op commit at v$v; start from v$v instead")
+      require(expressible.contains(op),
+        s"changelog read crosses a non-changelog-expressible '$op' commit " +
+          s"at v$v; start from v$v instead")
     }
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
@@ -925,20 +936,35 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val deletes = s.deletes
       .filter(d => d.version > fromVersion && d.version <= toVersion)
       .map { d =>
-        val pre = dfAt(snapshotAt(d.version - 1))
+        val parent = snapshotAt(d.version - 1)
+        // an expired parent has no data dirs — its pre-images are GONE,
+        // and returning an empty frame would silently drop the deletes
+        require(parent.op != "expired",
+          s"cannot recover delete pre-images for v${d.version}: parent " +
+            s"snapshot v${d.version - 1} has been expired")
+        // align the parent's LOGICAL names to toVersion's via physical
+        // identity (renames between the delete and toVersion are
+        // metadata-only; physical names are stable); columns added after
+        // the parent project typed NULLs
+        val aligned = s.schema.fields.map { f =>
+          val phys = s.physicalOf(f.name)
+          parent.fields.find(_.physical == phys) match {
+            case Some(pf) => col(pf.logical).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        val pre = dfAt(parent).select(aligned.toIndexedSeq: _*)
         val keyDf = spark.read.parquet(s"$dir/${d.path}")
           .select(d.keys.map(k => col(s.physicalOf(k)).as(k)): _*)
-        val counts = Seq(d.rowCount)
         val keySide =
-          if (counts.forall(_ >= 0) && counts.sum <= deleteBroadcastMaxRows)
+          if (d.rowCount >= 0 && d.rowCount <= deleteBroadcastMaxRows)
             broadcast(keyDf)
           else keyDf
         pre.join(keySide, d.keys.toSeq, "left_semi")
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(d.version))
       }
-    (inserts ++ deletes)
-      .foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+    (inserts ++ deletes).foldLeft(empty)(_ unionByName _)
   }
 
   /** The current snapshot rendered as self-contained Spark SQL over

@@ -64,6 +64,40 @@ class ChangelogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overwrite"))
   }
 
+  test("crossing a rollback commit raises (removed rows are inexpressible)") {
+    val t = GraftTable.create(spark, tmp(), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
+    t.append(Seq((2L, "b")).toDF("id", "v"))  // v2
+    t.rollbackTo(1)                            // v3 drops (2,b)
+    val e = intercept[IllegalArgumentException] { t.changesBetween(2, 3) }
+    assert(e.getMessage.contains("rollback"))
+  }
+
+  test("expired pre-image parent raises instead of silently dropping deletes") {
+    val t = GraftTable.create(spark, tmp(), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                        // v1
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id")) // v2
+    t.append(Seq((3L, "c")).toDF("id", "v"))                                   // v3
+    t.expireSnapshots(keepLast = 2)
+    val e = intercept[IllegalArgumentException] { t.changesBetween(1, 3) }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("rename between delete and read: pre-images align to the new names") {
+    val t = GraftTable.create(spark, tmp(), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                        // v1
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id")) // v2
+    t.renameColumn("v", "w")                                                   // v3
+    val out = t.changesBetween(0, 3)
+    assert(out.columns.toSeq ==
+      Seq("id", "w", "_change_type", "_commit_version")) // no phantom old-name column
+    val got = out.orderBy("_commit_version", "_change_type", "id")
+      .as[(Long, String, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "insert", 1), (2L, "b", "insert", 1),
+      (2L, "b", "delete", 2), (2L, "b2", "insert", 2)))
+  }
+
   test("chained upserts recover each pre-image from its own parent state") {
     val t = GraftTable.create(spark, tmp(), schema, key = Seq("id"), formatVersion = 2)
     t.append(Seq((1L, "a")).toDF("id", "v"))                                   // v1

@@ -129,6 +129,21 @@ class RuntimeGroupFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, "x"), (2L, "y"), (10L, "z"), (11L, "y")))
   }
 
+  test("a data column named _file shadows the metadata column everywhere") {
+    val dir = s"$warehouse/db/shadow"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("_file", StringType))))
+    t.append(Seq((1L, "keep-me"), (2L, "also-keep")).toDF("id", "_file"))
+    // reads serve the DATA values, not stamped paths
+    assert(spark.sql("SELECT _file FROM graft.db.shadow ORDER BY id")
+      .as[String].collect().toSeq == Seq("keep-me", "also-keep"))
+    // a row-level UPDATE must not clobber the column with file paths
+    spark.sql("UPDATE graft.db.shadow SET id = 99 WHERE id = 1")
+    val after = spark.sql("SELECT id, _file FROM graft.db.shadow ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(after == Seq((2L, "also-keep"), (99L, "keep-me")))
+  }
+
   test("_file metadata column: queryable, one value per data dir") {
     threeDirTable("f")
     val n = spark.sql("SELECT count(distinct _file) AS n FROM graft.db.f")
