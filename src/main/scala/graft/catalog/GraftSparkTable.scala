@@ -139,7 +139,11 @@ final class GraftSparkTable(val dir: String, tableName: String,
     TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC)
+    TableCapability.OVERWRITE_DYNAMIC,
+    // arms `MERGE WITH SCHEMA EVOLUTION`: extra source columns become
+    // catalog alterTable(AddColumn) calls before clause resolution
+    // (without the capability Spark silently ignores the extras)
+    TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a user-supplied read schema bypasses inferSchema — reads of a

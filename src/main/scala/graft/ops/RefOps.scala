@@ -406,6 +406,34 @@ object RefOps {
     spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
   }
 
+  // M3 at the plain-SQL surface with AUTOMATIC evolution: `MERGE WITH
+  // SCHEMA EVOLUTION` — the source's extra column becomes a catalog
+  // AddColumn before clause resolution (the reference runs ALTER TABLE
+  // by hand between the two merges; Spark 4's capability folds it in).
+  private def sqlMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("mse_wh")
+    val cat = s"graftme${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val base = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, s"$wh/db/cust", base.schema)
+    t.append(base)
+    val src = s"mse_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    customer(spark, dir).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-u")).as("name"), col("c_acctbal").as("acctbal"))
+      .unionAll(customer(spark, dir).filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 4000000L).as("customer_id"),
+          concat(col("c_name"), lit("-i")).as("name"), col("c_acctbal").as("acctbal")))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.cust t USING $src s
+         |ON t.customer_id = s.customer_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"SELECT customer_id, name, acctbal FROM $cat.db.cust ORDER BY customer_id")
+  }
+
   // K4 — path-addressed v1 writer surface: df.write.format("graft")
   // .mode(...).save(path) then spark.read.format("graft").load(path)
   // (SparkTestWrite.java:48-50); both writes commit snapshots, the read
@@ -533,6 +561,7 @@ object RefOps {
     "writeto_append" -> writetoAppend,
     "sql_mor_dml" -> sqlMorDml,
     "sql_cow_dml" -> sqlCowDml,
+    "sql_merge_evolve" -> sqlMergeEvolve,
     "format_save_roundtrip" -> formatSaveRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
@@ -648,6 +677,15 @@ object RefOps {
         |UNION ALL
         |SELECT c_custkey + 2000000, c_name || '-m', c_acctbal FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY customer_id""".stripMargin,
+    "sql_merge_evolve" ->
+      """SELECT customer_id, name, acctbal FROM (
+        |  SELECT c_custkey AS customer_id,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_name || '-u' ELSE c_name END AS name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE NULL END AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 4000000, c_name || '-i', c_acctbal FROM customer WHERE c_custkey % 100 = 0
+        |) ORDER BY customer_id""".stripMargin,
     "changelog_read" ->
       """SELECT customer_id, name, _change_type, _commit_version FROM (
         |  SELECT c_custkey AS customer_id, c_name AS name,

@@ -50,8 +50,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val (dir, meta) = metaOf(pathOf(options))
     require(GraftTable.exists(spark, dir), s"no graft table at $dir")
     val t = GraftTable.load(spark, dir)
+    if (meta.isEmpty && options.containsKey("changesFrom"))
+      return changelogOf(options, dir).schema()
     meta.map(GraftMetadataTable.frameOf(t, _).schema).getOrElse(t.schema)
   }
+
+  /** `.option("changesFrom", v)[.option("changesTo", w)]` → the CDC
+    * changelog table over `(v, w]` (w defaults to the current version). */
+  private def changelogOf(opts: CaseInsensitiveStringMap, dir: String): GraftChangelogTable =
+    new GraftChangelogTable(dir, opts.get("changesFrom").trim.toInt,
+      Option(opts.get("changesTo")).map(_.trim.toInt))
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val (dir, meta) = metaOf(pathOf(options))
@@ -69,6 +77,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val (dir, meta) = metaOf(pathOf(properties))
     meta match {
       case Some(m) => new GraftMetadataTable(dir, m)
+      case None if properties.containsKey("changesFrom") ||
+          new CaseInsensitiveStringMap(properties).containsKey("changesFrom") =>
+        changelogOf(new CaseInsensitiveStringMap(properties), dir)
       case None =>
         // a missing table is NOT created here: reads with a user-supplied
         // schema reach this point too (supportsExternalMetadata), and a

@@ -42,6 +42,41 @@ final class GraftMetadataTable(dir: String, meta: String)
     }
 }
 
+/** Read-only table serving the CDC changelog of `(from, to]` —
+  * `spark.read.format("graft").option("changesFrom", 1)
+  * [.option("changesTo", 3)].load(path)` (Iceberg's
+  * spark_changelog / table_changes role). Delegates to
+  * [[GraftTable.changesBetween]]: inserts from the range's data dirs,
+  * delete pre-images via keyed semi-join, non-expressible commits raise. */
+final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
+    extends Table with SupportsRead {
+
+  private def frame: DataFrame = {
+    val t = GraftTable.load(SparkSession.active, dir)
+    t.changesBetween(from, to.getOrElse(t.currentVersion))
+  }
+
+  override def name(): String = s"graft.`$dir#changes($from,${to.getOrElse(-1)}]`"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        private val df = frame
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
 object GraftMetadataTable {
   val names: Set[String] = Set("history", "snapshots", "manifests", "files", "refs")
 

@@ -98,6 +98,21 @@ class ChangelogSpec extends AnyFunSuite {
       (2L, "b", "delete", 2), (2L, "b2", "insert", 2)))
   }
 
+  test("read surface: format(graft).option(changesFrom/changesTo)") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                        // v1
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id")) // v2
+    val got = spark.read.format("graft")
+      .option("changesFrom", 1).load(dir) // changesTo defaults to current
+      .orderBy("_change_type", "id")
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Int)].collect().toSeq
+    assert(got == Seq((2L, "b", "delete", 2), (2L, "b2", "insert", 2)))
+    assert(spark.read.format("graft")
+      .option("changesFrom", 0).option("changesTo", 1).load(dir).count() == 2)
+  }
+
   test("chained upserts recover each pre-image from its own parent state") {
     val t = GraftTable.create(spark, tmp(), schema, key = Seq("id"), formatVersion = 2)
     t.append(Seq((1L, "a")).toDF("id", "v"))                                   // v1

@@ -386,6 +386,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentVersion == 5)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's extra columns") {
+    val t = mkTable("db12", "mse", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((2L, "B", "x@y"), (3L, "C", "z@w")).toDF("id", "v", "email")
+      .createOrReplaceTempView("mse_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db12.mse t USING mse_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.db12.mse").schema.fieldNames.toSeq ==
+      Seq("id", "v", "email"))
+    val got = spark.sql("SELECT id, v, email FROM graft.db12.mse ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, "a", null), (2L, "B", "x@y"), (3L, "C", "z@w")))
+  }
+
   test("row-level SQL keeps rows in files the condition never touches") {
     // regression: pushed filters must not skip files in the ReplaceData
     // scan — a skipped file's rows would vanish from the table
