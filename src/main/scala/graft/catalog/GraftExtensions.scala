@@ -70,7 +70,30 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
         u.nameParts.last.equalsIgnoreCase(GraftMetaCols.FILE)
       case _ => false
     }))
-    plan.resolveOperatorsUp {
+    // metadata-only COUNT(*): a bare, unfiltered count over a graft
+    // relation folds to the snapshot log's dir row counts (captured by
+    // Observation during every write — no extra pass then, no scan now).
+    // Sound only when every dir has a recorded count and no equality
+    // deletes are pending; anything else scans normally. At 100 TB this
+    // answers `SELECT count(*)` without touching a file — the role
+    // Iceberg's manifest stats play. TOP-DOWN and before the view swap:
+    // bottom-up would replace the relation under the Aggregate first.
+    val counted = plan.resolveOperatorsDown {
+      case agg @ Aggregate(Nil, aggExprs, child, _)
+          if agg.resolved && aggExprs.nonEmpty &&
+            aggExprs.forall(GraftCountFold.isCountStar) &&
+            GraftCountFold.relationOf(child, writeTargets).isDefined =>
+        GraftCountFold.relationOf(child, writeTargets).flatMap { gst =>
+          val snap = gst.readSnapshot
+          if (snap.deletes.isEmpty && snap.dataDirs.forall(_.rowCount >= 0L)) {
+            val n = snap.dataDirs.map(_.rowCount).sum
+            Some(LocalRelation(agg.output.map(_.toAttribute),
+              Seq(org.apache.spark.sql.catalyst.InternalRow(
+                Seq.fill(aggExprs.length)(n): _*))))
+          } else None
+        }.getOrElse(agg)
+    }
+    counted.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) &&
             !pendingMetaRef =>
@@ -125,6 +148,41 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
         Project(aliased, h.child)
     }
   }
+}
+
+/** Pattern helpers for the metadata-only COUNT(*) fold. */
+private[catalog] object GraftCountFold {
+  import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+
+  /** The graft table under a bare count: the relation itself or a
+    * trivial column-pruning Project over it — a Filter (or anything
+    * else) means the count depends on row data and must scan. */
+  def relationOf(child: LogicalPlan,
+                 writeTargets: java.util.Set[LogicalPlan]): Option[GraftSparkTable] =
+    child match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>
+        Some(r.table.asInstanceOf[GraftSparkTable])
+      case Project(es, r) if es.forall(_.isInstanceOf[Attribute]) => relationOf(r, writeTargets)
+      case SubqueryAlias(_, r) => relationOf(r, writeTargets)
+      case _ => None
+    }
+
+  /** `count(*)` / `count(1)` (non-distinct, unfiltered), possibly aliased. */
+  def isCountStar(e: NamedExpression): Boolean = e match {
+    case Alias(ae, _) => isCountStarExpr(ae)
+    case other => isCountStarExpr(other)
+  }
+  private def isCountStarExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(CLit(_, _))) => true
+          case _ => false
+        }
+      case _ => false
+    }
 }
 
 /** Holds a graft relation's original output attributes while the parsed

@@ -1,0 +1,96 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.GraftTable
+
+/** Metadata-only COUNT(*): a bare unfiltered count over a graft relation
+  * folds at analysis to the snapshot log's recorded dir row counts — no
+  * scan, no job over row data (Iceberg's manifest-stats role). Anything
+  * the counts can't answer (filters, pending deletes, legacy dirs
+  * without counts) falls back to a normal scan. */
+class CountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var prior: Option[SparkSession] = None
+  lazy val spark: SparkSession = {
+    prior = SparkSession.getDefaultSession
+    prior.foreach(_ => {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    })
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftSparkSessionExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  override def afterAll(): Unit = prior.foreach { p =>
+    SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+  }
+
+  lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cf_wh").toString
+    GraftCatalog.register(spark, wh)
+    wh
+  }
+
+  private val idv = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def isFolded(sql: String): Boolean =
+    spark.sql(sql).queryExecution.analyzed.isInstanceOf[LocalRelation]
+
+  test("bare count(*) folds to the log's counts — no scan in the plan") {
+    val t = GraftTable.create(spark, s"$warehouse/db/c1", idv)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(isFolded("SELECT count(*) AS n FROM graft.db.c1"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.c1").as[Long].head() == 3L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.c1").as[Long].head() == 3L)
+  }
+
+  test("counts stay exact across DML that rewrites dirs") {
+    val t = GraftTable.create(spark, s"$warehouse/db/c2", idv)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    spark.sql("UPDATE graft.db.c2 SET v = 'z' WHERE id = 3")
+    assert(isFolded("SELECT count(*) FROM graft.db.c2"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.c2").as[Long].head() == 3L)
+    spark.sql("DELETE FROM graft.db.c2 WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.c2").as[Long].head() == 2L)
+  }
+
+  test("filters, grouped counts, other aggregates, and MoR tables scan normally") {
+    val t = GraftTable.create(spark, s"$warehouse/db/c3", idv)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "v"))
+    assert(!isFolded("SELECT count(*) FROM graft.db.c3 WHERE id >= 2"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.c3 WHERE id >= 2").as[Long].head() == 2L)
+    assert(!isFolded("SELECT v, count(*) FROM graft.db.c3 GROUP BY v"))
+    assert(!isFolded("SELECT count(*), max(id) FROM graft.db.c3"))
+    assert(!isFolded("SELECT count(DISTINCT v) FROM graft.db.c3"))
+    // MoR table with pending deletes: recorded counts don't reflect the
+    // anti-join, so the count must scan
+    val m = GraftTable.create(spark, s"$warehouse/db/c4", idv,
+      key = Seq("id"), formatVersion = 2)
+    m.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    m.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    assert(!isFolded("SELECT count(*) FROM graft.db.c4"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.c4").as[Long].head() == 2L)
+  }
+
+  test("VERSION AS OF counts fold against the pinned snapshot") {
+    val t = GraftTable.create(spark, s"$warehouse/db/c5", idv)
+    t.append(Seq((1L, "a")).toDF("id", "v"))     // v1
+    t.append(Seq((2L, "b")).toDF("id", "v"))     // v2
+    assert(spark.sql("SELECT count(*) FROM graft.db.c5 VERSION AS OF 1")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.c5").as[Long].head() == 2L)
+  }
+}
