@@ -276,6 +276,11 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "id" -> StringType)) { r =>
           tbl(r).publishStaged(r.getUTF8String(1).toString); ()
         }
+      case "add_files" =>
+        GraftCatalog.procedure("add_files",
+          Seq("table" -> StringType, "source_dir" -> StringType)) { r =>
+          tbl(r).addFiles(r.getUTF8String(1).toString); ()
+        }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other; available: ${GraftCatalog.procedureNames.mkString(", ")}")
     }
@@ -341,7 +346,8 @@ object GraftCatalog {
   private[catalog] val procedureNames: Array[String] = Array(
     "compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
-    "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged")
+    "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
+    "add_files")
 
   /** A void maintenance procedure with IN parameters. */
   private[catalog] def procedure(procName: String, params: Seq[(String, DataType)])

@@ -883,6 +883,67 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** In-place migration (Iceberg's `add_files` role): registers an
+    * existing parquet directory as a committed data dir WITHOUT copying
+    * or rewriting row data. The directory is RENAMED under the table's
+    * data root (an O(1) metadata move on the same filesystem — cross-fs
+    * moves are refused rather than silently degrading to a copy), its
+    * schema is validated against the table's physical columns, and one
+    * append snapshot commits it. At 100 TB this is how an existing
+    * parquet lake becomes a governed table in seconds.
+    *
+    * Constraints: unpartitioned tables only (a spec'd table's `k=v`
+    * layout cannot be guaranteed by foreign files), every file must be
+    * `.parquet`, and every table column's physical name must appear in
+    * the files with the exact type (extra file columns are ignored by
+    * the by-name reads). */
+  def addFiles(sourceDir: String): GraftTable = {
+    val s = snapshot
+    require(s.spec.isEmpty,
+      "add_files requires an unpartitioned table (foreign files cannot " +
+        "satisfy a partition-transform layout); write through append() instead")
+    val src = new Path(sourceDir)
+    val f = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(src) && f.getFileStatus(src).isDirectory,
+      s"add_files source is not a directory: $sourceDir")
+    val files = {
+      val it = f.listFiles(src, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          buf += st.getPath.getName
+      }
+      buf.toSeq
+    }
+    require(files.nonEmpty, s"add_files source has no data files: $sourceDir")
+    require(files.forall(_.endsWith(".parquet")),
+      s"add_files accepts .parquet files only; found: " +
+        files.filterNot(_.endsWith(".parquet")).take(3).mkString(", "))
+    val fileSchema = spark.read.parquet(sourceDir).schema
+    s.schema.fields.foreach { fld =>
+      val phys = s.physicalOf(fld.name)
+      val in = fileSchema.fields.find(_.name == phys)
+      require(in.exists(_.dataType == fld.dataType),
+        s"add_files schema mismatch for column '${fld.name}' (physical " +
+          s"'$phys'): table ${fld.dataType.sql}, files " +
+          s"${in.map(_.dataType.sql).getOrElse("<missing>")}")
+    }
+    val rows = spark.read.parquet(sourceDir).count()
+    val sub = s"data/${java.util.UUID.randomUUID()}"
+    val dest = new Path(dir, sub)
+    dest.getParent.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dest.getParent)
+    require(f.rename(src, dest),
+      s"add_files could not move $sourceDir under the table " +
+        s"(cross-filesystem moves are not supported — copy first)")
+    commit(currentVersion + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
+    })
+    this
+  }
+
   /** Row-level CDC changelog between versions (Iceberg's changelog-view
     * role): every commit in `(fromVersion, toVersion]` contributes its
     * changes tagged with `_change_type` ('insert' | 'delete') and

@@ -85,6 +85,29 @@ class CountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.c4").as[Long].head() == 2L)
   }
 
+  test("add_files registers foreign parquet in place — no rewrite, counts fold") {
+    val t = GraftTable.create(spark, s"$warehouse/db/mig", idv)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // a foreign parquet dir written outside the table
+    val ext = java.nio.file.Files.createTempDirectory("graft_ext").toString + "/batch"
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v").repartition(2).write.parquet(ext)
+    spark.sql(s"CALL graft.system.add_files('db.mig', '$ext')")
+    assert(spark.sql("SELECT id, v FROM graft.db.mig ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the registered dir carries its observed count: counts still fold
+    assert(isFolded("SELECT count(*) FROM graft.db.mig"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.mig").as[Long].head() == 3L)
+    // source dir was MOVED, not copied
+    assert(!new java.io.File(ext).exists())
+    // schema mismatch is refused
+    val bad = java.nio.file.Files.createTempDirectory("graft_bad").toString + "/b"
+    Seq((1, "x")).toDF("id", "v").write.parquet(bad) // id is INT, table wants BIGINT
+    val e = intercept[Exception] {
+      GraftTable.load(spark, s"$warehouse/db/mig").addFiles(bad)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("VERSION AS OF counts fold against the pinned snapshot") {
     val t = GraftTable.create(spark, s"$warehouse/db/c5", idv)
     t.append(Seq((1L, "a")).toDF("id", "v"))     // v1
