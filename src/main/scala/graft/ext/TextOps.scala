@@ -359,12 +359,15 @@ object TextOps {
   // degenerate generations score high and get gated — a standard
   // training-corpus quality filter. Pure map-side codegen'd HOFs (no
   // explode, no shuffle): at 100 TB this runs at scan speed.
+  /** Word n-grams of the space-split text (empty array for docs shorter
+    * than n) — shared by the repetition and decontamination ops. */
+  private def ngrams(n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    def ngrams(n: Int): Column =
-      when(size(tokens) >= n,
-        transform(sequence(lit(1), size(tokens) - (n - 1)),
-          i => concat_ws(" ", slice(tokens, i, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType)))
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
         round(lit(1.0) - size(array_distinct(g)).cast(DoubleType) / size(g), 4))
@@ -377,12 +380,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 8-gram with the held-out set (here: `source = 'src0'` plays the
+    * benchmark) — the standard n-gram-overlap contamination check run
+    * before training. Scale shape: the BENCHMARK's distinct grams are the
+    * small side and broadcast; the corpus streams through one explode +
+    * broadcast semi-join + per-doc count, so the big side never
+    * shuffles on gram strings. */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val docs = documents(spark, dir)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(ngrams(n))).as("g"))
+    val benchGrams = grams.filter(col("source") === "src0").select("g").distinct()
+    val shared = grams.filter(col("source") =!= "src0")
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("source") =!= "src0").select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "decontaminate" -> decontaminate,
     "text_langid" -> textLangid,
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -414,6 +441,19 @@ object TextOps {
         |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS ttr,
         |  ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text,' ')), 4) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(w)-7),
+        |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+        |      FROM w),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |shared AS (SELECT g.doc_id, count(*) AS n_shared
+        |           FROM g JOIN bench USING (g) WHERE g.source != 'src0' GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |       COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+        |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
