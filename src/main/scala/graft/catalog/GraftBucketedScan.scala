@@ -39,7 +39,8 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
                               skipReplaceCommits: Boolean = false,
                               maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
 
   private val snap = table.snapshot
   private val pf = snap.spec.head
@@ -153,6 +154,22 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
         else p.copy(files = Array.empty)).toArray[InputPartition]
     }
 
+  /** Real sizes instead of `spark.sql.defaultSizeInBytes`: the planner
+    * can auto-broadcast a small graft table. Reflects static bucket
+    * pruning (sizes come from the pruned partition list); row count is
+    * reported only for unpruned scans (the log counts whole dirs). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = partitions.iterator.flatMap(_.files.iterator.map(_._2)).sum
+    val rows: java.util.OptionalLong =
+      if (wantedBuckets.isEmpty && snap.dataDirs.forall(_.rowCount >= 0))
+        java.util.OptionalLong.of(snap.dataDirs.map(_.rowCount).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     // physical projection in the same order as the logical read schema —
     // InternalRow consumption is positional, names only matter at the file
@@ -206,7 +223,8 @@ final case class GraftFilePartition(files: Array[(String, Long)],
 final class GraftFlatBatchScan(table: GraftTable, required: StructType,
                                pushed: Array[Filter],
                                groupFilter: Option[java.util.concurrent.atomic.AtomicReference[Option[Set[String]]]] = None)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
 
   private val snap = table.snapshot
   private def spark = SparkSession.active
@@ -254,6 +272,25 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftBucketedScan.deleteAware(table.dir, snap, required, pushed)
+
+  /** File-metadata sizes over the kept dirs (post runtime group filter);
+    * row count from the log when every kept dir has one — pending
+    * equality deletes make it an upper bound, so it is withheld then. */
+  override def estimateStatistics(): Statistics = {
+    val kept = byDir.filter { case (d, _) => keptDirs.forall(_.contains(d.path)) }
+    val bytes = kept.iterator.flatMap(_._2.iterator).map {
+      case p: GraftFilesPartition => p.files.iterator.map(_._2).sum
+      case _ => 0L
+    }.sum
+    val rows: java.util.OptionalLong =
+      if (snap.deletes.isEmpty && kept.forall(_._1.rowCount >= 0))
+        java.util.OptionalLong.of(kept.map(_._1.rowCount).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 }
 
 /** Wraps the file reader with the (key → newest delete version) filter:

@@ -1806,6 +1806,24 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     buf.toSeq.toDF("file", "size")
   }
 
+  /** Total bytes of a snapshot's data files (filesystem metadata only —
+    * no row data touched). Feeds the DSv2 scans' reported statistics so
+    * Spark's join planner sees real sizes: a small graft dim joins as a
+    * broadcast instead of defaulting to `spark.sql.defaultSizeInBytes`
+    * (= LongMax = never broadcast) and shuffling both sides. */
+  def dataSizeBytes(s: Snapshot): Long = {
+    val f = fs
+    s.dataDirs.map { d =>
+      val it = f.listFiles(new Path(s"$dir/${d.path}"), true)
+      var sum = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
+      }
+      sum
+    }.sum
+  }
+
   /** Hive-style partition path for a row under this table's spec (D9),
     * e.g. `effective_date_month=2020-03/name_trunc=customer_c`. */
   def partitionPathExpr: Column = {
