@@ -494,6 +494,26 @@ object RefOps {
       .orderBy("o_orderkey")
   }
 
+  // Bounds dir skipping: RANGE predicates on a NON-layout column check the
+  // per-dir [min,max] sidecars (captured by the write job's Observation —
+  // zero extra passes) and read only intersecting data dirs — the role
+  // Iceberg's manifest column bounds play. Complements blooms (points).
+  private def boundsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"))
+    val t = GraftTable.create(spark, tmp("bounds"), o.schema, statsKeys = Seq("o_orderdate"))
+    // three commits with disjoint date ranges (SF-independent: TPC-H dates
+    // span 1995..2001) -> a range scan's bounds hit one dir
+    def ts(s: String) = lit(java.time.LocalDateTime.parse(s))
+    t.append(o.filter(col("o_orderdate") < ts("1997-01-01T00:00:00")))
+    t.append(o.filter(col("o_orderdate") >= ts("1997-01-01T00:00:00")
+      && col("o_orderdate") < ts("1999-01-01T00:00:00")))
+    t.append(o.filter(col("o_orderdate") >= ts("1999-01-01T00:00:00")))
+    t.scan(col("o_orderdate") >= ts("2000-01-01T00:00:00") && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   // S4 — #history metadata suffix read through the DataSource registration
   // (IcebergHadoopTables.java:44: spark.read.format("iceberg").load(path + "#history"))
   private def historyMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -567,6 +587,7 @@ object RefOps {
     "snapshots_meta" -> snapshotsMeta,
     "history_meta" -> historyMeta,
     "bloom_pruned_scan" -> bloomPrunedScan,
+    "bounds_pruned_scan" -> boundsPrunedScan,
     "time_travel" -> timeTravel,
     "changelog_read" -> changelogRead,
     "incremental_read" -> incrementalRead,
@@ -719,6 +740,10 @@ object RefOps {
     "bloom_pruned_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey = 1 ORDER BY o_orderkey""".stripMargin,
+    "bounds_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "history_meta" ->
       """SELECT CAST(v AS INT) AS version, CAST(p AS INT) AS parent_version, op AS operation, cur AS is_current
         |FROM (VALUES (0,-1,'create',false),(1,0,'append',false),(2,1,'overwrite',true)) t(v,p,op,cur)

@@ -101,6 +101,11 @@ final case class Snapshot(
     deletes: Seq[DeleteFile],
     retiredPhysical: Seq[String],  // tombstoned physical names
     bloomKeys: Seq[String] = Seq.empty, // columns with per-commit bloom sidecars
+    // columns with per-dir [min,max] sidecars captured at write: range
+    // predicates skip whole data dirs whose interval cannot match (the
+    // role Iceberg's manifest column bounds play). Sidecars are keyed by
+    // PHYSICAL name, so renames never invalidate them.
+    statsKeys: Seq[String] = Seq.empty,
     // streaming-sink exactly-once ledger: per writing query, the last
     // committed epoch; a post-failure epoch retry sees its id here and
     // skips (bounded by the number of distinct streaming writers)
@@ -344,13 +349,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         }
     }
     val obs = org.apache.spark.sql.Observation()
-    // per-commit key blooms ride the SAME write job as extra observed
-    // metrics — stats + blooms with zero additional passes over the data
+    // per-commit key blooms and column bounds ride the SAME write job as
+    // extra observed metrics — stats with zero additional passes
     val bloomMetrics = snap.bloomKeys.map { k =>
       org.apache.spark.sql.GraftShim.bloomAgg(
         col(snap.physicalOf(k)), bloomExpectedItems).as(s"__bloom_$k")
     }
-    val observed = sorted.observe(obs, count(lit(1)).as("rows"), bloomMetrics: _*)
+    val boundMetrics = snap.statsKeys.flatMap { k =>
+      val p = snap.physicalOf(k)
+      Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"))
+    }
+    val observed = sorted.observe(obs, count(lit(1)).as("rows"),
+      bloomMetrics ++ boundMetrics: _*)
     if (partCols.nonEmpty) {
       // duplicate each derived column into the directory layout; the
       // in-file copy keeps footer min/max stats for file skipping on
@@ -364,7 +374,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val rows = try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
     // persist bloom sidecars under the log (metadata, not data):
     // _graft_log/blooms/<dir-uuid>__<logical-key>.bloom
-    if (snap.bloomKeys.nonEmpty) {
+    if (snap.bloomKeys.nonEmpty || snap.statsKeys.nonEmpty) {
       val metrics: scala.collection.Map[String, Any] =
         try obs.get catch { case _: Throwable => Map.empty[String, Any] }
       val f = fs
@@ -377,6 +387,26 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             try os.write(bytes) finally os.close()
           case _ => // metric missing: no sidecar, scans simply cannot skip
         }
+      }
+      // one bounds sidecar per dir: _graft_log/stats/<uuid>.json with
+      // {"<physical>": {"min": "...", "max": "..."}} — an all-NULL or
+      // unencodable column is simply absent (dir is never skipped on it)
+      if (snap.statsKeys.nonEmpty) {
+        val o = mapper.createObjectNode()
+        var any = false
+        snap.statsKeys.foreach { k =>
+          val p = snap.physicalOf(k)
+          (metrics.get(s"__min_$p").flatMap(encodeStat),
+            metrics.get(s"__max_$p").flatMap(encodeStat)) match {
+            case (Some(mn), Some(mx)) =>
+              val c = o.putObject(p); c.put("min", mn); c.put("max", mx); any = true
+            case _ =>
+          }
+        }
+        if (any) try {
+          val os = f.create(new Path(logDir, s"stats/$uuid.json"), true)
+          try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+        } catch { case _: Exception => } // sidecars are best-effort
       }
     }
     (sub, rows)
@@ -540,6 +570,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         // a bloom key on the dropped column would break every future
         // write (physicalOf throws); existing sidecars just go unused
         bloomKeys = b.bloomKeys.filterNot(_ == name),
+        statsKeys = b.statsKeys.filterNot(_ == name),
         retiredPhysical = b.retiredPhysical :+ phys)
     })
     this
@@ -569,6 +600,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           if (fi.logical == name) fi.copy(logical = newName) else fi),
         key = b.key.map(r),
         bloomKeys = b.bloomKeys.map(r),
+        // min/max sidecars are keyed by physical name — they stay live
+        statsKeys = b.statsKeys.map(r),
         deletes = b.deletes.map(d => d.copy(keys = d.keys.map(r))))
     })
     this
@@ -598,6 +631,22 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     keys.foreach(s.physicalOf) // validate
     commit(s.version + 1)((rebase, v) => Option(rebase).getOrElse(s)
       .copy(version = v, op = "set-bloom-keys", bloomKeys = keys))
+    this
+  }
+
+  /** Declares columns whose RANGE predicates should skip whole data dirs
+    * via per-dir [min, max] sidecars (captured on FUTURE writes, riding
+    * the write job's Observation — zero extra passes; existing dirs have
+    * no sidecar and are never skipped). The dir-level complement of the
+    * bloom sidecars: blooms answer point lookups on high-cardinality
+    * keys, bounds answer range scans (`ts >= X`, `price < Y`) — the role
+    * Iceberg's per-column manifest bounds play at 100 TB, where skipping
+    * a dir means never listing its files at all. */
+  def setStatsKeys(keys: Seq[String]): GraftTable = {
+    val s = snapshot
+    keys.foreach(s.physicalOf) // validate
+    commit(s.version + 1)((rebase, v) => Option(rebase).getOrElse(s)
+      .copy(version = v, op = "set-stats-keys", statsKeys = keys))
     this
   }
 
@@ -671,11 +720,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     *     NON-layout columns, the role Iceberg's per-file bloom metrics
     *     play. Sound: a missing/unreadable sidecar keeps the dir.
     *
+    *  4. Bounds dir skipping — comparison predicates on declared
+    *     `statsKeys` check each dir's logged [min, max] sidecar and drop
+    *     dirs whose interval cannot match — the role Iceberg's manifest
+    *     column bounds play (range scans on non-layout columns). Same
+    *     soundness rule: missing sidecar keeps the dir.
+    *
     * Falls back to a plain filtered read when nothing is derivable. */
   def scan(pred: Column): DataFrame = {
     val s = snapshot
     if (s.deletes.nonEmpty || s.dataDirs.isEmpty) return toDF.filter(pred)
-    val live = bloomLiveDirs(s, pred)
+    val live = rangeLiveDirs(s, bloomLiveDirs(s, pred), pred)
     if (live.isEmpty) return emptyDF(s)
     val derived = TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true)
     if (s.spec.isEmpty || derived.isEmpty)
@@ -716,6 +771,58 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .option("recursiveFileLookup", "true")
       .parquet(dirs.map(d => s"$dir/${d.path}"): _*)
       .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
+  }
+
+  /** Data dirs whose logged [min, max] bounds can satisfy `pred`'s
+    * comparison conjuncts; a dir is dropped only when some conjunct
+    * cannot hold anywhere in the dir's interval for that column. Missing
+    * sidecar / missing column entry / uncomparable literal ⇒ keep (the
+    * skip is an optimization, never a correctness dependency). O(dirs)
+    * driver metadata work. */
+  private def rangeLiveDirs(s: Snapshot, dirs: Seq[DataDir], pred: Column): Seq[DataDir] = {
+    if (s.statsKeys.isEmpty || dirs.isEmpty) return dirs
+    val conjuncts = TransformPruning.rangeConjuncts(pred).filter { case (c, _, _) =>
+      s.statsKeys.exists(_.equalsIgnoreCase(c)) && s.schema.fieldNames.contains(c)
+    }
+    if (conjuncts.isEmpty) return dirs
+    val f = fs
+    val statsDir = new Path(logDir, "stats")
+    if (!f.exists(statsDir)) return dirs
+    def boundsOf(uuid: String): Option[JsonNode] =
+      try {
+        val in = f.open(new Path(statsDir, s"$uuid.json"))
+        try Some(mapper.readTree(in)) finally in.close()
+      } catch { case _: Exception => None }
+    dirs.filter { d =>
+      val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+      boundsOf(uuid) match {
+        case None => true
+        case Some(node) => conjuncts.forall { case (c, op, values) =>
+          val dt = s.schema(c).dataType
+          val entry = Option(node.get(s.physicalOf(c)))
+          entry match {
+            case None => true
+            case Some(e) =>
+              val bounds = for {
+                mn <- decodeStat(dt, e.get("min").asText())
+                mx <- decodeStat(dt, e.get("max").asText())
+              } yield (mn, mx)
+              bounds.forall { case (mn, mx) =>
+                def ge(a: Any, b: Any) = cmpStat(dt, a, b).forall(_ >= 0)
+                def gt(a: Any, b: Any) = cmpStat(dt, a, b).forall(_ > 0)
+                op match {
+                  case "=" | "in" => values.exists(v => ge(v, mn) && ge(mx, v))
+                  case ">"  => values.exists(v => gt(mx, v))
+                  case ">=" => values.exists(v => ge(mx, v))
+                  case "<"  => values.exists(v => gt(v, mn))
+                  case "<=" => values.exists(v => ge(v, mn))
+                  case _ => true
+                }
+              }
+          }
+        }
+      }
+    }
   }
 
   /** Data dirs that can match `pred`'s point predicates per the bloom
@@ -1854,7 +1961,8 @@ object GraftTable {
              spec: Seq[PartitionField] = Seq.empty,
              key: Seq[String] = Seq.empty,
              formatVersion: Int = 1,
-             bloomKeys: Seq[String] = Seq.empty): GraftTable = {
+             bloomKeys: Seq[String] = Seq.empty,
+             statsKeys: Seq[String] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(dir, "_graft_log")
@@ -1862,7 +1970,7 @@ object GraftTable {
     fs.mkdirs(logDir)
     val snap = Snapshot(0, formatVersion, "create", schema,
       schema.fieldNames.toSeq.map(n => FieldInfo(n, n, 0)), spec, key, Seq.empty, Seq.empty,
-      Seq.empty, bloomKeys, commitTimeMs = System.currentTimeMillis())
+      Seq.empty, bloomKeys, statsKeys, commitTimeMs = System.currentTimeMillis())
     val p = new Path(logDir, "v00000.json")
     val os = fs.create(p, false)
     try os.write(writeSnapshot(snap).getBytes("UTF-8")) finally os.close()
@@ -1878,6 +1986,77 @@ object GraftTable {
   def exists(spark: SparkSession, dir: String): Boolean = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new Path(dir, "_graft_log"))
+  }
+
+  // ---- bounds-sidecar value encoding ----------------------------------
+
+  /** Canonical sidecar string for an observed min/max value (None =
+    * unencodable type or NULL — the column's bounds simply aren't
+    * recorded and scans cannot skip on it). */
+  private[table] def encodeStat(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.sql.Date => Some(d.toLocalDate.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case t: java.sql.Timestamp => Some(t.toInstant.toString)
+    case t: java.time.Instant => Some(t.toString)
+    case t: java.time.LocalDateTime => Some(t.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case n: java.lang.Number => Some(n.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  private[table] def decodeStat(dt: DataType, s: String): Option[Any] = {
+    import scala.util.Try
+    dt match {
+      case StringType => Some(s)
+      case ByteType | ShortType | IntegerType | LongType => Try(s.toLong).toOption
+      case FloatType | DoubleType => Try(s.toDouble).toOption
+      case _: DecimalType => Try(BigDecimal(s)).toOption
+      case DateType => Try(java.time.LocalDate.parse(s)).toOption
+      case TimestampType => Try(java.time.Instant.parse(s)).toOption
+      case TimestampNTZType => Try(java.time.LocalDateTime.parse(s)).toOption
+      case _ => None
+    }
+  }
+
+  /** Sign of `a - b` in the column type's ordering (None = values not
+    * comparable in type `dt`, caller must not skip). Strings compare as
+    * UTF-8 byte sequences — Spark's own string ordering, NOT Java's
+    * UTF-16 compareTo (they differ beyond the BMP). */
+  private[table] def cmpStat(dt: DataType, a: Any, b: Any): Option[Int] = {
+    def num(v: Any): Option[BigDecimal] = v match {
+      case null => None
+      case n: java.lang.Byte => Some(BigDecimal(n.longValue))
+      case n: java.lang.Short => Some(BigDecimal(n.longValue))
+      case n: java.lang.Integer => Some(BigDecimal(n.longValue))
+      case n: java.lang.Long => Some(BigDecimal(n.longValue))
+      case n: java.lang.Float => Some(BigDecimal(n.doubleValue))
+      case n: java.lang.Double => Some(BigDecimal(n.doubleValue))
+      case d: java.math.BigDecimal => Some(BigDecimal(d))
+      case d: BigDecimal => Some(d)
+      case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+      case t: java.sql.Timestamp =>
+        Some(BigDecimal(t.toInstant.getEpochSecond) * 1000000 + t.toInstant.getNano / 1000)
+      case t: java.time.Instant =>
+        Some(BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000)
+      // NTZ values order as their UTC reading (consistent on both sides)
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some(BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000)
+      case _ => None
+    }
+    dt match {
+      case StringType => (a, b) match {
+        case (x: String, y: String) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+        case _ => None
+      }
+      case _ => for (x <- num(a); y <- num(b)) yield x.compare(y)
+    }
   }
 
   // ---- snapshot JSON ser/de (jackson-databind, shipped with Spark) ----
@@ -1912,6 +2091,9 @@ object GraftTable {
     }
     val rp = root.putArray("retiredPhysical"); s.retiredPhysical.foreach(rp.add)
     val bk = root.putArray("bloomKeys"); s.bloomKeys.foreach(bk.add)
+    if (s.statsKeys.nonEmpty) {
+      val sk = root.putArray("statsKeys"); s.statsKeys.foreach(sk.add)
+    }
     if (s.streamEpochs.nonEmpty) {
       val se = root.putObject("streamEpochs")
       s.streamEpochs.foreach { case (q, e) => se.put(q, e) }
@@ -1940,6 +2122,7 @@ object GraftTable {
         if (o.has("rowCount")) o.get("rowCount").asLong() else -1L)),
       retiredPhysical = arr("retiredPhysical").map(_.asText()),
       bloomKeys = if (n.has("bloomKeys")) arr("bloomKeys").map(_.asText()) else Seq.empty,
+      statsKeys = if (n.has("statsKeys")) arr("statsKeys").map(_.asText()) else Seq.empty,
       streamEpochs =
         if (!n.has("streamEpochs")) Map.empty
         else {

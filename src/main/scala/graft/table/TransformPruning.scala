@@ -138,6 +138,38 @@ object TransformPruning {
     walk(GraftShim.toNode(pred))
   }
 
+  /** Comparison conjuncts of `pred`: every top-level-ANDed
+    * `col <op> lit` (op ∈ =, IN, >, >=, <, <=; flipped literals are
+    * normalized) as (column, op, candidate values). Each entry must
+    * independently hold for a row to match — a data dir whose logged
+    * [min, max] range for the column cannot satisfy any entry holds no
+    * matching rows. */
+  def rangeConjuncts(pred: Column): Seq[(String, String, Seq[Any])] = {
+    val flip = Map(">" -> "<", ">=" -> "<=", "<" -> ">", "<=" -> ">=")
+    def walk(n: Node): Seq[(String, String, Seq[Any])] = n match {
+      case f: FnNode if f.name.equalsIgnoreCase("and") && f.args.length == 2 =>
+        walk(f.args(0)) ++ walk(f.args(1))
+      case f: FnNode if f.name == "=" && f.args.length == 2 =>
+        f.args match {
+          case Seq(a, LitNode(v)) => attrNameOf(a).map(c => (c, "=", Seq(v))).toSeq
+          case Seq(LitNode(v), a) => attrNameOf(a).map(c => (c, "=", Seq(v))).toSeq
+          case _ => Seq.empty
+        }
+      case f: FnNode if f.name.equalsIgnoreCase("in") && f.args.length >= 2
+          && f.args.tail.forall(_.isInstanceOf[LitNode]) =>
+        attrNameOf(f.args.head)
+          .map(c => (c, "in", f.args.tail.map(_.asInstanceOf[LitNode].value))).toSeq
+      case f: FnNode if rangeOps(f.name) && f.args.length == 2 =>
+        f.args match {
+          case Seq(a, LitNode(v)) => attrNameOf(a).map(c => (c, f.name, Seq(v))).toSeq
+          case Seq(LitNode(v), a) => attrNameOf(a).map(c => (c, flip(f.name), Seq(v))).toSeq
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    walk(GraftShim.toNode(pred))
+  }
+
   private def monthOf(v: Any): Option[String] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toString.substring(0, 7))
     case d: java.time.LocalDate => Some(d.toString.substring(0, 7))

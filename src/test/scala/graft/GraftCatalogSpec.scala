@@ -230,6 +230,10 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = run().collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(expected.size == 100)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the scans report real (tiny) sizes, so the planner would rightly
+    // broadcast here; disable auto-broadcast to exercise the SPJ path the
+    // test is about (at scale both sides are far past broadcast size)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = run()
       val plan = df.queryExecution.executedPlan.toString
@@ -237,7 +241,10 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("Exchange"), s"expected a shuffle-free plan, got:\n$plan")
       val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got == expected)
-    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("SPJ scan stays correct standalone: pushdown, evolution, fresh state") {
