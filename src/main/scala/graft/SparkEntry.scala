@@ -20,6 +20,7 @@ object SparkEntry {
     ops.RefOps.queries ++
       ops.AnalyticsOps.queries ++
       ext.TextOps.queries ++
+      ext.CorpusOps.queries ++
       ext.Similarity.queries ++
       ext.EventOps.queries ++
       ext.TemporalJoins.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
     ops.RefOps.oracles ++
       ops.AnalyticsOps.oracles ++
       ext.TextOps.oracles ++
+      ext.CorpusOps.oracles ++
       ext.Similarity.oracles ++
       ext.EventOps.oracles ++
       ext.TemporalJoins.oracles ++

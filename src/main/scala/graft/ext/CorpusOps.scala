@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw documents and tokenized training sequences:
+  * segment-level (paragraph) dedup, PII redaction, and sequence packing.
+  * All three are codegen'd built-ins end-to-end — no UDFs, no driver
+  * loops; shuffles are keyed on scalar hashes or bounded partitions.
+  *
+  * The synthetic documents have no newlines, so "paragraphs" are fixed
+  * 10-token segments — the mechanics (segment → hash → corpus-wide
+  * frequency → drop → reassemble) are identical to line/paragraph dedup
+  * over real text (the CCNet / RefinedWeb preprocessing step).
+  */
+object CorpusOps {
+
+  private val toks = split(col("text"), " ")
+
+  /** Segment-level boilerplate removal: chop each doc into 10-token
+    * segments, count each segment's document frequency corpus-wide, drop
+    * segments appearing in >= 3 distinct docs (boilerplate), reassemble
+    * the survivors in order.
+    *
+    * Scale shape: segmentation is map-side HOF math; the only shuffles
+    * are a groupBy on the segment text's hash (at 100 TB: group on
+    * xxhash64(seg) — the 80-char segment never needs to be the shuffle
+    * key) and the reassembly groupBy on doc_id. No self-joins, no
+    * windows over the whole corpus. */
+  def dedupSegments(spark: SparkSession, dir: String,
+                    segTokens: Int = 10, maxDocFreq: Int = 3): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("tk"))
+    val segs = d
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("tk")).cast(DoubleType) / segTokens).cast(IntegerType) - 1),
+        i => concat_ws(" ", slice(col("tk"), i * segTokens + 1, lit(segTokens))))))
+      .withColumnRenamed("pos", "seg_pos").withColumnRenamed("col", "seg")
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val kept = segs.join(freq, "seg").filter(col("doc_freq") < maxDocFreq)
+    // reassembly: sort_array over (pos, seg) structs keeps segment order
+    // without a window; left join keeps docs whose every segment dropped
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("seg_pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        ceil(size(toks).cast(DoubleType) / segTokens).cast(LongType).as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // RE2-compatible (and java.util.regex-compatible) patterns so the
+  // Spark result and the DuckDB oracle agree byte-for-byte: character
+  // classes and bounded quantifiers only, no backreferences/lookaround
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction: scrub email addresses and phone numbers, reporting
+    * per-doc match counts. The corpus is synthetic word soup, so PII is
+    * first INJECTED deterministically (every 5th doc gains an email +
+    * phone tail) — the redaction mechanics are what the operator is
+    * about. Pure map-side codegen: regexp_extract_all + regexp_replace,
+    * no shuffle at all (at 100 TB this runs at scan speed). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-01"),
+          lpad((col("doc_id") % 100).cast(StringType), 2, "0")))
+        .otherwise(col("text")))
+    seeded.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated per
+    * language in doc_id order into one token stream, which is cut into
+    * fixed `budget`-token training sequences; each doc reports its
+    * stream offset and the first/last pack it lands in.
+    *
+    * Scale shape: ONE running-sum window partitioned by lang — the
+    * packing unit. At 100 TB the partition key is the shard (lang ×
+    * shard-id), keeping every window partition bounded; the arithmetic
+    * is unchanged. This is the GPT-style pretraining packing (docs cross
+    * pack boundaries); bin-packing without splits is a different op. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tok"))
+      .withColumn("tok_start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
+        floor(col("tok_start") / budget).as("pack_first"),
+        floor((col("tok_start") + col("n_tok") - 1) / budget).as("pack_last"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
+    "pii_redact" -> ((s, d) => piiRedact(s, d)),
+    "pack_sequences" -> ((s, d) => packSequences(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_segments" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_pos,
+        |         array_to_string(t[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+10)], ' ') AS seg
+        |  FROM tk, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS doc_freq FROM segs GROUP BY seg),
+        |kept AS (SELECT s.doc_id, s.seg_pos, s.seg FROM segs s JOIN freq f USING (seg)
+        |         WHERE f.doc_freq < 3),
+        |rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |                   string_agg(seg, ' ' ORDER BY seg_pos) AS clean_text
+        |            FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(ceil(len(string_split(d.text,' '))/10.0) AS BIGINT) AS n_segments,
+        |       COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' contact user' || doc_id || '@example.com or 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """SELECT doc_id, lang, n_tok, tok_start,
+        |       CAST(floor(tok_start / 512.0) AS BIGINT) AS pack_first,
+        |       CAST(floor((tok_start + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
+        |FROM (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST(SUM(len(string_split(text, ' '))) OVER
+        |           (PARTITION BY lang ORDER BY doc_id) - len(string_split(text, ' ')) AS BIGINT) AS tok_start
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
