@@ -281,6 +281,14 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "source_dir" -> StringType)) { r =>
           tbl(r).addFiles(r.getUTF8String(1).toString); ()
         }
+      case "evolve_spec" =>
+        // spec as 'transform(source)[, ...]' — e.g. 'month(d), bucket(8, k)'
+        GraftCatalog.procedure("evolve_spec",
+          Seq("table" -> StringType, "spec" -> StringType)) { r =>
+          val spec = r.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq.map(GraftCatalog.parseSpecField)
+          tbl(r).updateSpec(spec); ()
+        }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other; available: ${GraftCatalog.procedureNames.mkString(", ")}")
     }
@@ -347,7 +355,29 @@ object GraftCatalog {
     "compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
-    "add_files")
+    "add_files", "evolve_spec")
+
+  /** Parses one `transform(source)` spec field: `identity(c)` / `c`,
+    * `month(c)`, `bucket(n, c)`, `truncate(w, c)`. */
+  private[catalog] def parseSpecField(s: String): graft.table.PartitionField = {
+    val m = "^([A-Za-z_]+)\\((.*)\\)$".r
+    s match {
+      case m(t, args) =>
+        val a = args.split(',').map(_.trim)
+        t.toLowerCase match {
+          case "identity" => graft.table.PartitionField(a(0), "identity")
+          case "month" => graft.table.PartitionField(a(0), "month")
+          case "bucket" =>
+            require(a.length == 2, s"bucket needs (n, col): $s")
+            graft.table.PartitionField(a(1), "bucket", a(0).toInt)
+          case "truncate" =>
+            require(a.length == 2, s"truncate needs (width, col): $s")
+            graft.table.PartitionField(a(1), "truncate", a(0).toInt)
+          case other => throw new IllegalArgumentException(s"unknown transform: $other")
+        }
+      case bare => graft.table.PartitionField(bare, "identity")
+    }
+  }
 
   /** A void maintenance procedure with IN parameters. */
   private[catalog] def procedure(procName: String, params: Seq[(String, DataType)])

@@ -201,7 +201,11 @@ object GraftSparkTable {
 
   def spjEligible(s: graft.table.Snapshot): Boolean =
     s.spec.length == 1 && s.spec.head.transform == "bucket" &&
-      s.deletes.isEmpty && s.dataDirs.nonEmpty
+      s.deletes.isEmpty && s.dataDirs.nonEmpty &&
+      // spec evolution: a dir written under an older spec has a different
+      // bucket layout — grouping it by the current bucket function would
+      // co-locate the wrong rows
+      s.uniformSpec
 
   /** Column form of a DSv2 source Filter (None = not convertible). */
   def filterToColumn(f: sources.Filter): Option[SCol] = {

@@ -514,6 +514,26 @@ object RefOps {
       .orderBy("o_orderkey")
   }
 
+  // Partition-spec evolution: a month-partitioned table evolves to an
+  // identity spec on a different column mid-life. Metadata-only (old dirs
+  // keep their layout); the post-evolution scan prunes each dir group by
+  // the spec it was written under and stays exact.
+  private def specEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderstatus"))
+    val t = GraftTable.create(spark, tmp("spec_ev"), o.schema,
+      spec = Seq(PartitionField("o_orderdate", "month")))
+    def ts(s: String) = lit(java.time.LocalDateTime.parse(s))
+    t.append(o.filter(col("o_orderdate") < ts("1998-01-01T00:00:00")))
+    t.updateSpec(Seq(PartitionField("o_orderstatus", "identity")))
+    t.append(o.filter(col("o_orderdate") >= ts("1998-01-01T00:00:00")))
+    t.scan(col("o_orderstatus") === "F" && col("o_orderdate") >= ts("1997-06-01T00:00:00"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("total"))
+      .orderBy("month")
+  }
+
   // S4 — #history metadata suffix read through the DataSource registration
   // (IcebergHadoopTables.java:44: spark.read.format("iceberg").load(path + "#history"))
   private def historyMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -588,6 +608,7 @@ object RefOps {
     "history_meta" -> historyMeta,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "bounds_pruned_scan" -> boundsPrunedScan,
+    "spec_evolution" -> specEvolution,
     "time_travel" -> timeTravel,
     "changelog_read" -> changelogRead,
     "incremental_read" -> incrementalRead,
@@ -744,6 +765,12 @@ object RefOps {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "spec_evolution" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-06-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "history_meta" ->
       """SELECT CAST(v AS INT) AS version, CAST(p AS INT) AS parent_version, op AS operation, cur AS is_current
         |FROM (VALUES (0,-1,'create',false),(1,0,'append',false),(2,1,'overwrite',true)) t(v,p,op,cur)

@@ -114,12 +114,28 @@ final case class Snapshot(
     // pre-stamp log entries): TIMESTAMP AS OF resolves from this, never
     // from file mtimes — expireSnapshots rewrites old entries (bumping
     // their mtime) and copied/restored tables drift mtimes arbitrarily
-    commitTimeMs: Long = -1L
+    commitTimeMs: Long = -1L,
+    // partition-spec evolution history: (sinceVersion, spec) ascending.
+    // A data dir committed at version v was laid out under specAt(v) —
+    // dirs are never rewritten when the spec changes (Iceberg semantics:
+    // old data keeps its layout; scans interpret each dir by ITS spec).
+    // Empty = the spec never changed (treated as [(0, spec)]).
+    specLog: Seq[(Int, Seq[PartitionField])] = Seq.empty
 ) {
   def physicalOf(logical: String): String = fieldOf(logical).physical
   def fieldOf(logical: String): FieldInfo =
     fields.find(_.logical == logical).getOrElse(
       throw new IllegalArgumentException(s"no such column: $logical"))
+
+  /** The partition spec that governed writes committed at `version`. */
+  def specAt(version: Int): Seq[PartitionField] = {
+    val log = if (specLog.isEmpty) Seq((0, spec)) else specLog
+    log.filter(_._1 <= version).lastOption.map(_._2).getOrElse(spec)
+  }
+
+  /** True when every data dir is laid out under the CURRENT spec (ops
+    * that interpret the k=v layout globally require this). */
+  def uniformSpec: Boolean = dataDirs.forall(d => specAt(d.version) == spec)
 }
 
 /** GraftTable — a versioned relational table on plain Parquet + a
@@ -459,6 +475,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     require(s.spec.nonEmpty, "dynamic partition overwrite requires a partition spec")
     require(s.deletes.isEmpty, "dynamic overwrite with pending equality deletes; compact() first")
+    // the replaced-partition membership is expressed over the CURRENT
+    // spec's k=v layout; a dir written under an older spec cannot be
+    // partition-matched (and pruning it by the new spec would be wrong)
+    require(s.uniformSpec,
+      "dynamic overwrite over dirs written under an older partition spec; compact() first")
     val aligned = alignToSchema(df, s.schema)
     val transformed: Seq[Column] = s.spec.map(pf =>
       pf.exprFor(col(pf.source), s.schema(pf.source).dataType).as(pf.name))
@@ -473,7 +494,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }.reduce(_ || _)
     val dirPred = member(pf => col(pf.name))
     val rowPred = member(pf => pf.exprFor(col(pf.source), s.schema(pf.source).dataType))
-    val touched = prunedLeafDirs(s.dataDirs.map(d => s"$dir/${d.path}"), s, dirPred) match {
+    val touched = prunedLeafDirs(s.dataDirs.map(d => s"$dir/${d.path}"), s.spec, s.schema, dirPred) match {
       case None => s.dataDirs // unexpected layout: rewrite everything
       case Some(leaves) =>
         s.dataDirs.filter(d => leaves.exists(_.contains(s"/${d.path}/")))
@@ -634,6 +655,30 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** Partition-spec evolution (Iceberg's `ALTER TABLE … ADD/REPLACE
+    * PARTITION FIELD`): future writes lay out under `newSpec`; existing
+    * data dirs keep their layout and are interpreted by the spec in
+    * force when they were committed (`Snapshot.specAt`) — a metadata-only
+    * commit, no data rewritten at any scale. Scans prune each dir group
+    * by ITS OWN spec; ops that need a globally-uniform layout (dynamic
+    * overwrite, storage-partitioned joins) require `uniformSpec` and
+    * suggest a compacting rewrite. */
+  def updateSpec(newSpec: Seq[PartitionField]): GraftTable = {
+    val s = snapshot
+    newSpec.foreach { pf =>
+      s.physicalOf(pf.source) // validate source exists
+      require(Set("identity", "bucket", "month", "truncate").contains(pf.transform),
+        s"unknown transform: ${pf.transform}")
+    }
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      val log = if (b.specLog.isEmpty) Seq((0, b.spec)) else b.specLog
+      b.copy(version = v, op = "set-spec", spec = newSpec,
+        specLog = log :+ (v, newSpec))
+    })
+    this
+  }
+
   /** Declares columns whose RANGE predicates should skip whole data dirs
     * via per-dir [min, max] sidecars (captured on FUTURE writes, riding
     * the write job's Observation — zero extra passes; existing dirs have
@@ -732,18 +777,30 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     if (s.deletes.nonEmpty || s.dataDirs.isEmpty) return toDF.filter(pred)
     val live = rangeLiveDirs(s, bloomLiveDirs(s, pred), pred)
     if (live.isEmpty) return emptyDF(s)
-    val derived = TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true)
-    if (s.spec.isEmpty || derived.isEmpty)
+    // spec evolution: each dir group is pruned and read under the spec
+    // that governed its write (its derived columns and k=v layout differ
+    // per spec — applying the CURRENT spec's derived predicate to an
+    // old-layout dir would filter on columns the files don't have)
+    live.groupBy(d => s.specAt(d.version)).toSeq
+      .map { case (spec, dirs) => scanGroup(s, spec, dirs, pred) }
+      .reduce(_ unionByName _)
+  }
+
+  /** One spec-uniform dir group of [[scan]]. */
+  private def scanGroup(s: Snapshot, spec: Seq[PartitionField],
+                        live: Seq[DataDir], pred: Column): DataFrame = {
+    val derived = TransformPruning.derive(spec, s.schema, pred, includeIdentity = true)
+    if (spec.isEmpty || derived.isEmpty)
       return readLogical(s, live).filter(pred)
     // read schema includes the derived partition columns (they are stored
     // in-file precisely so this filter can reach the footer stats)
-    val derivedFields = s.spec.filterNot(_.transform == "identity").map { pf =>
+    val derivedFields = spec.filterNot(_.transform == "identity").map { pf =>
       StructField(pf.name, dirColType(pf, s.schema), nullable = true)
     }
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)) ++ derivedFields)
     val roots = live.map(d => s"$dir/${d.path}")
-    val paths = prunedLeafDirs(roots, s, derived.get).getOrElse(roots)
+    val paths = prunedLeafDirs(roots, spec, s.schema, derived.get).getOrElse(roots)
     if (paths.isEmpty) return emptyDF(s)
     // alias physical -> logical names BEFORE applying the user predicate
     // (a predicate on a renamed column must bind to the renamed data, not
@@ -864,15 +921,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * or None when the layout is not the expected uniform `__dir_k=v`
     * nesting (caller then reads the roots unpruned — pruning is an
     * optimization, never a correctness dependency). */
-  private def prunedLeafDirs(roots: Seq[String], s: Snapshot,
-                             derived: Column): Option[Seq[String]] = {
+  private def prunedLeafDirs(roots: Seq[String], spec: Seq[PartitionField],
+                             schema: StructType, derived: Column): Option[Seq[String]] = {
     val f = fs
-    val depth = s.spec.length
+    val depth = spec.length
     // walk the k=v nesting level by level, accumulating parsed values
     var frontier: Seq[(Path, Seq[String])] = roots.map(r => (new Path(r), Seq.empty[String]))
     var level = 0
     while (level < depth) {
-      val expect = s"__dir_${s.spec(level).name}="
+      val expect = s"__dir_${spec(level).name}="
       val next = frontier.flatMap { case (p, vals) =>
         f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
           val n = st.getPath.getName
@@ -887,14 +944,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // typed evaluation of the derived predicate over the dir tuples — a
     // tiny local DataFrame job over O(partition dirs) rows
     val strSchema = StructType(StructField("__path", StringType) +:
-      s.spec.map(pf => StructField(pf.name, StringType)))
+      spec.map(pf => StructField(pf.name, StringType)))
     val rows = frontier.map { case (p, vals) =>
       org.apache.spark.sql.Row.fromSeq(p.toString +: vals.map(v =>
         if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
     }
     val df0 = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
-    val typed = s.spec.foldLeft(df0)((d, pf) =>
-      d.withColumn(pf.name, col(pf.name).cast(dirColType(pf, s.schema))))
+    val typed = spec.foldLeft(df0)((d, pf) =>
+      d.withColumn(pf.name, col(pf.name).cast(dirColType(pf, schema))))
     Some(typed.filter(derived).select("__path").collect().map(_.getString(0)).toSeq)
   }
 
@@ -1691,6 +1748,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       val b = Option(rebase).getOrElse(cur)
       require(!picked.exists(d => b.dataDirs.exists(_.path == d.path)),
         s"commit v$version is already present in the current state")
+      // the picked dirs are re-stamped with the NEW version, which claims
+      // the CURRENT spec's layout for them (specAt) — require it matches
+      // the spec they were actually written under
+      require(src.specAt(version) == b.spec,
+        s"cherry-picked commit v$version was written under a different " +
+          "partition spec than the current one")
       b.copy(version = v, op = "cherrypick",
         dataDirs = b.dataDirs ++ picked.map(_.copy(version = v)))
     })
@@ -1729,12 +1792,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** WAP step 3 — PUBLISH: metadata-only commit of the staged dir (no
     * row data moves); the marker is consumed. */
   def publishStaged(id: String): GraftTable = {
-    val (sub, rows, _) = readStaged(id)
+    val (sub, rows, stagedAt) = readStaged(id)
     if (rows > 0) {
       val cur = snapshot
       commit(cur.version + 1)((rebase, v) => {
         val b = Option(rebase).getOrElse(cur)
         require(!b.dataDirs.exists(_.path == sub), s"staged $id already published")
+        // the staged dir was laid out under the spec in force at staging;
+        // publishing stamps it with the NEW version (= current spec) —
+        // refuse if the spec evolved in between (re-stage instead)
+        require(snapshotAt(stagedAt).spec == b.spec,
+          s"staged $id was written under a different partition spec; " +
+            "abortStaged and re-stage")
         b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
       })
     }
@@ -1821,18 +1890,23 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     def full(): GraftTable = overwrite(f(toDF))
     if (s.deletes.nonEmpty || s.dataDirs.size <= 1) return full()
     val bloomLive = bloomLiveDirs(s, pred)
-    val touched: Seq[DataDir] =
-      if (s.spec.isEmpty) bloomLive
-      else TransformPruning.derive(s.spec, s.schema, pred, includeIdentity = true) match {
-        case None => bloomLive
-        case Some(derived) =>
-          prunedLeafDirs(bloomLive.map(d => s"$dir/${d.path}"), s, derived) match {
-            case None => bloomLive // unexpected layout: treat all as touched
-            case Some(leaves) =>
-              // leaves come back fully qualified (file:/... on local FS);
-              // match on the dir-relative path (UUID-unique) instead
-              bloomLive.filter(d => leaves.exists(_.contains(s"/${d.path}/")))
-          }
+    // spec evolution: each dir group prunes under ITS OWN spec (a dir
+    // written before a spec change has the old layout and old derived
+    // columns — the new spec's derived predicate says nothing about it)
+    val touched: Seq[DataDir] = bloomLive.groupBy(d => s.specAt(d.version)).toSeq
+      .flatMap { case (spec, group) =>
+        if (spec.isEmpty) group
+        else TransformPruning.derive(spec, s.schema, pred, includeIdentity = true) match {
+          case None => group
+          case Some(derived) =>
+            prunedLeafDirs(group.map(d => s"$dir/${d.path}"), spec, s.schema, derived) match {
+              case None => group // unexpected layout: treat all as touched
+              case Some(leaves) =>
+                // leaves come back fully qualified (file:/... on local FS);
+                // match on the dir-relative path (UUID-unique) instead
+                group.filter(d => leaves.exists(_.contains(s"/${d.path}/")))
+            }
+        }
       }
     if (touched.size == s.dataDirs.size) return full()
     if (touched.isEmpty) return this // predicate can match nothing
@@ -2099,6 +2173,18 @@ object GraftTable {
       s.streamEpochs.foreach { case (q, e) => se.put(q, e) }
     }
     if (s.commitTimeMs >= 0) root.put("commitTimeMs", s.commitTimeMs)
+    if (s.specLog.nonEmpty) {
+      val sl = root.putArray("specLog")
+      s.specLog.foreach { case (since, spec) =>
+        val e = sl.addObject()
+        e.put("since", since)
+        val fa = e.putArray("fields")
+        spec.foreach { pf =>
+          val o = fa.addObject()
+          o.put("source", pf.source); o.put("transform", pf.transform); o.put("param", pf.param)
+        }
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -2129,7 +2215,15 @@ object GraftTable {
           val o = n.get("streamEpochs")
           o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
         },
-      commitTimeMs = if (n.has("commitTimeMs")) n.get("commitTimeMs").asLong() else -1L
+      commitTimeMs = if (n.has("commitTimeMs")) n.get("commitTimeMs").asLong() else -1L,
+      specLog =
+        if (!n.has("specLog")) Seq.empty
+        else arr("specLog").map { e =>
+          (e.get("since").asInt(),
+            e.get("fields").asInstanceOf[ArrayNode].asScala.toSeq.map(o =>
+              PartitionField(o.get("source").asText(), o.get("transform").asText(),
+                o.get("param").asInt())))
+        }
     )
   }
 }
