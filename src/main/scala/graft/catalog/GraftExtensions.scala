@@ -70,27 +70,38 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
         u.nameParts.last.equalsIgnoreCase(GraftMetaCols.FILE)
       case _ => false
     }))
-    // metadata-only COUNT(*): a bare, unfiltered count over a graft
-    // relation folds to the snapshot log's dir row counts (captured by
-    // Observation during every write — no extra pass then, no scan now).
-    // Sound only when every dir has a recorded count and no equality
-    // deletes are pending; anything else scans normally. At 100 TB this
-    // answers `SELECT count(*)` without touching a file — the role
-    // Iceberg's manifest stats play. TOP-DOWN and before the view swap:
-    // bottom-up would replace the relation under the Aggregate first.
+    // metadata-only aggregates: a bare, unfiltered COUNT(*) folds to the
+    // snapshot log's dir row counts (captured by Observation during every
+    // write), and MIN/MAX on a declared stats column folds from the
+    // per-dir bounds sidecars (min of mins / max of maxes). Sound only
+    // when every dir has the recorded stat and no equality deletes are
+    // pending; anything else scans normally. At 100 TB this answers
+    // `SELECT count(*), min(ts), max(ts)` without touching a file — the
+    // role Iceberg's manifest stats play. TOP-DOWN and before the view
+    // swap: bottom-up would replace the relation under the Aggregate.
     val counted = plan.resolveOperatorsDown {
       case agg @ Aggregate(Nil, aggExprs, child, _)
           if agg.resolved && aggExprs.nonEmpty &&
-            aggExprs.forall(GraftCountFold.isCountStar) &&
+            aggExprs.forall(e => GraftCountFold.foldKind(e).isDefined) &&
             GraftCountFold.relationOf(child, writeTargets).isDefined =>
         GraftCountFold.relationOf(child, writeTargets).flatMap { gst =>
           val snap = gst.readSnapshot
-          if (snap.deletes.isEmpty && snap.dataDirs.forall(_.rowCount >= 0L)) {
-            val n = snap.dataDirs.map(_.rowCount).sum
-            Some(LocalRelation(agg.output.map(_.toAttribute),
-              Seq(org.apache.spark.sql.catalyst.InternalRow(
-                Seq.fill(aggExprs.length)(n): _*))))
-          } else None
+          if (snap.deletes.nonEmpty) None
+          else {
+            val vals: Seq[Option[Any]] = aggExprs.map(e =>
+              GraftCountFold.foldKind(e).get match {
+                case GraftCountFold.CountStar =>
+                  if (snap.dataDirs.forall(_.rowCount >= 0L))
+                    Some(snap.dataDirs.map(_.rowCount).sum)
+                  else None
+                case GraftCountFold.MinMax(column, isMin) =>
+                  gst.graftTable.globalBound(snap, column, isMin)
+              })
+            if (vals.forall(_.isDefined))
+              Some(LocalRelation(agg.output.map(_.toAttribute),
+                Seq(org.apache.spark.sql.catalyst.InternalRow(vals.map(_.get): _*))))
+            else None
+          }
         }.getOrElse(agg)
     }
     counted.resolveOperatorsUp {
@@ -170,18 +181,33 @@ private[catalog] object GraftCountFold {
     }
 
   /** `count(*)` / `count(1)` (non-distinct, unfiltered), possibly aliased. */
-  def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(ae, _) => isCountStarExpr(ae)
-    case other => isCountStarExpr(other)
+  def isCountStar(e: NamedExpression): Boolean =
+    foldKind(e).contains(CountStar)
+
+  sealed trait FoldKind
+  case object CountStar extends FoldKind
+  /** `min(col)` / `max(col)` directly on a relation column. */
+  final case class MinMax(column: String, isMin: Boolean) extends FoldKind
+
+  /** The metadata-foldable shape of one aggregate output expression. */
+  def foldKind(e: NamedExpression): Option[FoldKind] = e match {
+    case Alias(ae, _) => foldKindExpr(ae)
+    case other => foldKindExpr(other)
   }
-  private def isCountStarExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+  private def foldKindExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[FoldKind] =
     e match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(CLit(_, _))) => true
-          case _ => false
+          case Count(Seq(CLit(_, _))) => Some(CountStar)
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+            Some(MinMax(a.name, isMin = true))
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+            Some(MinMax(a.name, isMin = false))
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
 }
 

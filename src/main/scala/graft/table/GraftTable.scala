@@ -882,6 +882,43 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Catalyst-internal value of the table-wide MIN/MAX of a stats
+    * column, folded from the per-dir bounds sidecars (min of mins / max
+    * of maxes) — `SELECT min(ts) FROM t` without touching a data file,
+    * the role Iceberg's manifest stats play at 100 TB. Some(null) for an
+    * empty table; None when the column has no declared stats, any dir
+    * lacks a recorded bound, or the type cannot fold (query must scan).
+    * O(dirs) driver metadata reads. */
+  private[graft] def globalBound(s: Snapshot, logical: String, isMin: Boolean): Option[Any] = {
+    val fld = s.schema.fields.find(_.name.equalsIgnoreCase(logical))
+      .getOrElse(return None)
+    if (!s.statsKeys.exists(_.equalsIgnoreCase(fld.name))) return None
+    if (s.dataDirs.isEmpty) return Some(null)
+    val dt = fld.dataType
+    val phys = s.physicalOf(fld.name)
+    val f = fs
+    val statsDir = new Path(logDir, "stats")
+    val vals = s.dataDirs.map { d =>
+      val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+      try {
+        val in = f.open(new Path(statsDir, s"$uuid.json"))
+        val node = try mapper.readTree(in) finally in.close()
+        Option(node.get(phys)).flatMap(e =>
+          decodeStat(dt, e.get(if (isMin) "min" else "max").asText()))
+      } catch { case _: Exception => None }
+    }
+    // every dir must report: a missing bound may hide the true extreme
+    // (and an all-NULL dir records none — indistinguishable, so bail)
+    if (vals.exists(_.isEmpty)) return None
+    val best = vals.flatten.reduceLeft { (a, b) =>
+      cmpStat(dt, a, b) match {
+        case Some(c) => if ((c <= 0) == isMin) a else b
+        case None => return None
+      }
+    }
+    toCatalystStat(dt, best)
+  }
+
   /** Data dirs that can match `pred`'s point predicates per the bloom
     * sidecars; a dir is dropped only when some conjunct's EVERY candidate
     * value is definitely absent. O(dirs) driver metadata work. */
@@ -2093,6 +2130,26 @@ object GraftTable {
       case TimestampNTZType => Try(java.time.LocalDateTime.parse(s)).toOption
       case _ => None
     }
+  }
+
+  /** Catalyst-internal form of a decoded stat value (None = type not
+    * foldable — caller scans instead). */
+  private[table] def toCatalystStat(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (ByteType, n: java.lang.Long)     => Some(n.toByte)
+    case (ShortType, n: java.lang.Long)    => Some(n.toShort)
+    case (IntegerType, n: java.lang.Long)  => Some(n.toInt)
+    case (LongType, n: java.lang.Long)     => Some(n.longValue)
+    case (FloatType, d: java.lang.Double)  => Some(d.toFloat)
+    case (DoubleType, d: java.lang.Double) => Some(d.doubleValue)
+    case (StringType, s: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
+    case (TimestampType, t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case _ => None
   }
 
   /** Sign of `a - b` in the column type's ordering (None = values not

@@ -108,6 +108,27 @@ class CountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("min/max on a stats column fold from the bounds sidecars") {
+    val t = GraftTable.create(spark, s"$warehouse/db/mm", idv,
+      statsKeys = Seq("id"))
+    t.append(Seq((5L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((9L, "c"), (7L, "d")).toDF("id", "v"))
+    assert(isFolded("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM graft.db.mm"))
+    val r = spark.sql("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM graft.db.mm")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((2L, 9L, 4L)))
+    // a non-stats column keeps the fold off (no sidecar for it)
+    assert(!isFolded("SELECT min(v) FROM graft.db.mm"))
+    assert(spark.sql("SELECT min(v) AS m FROM graft.db.mm").as[String].head() == "a")
+    // a pre-stats dir (no sidecar) disables the fold but not correctness
+    val u = GraftTable.create(spark, s"$warehouse/db/mm2", idv)
+    u.append(Seq((1L, "a")).toDF("id", "v"))
+    u.setStatsKeys(Seq("id"))
+    u.append(Seq((8L, "b")).toDF("id", "v"))
+    assert(!isFolded("SELECT min(id) FROM graft.db.mm2"))
+    assert(spark.sql("SELECT min(id) AS m FROM graft.db.mm2").as[Long].head() == 1L)
+  }
+
   test("VERSION AS OF counts fold against the pinned snapshot") {
     val t = GraftTable.create(spark, s"$warehouse/db/c5", idv)
     t.append(Seq((1L, "a")).toDF("id", "v"))     // v1
