@@ -547,6 +547,20 @@ object RefOps {
       .orderBy("version")
   }
 
+  // S4 — #partitions metadata table: per-partition file/row/byte layout
+  // from k=v walk + parquet footers (the numbers Iceberg's manifests
+  // cache) — row counts verifiable against a plain GROUP BY oracle
+  private def partitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate"))
+    val t = GraftTable.create(spark, tmp("parts_meta"), o.schema,
+      spec = Seq(PartitionField("o_orderdate", "month")))
+    t.append(o)
+    spark.read.format("graft").load(s"${t.dir}#partitions")
+      .select(col("partition"), col("n_rows"))
+      .orderBy("partition")
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -606,6 +620,7 @@ object RefOps {
     "bucketed_join" -> bucketedJoin,
     "snapshots_meta" -> snapshotsMeta,
     "history_meta" -> historyMeta,
+    "partitions_meta" -> partitionsMeta,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "bounds_pruned_scan" -> boundsPrunedScan,
     "spec_evolution" -> specEvolution,
@@ -775,6 +790,10 @@ object RefOps {
       """SELECT CAST(v AS INT) AS version, CAST(p AS INT) AS parent_version, op AS operation, cur AS is_current
         |FROM (VALUES (0,-1,'create',false),(1,0,'append',false),(2,1,'overwrite',true)) t(v,p,op,cur)
         |ORDER BY version""".stripMargin,
+    "partitions_meta" ->
+      """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS partition,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)

@@ -78,14 +78,16 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
 }
 
 object GraftMetadataTable {
-  val names: Set[String] = Set("history", "snapshots", "manifests", "files", "refs")
+  val names: Set[String] = Set("history", "snapshots", "manifests", "files", "refs",
+    "partitions")
 
   def frameOf(t: GraftTable, meta: String): DataFrame = meta match {
-    case "history"   => t.history
-    case "snapshots" => t.snapshots
-    case "manifests" => t.manifests
-    case "files"     => t.files
-    case "refs"      => t.refsMeta
+    case "history"    => t.history
+    case "snapshots"  => t.snapshots
+    case "manifests"  => t.manifests
+    case "files"      => t.files
+    case "refs"       => t.refsMeta
+    case "partitions" => t.partitions
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (expected one of ${names.mkString(", ")})")
   }

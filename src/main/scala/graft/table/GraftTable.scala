@@ -2013,6 +2013,62 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .toDF("path", "content", "committed_version", "row_count")
   }
 
+  /** Per-partition layout view (Iceberg's `#partitions` metadata table):
+    * one row per live partition value with file/row/byte counts. All
+    * metadata — `k=v` leaf walk for the layout, parquet FOOTERS for row
+    * counts (the numbers Iceberg caches in manifests); no row data is
+    * read at any scale. Spec evolution: each dir reports under the spec
+    * it was written with (the partition string carries the field names,
+    * so mixed specs stay distinguishable). */
+  def partitions: DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val f = fs
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRows(leaf: Path): (Long, Long, Long) = {
+      var files = 0L; var rows = 0L; var bytes = 0L
+      val it = f.listFiles(leaf, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          files += 1; bytes += st.getLen
+          val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try rows += pf.getRecordCount finally pf.close()
+        }
+      }
+      (files, rows, bytes)
+    }
+    val out = s.dataDirs.flatMap { d =>
+      val spec = s.specAt(d.version)
+      val root = new Path(s"$dir/${d.path}")
+      if (spec.isEmpty) {
+        val (files, rows, bytes) = footerRows(root)
+        Seq(("", files, rows, bytes))
+      } else {
+        // walk the k=v nesting to the leaves, accumulating the partition
+        // string (display form strips the __dir_ storage prefix)
+        var frontier: Seq[(Path, String)] = Seq((root, ""))
+        spec.foreach { pf =>
+          frontier = frontier.flatMap { case (p, disp) =>
+            f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
+              val n = st.getPath.getName.stripPrefix("__dir_")
+              (st.getPath, if (disp.isEmpty) n else s"$disp/$n")
+            }
+          }
+        }
+        frontier.map { case (leaf, disp) =>
+          val (files, rows, bytes) = footerRows(leaf)
+          (disp, files, rows, bytes)
+        }
+      }
+    }
+    out.groupBy(_._1).map { case (part, rs) =>
+      (part, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows", "size_bytes")
+  }
+
   /** Recursive file listing with sizes (the reference's MinIO object
     * listing, `Minio.java:79-114`), as a DataFrame. */
   def files: DataFrame = {
