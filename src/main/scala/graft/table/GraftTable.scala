@@ -2024,32 +2024,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     import spark.implicits._
     val s = snapshot
     val f = fs
-    val conf = spark.sparkContext.hadoopConfiguration
-    def footerRows(leaf: Path): (Long, Long, Long) = {
-      var files = 0L; var rows = 0L; var bytes = 0L
-      val it = f.listFiles(leaf, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) {
-          files += 1; bytes += st.getLen
-          val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-          try rows += pf.getRecordCount finally pf.close()
-        }
-      }
-      (files, rows, bytes)
-    }
-    val out = s.dataDirs.flatMap { d =>
+    // driver side: only the k=v leaf WALK (O(partition dirs) listings);
+    // the per-leaf footer reads run as ONE distributed Spark job — a
+    // 100 TB table has far too many leaves for driver-serial footer I/O
+    val leaves: Seq[(String, String)] = s.dataDirs.flatMap { d =>
       val spec = s.specAt(d.version)
       val root = new Path(s"$dir/${d.path}")
-      if (spec.isEmpty) {
-        val (files, rows, bytes) = footerRows(root)
-        Seq(("", files, rows, bytes))
-      } else {
-        // walk the k=v nesting to the leaves, accumulating the partition
-        // string (display form strips the __dir_ storage prefix)
+      if (spec.isEmpty) Seq(("", root.toString))
+      else {
+        // accumulate the partition display string (strip __dir_ storage prefix)
         var frontier: Seq[(Path, String)] = Seq((root, ""))
-        spec.foreach { pf =>
+        spec.foreach { _ =>
           frontier = frontier.flatMap { case (p, disp) =>
             f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
               val n = st.getPath.getName.stripPrefix("__dir_")
@@ -2057,15 +2042,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             }
           }
         }
-        frontier.map { case (leaf, disp) =>
-          val (files, rows, bytes) = footerRows(leaf)
-          (disp, files, rows, bytes)
-        }
+        frontier.map { case (leaf, disp) => (disp, leaf.toString) }
       }
     }
-    out.groupBy(_._1).map { case (part, rs) =>
-      (part, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
-    }.toSeq.sortBy(_._1)
+    org.apache.spark.sql.GraftShim.footerStats(spark, leaves)
+      .groupBy(_._1).map { case (part, rs) =>
+        (part, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
       .toDF("partition", "n_files", "n_rows", "size_bytes")
   }
 

@@ -98,6 +98,37 @@ object GraftShim {
       Option(new catalyst.expressions.XxHash64(Seq(e)).eval(null)).map(_.asInstanceOf[Long])
     } catch { case _: Exception => None }
 
+  /** Distributed parquet-footer statistics: for each (tag, dir) the
+    * recursive (file count, footer record count, byte size) — one Spark
+    * job over the dir list, never driver-serial footer I/O (at 100 TB a
+    * partitioned table has far too many leaves for the driver to open
+    * one by one; this is why Iceberg reads manifests in parallel). */
+  def footerStats(spark: SparkSession, dirs: Seq[(String, String)])
+      : Seq[(String, Long, Long, Long)] = {
+    if (dirs.isEmpty) return Seq.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(conf)
+    val slices = math.min(dirs.size, 64)
+    spark.sparkContext.parallelize(dirs, slices).map { case (tag, d) =>
+      val c = bc.value.value
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(c)
+      var files = 0L; var rows = 0L; var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          files += 1; bytes += st.getLen
+          val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, c))
+          try rows += pf.getRecordCount finally pf.close()
+        }
+      }
+      (tag, files, rows, bytes)
+    }.collect().toSeq
+  }
+
   def toNode(c: Column): Node = conv(c.node)
   private def conv(n: internal.ColumnNode): Node = n match {
     case f: internal.UnresolvedFunction => FnNode(f.functionName, f.arguments.map(conv))
