@@ -357,27 +357,11 @@ object GraftCatalog {
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
     "add_files", "evolve_spec")
 
-  /** Parses one `transform(source)` spec field: `identity(c)` / `c`,
-    * `month(c)`, `bucket(n, c)`, `truncate(w, c)`. */
-  private[catalog] def parseSpecField(s: String): graft.table.PartitionField = {
-    val m = "^([A-Za-z_]+)\\((.*)\\)$".r
-    s match {
-      case m(t, args) =>
-        val a = args.split(',').map(_.trim)
-        t.toLowerCase match {
-          case "identity" => graft.table.PartitionField(a(0), "identity")
-          case "month" => graft.table.PartitionField(a(0), "month")
-          case "bucket" =>
-            require(a.length == 2, s"bucket needs (n, col): $s")
-            graft.table.PartitionField(a(1), "bucket", a(0).toInt)
-          case "truncate" =>
-            require(a.length == 2, s"truncate needs (width, col): $s")
-            graft.table.PartitionField(a(1), "truncate", a(0).toInt)
-          case other => throw new IllegalArgumentException(s"unknown transform: $other")
-        }
-      case bare => graft.table.PartitionField(bare, "identity")
-    }
-  }
+  /** Parses one `transform(source)` spec field — delegates to
+    * [[graft.table.PartitionField.parse]] (shared with GraftSql's
+    * ALTER TABLE … PARTITION FIELD syntax). */
+  private[catalog] def parseSpecField(s: String): graft.table.PartitionField =
+    graft.table.PartitionField.parse(s)
 
   /** A void maintenance procedure with IN parameters. */
   private[catalog] def procedure(procName: String, params: Seq[(String, DataType)])

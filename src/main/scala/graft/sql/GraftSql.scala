@@ -148,7 +148,46 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     tables(name).toDF
   }
 
+  // Iceberg's spec-evolution extension grammar — not in Spark's parser,
+  // so these statements are intercepted BEFORE parsePlan:
+  //   ALTER TABLE t ADD PARTITION FIELD month(c)
+  //   ALTER TABLE t DROP PARTITION FIELD month(c)
+  //   ALTER TABLE t REPLACE PARTITION FIELD month(c) WITH bucket(8, k)
+  private val replaceSpecRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$""".r
+  private val addDropSpecRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+
+  private def alterSpec(rawName: String)(change: Seq[PartitionField] => Seq[PartitionField]): DataFrame = {
+    val name = rawName.replace("`", "").toLowerCase
+    val t = tables.get(name).orElse(catalogLookup(name))
+      .getOrElse(throw new IllegalArgumentException(s"unknown graft table: $name"))
+    t.updateSpec(change(t.spec))
+    refreshView(name)
+    t.toDF
+  }
+
   def sql(text: String): DataFrame = {
+    text match {
+      case replaceSpecRe(name, oldF, newF) =>
+        val (o, n) = (PartitionField.parse(oldF), PartitionField.parse(newF))
+        return alterSpec(name) { spec =>
+          require(spec.contains(o), s"no such partition field: $oldF")
+          spec.map(pf => if (pf == o) n else pf)
+        }
+      case addDropSpecRe(name, action, fieldS) =>
+        val f = PartitionField.parse(fieldS)
+        return alterSpec(name) { spec =>
+          if (action.equalsIgnoreCase("ADD")) {
+            require(!spec.contains(f), s"partition field already present: $fieldS")
+            spec :+ f
+          } else {
+            require(spec.contains(f), s"no such partition field: $fieldS")
+            spec.filterNot(_ == f)
+          }
+        }
+      case _ =>
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     parsed match {
       case c: CreateTable =>

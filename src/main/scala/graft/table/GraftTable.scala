@@ -63,6 +63,31 @@ object PartitionField {
       case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
     }
   }
+
+  /** Parses one `transform(source)` spec field from its SQL spelling:
+    * `identity(c)` / bare `c`, `month(c)` / `months(c)`, `bucket(n, c)`,
+    * `truncate(w, c)` — the spelling Iceberg's ADD PARTITION FIELD and
+    * the `evolve_spec` procedure use. */
+  def parse(s: String): PartitionField = {
+    val m = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
+    def bare(n: String) = n.trim.stripPrefix("`").stripSuffix("`")
+    s.trim match {
+      case m(t, args) =>
+        val a = args.split(',').map(bare)
+        t.toLowerCase match {
+          case "identity" => PartitionField(a(0), "identity")
+          case "month" | "months" => PartitionField(a(0), "month")
+          case "bucket" =>
+            require(a.length == 2, s"bucket needs (n, col): $s")
+            PartitionField(a(1), "bucket", a(0).toInt)
+          case "truncate" =>
+            require(a.length == 2, s"truncate needs (width, col): $s")
+            PartitionField(a(1), "truncate", a(0).toInt)
+          case other => throw new IllegalArgumentException(s"unknown transform: $other")
+        }
+      case b => PartitionField(bare(b), "identity")
+    }
+  }
 }
 
 /** An equality-delete file: parquet of key tuples that delete matching rows

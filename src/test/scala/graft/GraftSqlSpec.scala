@@ -273,4 +273,24 @@ class GraftSqlSpec extends AnyFunSuite {
     val n = g.sql("SELECT count(*) AS n FROM test_table").as[Long].head()
     assert(n == 1)
   }
+
+  test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD (spec evolution syntax)") {
+    import graft.table.PartitionField
+    val (g, t) = freshTable("specddl")
+    g.sql("INSERT INTO test_table VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    g.sql("ALTER TABLE test_table ADD PARTITION FIELD truncate(1, name)")
+    assert(t.spec == Seq(PartitionField("name", "truncate", 1)))
+    g.sql("INSERT INTO test_table VALUES (3, 'c', 'z')")
+    assert(g.sql("SELECT count(*) AS n FROM test_table").as[Long].head() == 3)
+    g.sql("ALTER TABLE test_table REPLACE PARTITION FIELD truncate(1, name) WITH bucket(4, customer_id)")
+    assert(t.spec == Seq(PartitionField("customer_id", "bucket", 4)))
+    g.sql("ALTER TABLE test_table DROP PARTITION FIELD bucket(4, customer_id)")
+    assert(t.spec.isEmpty)
+    // three set-spec commits, data intact under all historical layouts
+    assert(t.toDF.count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      g.sql("ALTER TABLE test_table DROP PARTITION FIELD month(nope)")
+    }
+    assert(e.getMessage.contains("no such partition field"))
+  }
 }
