@@ -115,6 +115,32 @@ object StreamOps {
     }
   }
 
+  /** Stream-stream event-time interval join (attribution): each purchase
+    * joins the view events of the SAME user within the preceding
+    * `horizonMinutes`. Both sides carry watermarks AND the join has a
+    * time-bound condition, so Spark can expire buffered rows — the state
+    * store holds one bounded window per side, never the whole history
+    * (the requirement for any stream-stream join at scale). Input is one
+    * raw events stream (ts int64 ns); the two sides are filtered from it
+    * — joining two streams derived from one source is fully supported. */
+  def attribution(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+    def side(t: String, pre: String) = events
+      .filter(col("event_type") === t)
+      .withColumn(s"${pre}_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark(s"${pre}_ts", "2 hours")
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col(s"${pre}_ts"))
+    val v = side("view", "v")
+    val p = side("purchase", "p")
+    p.join(v, col("p_user") === col("v_user")
+        && col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES")
+        && col("v_ts") <= col("p_ts"))
+      .select(col("p_id").as("purchase_id"), col("v_id").as("view_id"),
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"),
+        unix_micros(col("v_ts")).as("view_ts_us"))
+  }
+
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
                         n_events: Long)
   case class SessionState(startUs: Long, endUs: Long, n: Long)
