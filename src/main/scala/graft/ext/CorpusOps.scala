@@ -107,10 +107,24 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide token vocabulary, top-k by frequency (the counting pass
+    * of tokenizer training / vocab pruning): one explode, one hash
+    * aggregation with map-side partial combine, one k-row top-k — every
+    * stage shuffles scalar (token, count) pairs only. Ties break on the
+    * token itself so the result is deterministic at any parallelism. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 200): DataFrame =
+    documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
-    "pack_sequences" -> ((s, d) => packSequences(s, d))
+    "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "vocab_topk" -> ((s, d) => vocabTopK(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +157,10 @@ object CorpusOps {
         |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
         |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
         |FROM seeded ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
     "pack_sequences" ->
       """SELECT doc_id, lang, n_tok, tok_start,
         |       CAST(floor(tok_start / 512.0) AS BIGINT) AS pack_first,
