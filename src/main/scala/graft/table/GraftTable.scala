@@ -1919,7 +1919,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val cutoff = System.currentTimeMillis() - olderThanMs
     // staging/ holds dynamic-overwrite scratch; never referenced by any
     // snapshot, so age alone decides
-    Seq("data", "deletes", "staging").flatMap { root =>
+    val removed = Seq("data", "deletes", "staging").flatMap { root =>
       val rp = new Path(dir, root)
       if (!f.exists(rp)) Seq.empty
       else f.listStatus(rp).toSeq
@@ -1927,6 +1927,26 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           !referenced.contains(s"$root/${st.getPath.getName}"))
         .map { st => f.delete(st.getPath, true); s"$root/${st.getPath.getName}" }
     }
+    // sidecar GC: bloom/bounds files are keyed by dir uuid — once no
+    // snapshot references the dir (expired or just vacuumed), its
+    // sidecars are dead metadata; at scale they'd otherwise accumulate
+    // one small file per dead dir forever. A sidecar of a LIVE dir is
+    // never touched (uuid membership, not age).
+    val liveUuids = referenced.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val sidecars = Seq(("blooms", (n: String) => n.takeWhile(_ != '_')),
+      ("stats", (n: String) => n.stripSuffix(".json")))
+    val sweptSidecars = sidecars.flatMap { case (sub, uuidOf) =>
+      val rp = new Path(logDir, sub)
+      if (!f.exists(rp)) Seq.empty
+      else f.listStatus(rp).toSeq
+        // same grace window as the dirs: an in-flight writer creates the
+        // sidecar BEFORE its commit — sweeping it early would silently
+        // strip the new dir's skipping metadata
+        .filter(st => st.isFile && st.getModificationTime < cutoff &&
+          !liveUuids.contains(uuidOf(st.getPath.getName)))
+        .map { st => f.delete(st.getPath, false); s"_graft_log/$sub/${st.getPath.getName}" }
+    }
+    removed ++ sweptSidecars
   }
 
   // ---- DML (delegates to the planner; commits copy-on-write) ----------

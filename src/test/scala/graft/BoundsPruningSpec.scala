@@ -108,6 +108,24 @@ class BoundsPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.inputFiles.map(_.split("/data/")(1).split("/")(0)).toSet.size == 1)
   }
 
+  test("vacuum sweeps sidecars of unreferenced dirs, keeps live ones") {
+    val t = mkRanged()
+    // overwrite drops the three original dirs from the current snapshot
+    t.toDF.count()
+    t.delete(col("id") >= 0L) // full rewrite -> old dirs unreferenced by head
+    t.append((0L until 10L).map(i => (i, s"z$i")).toDF("id", "v"))
+    t.expireSnapshots(keepLast = 1)
+    val statsDir = new java.io.File(s"${t.dir}/_graft_log/stats")
+    val before = statsDir.listFiles().length
+    val swept = t.vacuumOrphans(olderThanMs = -1000) // everything is "old"
+    val after = statsDir.listFiles().length
+    assert(swept.exists(_.contains("_graft_log/stats/")), s"no sidecars swept: $swept")
+    assert(after < before)
+    // the live dir's sidecar survives and still prunes
+    val live = t.scan(col("id") >= 5L)
+    assert(live.count() == 5L)
+  }
+
   test("bounds compose with partition-transform pruning") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
