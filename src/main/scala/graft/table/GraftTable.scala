@@ -875,12 +875,22 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         val in = f.open(new Path(statsDir, s"$uuid.json"))
         try Some(mapper.readTree(in)) finally in.close()
       } catch { case _: Exception => None }
+    // a LocalDateTime literal against a TIMESTAMP column means the
+    // instant Spark resolves it to — the SESSION time zone's reading,
+    // not UTC's (stored bounds are absolute instants)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    def norm(dt: DataType, v: Any): Any = (dt, v) match {
+      case (TimestampType, t: java.time.LocalDateTime) => t.atZone(zone).toInstant
+      case _ => v
+    }
     dirs.filter { d =>
       val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
       boundsOf(uuid) match {
         case None => true
-        case Some(node) => conjuncts.forall { case (c, op, values) =>
+        case Some(node) => conjuncts.forall { case (c, op, rawValues) =>
           val dt = s.schema(c).dataType
+          val values = rawValues.map(norm(dt, _))
           val entry = Option(node.get(s.physicalOf(c)))
           entry match {
             case None => true
@@ -2237,41 +2247,62 @@ object GraftTable {
   }
 
   /** Sign of `a - b` in the column type's ordering (None = values not
-    * comparable in type `dt`, caller must not skip). Strings compare as
-    * UTF-8 byte sequences — Spark's own string ordering, NOT Java's
-    * UTF-16 compareTo (they differ beyond the BMP). */
+    * comparable in type `dt`, caller must not skip). The accepted value
+    * shapes are SCOPED PER TYPE — a timestamp literal against a DATE
+    * column (epoch-micros vs epoch-days) must return None, never a
+    * mixed-scale comparison that could wrongly skip a dir. Strings
+    * compare as UTF-8 byte sequences — Spark's own string ordering, NOT
+    * Java's UTF-16 compareTo (they differ beyond the BMP). */
   private[table] def cmpStat(dt: DataType, a: Any, b: Any): Option[Int] = {
-    def num(v: Any): Option[BigDecimal] = v match {
-      case null => None
+    def int(v: Any): Option[BigDecimal] = v match {
       case n: java.lang.Byte => Some(BigDecimal(n.longValue))
       case n: java.lang.Short => Some(BigDecimal(n.longValue))
       case n: java.lang.Integer => Some(BigDecimal(n.longValue))
       case n: java.lang.Long => Some(BigDecimal(n.longValue))
+      case _ => frac(v) // a fractional literal against an integral column
+    }
+    def frac(v: Any): Option[BigDecimal] = v match {
       case n: java.lang.Float => Some(BigDecimal(n.doubleValue))
       case n: java.lang.Double => Some(BigDecimal(n.doubleValue))
       case d: java.math.BigDecimal => Some(BigDecimal(d))
       case d: BigDecimal => Some(d)
+      case n: java.lang.Byte => Some(BigDecimal(n.longValue))
+      case n: java.lang.Short => Some(BigDecimal(n.longValue))
+      case n: java.lang.Integer => Some(BigDecimal(n.longValue))
+      case n: java.lang.Long => Some(BigDecimal(n.longValue))
+      case _ => None
+    }
+    def day(v: Any): Option[BigDecimal] = v match {
       case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
       case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+      case _ => None
+    }
+    def micros(v: Any): Option[BigDecimal] = v match {
       case t: java.sql.Timestamp =>
         Some(BigDecimal(t.toInstant.getEpochSecond) * 1000000 + t.toInstant.getNano / 1000)
       case t: java.time.Instant =>
         Some(BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000)
-      // NTZ values order as their UTC reading (consistent on both sides)
+      // NTZ values order as their UTC reading (consistent on both sides;
+      // session-zoned literals are normalized BEFORE reaching here)
       case t: java.time.LocalDateTime =>
         val i = t.toInstant(java.time.ZoneOffset.UTC)
         Some(BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000)
       case _ => None
     }
-    dt match {
-      case StringType => (a, b) match {
+    val key: Any => Option[BigDecimal] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => int
+      case FloatType | DoubleType | _: DecimalType => frac
+      case DateType => day
+      case TimestampType | TimestampNTZType => micros
+      case StringType => return (a, b) match {
         case (x: String, y: String) =>
           Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
             .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
         case _ => None
       }
-      case _ => for (x <- num(a); y <- num(b)) yield x.compare(y)
+      case _ => return None
     }
+    for (x <- key(a); y <- key(b)) yield x.compare(y)
   }
 
   // ---- snapshot JSON ser/de (jackson-databind, shipped with Spark) ----

@@ -100,6 +100,21 @@ class BoundsPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(col("n") === 7L).count() == 1L)
   }
 
+  test("mismatched literal types never skip (timestamp literal vs date bounds)") {
+    val t = GraftTable.create(spark, tmp("xtype"),
+      StructType(Seq(StructField("d", DateType), StructField("id", LongType))))
+    t.setStatsKeys(Seq("d"))
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    t.append(Seq((dt("2020-01-01"), 1L), (dt("2020-06-01"), 2L)).toDF("d", "id"))
+    t.append(Seq((dt("2021-01-01"), 3L)).toDF("d", "id"))
+    // a TIMESTAMP literal against the DATE column: epoch-micros vs
+    // epoch-days must not be compared — the scan keeps all dirs and the
+    // row filter stays exact
+    val ts = java.sql.Timestamp.valueOf("2020-12-01 00:00:00")
+    val got = t.scan(col("d") >= lit(ts)).select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+
   test("bounds survive a column rename (sidecars keyed by physical name)") {
     val t = mkRanged()
     t.renameColumn("id", "doc_id")
