@@ -353,21 +353,25 @@ object GraftBucketedScan {
 
   /** Shared evolution-aware parquet reader factory over physical names —
     * one implementation for the bucketed, flat, and streaming scans.
-    * A requested `_file` metadata column is not read from the file: the
-    * reader stamps each row with the path it is reading (appended last,
-    * then projected into place when `_file` is not the trailing field). */
+    * Requested `_file`/`_pos` metadata columns are not read from the
+    * file: the reader stamps each row with the path it is reading and
+    * its ordinal within the file (appended last, then projected into
+    * place when not trailing). */
   private[catalog] def readerFactory(snap: graft.table.Snapshot,
       required: StructType, pushed: Array[Filter],
       extraPhysCols: Seq[StructField] = Nil): GraftBucketReaderFactory = {
     val spark = SparkSession.active
-    // stamp only the METADATA `_file` — a data column of that name
+    // stamp only METADATA columns — a data column of the same name
     // shadows it and must be read from the file like any other column
-    val fileIdx =
-      if (snap.schema.fieldNames.contains(GraftMetaCols.FILE)) -1
-      else required.fieldNames.indexOf(GraftMetaCols.FILE)
+    def metaIdx(n: String): Int =
+      if (snap.schema.fieldNames.contains(n)) -1 else required.fieldNames.indexOf(n)
+    val stamped: Seq[(String, Int)] =
+      Seq(GraftMetaCols.FILE, GraftMetaCols.POS)
+        .map(n => n -> metaIdx(n)).filter(_._2 >= 0)
+    val metaNames = stamped.map(_._1).toSet
     val innerRequired =
-      if (fileIdx < 0) required
-      else StructType(required.fields.filterNot(_.name == GraftMetaCols.FILE))
+      if (stamped.isEmpty) required
+      else StructType(required.fields.filterNot(f => metaNames.contains(f.name)))
     val physRequired = StructType(innerRequired.fields.map(f =>
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
     val physData = StructType(snap.schema.fields.map(f =>
@@ -376,7 +380,7 @@ object GraftBucketedScan {
       snap.fields.find(_.logical == n).map(_.physical)))
     new GraftBucketReaderFactory(
       GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq),
-      stampFileAt = if (fileIdx < 0) None else Some(fileIdx),
+      stamped = stamped,
       outTypes = required.fields.map(_.dataType))
   }
 
@@ -491,11 +495,10 @@ private[catalog] final class GraftProjectingReaderFactory(
 
 private[catalog] final class GraftBucketReaderFactory(
     readFunc: (String, Long) => Iterator[InternalRow],
-    // `_file` support: Some(i) = stamp each row with the path of the file
-    // it came from, surfaced at output ordinal i (rows are read without
-    // it, the path is appended, then projected into place when i is not
-    // the trailing ordinal); outTypes = full output types incl. `_file`
-    stampFileAt: Option[Int] = None,
+    // metadata stamping: (name, output ordinal) for requested `_file` /
+    // `_pos` columns. Rows are read without them; the values are appended
+    // (in `stamped` order) and projected into place when not trailing.
+    stamped: Seq[(String, Int)] = Nil,
     outTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
     extends PartitionReaderFactory {
 
@@ -506,22 +509,35 @@ private[catalog] final class GraftBucketReaderFactory(
       // row iterators (never ColumnarBatch disguised as InternalRow)
       private val it: Iterator[InternalRow] = p.files.iterator
         .flatMap { case (path, len) =>
-          stampFileAt match {
-            case None => readFunc(path, len)
-            case Some(at) =>
-              val fileRow = new GenericInternalRow(
-                Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(path)))
-              val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-              val base = readFunc(path, len).map(r => joined(r, fileRow))
-              val n = outTypes.length
-              if (at == n - 1) base
-              else {
-                // reorder appended-last into place: out(i<at)=i, out(at)=last,
-                // out(i>at)=i-1 over the (data ++ _file) layout
-                val ordinals = (0 until n).map(i =>
-                  if (i == at) n - 1 else if (i < at) i else i - 1)
-                base.map(new GraftReorderRow(ordinals.toArray, outTypes, _))
+          if (stamped.isEmpty) readFunc(path, len)
+          else {
+            val fileRank = stamped.indexWhere(_._1 == GraftMetaCols.FILE)
+            val posRank = stamped.indexWhere(_._1 == GraftMetaCols.POS)
+            val metaRow = new GenericInternalRow(stamped.length)
+            if (fileRank >= 0) metaRow.update(fileRank,
+              org.apache.spark.unsafe.types.UTF8String.fromString(path))
+            val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            var pos = 0L
+            val base = readFunc(path, len).map { r =>
+              if (posRank >= 0) { metaRow.update(posRank, pos); pos += 1 }
+              joined(r, metaRow)
+            }
+            val n = outTypes.length
+            val nData = n - stamped.length
+            // identity when the meta columns ARE the trailing outputs in
+            // stamped order; otherwise project appended-last into place
+            val identity = stamped.zipWithIndex.forall { case ((_, at), rank) =>
+              at == nData + rank
+            }
+            if (identity) base
+            else {
+              val ordinals = (0 until n).map { i =>
+                val rank = stamped.indexWhere(_._2 == i)
+                if (rank >= 0) nData + rank
+                else i - stamped.count(_._2 < i)
               }
+              base.map(new GraftReorderRow(ordinals.toArray, outTypes, _))
+            }
           }
         }
       private var cur: InternalRow = _

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** The `_file` metadata column: every row can report the data file it was
   * read from (Iceberg's `_file` surface). Besides being queryable
@@ -16,12 +16,23 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * only the groups that contain matched rows. */
 object GraftMetaCols {
   val FILE = "_file"
+  val POS = "_pos"
 
   object FileColumn extends MetadataColumn {
     override def name: String = FILE
     override def dataType: DataType = StringType
     override def isNullable: Boolean = false
     override def comment: String = "path of the data file the row was read from"
+  }
+
+  /** `_pos` — the row's ordinal within its data file (Iceberg's other
+    * reserved metadata column): (_file, _pos) is a stable physical row
+    * identity, the provenance handle position-level tooling keys on. */
+  object PosColumn extends MetadataColumn {
+    override def name: String = POS
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment: String = "row position within its data file"
   }
 
   /** Canonical path form for cross-plan comparison: the DSv2 reader

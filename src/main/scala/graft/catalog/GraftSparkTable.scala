@@ -100,9 +100,13 @@ final class GraftSparkTable(val dir: String, tableName: String,
     * (see [[GraftMetaCols]]). A user DATA column named `_file` shadows
     * the metadata column entirely (no advertisement, no reader stamping
     * — the data values win, matching Spark's shadowing contract). */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (schema().fieldNames.contains(GraftMetaCols.FILE)) Array.empty
-    else Array(GraftMetaCols.FileColumn)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val names = schema().fieldNames
+    // a user DATA column shadows its metadata column independently
+    Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+      GraftMetaCols.FileColumn, GraftMetaCols.PosColumn)
+      .filterNot(m => names.contains(m.name))
+  }
 
   override def partitioning(): Array[Transform] =
     (if (isPending) pendingCreate.get._2 else readSnapshot.spec).map {
@@ -326,13 +330,16 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
       return new GraftBucketedScan(table, required, accepted,
         skipReplaceCommits, maxVersionsPerBatch)
-    // a METADATA `_file` request needs the DSv2 reader (it stamps real
-    // file paths and applies deletes reader-side; the view path's
-    // input_file_name is illegal past multi-source plans). A DATA column
-    // named `_file` shadows the metadata column and reads normally.
-    if (required.fieldNames.contains(GraftMetaCols.FILE) &&
-        !table.schema.fieldNames.contains(GraftMetaCols.FILE)) {
-      require(asOf.isEmpty, "_file is not available on VERSION/TIMESTAMP AS OF reads")
+    // a METADATA `_file`/`_pos` request needs the DSv2 reader (it stamps
+    // real file paths / row positions and applies deletes reader-side;
+    // the view path's input_file_name is illegal past multi-source plans
+    // and has no position at all). A DATA column of the same name
+    // shadows its metadata column and reads normally.
+    val wantsMeta = Seq(GraftMetaCols.FILE, GraftMetaCols.POS).exists(m =>
+      required.fieldNames.contains(m) && !table.schema.fieldNames.contains(m))
+    if (wantsMeta) {
+      require(asOf.isEmpty,
+        "_file/_pos are not available on VERSION/TIMESTAMP AS OF reads")
       return new GraftFlatBatchScan(table, required, accepted)
     }
     val schema = required
