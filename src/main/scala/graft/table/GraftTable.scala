@@ -863,6 +863,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * driver metadata work. */
   private def rangeLiveDirs(s: Snapshot, dirs: Seq[DataDir], pred: Column): Seq[DataDir] = {
     if (s.statsKeys.isEmpty || dirs.isEmpty) return dirs
+    // struct-field predicates (s.x) are indistinguishable from qualified
+    // top-level references at this level — never prune on such schemas
+    if (s.schema.fields.exists(_.dataType.isInstanceOf[StructType])) return dirs
     val conjuncts = TransformPruning.rangeConjuncts(pred).filter { case (c, _, _) =>
       s.statsKeys.exists(_.equalsIgnoreCase(c)) && s.schema.fieldNames.contains(c)
     }
@@ -959,6 +962,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * value is definitely absent. O(dirs) driver metadata work. */
   private def bloomLiveDirs(s: Snapshot, pred: Column): Seq[DataDir] = {
     if (s.bloomKeys.isEmpty) return s.dataDirs
+    // same struct-ambiguity guard as rangeLiveDirs / TransformPruning
+    if (s.schema.fields.exists(_.dataType.isInstanceOf[StructType])) return s.dataDirs
     val conjuncts = TransformPruning.pointConjuncts(pred)
       .filter { case (c, _) => s.bloomKeys.contains(c) }
     if (conjuncts.isEmpty) return s.dataDirs

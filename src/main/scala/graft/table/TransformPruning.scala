@@ -36,6 +36,13 @@ object TransformPruning {
     * DIRECTORIES before listing a single file. */
   def derive(spec: Seq[PartitionField], schema: StructType, pred: Column,
              includeIdentity: Boolean = false): Option[Column] = {
+    // a struct field reference (s.x) is indistinguishable from an
+    // alias-qualified column (t.x) in the unresolved ColumnNode tree —
+    // both reduce to their last name part. On a schema with struct
+    // columns a predicate on s.x could therefore masquerade as one on a
+    // top-level column x and derive WRONG pruning; skip derivation
+    // entirely there (pruning is an optimization, never load-bearing).
+    if (schema.fields.exists(_.dataType.isInstanceOf[StructType])) return None
     val fields = if (includeIdentity) spec else spec.filterNot(_.transform == "identity")
     val parts = fields.flatMap { pf =>
       deriveFor(pf, schema(pf.source).dataType, GraftShim.toNode(pred))
