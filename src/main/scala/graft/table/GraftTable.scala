@@ -2267,8 +2267,12 @@ object GraftTable {
       case _ => frac(v) // a fractional literal against an integral column
     }
     def frac(v: Any): Option[BigDecimal] = v match {
-      case n: java.lang.Float => Some(BigDecimal(n.doubleValue))
-      case n: java.lang.Double => Some(BigDecimal(n.doubleValue))
+      // non-finite values have no BigDecimal form (the constructor
+      // throws) and no usable ordering vs an interval — never skip
+      case n: java.lang.Float =>
+        if (java.lang.Float.isFinite(n)) Some(BigDecimal(n.doubleValue)) else None
+      case n: java.lang.Double =>
+        if (java.lang.Double.isFinite(n)) Some(BigDecimal(n.doubleValue)) else None
       case d: java.math.BigDecimal => Some(BigDecimal(d))
       case d: BigDecimal => Some(d)
       case n: java.lang.Byte => Some(BigDecimal(n.longValue))

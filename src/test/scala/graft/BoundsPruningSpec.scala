@@ -100,6 +100,20 @@ class BoundsPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(col("n") === 7L).count() == 1L)
   }
 
+  test("NaN bounds never crash or skip (non-finite doubles keep the dir)") {
+    val t = GraftTable.create(spark, tmp("nan"),
+      StructType(Seq(StructField("x", DoubleType), StructField("id", LongType))))
+    t.setStatsKeys(Seq("x"))
+    t.append(Seq((1.0, 1L), (Double.NaN, 2L)).toDF("x", "id")) // max(x) = NaN
+    t.append(Seq((100.0, 3L)).toDF("x", "id"))
+    // predicate comparisons against a NaN bound must keep the dir; the
+    // row filter then evaluates with Spark's NaN ordering (NaN is the
+    // GREATEST double in Spark SQL, so NaN > 50.0 is true)
+    val got = t.scan(col("x") > 50.0).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    assert(t.scan(col("x") <= 1.0).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("mismatched literal types never skip (timestamp literal vs date bounds)") {
     val t = GraftTable.create(spark, tmp("xtype"),
       StructType(Seq(StructField("d", DateType), StructField("id", LongType))))
