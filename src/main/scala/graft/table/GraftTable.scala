@@ -457,11 +457,21 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   private def bloomExpectedItems: Long =
     spark.conf.getOption("graft.bloom.expectedItems").map(_.toLong).getOrElse(1000000L)
 
+  /** Guard for OCC rebases of commits that carry a dir freshly written
+    * under `s.spec`: rebasing across a concurrent set-spec would stamp
+    * the dir with a version the specLog maps to the NEW spec — silently
+    * mislabeling its physical layout. Version-guarded commits (row-level
+    * ops, dynamic overwrite) are covered by their own checks. */
+  private def requireSpecStable(b: Snapshot, s: Snapshot): Unit =
+    require(b.spec == s.spec,
+      "partition spec changed concurrently with this write; retry")
+
   def append(df: DataFrame): GraftTable = {
     val s = snapshot
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       // zero-row appends commit no dir (a partitioned zero-row write
       // creates no files; on object stores the empty path doesn't exist)
       b.copy(version = v, op = "append", dataDirs =
@@ -477,6 +487,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       b.copy(version = v, op = "overwrite",
         // a zero-row write on a partitioned table creates no files —
         // commit the empty table, not a file-less dir
@@ -1180,6 +1191,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"(cross-filesystem moves are not supported — copy first)")
     commit(currentVersion + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
     })
     this
@@ -1409,6 +1421,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       val d = DataDir(sub, v, rows)
       b.copy(version = v,
         op = if (replace) "overwrite" else "append",
@@ -1430,6 +1443,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       val d = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty
       b.copy(version = v,
         op = if (replace) "overwrite" else "append",
@@ -1514,6 +1528,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     rows.unpersist()
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       require(b.deletes.isEmpty || b.deletes.head.keys == keys,
         s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",
@@ -1553,6 +1568,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   private def commitRewrite(s: Snapshot, sub: String, rows: Long): Unit =
     commit(s.version + 1)((rebase, v) => {
       val b0 = Option(rebase).getOrElse(s)
+      requireSpecStable(b0, s)
       require(b0.deletes.isEmpty,
         "rewrite lost a race with a rowDelta commit; re-run after compact()")
       require(s.dataDirs.map(_.path).toSet.subsetOf(b0.dataDirs.map(_.path).toSet),
@@ -1648,6 +1664,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(readLogical(s, small), s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       // a concurrent rowDelta would make the rewritten rows (now stamped
       // with a NEWER commit version) escape its version-guarded deletes —
       // abort instead of silently resurrecting deleted rows
@@ -2011,6 +2028,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val (sub, rows) = writeData(f(readLogical(s, touched)), s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
+      requireSpecStable(b, s)
       b.copy(version = v, op = "overwrite",
         // rows == 0 (everything in the touched dirs was deleted): a
         // partitioned zero-row write creates no files — commit no dir
