@@ -157,6 +157,18 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$""".r
   private val addDropSpecRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+  //   ALTER TABLE t WRITE ORDERED BY (a, b)  — sort-order evolution
+  //   ALTER TABLE t WRITE UNORDERED
+  private val writeOrderRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s*\(?\s*([\w,`\s]+?)\s*\)?\s*$""".r
+  private val writeUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*$""".r
+
+  private def namedTable(rawName: String): (String, GraftTable) = {
+    val name = rawName.replace("`", "").toLowerCase
+    name -> tables.get(name).orElse(catalogLookup(name))
+      .getOrElse(throw new IllegalArgumentException(s"unknown graft table: $name"))
+  }
 
   private def alterSpec(rawName: String)(change: Seq[PartitionField] => Seq[PartitionField]): DataFrame = {
     val name = rawName.replace("`", "").toLowerCase
@@ -186,6 +198,16 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
             spec.filterNot(_ == f)
           }
         }
+      case writeOrderRe(name, cols) =>
+        val (n, t) = namedTable(name)
+        t.replaceSortKey(cols.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+        refreshView(n)
+        return t.toDF
+      case writeUnorderedRe(name) =>
+        val (n, t) = namedTable(name)
+        t.replaceSortKey(Seq.empty)
+        refreshView(n)
+        return t.toDF
       case _ =>
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
@@ -215,6 +237,20 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
           val fieldName = f.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName]
             .name.last
           t.dropColumn(fieldName)
+        }
+        refreshView(name)
+        t.toDF
+      case p: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties
+          if tableOfAlter(p.table).isDefined =>
+        val (name, t) = tableOfAlter(p.table).get
+        def cols(v: String) = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        p.properties.foreach {
+          // declarative skipping metadata: which columns get bloom /
+          // [min,max] sidecars on future writes
+          case ("graft.bloom-keys", v) => t.setBloomKeys(cols(v))
+          case ("graft.stats-keys", v) => t.setStatsKeys(cols(v))
+          case (k, _) => throw new IllegalArgumentException(
+            s"unsupported table property: $k (supported: graft.bloom-keys, graft.stats-keys)")
         }
         refreshView(name)
         t.toDF

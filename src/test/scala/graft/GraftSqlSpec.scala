@@ -274,6 +274,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("ALTER TABLE WRITE ORDERED BY and skipping-metadata TBLPROPERTIES") {
+    val (g, t) = freshTable("ddl2")
+    g.sql("ALTER TABLE test_table WRITE ORDERED BY (customer_id)")
+    assert(t.sortKey == Seq("customer_id"))
+    g.sql("ALTER TABLE test_table WRITE UNORDERED")
+    assert(t.sortKey.isEmpty)
+    g.sql("ALTER TABLE test_table SET TBLPROPERTIES('graft.stats-keys'='customer_id'," +
+      "'graft.bloom-keys'='name')")
+    assert(t.snapshot.statsKeys == Seq("customer_id"))
+    assert(t.snapshot.bloomKeys == Seq("name"))
+    g.sql("INSERT INTO test_table VALUES (1, 'a', 'x'), (900, 'b', 'y')")
+    // the declared stats captured on the write: a range scan prunes
+    import org.apache.spark.sql.functions.col
+    assert(t.scan(col("customer_id") > 100L).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      g.sql("ALTER TABLE test_table SET TBLPROPERTIES('nope'='x')")
+    }
+    assert(e.getMessage.contains("unsupported table property"))
+  }
+
   test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD (spec evolution syntax)") {
     import graft.table.PartitionField
     val (g, t) = freshTable("specddl")
