@@ -178,6 +178,16 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested columns are not supported")
         t.renameColumn(ren.fieldNames.head, ren.newName)
+      // plain-SQL `ALTER TABLE graft.ns.t SET TBLPROPERTIES(...)` for the
+      // declarative skipping metadata (same keys GraftSql accepts)
+      case set: TableChange.SetProperty =>
+        def cols(v: String) = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        set.property match {
+          case "graft.bloom-keys" => t.setBloomKeys(cols(set.value))
+          case "graft.stats-keys" => t.setStatsKeys(cols(set.value))
+          case k => throw new UnsupportedOperationException(
+            s"unsupported table property: $k (supported: graft.bloom-keys, graft.stats-keys)")
+        }
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other (use the GraftTable evolution API)")
     }

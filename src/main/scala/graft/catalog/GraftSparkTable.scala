@@ -125,10 +125,13 @@ final class GraftSparkTable(val dir: String, tableName: String,
       return m
     }
     val t = graftTable
+    val s = t.snapshot
     val m = new util.HashMap[String, String]()
     m.put("format-version", t.formatVersion.toString)
     m.put("provider", "graft")
-    if (t.sortKey.nonEmpty) m.put("key", t.sortKey.mkString(","))
+    if (s.key.nonEmpty) m.put("key", s.key.mkString(","))
+    if (s.bloomKeys.nonEmpty) m.put("graft.bloom-keys", s.bloomKeys.mkString(","))
+    if (s.statsKeys.nonEmpty) m.put("graft.stats-keys", s.statsKeys.mkString(","))
     m
   }
 

@@ -64,6 +64,27 @@ class ScanStatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mor.estimateStatistics().sizeInBytes().getAsLong > 0)
   }
 
+  test("plain-SQL SET TBLPROPERTIES declares skipping metadata via the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_props_wh").toString
+    val cat = s"gprops${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.p (id BIGINT, v STRING) USING graft")
+    spark.sql(s"ALTER TABLE $cat.ns.p SET TBLPROPERTIES(" +
+      "'graft.stats-keys'='id', 'graft.bloom-keys'='v')")
+    val t = GraftTable.load(spark, s"$wh/ns/p")
+    assert(t.snapshot.statsKeys == Seq("id"))
+    assert(t.snapshot.bloomKeys == Seq("v"))
+    // visible in DESCRIBE EXTENDED / properties()
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.p").collect()
+      .map(_.mkString("|")).mkString("\n")
+    assert(props.contains("graft.stats-keys"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.p SET TBLPROPERTIES('zzz'='1')")
+    }
+    assert(e.getMessage.contains("unsupported table property"))
+  }
+
   test("catalog-read join against a small graft dim plans a broadcast") {
     val wh = java.nio.file.Files.createTempDirectory("graft_stats_wh").toString
     val cat = s"gstats${java.util.UUID.randomUUID().toString.take(6)}"
