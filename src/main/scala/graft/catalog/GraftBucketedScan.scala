@@ -376,8 +376,18 @@ object GraftBucketedScan {
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)))
     val physData = StructType(snap.schema.fields.map(f =>
       StructField(snap.physicalOf(f.name), f.dataType, nullable = true)) ++ extraPhysCols)
-    val physFilters = pushed.flatMap(f => renamePushedFilter(f, n =>
-      snap.fields.find(_.logical == n).map(_.physical)))
+    // `_pos` is stamped by COUNTING rows as they come off the file reader,
+    // so the reader must emit every row in file order: with filters pushed
+    // into parquet, row-group/page skipping drops rows BEFORE the counter
+    // and the stamped ordinals shift. Since every pushed filter is residual
+    // (Spark re-applies the full predicate — GraftSparkTable.pushFilters),
+    // dropping the in-file pushdown is correctness-neutral; it only costs
+    // the row-group skip, and only on scans that ask for `_pos`.
+    val stampsPos = stamped.exists(_._1 == GraftMetaCols.POS)
+    val physFilters =
+      if (stampsPos) Nil
+      else pushed.flatMap(f => renamePushedFilter(f, n =>
+        snap.fields.find(_.logical == n).map(_.physical))).toSeq
     new GraftBucketReaderFactory(
       GraftShim.parquetFileReader(spark, physData, physRequired, physFilters.toSeq),
       stamped = stamped,

@@ -295,7 +295,9 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
         // spec as 'transform(source)[, ...]' — e.g. 'month(d), bucket(8, k)'
         GraftCatalog.procedure("evolve_spec",
           Seq("table" -> StringType, "spec" -> StringType)) { r =>
-          val spec = r.getUTF8String(1).toString.split(',').map(_.trim)
+          // split on commas OUTSIDE parentheses only — 'bucket(8, k)' is
+          // one field, not ['bucket(8', 'k)']
+          val spec = r.getUTF8String(1).toString.split(",(?![^(]*\\))").map(_.trim)
             .filter(_.nonEmpty).toSeq.map(GraftCatalog.parseSpecField)
           tbl(r).updateSpec(spec); ()
         }

@@ -61,13 +61,14 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
     // multiply driver metadata I/O on object stores).
     val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .contains("true")
-    // An unresolved `_file` reference anywhere means Spark's
+    // An unresolved `_file`/`_pos` reference anywhere means Spark's
     // AddMetadataColumns still has to widen the relation output — swap
     // too early and the metadata column can never resolve. Defer one
     // fixpoint round; the post-widening swap synthesizes `_file` below.
     val pendingMetaRef = plan.exists(p => !p.resolved && p.expressions.exists(_.exists {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        u.nameParts.last.equalsIgnoreCase(GraftMetaCols.FILE)
+        u.nameParts.last.equalsIgnoreCase(GraftMetaCols.FILE) ||
+          u.nameParts.last.equalsIgnoreCase(GraftMetaCols.POS)
       case _ => false
     }))
     // metadata-only aggregates: a bare, unfiltered COUNT(*) folds to the

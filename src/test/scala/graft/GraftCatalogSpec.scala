@@ -783,6 +783,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))
   }
 
+  test("CALL graft.system.evolve_spec parses parenthesized transforms") {
+    val dir = s"$warehouse/db16/evsp"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType),
+      StructField("k", StringType))))
+    t.append(Seq((1L, java.sql.Date.valueOf("2020-01-05"), "x"))
+      .toDF("id", "d", "k"))
+    // 'bucket(8, k)' contains a comma INSIDE parens — must parse as one
+    // field, not split into 'bucket(8' / 'k)'
+    spark.sql("CALL graft.system.evolve_spec('db16.evsp', 'month(d), bucket(8, k)')")
+    val s1 = GraftTable.load(spark, dir).snapshot
+    assert(s1.spec == Seq(
+      graft.table.PartitionField("d", "month"),
+      graft.table.PartitionField("k", "bucket", 8)))
+    spark.sql("CALL graft.system.evolve_spec('db16.evsp', 'truncate(4, k)')")
+    val s2 = GraftTable.load(spark, dir).snapshot
+    assert(s2.spec == Seq(graft.table.PartitionField("k", "truncate", 4)))
+    // writes after the evolution land and read back under the new layout
+    GraftTable.load(spark, dir).append(
+      Seq((2L, java.sql.Date.valueOf("2020-02-05"), "yyyyy")).toDF("id", "d", "k"))
+    assert(spark.sql("SELECT count(*) FROM graft.db16.evsp").head.getLong(0) == 2)
+  }
+
   test("VERSION AS OF a tag name and ref/WAP procedures through SQL") {
     val dir = s"$warehouse/db17/reftbl"
     val t = GraftTable.create(spark, dir, StructType(Seq(

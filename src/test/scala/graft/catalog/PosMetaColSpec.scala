@@ -70,6 +70,46 @@ class PosMetaColSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.map(_._2).toSet == (1L to 5L).toSet)
   }
 
+  test("_pos stays the true file ordinal under a pushed filter that skips row groups") {
+    warehouse
+    // write an id-SORTED file (sort key) with MANY row groups: tiny parquet
+    // block size makes the writer roll a new row group every ~100 rows, and
+    // sorted data gives each group a tight id range — so a selective tail
+    // predicate lets parquet drop every leading row group. Counting rows
+    // off a filter-pushing reader would then stamp positions restarting at
+    // the first surviving group (0, 1, 2, …) instead of true file ordinals.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val priorBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1024)
+    try {
+      val t = GraftTable.create(spark, s"$warehouse/db/p5", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))), key = Seq("id"))
+      t.append((0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    } finally {
+      if (priorBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", priorBlock)
+    }
+    // ground truth: the UNFILTERED read emits every row, so its stamped
+    // ordinals are the rows' true positions within their file
+    val truth = spark.sql("SELECT id, _file, _pos FROM graft.db.p5")
+      .as[(Long, String, Long)].collect()
+    assert(truth.length == 5000)
+    // sanity: the file holding the tail really has >1 row group
+    val tailFile = truth.find(_._1 == 4999L).get._2.replaceFirst("^file:", "")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      hc, new org.apache.hadoop.fs.Path(tailFile))
+    assert(footer.getBlocks.size() > 1, "test needs a multi-row-group file")
+    val byId = truth.map(r => r._1 -> (r._2, r._3)).toMap
+    val got = spark.sql("SELECT id, _file, _pos FROM graft.db.p5 WHERE id >= 4900")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 100)
+    got.foreach { case (id, f, pos) =>
+      assert(byId(id) == ((f, pos)),
+        s"(_file,_pos)=($f,$pos) for id=$id but unfiltered read says ${byId(id)} " +
+          "— positions shifted by row-group skipping")
+    }
+  }
+
   test("a data column named _pos shadows the metadata column") {
     warehouse
     val t = GraftTable.create(spark, s"$warehouse/db/p3", StructType(Seq(
