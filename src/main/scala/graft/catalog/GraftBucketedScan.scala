@@ -296,17 +296,21 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
 /** Wraps the file reader with the (key → newest delete version) filter:
   * a row is dropped iff its key has a delete strictly newer than its
   * dir's commit version (rows reinserted in the same commit survive —
-  * sequence-number semantics). */
+  * sequence-number semantics). The map is either inlined (small delete
+  * sets, driver-collected as before) or loaded lazily on the executor
+  * from a scratch parquet of merged delete keys (large sets — no driver
+  * materialization; see [[GraftScratchDeletes]]). */
 private final class GraftDeleteFilteringReaderFactory(
     inner: GraftBucketReaderFactory, keyIdx: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
-    dels: Map[Seq[Any], Int]) extends PartitionReaderFactory {
+    delsF: () => Map[Seq[Any], Int]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val dirV = partition match {
       case p: GraftFilePartition => p.dirVersion
       case _ => Int.MaxValue
     }
+    val dels = delsF()
     val r = inner.createReader(partition)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -322,6 +326,35 @@ private final class GraftDeleteFilteringReaderFactory(
       override def close(): Unit = r.close()
     }
   }
+}
+
+/** Executor-side loader for large merged equality-delete sets. The driver
+  * writes the merged (key, newest-version) frame to a scratch parquet
+  * (a DISTRIBUTED write — nothing is ever collected) and ships only the
+  * file list plus a serializable parquet read function; each executor JVM
+  * materializes the map once and shares it across its scan tasks — the
+  * memory profile of a broadcast without the driver ever holding the
+  * keys. The per-JVM cache is tiny-bounded: concurrent scans of a few
+  * tables coexist, a scan of a new table evicts stale entries. */
+private[catalog] object GraftScratchDeletes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Map[Seq[Any], Int]]()
+
+  def load(tag: String, files: Seq[(String, Long)],
+           readFunc: (String, Long) => Iterator[InternalRow],
+           keyTypes: Array[org.apache.spark.sql.types.DataType]): Map[Seq[Any], Int] =
+    cache.computeIfAbsent(tag, _ => {
+      if (cache.size > 3) cache.clear() // bound executor memory across scans
+      val b = Map.newBuilder[Seq[Any], Int]
+      files.foreach { case (p, len) =>
+        readFunc(p, len).foreach { r =>
+          // copy: parquet readers reuse row buffers across next() calls
+          val k: Seq[Any] = keyTypes.indices.map(i =>
+            if (r.isNullAt(i)) null else InternalRow.copyValue(r.get(i, keyTypes(i))))
+          b += (k -> r.getInt(keyTypes.length))
+        }
+      }
+      b.result()
+    })
 }
 
 object GraftBucketedScan {
@@ -395,11 +428,18 @@ object GraftBucketedScan {
   }
 
   /** Builds a reader factory with reader-side equality-delete filtering
-    * when the snapshot has pending deletes: the driver folds the delete
-    * files into a (key → newest delete version) map — size-gated by
-    * `graft.delete.broadcastMaxRows`, the bound the view path uses for
-    * its broadcast anti-join — and readers drop rows whose key has a
-    * delete strictly newer than the row's dir version.
+    * when the snapshot has pending deletes: the delete files fold into a
+    * (key → newest delete version) map and readers drop rows whose key
+    * has a delete strictly newer than the row's dir version.
+    *
+    * Two size regimes (`graft.delete.broadcastMaxRows`, default 1M):
+    * small sets are driver-collected and shipped inline in the factory
+    * (fast, zero extra I/O); larger sets are merged by a DISTRIBUTED
+    * write to a scratch parquet under the table's log dir and loaded
+    * lazily once per executor JVM ([[GraftScratchDeletes]]) — the driver
+    * never materializes the keys, so there is no driver-memory cliff.
+    * The executor-side map is still per-JVM memory; truly huge delete
+    * backlogs should be compact()ed, like any MoR table.
     *
     * Delete-key columns the caller did NOT select are widened into the
     * physical read internally and projected away after filtering, so a
@@ -420,9 +460,6 @@ object GraftBucketedScan {
       else spark.read.parquet(s"$tableDir/${d.path}").count())
     val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
       .map(_.toLong).getOrElse(1000000L)
-    require(counts.sum <= maxRows,
-      s"pending equality deletes too large for this scan " +
-        s"(${counts.sum} > graft.delete.broadcastMaxRows=$maxRows); compact() first")
     // widen the read schema with unselected delete-key columns; the
     // filtered rows are projected back to the caller's schema below
     val missing = delKeys.filterNot(k =>
@@ -439,13 +476,38 @@ object GraftBucketedScan {
         .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
     }.reduce(_ unionAll _)
       .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
-    val conv = keyTypes.map(
-      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
-    val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
-      val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
-      k -> r.getInt(conv.length)
-    }.toMap
-    val filtering = new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, dels)
+    val delsF: () => Map[Seq[Any], Int] =
+      if (counts.sum <= maxRows) {
+        val conv = keyTypes.map(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+        val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
+          val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
+          k -> r.getInt(conv.length)
+        }.toMap
+        () => dels
+      } else {
+        // distributed merge: keys never touch the driver. The scratch dir
+        // is content-addressed by the delete-file set, so repeated scans
+        // of the same snapshot reuse both the file and the executor cache
+        // (vacuum sweeps the scratch dir with the other log sidecars).
+        val tag = java.util.UUID.nameUUIDFromBytes(
+          snap.deletes.map(d => s"${d.path}@${d.version}").mkString("|")
+            .getBytes("UTF-8")).toString
+        val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
+        val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(scratch, "_SUCCESS")))
+          merged.write.mode("overwrite").parquet(scratch)
+        val files = fs.listStatus(new Path(scratch))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, f.getLen)).toSeq
+        val scratchSchema = StructType(
+          keyTypes.zip(physKeys).map { case (dt, n) => StructField(n, dt, nullable = true) } :+
+            StructField("__v", IntegerType, nullable = false))
+        val readFunc = GraftShim.parquetFileReader(spark, scratchSchema, scratchSchema, Nil)
+        val kt = keyTypes
+        () => GraftScratchDeletes.load(scratch, files, readFunc, kt)
+      }
+    val filtering = new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, delsF)
     if (missing.isEmpty) filtering
     else new GraftProjectingReaderFactory(filtering, required)
   }

@@ -128,13 +128,21 @@ object TextOps {
     * The representatives (token arrays post-shuffle) feed FOUR plan
     * branches (both band-join sides + both verify-join sides); they are
     * persisted so the documents scan + set-digest shuffle runs once, not
-    * four times. (At warehouse scale the equivalent is checkpointing the
-    * representative set to a temp table.) Exact-Jaccard verification uses
-    * the sorted-merge [[graft.functions.SortedIntersectCount]] — the
-    * arrays arrive sorted+distinct, so intersection is a two-pointer
-    * merge and union size is |a|+|b|-inter; no per-pair hash sets. */
+    * four times — and unpersisted before returning (the result is
+    * materialized by an eager localCheckpoint, so nothing stays in the
+    * session cache to slow later queries; at warehouse scale the
+    * equivalent is checkpointing to a temp table). Exact-Jaccard
+    * verification uses the sorted-merge
+    * [[graft.functions.SortedIntersectCount]] — the arrays arrive
+    * sorted+distinct, so intersection is a two-pointer merge and union
+    * size is |a|+|b|-inter; no per-pair hash sets.
+    *
+    * Oversized (band, band_hash) buckets — boilerplate families that
+    * phase 0's exact collapse cannot touch — are star-reduced instead of
+    * all-paired; see the in-body comment at the guard. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
-                      k: Int = 64, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+                      k: Int = 64, bands: Int = 8, threshold: Double = 0.8,
+                      maxBucket: Int = 2000): DataFrame = {
     // b=8, r=8 puts the LSH s-curve threshold at (1/8)^(1/8) ≈ 0.77 —
     // tuned to the 0.8 verify threshold so few candidates fail the exact
     // Jaccard check (candidate precision is what the verify join costs)
@@ -147,8 +155,9 @@ object TextOps {
       .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
       .groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
-      // intentionally NOT unpersisted: the returned frame consumes the
-      // cache lazily; session LRU reclaims the blocks under pressure
+      // persisted for the four consuming branches, UNPERSISTED before
+      // return: the result is eagerly localCheckpoint'ed below, so no
+      // cache entry outlives this call to degrade later session queries
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps
@@ -158,21 +167,55 @@ object TextOps {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val candidates = banded.toDF("a_id", "band", "band_hash")
-      .join(banded.toDF("b_id", "band", "band_hash"), Seq("band", "band_hash"))
+      // tiny (reps × bands rows of scalars) but feeds five subtrees
+      // (size-agg + both all-pair sides + star side); persisting it
+      // computes the k-hash signature once instead of per-subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Oversized-bucket guard: a (band, band_hash) bucket of n members
+    // emits ~n²/2 candidates — near-identical boilerplate FAMILIES (phase
+    // 0 only collapses *identical* sets) can pile thousands of members
+    // into one bucket and go quadratic. Buckets over `maxBucket` fall
+    // back to STAR candidates (every member paired with the bucket's
+    // minimum id): O(n) instead of O(n²), every member still reaches its
+    // family through the hub (connected-components recall unchanged),
+    // and hub pairs still pass exact-Jaccard verification. Only
+    // member–member pairs of mega-buckets are not emitted — the
+    // pair-level price of bounded cost on adversarial corpora. The
+    // default cap is far above anything a natural bucket reaches, and
+    // the (band, band_hash) size aggregate is tiny (reps × bands rows).
+    val sized = banded.join(
+      banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__hub")),
+      Seq("band", "band_hash"))
+    val small = sized.filter(col("__n") <= maxBucket)
+    val allPairs = small.select(col("doc_id").as("a_id"), col("band"), col("band_hash"))
+      .join(small.select(col("doc_id").as("b_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"))
+    val starPairs = sized.filter(col("__n") > maxBucket && col("doc_id") =!= col("__hub"))
+      .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
+    val candidates = allPairs.unionAll(starPairs).distinct()
     val toksById = reps.select(col("doc_id"), col("toks"))
     val inter = graft.functions.TextSignatureFunctions
       .sorted_intersect_count(col("a_toks"), col("b_toks"))
-    candidates
+    val out = candidates
       .join(toksById.toDF("a_id", "a_toks"), "a_id")
       .join(toksById.toDF("b_id", "b_toks"), "b_id")
       .withColumn("jac", inter.cast(DoubleType) /
         (size(col("a_toks")) + size(col("b_toks")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+      // eager materialization BEFORE the sort: the returned frame reads
+      // its own blocks (reclaimed when the frame is dropped), letting the
+      // inputs unpersist NOW instead of leaking into the session cache —
+      // and consumers that don't need order (count, clustering) skip the
+      // sort entirely
+      .localCheckpoint(true)
       .orderBy("a_id", "b_id")
+    banded.unpersist()
+    reps.unpersist()
+    out
   }
 
   /** Connected components over an undirected pair list by iterative
@@ -216,10 +259,13 @@ object TextOps {
     require(converged,
       s"connected components did not converge in $maxIters iterations " +
         "(a component's diameter exceeds the budget); raise maxIters")
-    // NOTE: the returned frame consumes the final persisted labels — like
-    // dedupMinhashLsh's representatives it is intentionally left cached
-    // (session LRU reclaims); call .unpersist() on it when done
-    labels.select(col("node"), col("label").as("cluster"))
+    // eager localCheckpoint so the final labels can unpersist NOW —
+    // the returned frame reads its own blocks (context-cleaner reclaimed
+    // when dropped) and nothing lingers in the session cache
+    val out = labels.select(col("node"), col("label").as("cluster"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Near-dup clusters of the documents table: MinHash-LSH pairs →
@@ -276,8 +322,12 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Winnowing-style document fingerprints: w-token shingles → xxhash64 →
-    * per-doc min-k sketch (here: k smallest hashes, a bottom-k sketch). */
+  /** Winnowing-style document fingerprints: w-token shingles → md5 →
+    * per-doc min-k sketch (k lexicographically-smallest digests, a
+    * bottom-k sketch). md5 rather than an engine-native hash on purpose:
+    * fingerprints are an EXCHANGE format (dedup across pipelines and
+    * engines), so the digest must be bit-identical everywhere — which
+    * also makes the whole query oracle-checkable in DuckDB. */
   def docFingerprint(spark: SparkSession, dir: String, w: Int = 3, k: Int = 8): DataFrame = {
     val shingles = transform(
       sequence(lit(0), size(tokens) - w),
@@ -285,15 +335,15 @@ object TextOps {
     documents(spark, dir)
       .filter(size(tokens) >= w)
       .select(col("doc_id"),
-        slice(array_sort(array_distinct(transform(shingles, s => xxhash64(s)))), 1, k)
+        slice(array_sort(array_distinct(transform(shingles, s => md5(s)))), 1, k)
           .as("fingerprint"))
       .orderBy("doc_id")
   }
 
   private def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     docFingerprint(spark, dir)
-      .select(col("doc_id"), concat_ws(",", col("fingerprint").cast(ArrayType(StringType)))
-        .as("fp")).orderBy("doc_id")
+      .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fp"))
+      .orderBy("doc_id")
 
   /** Deterministic stratified subsample: per language, the k documents
     * with the smallest md5(doc_id) — the standard training-mix op
@@ -403,6 +453,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Driver-visible containment invariant for the LSH near-dup query:
+    * the banded-LSH pair list must contain (nearly) every exact-Jaccard
+    * ≥ 0.9 pair — at b=8/r=8 the s-curve passes 0.9-similar pairs with
+    * ~99% probability each, so near-total containment is the property
+    * that distinguishes working LSH from broken LSH, re-checked on every
+    * run rather than only in unit specs. The exact side is computed over
+    * a DETERMINISTIC hash-ordered sample of set-representatives capped at
+    * `sampleCap`, so the gate's all-pairs verify stays O(cap²) at any
+    * corpus size (at sf ≤ 0.01 the cap covers every document). */
+  private def minhashGatedQuery(spark: SparkSession, dir: String,
+                                sampleCap: Int = 700): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+    graft.functions.TextSignatureFunctions.register(spark)
+    val reps = documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
+      .groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .limit(sampleCap)
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("a_toks"), col("b_toks"))
+    val strong = reps.toDF("a_key", "a_id", "a_toks")
+      .crossJoin(reps.toDF("b_key", "b_id", "b_toks"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("a_toks")) + size(col("b_toks")) - inter))
+      .filter(col("jac") >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    val nStrong = strong.count()
+    val found = strong.join(pairs.select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi").count()
+    require(nStrong == 0 || found.toDouble / nStrong >= 0.95,
+      s"LSH pair list contains only $found of $nStrong exact-Jaccard>=0.9 " +
+        "pairs — banding or verification is broken")
+    pairs
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
@@ -413,7 +501,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "doc_fingerprint" -> fingerprintQuery
   )
@@ -482,6 +570,15 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
         |  ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 4) AS chars_per_bpe_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(w)-2),
+        |          i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+        |      FROM d WHERE len(w) >= 3)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(h))[1:8], ',') AS fp
+        |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS toks FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

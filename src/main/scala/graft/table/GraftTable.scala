@@ -389,6 +389,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           withParts.hint("rebalance")
         }
     }
+    // An Observation only when stats are configured: obs.get blocks on the
+    // async listener bus AFTER the write job finishes, and that wait rides
+    // EVERY commit — measurable per-commit latency for tables that asked
+    // for nothing. Without stats the row count comes from the written
+    // files' parquet footers instead (driver-side metadata read of one
+    // commit's files — the same information, no listener round-trip).
+    val needObs = snap.bloomKeys.nonEmpty || snap.statsKeys.nonEmpty
     val obs = org.apache.spark.sql.Observation()
     // per-commit key blooms and column bounds ride the SAME write job as
     // extra observed metrics — stats with zero additional passes
@@ -400,8 +407,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       val p = snap.physicalOf(k)
       Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"))
     }
-    val observed = sorted.observe(obs, count(lit(1)).as("rows"),
-      bloomMetrics ++ boundMetrics: _*)
+    val observed =
+      if (needObs) sorted.observe(obs, count(lit(1)).as("rows"),
+        bloomMetrics ++ boundMetrics: _*)
+      else sorted
     if (partCols.nonEmpty) {
       // duplicate each derived column into the directory layout; the
       // in-file copy keeps footer min/max stats for file skipping on
@@ -412,7 +421,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     } else {
       observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
-    val rows = try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    val rows =
+      if (needObs) try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+      else footerRowCount(s"$dir/$sub")
     // persist bloom sidecars under the log (metadata, not data):
     // _graft_log/blooms/<dir-uuid>__<logical-key>.bloom
     if (snap.bloomKeys.nonEmpty || snap.statsKeys.nonEmpty) {
@@ -452,6 +463,26 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     (sub, rows)
   }
+
+  /** Row count of one freshly-written commit dir from its parquet footers
+    * — driver-side metadata only (one commit's files, the listing Iceberg
+    * does to build a manifest); -1 on any failure, never an error. */
+  private def footerRowCount(path: String): Long =
+    try {
+      val f = fs
+      var rows = 0L
+      val it = f.listFiles(new Path(path), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+              st, spark.sparkContext.hadoopConfiguration))
+          try rows += pf.getRecordCount finally pf.close()
+        }
+      }
+      rows
+    } catch { case _: Exception => -1L }
 
   /** Sizing for per-commit key blooms (~0.9 MB at the 1M default, 3% fpp). */
   private def bloomExpectedItems: Long =
@@ -572,12 +603,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"${s.deletes.head.keys}; mixed equality-delete keys are not supported")
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
-    val delObs = org.apache.spark.sql.Observation()
     deleteKeys.select(keys.map(col): _*)
       .toDF(physKeys: _*)
-      .observe(delObs, count(lit(1)).as("rows"))
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
-    val dRows = try delObs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    // footer count instead of an Observation: obs.get waits on the async
+    // listener bus after every commit (see writeData)
+    val dRows = footerRowCount(s"$dir/$dsub")
     val (rsub, nrows) = writeData(rows, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
@@ -1519,11 +1550,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
-    val delObs = org.apache.spark.sql.Observation()
     rows.select(keys.map(col): _*).toDF(physKeys: _*)
-      .observe(delObs, count(lit(1)).as("rows"))
       .write.mode("errorifexists").parquet(s"$dir/$dsub")
-    val dRows = try delObs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    // footer count instead of an Observation: obs.get waits on the async
+    // listener bus after every commit (see writeData)
+    val dRows = footerRowCount(s"$dir/$dsub")
     val (rsub, nrows) = writeData(rows, s)
     rows.unpersist()
     commit(s.version + 1)((rebase, v) => {
@@ -1978,7 +2009,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           !liveUuids.contains(uuidOf(st.getPath.getName)))
         .map { st => f.delete(st.getPath, false); s"_graft_log/$sub/${st.getPath.getName}" }
     }
-    removed ++ sweptSidecars
+    // merged-delete scratch (large equality-delete scans): derived data,
+    // re-created on demand — age alone decides, like staging/
+    val scratchRoot = new Path(logDir, "scratch")
+    val sweptScratch =
+      if (!f.exists(scratchRoot)) Seq.empty
+      else f.listStatus(scratchRoot).toSeq
+        .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+        .map { st => f.delete(st.getPath, true); s"_graft_log/scratch/${st.getPath.getName}" }
+    removed ++ sweptSidecars ++ sweptScratch
   }
 
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
@@ -2135,10 +2174,33 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def files: DataFrame = {
     import spark.implicits._
     val f = fs
+    val base = new Path(dir).toUri.getPath
     val it = f.listFiles(new Path(dir), true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (it.hasNext) { val st = it.next(); buf += ((st.getPath.toString.stripPrefix(s"file:"), st.getLen)) }
-    buf.toSeq.toDF("file", "size")
+    while (it.hasNext) {
+      val st = it.next(); buf += ((st.getPath.toUri.getPath, st.getLen))
+    }
+    // classification + per-file parquet footer row counts (the numbers an
+    // object-store listing gives, plus what Iceberg's manifests record);
+    // footer reads are ONE distributed job — driver does metadata only
+    val entries = buf.toSeq.map { case (abs, len) =>
+      val rel = abs.stripPrefix(base).stripPrefix("/")
+      val kind =
+        if (rel.startsWith("data/")) "data"
+        else if (rel.startsWith("deletes/")) "deletes"
+        else "log"
+      (rel, kind, len)
+    }
+    val parquet = entries.filter(e => e._2 != "log" && e._1.endsWith(".parquet"))
+    val rowsByRel = org.apache.spark.sql.GraftShim
+      .footerStats(spark, parquet.map(e => (e._1, s"$dir/${e._1}")))
+      .map(r => (r._1, r._3)).toMap
+    entries.map { case (rel, kind, len) =>
+      val partition = rel.split('/').filter(_.startsWith("__dir_"))
+        .map(_.stripPrefix("__dir_")).mkString("/")
+      (rel, kind, len, rowsByRel.get(rel),
+        if (partition.isEmpty) None else Some(partition))
+    }.toDF("file", "kind", "size", "n_rows", "partition")
   }
 
   /** Total bytes of a snapshot's data files (filesystem metadata only —

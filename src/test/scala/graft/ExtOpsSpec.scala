@@ -40,6 +40,37 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.9)
   }
 
+  test("minhash-LSH bounds a 10k-doc boilerplate family (star candidates) and leaves no cache") {
+    // 10,000 near-identical docs, all DISTINCT token sets (each doc adds a
+    // unique token to 60 shared ones, pairwise jaccard 60/62 ≈ 0.97):
+    // phase 0 collapses nothing, every band bucket holds all 10k docs —
+    // all-pairs would be ~50M candidates x 8 bands; the bucket cap must
+    // star-reduce it to O(n) while every doc still reaches the family hub
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"),
+      concat(lit(shared + " uniq"), col("id")).as("text"),
+      lit("en").as("lang"), lit("src1").as("source"),
+      (length(lit(shared)) + lit(8)).cast("long").as("n_chars"))
+    docs.write.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val pairs = TextOps.dedupMinhashLsh(spark, dir, maxBucket = 1000)
+    val n = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // star shape: pairs stay O(n) (hub–member edges, not ~50M all-pairs);
+    // a doc can miss a band's mega-bucket when its unique token wins a
+    // minhash slot, so coverage is near-total, not exact
+    assert(n <= 30000L, s"expected O(n) star pairs, got $n")
+    val covered = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct().count()
+    assert(covered >= 9990L, s"only $covered of 10000 family docs appear in a pair")
+    assert(secs < 120, s"boilerplate family took $secs s — bucket cap not effective")
+    // unpersist-on-consume: no cache entries may outlive the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupMinhashLsh leaked persisted frames into the session cache")
+  }
+
   test("simhash pairs near-identical token sets within hamming bound") {
     val pairs = graft.ext.TextOps.dedupSimhash(spark, plantedDir, maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSeq
@@ -49,7 +80,7 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("doc fingerprints: identical docs share fingerprints, distinct docs don't") {
     val fp = TextOps.docFingerprint(spark, plantedDir)
-      .as[(Long, Seq[Long])].collect().toMap
+      .as[(Long, Seq[String])].collect().toMap
     assert(fp(0L) == fp(2L))
     assert(fp(0L) != fp(3L))
     // near-dup shares most shingle hashes with the base doc

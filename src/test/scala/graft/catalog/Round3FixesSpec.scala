@@ -70,10 +70,18 @@ class Round3FixesSpec extends AnyFunSuite {
     val rows = readAll(rf, legacy.dataDirs.flatMap(d => GraftBucketedScan.filePartitions(dir, d)))
       .map(r => (r.getLong(0), r.getUTF8String(1).toString)).sortBy(_._1)
     assert(rows == Seq((1L, "a"), (2L, "b2")))
-    // the size gate itself still binds
+    // over-threshold delete sets no longer hard-fail ("compact() first"):
+    // they take the distributed scratch-merge path and the scan still
+    // answers correctly (LargeDeleteScanSpec drives it at >1M real keys;
+    // maxRows=0 forces the path even for this tiny set)
     spark.conf.set("graft.delete.broadcastMaxRows", "0")
-    try intercept[IllegalArgumentException] {
-      GraftBucketedScan.deleteAware(dir, legacy, required, Array.empty)
+    try {
+      val rf2 = GraftBucketedScan.deleteAware(dir, legacy, required, Array.empty)
+      val rows2 = readAll(rf2, legacy.dataDirs.flatMap(d => GraftBucketedScan.filePartitions(dir, d)))
+        .map(r => (r.getLong(0), r.getUTF8String(1).toString)).sortBy(_._1)
+      assert(rows2 == Seq((1L, "a"), (2L, "b2")))
+      assert(new java.io.File(s"$dir/_graft_log/scratch").isDirectory,
+        "expected the forced over-threshold scan to use the scratch-merge path")
     } finally spark.conf.unset("graft.delete.broadcastMaxRows")
   }
 
