@@ -74,11 +74,31 @@ object EventOps {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Driver-visible error-bound invariant for the sketch query: the
+    * approximate columns ship NEXT TO their exact counterparts in the same
+    * rows, so the bound is one filter over the (tiny) grouped result —
+    * HLL++ at rsd=0.02 must land within 5% (≈2.5σ) of the exact distinct
+    * count, and percentile_approx at accuracy=10000 within 5% of the exact
+    * median. A sketch regression fails every run loudly; sketch internals
+    * themselves can never hash-match a SQL oracle. */
+  private def approxAggsGated(spark: SparkSession, dir: String): DataFrame = {
+    val df = approxAggs(spark, dir)
+    val bad = df.filter(
+      abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.05 ||
+      abs(col("approx_p50") - col("exact_p50")) >
+        abs(col("exact_p50")) * 0.05).count()
+    require(bad == 0,
+      s"$bad event-type groups have sketch estimates outside the 5% " +
+        "error bound vs their exact columns — sketch aggregation is broken")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keyed_latest" -> dedupKeyedLatest,
     "events_hourly_agg" -> eventsHourlyAgg,
     "sessionize_gaps" -> sessionizeGaps,
-    "approx_aggs" -> approxAggs,
+    "approx_aggs" -> approxAggsGated,
     "multimodal_json" -> multimodalJson
   )
 

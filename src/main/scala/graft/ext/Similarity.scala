@@ -184,10 +184,35 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Driver-visible invariant gate for the approximate ANN queries: recall
+    * against the exact brute-force top-k must clear a floor, re-checked on
+    * EVERY run — a regression in the index machinery (bucketing, probing,
+    * re-ranking) fails the run loudly instead of silently degrading
+    * results that no SQL oracle can hash-compare. Floors mirror the recall
+    * specs: the synthetic embeddings are near-random (top-5 cosine ≈ 0.4),
+    * the worst case for sign-LSH/IVF, so they check machinery, not
+    * embedding quality. The exact side is the already-small brute-force
+    * query (Q=8 broadcast), so the gate costs one extra bounded job. */
+  private def withRecallFloor(spark: SparkSession, dir: String,
+                              approx: DataFrame, floor: Double,
+                              what: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val total = exact.count()
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    require(recall >= floor,
+      f"$what recall $recall%.3f vs brute-force top-k is below the invariant " +
+        f"floor $floor — the approximate index machinery is broken")
+    approx
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
-    "ann_lsh_bucketed" -> ((s: SparkSession, d: String) => annLshBucketed(s, d)),
-    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
+      withRecallFloor(s, d, annLshBucketed(s, d), 0.4, "LSH ANN")),
+    "ann_ivf" -> ((s: SparkSession, d: String) =>
+      withRecallFloor(s, d, annIvf(s, d), 0.25, "IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d))
   )
 

@@ -561,6 +561,51 @@ object RefOps {
       .orderBy("partition")
   }
 
+  // K1/K2 — text-SQL INSERT through the GraftSql front (the reference's
+  // most common write: `INSERT INTO ... select 1, 'customer_a', ...`,
+  // IcebergSQLMerge.java:23-24, IcebergSCD2.java:26-31): literal-select
+  // inserts, a VALUES insert, and a bulk INSERT ... SELECT from a view
+  // of the real customer table, read back via SELECT passthrough.
+  private def sqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.sql.GraftSql(spark)
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, tmp("sql_ins"), cust.schema)
+    val name = s"ins_cust_${java.util.UUID.randomUUID().toString.take(8)}"
+    g.register(name, t)
+    // ids far above any SF's custkey range — oracle constants stay SF-safe
+    g.sql(s"INSERT INTO $name select 90000001, 'customer_a', 10.5")
+    g.sql(s"INSERT INTO $name VALUES (90000002, 'customer_b', 20.5)")
+    val src = s"ins_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    cust.filter(col("customer_id") % 3 === 0).createOrReplaceTempView(src)
+    g.sql(s"INSERT INTO $name SELECT customer_id, name, acctbal FROM $src")
+    g.sql(s"SELECT customer_id, name, acctbal FROM $name ORDER BY customer_id")
+  }
+
+  // S6 — #files metadata table (the MinIO object listing with sizes,
+  // Minio.java:92-114, plus per-file footer row counts): an identity-
+  // partitioned write lays one file per partition value (AQE rebalance on
+  // the partition column), so per-partition file and row counts are
+  // oracle-checkable against a plain GROUP BY. Sizes are asserted
+  // in-query (real bytes, not zero) — compressed bytes can't have a
+  // DuckDB oracle.
+  private def filesMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"))
+    val t = GraftTable.create(spark, tmp("files_meta"), cust.schema,
+      spec = Seq(PartitionField("c_mktsegment", "identity")))
+    t.append(cust)
+    // data PARQUET files only: the listing also surfaces write markers
+    // (_SUCCESS, checksum sidecars) under data/, which carry no footer
+    val f = spark.read.format("graft").load(s"${t.dir}#files")
+      .filter(col("kind") === "data" && col("file").endsWith(".parquet"))
+    val bad = f.filter(col("size") <= 0 || col("n_rows").isNull).count()
+    assert(bad == 0, "every data file must list a real size and footer rows")
+    f.groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .orderBy("partition")
+  }
+
   // S4/D8 — snapshot-log metadata table
   private def snapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -621,6 +666,8 @@ object RefOps {
     "snapshots_meta" -> snapshotsMeta,
     "history_meta" -> historyMeta,
     "partitions_meta" -> partitionsMeta,
+    "files_meta" -> filesMeta,
+    "sql_insert" -> sqlInsert,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "bounds_pruned_scan" -> boundsPrunedScan,
     "spec_evolution" -> specEvolution,
@@ -794,6 +841,17 @@ object RefOps {
       """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS partition,
         |  count(*) AS n_rows
         |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
+    "files_meta" ->
+      """SELECT 'c_mktsegment=' || c_mktsegment AS partition,
+        |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows
+        |FROM customer GROUP BY c_mktsegment ORDER BY partition""".stripMargin,
+    "sql_insert" ->
+      """SELECT customer_id, name, acctbal FROM (
+        |  SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT 90000001, 'customer_a', 10.5
+        |  UNION ALL SELECT 90000002, 'customer_b', 20.5
+        |) ORDER BY customer_id""".stripMargin,
     "snapshots_meta" ->
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)
