@@ -82,7 +82,10 @@ object EventOps {
     * median. A sketch regression fails every run loudly; sketch internals
     * themselves can never hash-match a SQL oracle. */
   private def approxAggsGated(spark: SparkSession, dir: String): DataFrame = {
-    val df = approxAggs(spark, dir)
+    // eager checkpoint: the grouped result is a handful of rows — compute
+    // it once, gate and return both read the materialized blocks instead
+    // of re-running the sketch aggregation
+    val df = approxAggs(spark, dir).localCheckpoint(true)
     val bad = df.filter(
       abs(col("approx_users") - col("exact_users")) >
         col("exact_users") * 0.05 ||

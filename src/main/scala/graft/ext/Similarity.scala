@@ -194,9 +194,14 @@ object Similarity {
     * embedding quality. The exact side is the already-small brute-force
     * query (Q=8 broadcast), so the gate costs one extra bounded job. */
   private def withRecallFloor(spark: SparkSession, dir: String,
-                              approx: DataFrame, floor: Double,
+                              approxIn: DataFrame, floor: Double,
                               what: String): DataFrame = {
+    // eager checkpoint: top-k output is Q×k rows — compute the index once;
+    // the gate's semi-join and the returned frame both read the blocks
+    // (for IVF this also avoids fitting k-means a second time)
+    val approx = approxIn.localCheckpoint(true)
     val exact = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val total = exact.count()
     val hits = approx.select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()

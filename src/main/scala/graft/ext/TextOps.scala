@@ -475,11 +475,17 @@ object TextOps {
       .limit(sampleCap)
     val inter = graft.functions.TextSignatureFunctions
       .sorted_intersect_count(col("a_toks"), col("b_toks"))
+    // size prefilter BEFORE the O(|toks|) sorted-merge: Jaccard ≥ 0.9
+    // forces |a| and |b| within 10% of each other, and the two integer
+    // comparisons discard almost every random pair for free
     val strong = reps.toDF("a_key", "a_id", "a_toks")
-      .crossJoin(reps.toDF("b_key", "b_id", "b_toks"))
-      .filter(col("a_id") < col("b_id"))
+      .withColumn("a_n", size(col("a_toks")))
+      .crossJoin(reps.toDF("b_key", "b_id", "b_toks")
+        .withColumn("b_n", size(col("b_toks"))))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_n") * 10 >= col("b_n") * 9 && col("b_n") * 10 >= col("a_n") * 9)
       .withColumn("jac", inter.cast(DoubleType) /
-        (size(col("a_toks")) + size(col("b_toks")) - inter))
+        (col("a_n") + col("b_n") - inter))
       .filter(col("jac") >= 0.9)
       .select(col("a_id"), col("b_id"))
     val nStrong = strong.count()
