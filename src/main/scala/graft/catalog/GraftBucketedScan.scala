@@ -495,8 +495,21 @@ object GraftBucketedScan {
             .getBytes("UTF-8")).toString
         val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
         val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new Path(scratch, "_SUCCESS")))
-          merged.write.mode("overwrite").parquet(scratch)
+        if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
+          // write-then-rename: two sessions racing on the same snapshot
+          // must never overwrite a scratch dir a concurrent reader is
+          // consuming. Both write identical content (the tag is the
+          // delete-file set), so the rename loser just deletes its copy.
+          val attempt = s"${scratch}_w${java.util.UUID.randomUUID().toString.take(8)}"
+          merged.write.mode("overwrite").parquet(attempt)
+          if (!fs.rename(new Path(attempt), new Path(scratch)))
+            fs.delete(new Path(attempt), true)
+        }
+        // loud, retryable failure if a pathological rename race left no
+        // committed copy — an empty listing here would silently DROP the
+        // pending deletes from the scan
+        require(fs.exists(new Path(scratch, "_SUCCESS")),
+          s"scratch delete-merge not committed at $scratch; rerun the scan")
         val files = fs.listStatus(new Path(scratch))
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => (f.getPath.toString, f.getLen)).toSeq

@@ -465,23 +465,35 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   }
 
   /** Row count of one freshly-written commit dir from its parquet footers
-    * — driver-side metadata only (one commit's files, the listing Iceberg
-    * does to build a manifest); -1 on any failure, never an error. */
+    * (the listing Iceberg does to build a manifest); -1 on any failure,
+    * never an error. Few files → driver-serial reads (cheaper than a job);
+    * a wide commit (one file per partition across many partitions)
+    * distributes via [[org.apache.spark.sql.GraftShim.footerStats]] so
+    * driver footer I/O never scales with partition count. */
   private def footerRowCount(path: String): Long =
     try {
       val f = fs
-      var rows = 0L
+      val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       val it = f.listFiles(new Path(path), true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) {
+        if (st.getPath.getName.endsWith(".parquet")) files += st
+      }
+      if (files.length > 32)
+        // one entry PER FILE: footerStats parallelizes across entries
+        // (listFiles on a file path yields just that file)
+        org.apache.spark.sql.GraftShim.footerStats(spark,
+          files.map(st => ("c", st.getPath.toString)).toSeq).map(_._3).sum
+      else {
+        var rows = 0L
+        files.foreach { st =>
           val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
               st, spark.sparkContext.hadoopConfiguration))
           try rows += pf.getRecordCount finally pf.close()
         }
+        rows
       }
-      rows
     } catch { case _: Exception => -1L }
 
   /** Sizing for per-commit key blooms (~0.9 MB at the 1M default, 3% fpp). */

@@ -550,6 +550,20 @@ class GraftTableSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(15L, 15L, 15L))
   }
 
+  test("a wide commit (>32 files) logs the exact footer row count via the distributed path") {
+    // identity partitioning on 40 distinct values → 40 data files in one
+    // commit dir; footerRowCount must switch from driver-serial reads to
+    // the distributed footerStats job and still log the exact count (the
+    // logged rowCount feeds the metadata-only COUNT(*) fold)
+    val dir = TestSpark.tmpDir("widecommit")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("g", LongType))),
+      spec = Seq(PartitionField("g", "identity")))
+    t.append(spark.range(400).selectExpr("id", "id % 40 AS g"))
+    assert(t.snapshot.dataDirs.map(_.rowCount).sum == 400L)
+    assert(t.toDF.count() == 400L)
+  }
+
   test("zero-row append commits no ghost dir; stale dynamic overwrite aborts") {
     val dir = TestSpark.tmpDir("guards")
     val t = GraftTable.create(spark, dir, StructType(Seq(
