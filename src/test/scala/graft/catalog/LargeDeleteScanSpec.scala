@@ -34,8 +34,36 @@ class LargeDeleteScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
   }
 
+  test("scratch path resolves STRING delete keys (catalyst UTF8String round-trip)") {
+    // forced scratch (maxRows=0) with a string key: the executor-loaded
+    // map stores values read back from the scratch parquet, which must
+    // hash/equal the reader-side probe keys (UTF8String, not String) —
+    // a representation mismatch would silently drop zero deletes
+    GraftCatalog.register(spark, wh)
+    val dir = s"$wh/db/strkey"
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))),
+      key = Seq("k"), formatVersion = 2)
+    t.append(spark.range(100).selectExpr("concat('k', id) AS k", "id AS v"))
+    t.rowDelta(
+      spark.range(40).selectExpr("concat('k', id) AS k"),
+      spark.range(2).selectExpr("concat('k', id) AS k", "id + 1000 AS v"),
+      Seq("k"))
+    spark.conf.set("graft.delete.broadcastMaxRows", "0")
+    try {
+      val rows = spark.sql("SELECT k, v, _file FROM graft.db.strkey").collect()
+      assert(rows.length == 100 - 40 + 2, s"got ${rows.length}")
+      val upserted = rows.filter(_.getLong(1) >= 1000).map(_.getString(0)).sorted
+      assert(upserted.toSeq == Seq("k0", "k1"))
+    } finally spark.conf.unset("graft.delete.broadcastMaxRows")
+  }
+
+  // one warehouse for the suite: Spark caches catalog instances by name,
+  // so a second register() with a different warehouse would not take
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("graft_bigdel").toString
+
   test("a scan over >1M pending equality-delete keys succeeds without compact()") {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bigdel").toString
     GraftCatalog.register(spark, wh)
     val dir = s"$wh/db/big"
     val t = GraftTable.create(spark, dir, StructType(Seq(
