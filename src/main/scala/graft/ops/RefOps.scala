@@ -619,6 +619,23 @@ object RefOps {
       .orderBy("version")
   }
 
+  // D8 — named-refs metadata table (`path#refs`): tags pin versions
+  // immutably, branches move; the listing is oracle-checkable because
+  // ref names/types/versions are fully determined by the op sequence.
+  private def refsMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("refs_meta"), cust.schema)
+    t.append(cust)                                   // v1
+    t.createTag("v1-audited", t.currentVersion)
+    t.append(cust.filter(col("customer_id") % 2 === 0)) // v2
+    t.createBranch("experiment", t.currentVersion)
+    t.createTag("v2-release", t.currentVersion)
+    spark.read.format("graft").load(s"${t.dir}#refs")
+      .select(col("name"), col("type"), col("version"))
+      .orderBy("name")
+  }
+
   // Named refs + rollback + write-audit-publish: tag the audited state,
   // append junk, roll back to the tag (metadata-only, history preserved),
   // then stage a new batch, audit it in isolation, and publish it as a
@@ -667,6 +684,7 @@ object RefOps {
     "history_meta" -> historyMeta,
     "partitions_meta" -> partitionsMeta,
     "files_meta" -> filesMeta,
+    "refs_meta" -> refsMetaQuery,
     "sql_insert" -> sqlInsert,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "bounds_pruned_scan" -> boundsPrunedScan,
@@ -856,6 +874,10 @@ object RefOps {
       """SELECT CAST(v AS INT) AS version, op AS operation, CAST(f AS INT) AS format_version
         |FROM (VALUES (0,'create',1),(1,'append',1),(2,'append',1),(3,'overwrite',1),(4,'add-column',1)) t(v,op,f)
         |ORDER BY version""".stripMargin,
+    "refs_meta" ->
+      """SELECT n AS name, t AS type, CAST(v AS INT) AS version
+        |FROM (VALUES ('experiment','branch',2),('v1-audited','tag',1),('v2-release','tag',2)) r(n,t,v)
+        |ORDER BY name""".stripMargin,
     "time_travel" ->
       """SELECT CAST(1 AS BIGINT) AS version, (SELECT count(*) FROM customer) AS n_rows
         |UNION ALL
