@@ -341,9 +341,13 @@ private[catalog] object GraftScratchDeletes {
 
   def load(tag: String, files: Seq[(String, Long)],
            readFunc: (String, Long) => Iterator[InternalRow],
-           keyTypes: Array[org.apache.spark.sql.types.DataType]): Map[Seq[Any], Int] =
+           keyTypes: Array[org.apache.spark.sql.types.DataType]): Map[Seq[Any], Int] = {
+    // evict BEFORE the compute: ConcurrentHashMap forbids the mapping
+    // function from mutating the map (a reentrant clear() corrupts the
+    // in-flight bin). Worst case under racing threads is a redundant
+    // rebuild, never corruption.
+    if (cache.size > 3 && !cache.containsKey(tag)) cache.clear()
     cache.computeIfAbsent(tag, _ => {
-      if (cache.size > 3) cache.clear() // bound executor memory across scans
       val b = Map.newBuilder[Seq[Any], Int]
       files.foreach { case (p, len) =>
         readFunc(p, len).foreach { r =>
@@ -355,6 +359,7 @@ private[catalog] object GraftScratchDeletes {
       }
       b.result()
     })
+  }
 }
 
 object GraftBucketedScan {
@@ -504,6 +509,15 @@ object GraftBucketedScan {
           merged.write.mode("overwrite").parquet(attempt)
           if (!fs.rename(new Path(attempt), new Path(scratch)))
             fs.delete(new Path(attempt), true)
+          else {
+            // Hadoop rename into an EXISTING dir relocates the source
+            // inside it and still returns true — if a racing winner got
+            // there first, our copy is now nested junk; remove it (the
+            // top-level listing below filters isFile, so reads were
+            // never at risk, but the duplicate keys are real bytes)
+            val nested = new Path(scratch, new Path(attempt).getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
         }
         // loud, retryable failure if a pathological rename race left no
         // committed copy — an empty listing here would silently DROP the

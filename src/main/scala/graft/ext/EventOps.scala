@@ -63,38 +63,48 @@ object EventOps {
   // aggregation and a full distinct/sort. No DuckDB oracle (sketch
   // internals are engine-specific); ApproxAggsSpec bounds the error
   // against the exact columns instead.
-  private def approxAggs(spark: SparkSession, dir: String): DataFrame =
+  private def approxAggs(spark: SparkSession, dir: String,
+                         gateCols: Boolean = false): DataFrame = {
+    val metrics = Seq(
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      count(lit(1)).as("n")) ++
+      // exact p45/p55 ride the same pass when the invariant gate needs a
+      // RANK-based window to judge the sketch against (see gated wrapper)
+      (if (gateCols) Seq(
+        expr("percentile(value, 0.45)").as("__p45"),
+        expr("percentile(value, 0.55)").as("__p55")) else Nil)
     eventsWithTs(spark, dir)
       .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
-        expr("percentile(value, 0.5)").as("exact_p50"),
-        count(lit(1)).as("n"))
+      .agg(metrics.head, metrics.tail: _*)
       .orderBy("event_type")
+  }
 
-  /** Driver-visible error-bound invariant for the sketch query: the
-    * approximate columns ship NEXT TO their exact counterparts in the same
-    * rows, so the bound is one filter over the (tiny) grouped result —
-    * HLL++ at rsd=0.02 must land within 5% (≈2.5σ) of the exact distinct
-    * count, and percentile_approx at accuracy=10000 within 5% of the exact
-    * median. A sketch regression fails every run loudly; sketch internals
-    * themselves can never hash-match a SQL oracle. */
+  /** Driver-visible error-bound invariant for the sketch query, judged by
+    * the guarantees the sketches actually make: percentile_approx promises
+    * RANK accuracy (±1/accuracy), not value accuracy — a value-relative
+    * bound would false-fail on gapped/bimodal distributions — so the
+    * sketch median must land inside the exact [p45, p55] VALUE window
+    * (rank 0.5±0.0001 ⊂ [0.45, 0.55] for any n). HLL++ at rsd=0.02 gets
+    * 8% (4σ). One filter over the (tiny) grouped result; a sketch
+    * regression fails every run loudly; sketch internals themselves can
+    * never hash-match a SQL oracle. */
   private def approxAggsGated(spark: SparkSession, dir: String): DataFrame = {
     // eager checkpoint: the grouped result is a handful of rows — compute
     // it once, gate and return both read the materialized blocks instead
     // of re-running the sketch aggregation
-    val df = approxAggs(spark, dir).localCheckpoint(true)
-    val bad = df.filter(
+    val wide = approxAggs(spark, dir, gateCols = true).localCheckpoint(true)
+    val bad = wide.filter(
       abs(col("approx_users") - col("exact_users")) >
-        col("exact_users") * 0.05 ||
-      abs(col("approx_p50") - col("exact_p50")) >
-        abs(col("exact_p50")) * 0.05).count()
+        col("exact_users") * 0.08 ||
+      col("approx_p50") < col("__p45") || col("approx_p50") > col("__p55")).count()
     require(bad == 0,
-      s"$bad event-type groups have sketch estimates outside the 5% " +
-        "error bound vs their exact columns — sketch aggregation is broken")
-    df
+      s"$bad event-type groups have sketch estimates outside their " +
+        "guaranteed bounds (HLL 4-sigma / median outside exact p45-p55) " +
+        "— sketch aggregation is broken")
+    wide.drop("__p45", "__p55")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,6 +110,19 @@ object TextOps {
     transform(sequence(lit(0), lit(k - 1)), seed =>
       array_min(transform(toks, t => xxhash64(t, seed))))
 
+  /** One representative document per distinct TOKEN SET: min doc_id per
+    * 64-bit set digest. SOH (\u0001) separator: distinct sets with
+    * ambiguous concatenations ({"a","bc"} vs {"ab","c"}) must not
+    * collide; tokens are space-split so they cannot contain it. Shared
+    * by [[dedupMinhashLsh]] (phase 0) and the containment gate so both
+    * agree on what a representative is. */
+  private def setReps(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
+      .groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+
   /** MinHash-LSH near-dup pairs, scale-hardened:
     *
     * Phase 0 collapses documents with IDENTICAL token sets to one
@@ -147,14 +160,7 @@ object TextOps {
     // tuned to the 0.8 verify threshold so few candidates fail the exact
     // Jaccard check (candidate precision is what the verify join costs)
     val r = k / bands
-    val reps = documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
-      // SOH (\u0001) separator: distinct sets with ambiguous
-      // concatenations ({"a","bc"} vs {"ab","c"}) must not collide;
-      // tokens are space-split so they cannot contain the separator
-      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
-      .groupBy(col("set_key"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+    val reps = setReps(spark, dir)
       // persisted for the four consuming branches, UNPERSISTED before
       // return: the result is eagerly localCheckpoint'ed below, so no
       // cache entry outlives this call to degrade later session queries
@@ -466,11 +472,7 @@ object TextOps {
                                 sampleCap: Int = 700): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir)
     graft.functions.TextSignatureFunctions.register(spark)
-    val reps = documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
-      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
-      .groupBy(col("set_key"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+    val reps = setReps(spark, dir)
       .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
       .limit(sampleCap)
     val inter = graft.functions.TextSignatureFunctions
@@ -491,7 +493,14 @@ object TextOps {
     val nStrong = strong.count()
     val found = strong.join(pairs.select(col("a_id"), col("b_id")),
       Seq("a_id", "b_id"), "left_semi").count()
-    require(nStrong == 0 || found.toDouble / nStrong >= 0.95,
+    // tolerance: at b=8/r=8 each 0.9-similar pair is individually banded
+    // with ~99% probability, so a handful of misses at small nStrong is
+    // expected behavior, not breakage — allow max(2, 10%) misses. (On a
+    // corpus with >maxBucket boilerplate families the star reduction
+    // intentionally drops member-member pairs; the family still holds
+    // together through its hub, but direct-pair containment would dip —
+    // raise maxBucket or check cluster membership if gating such data.)
+    require(nStrong - found <= math.max(2L, nStrong / 10),
       s"LSH pair list contains only $found of $nStrong exact-Jaccard>=0.9 " +
         "pairs — banding or verification is broken")
     pairs

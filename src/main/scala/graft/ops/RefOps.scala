@@ -588,7 +588,10 @@ object RefOps {
   // the partition column), so per-partition file and row counts are
   // oracle-checkable against a plain GROUP BY. Sizes are asserted
   // in-query (real bytes, not zero) — compressed bytes can't have a
-  // DuckDB oracle.
+  // DuckDB oracle. NOTE the n_files=1 oracle constant holds while a
+  // partition stays under AQE's 64MB advisory size (customer/5 segments
+  // ≈ sf<30 — far past the harness's sf0.001..0.1 range); past that the
+  // rebalance write legitimately splits partitions into multiple files.
   private def filesMeta(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"),
       col("c_mktsegment"))

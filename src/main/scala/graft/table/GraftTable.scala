@@ -2186,7 +2186,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def files: DataFrame = {
     import spark.implicits._
     val f = fs
-    val base = new Path(dir).toUri.getPath
+    // qualify through the SAME FileSystem the listing uses: a RELATIVE
+    // table dir would otherwise never prefix-match the absolute listed
+    // paths and every file would misclassify as 'log'
+    val base = f.makeQualified(new Path(dir)).toUri.getPath
     val it = f.listFiles(new Path(dir), true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
