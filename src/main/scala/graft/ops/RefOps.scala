@@ -622,6 +622,30 @@ object RefOps {
       .orderBy("version")
   }
 
+  // S4 — #manifests metadata table (IcebergHadoopTables.java:44-47):
+  // one row per committed data/delete dir with its commit version and
+  // logged row count. Paths are uuids, but (content, version, rows) is
+  // fully determined by the op sequence, and the oracle derives the
+  // counts from the same customer table — no SF-dependent constants.
+  private def manifestsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, tmp("manifests"), cust.schema,
+      key = Seq("customer_id"), formatVersion = 2)
+    t.append(cust)                                       // v1: all rows
+    t.append(cust.filter(col("customer_id") % 2 === 0))  // v2: evens
+    t.rowDelta(                                          // v3: deletes + 2 upserts
+      cust.filter(col("customer_id") % 5 === 0).select(col("customer_id")),
+      cust.limit(0).unionAll(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(90000001L, "customer_a"),
+          org.apache.spark.sql.Row(90000002L, "customer_b"))), cust.schema)),
+      Seq("customer_id"))
+    spark.read.format("graft").load(s"${t.dir}#manifests")
+      .select(col("content"), col("committed_version"), col("row_count"))
+      .orderBy("content", "committed_version")
+  }
+
   // D8 — named-refs metadata table (`path#refs`): tags pin versions
   // immutably, branches move; the listing is oracle-checkable because
   // ref names/types/versions are fully determined by the op sequence.
@@ -687,6 +711,7 @@ object RefOps {
     "history_meta" -> historyMeta,
     "partitions_meta" -> partitionsMeta,
     "files_meta" -> filesMeta,
+    "manifests_meta" -> manifestsMeta,
     "refs_meta" -> refsMetaQuery,
     "sql_insert" -> sqlInsert,
     "bloom_pruned_scan" -> bloomPrunedScan,
@@ -881,6 +906,14 @@ object RefOps {
       """SELECT n AS name, t AS type, CAST(v AS INT) AS version
         |FROM (VALUES ('experiment','branch',2),('v1-audited','tag',1),('v2-release','tag',2)) r(n,t,v)
         |ORDER BY name""".stripMargin,
+    "manifests_meta" ->
+      """SELECT content, CAST(v AS INT) AS committed_version, CAST(n AS BIGINT) AS row_count
+        |FROM (
+        |  SELECT 'data' AS content, 1 AS v, (SELECT count(*) FROM customer) AS n
+        |  UNION ALL SELECT 'data', 2, (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+        |  UNION ALL SELECT 'data', 3, 2
+        |  UNION ALL SELECT 'deletes', 3, (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
+        |) ORDER BY content, committed_version""".stripMargin,
     "time_travel" ->
       """SELECT CAST(1 AS BIGINT) AS version, (SELECT count(*) FROM customer) AS n_rows
         |UNION ALL
