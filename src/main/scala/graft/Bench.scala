@@ -31,14 +31,24 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a FAILED query reports its elapsed time NEGATED — otherwise a
+        // fast-failing query (e.g. a tripped invariant gate) is
+        // indistinguishable from a fast-passing one in the timings
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) secs else -secs)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total stays the real wall time (failures still cost their elapsed);
+    // the failed list makes a broken run unmistakable in the artifact
+    val total = results.values.map(math.abs).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive
