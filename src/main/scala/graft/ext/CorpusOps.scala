@@ -120,11 +120,47 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Vocabulary ENCODING — the tokenizer-apply step between corpus prep
+    * and training: map every token to its id in a frequency-ranked top-V
+    * vocabulary (rank 1 = most frequent; out-of-vocabulary → 0), emitting
+    * per-doc id sequences plus an OOV count.
+    *
+    * Scale shape: the vocab build is ONE explode + partial-combine count
+    * + distributed top-V (`orderBy.limit` = TakeOrdered, never a global
+    * sort); ranking by window runs on the already-limited V rows. The
+    * encode join BROADCASTS the V-row vocab — the corpus streams through
+    * explode → broadcast join → one groupBy(doc_id) reassembly, so no
+    * shuffle ever carries token strings except the count itself. Ids are
+    * emitted as a comma-joined string (a portable exchange form, and
+    * hash-comparable to the DuckDB oracle). */
+  def vocabEncode(spark: SparkSession, dir: String, v: Int = 1000): DataFrame = {
+    val exploded = documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+    val top = exploded.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(v)
+    // the window ranks V rows post-limit — single tiny partition by design
+    val vocab = top.withColumn("id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .select(col("w"), col("id"))
+    exploded.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0)).as("id")))),
+          s => s.getField("id").cast(StringType))).as("ids"),
+        sum(when(col("id").isNull, 1).otherwise(0)).cast(LongType).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
-    "vocab_topk" -> ((s, d) => vocabTopK(s, d))
+    "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    // V=20 against the synthetic corpus's 31 distinct words, so both the
+    // in-vocab and OOV paths are live in the oracle comparison
+    "vocab_encode" -> ((s, d) => vocabEncode(s, d, v = 20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +197,19 @@ object CorpusOps {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    "vocab_encode" ->
+      """WITH c AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |v AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INT) AS id
+        |      FROM c ORDER BY cnt DESC, w LIMIT 20),
+        |t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |SELECT t.doc_id,
+        |  string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY t.pos) AS ids,
+        |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM t LEFT JOIN v ON t.tok = v.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "pack_sequences" ->
       """SELECT doc_id, lang, n_tok, tok_start,
         |       CAST(floor(tok_start / 512.0) AS BIGINT) AS pack_first,

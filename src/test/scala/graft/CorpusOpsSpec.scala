@@ -80,4 +80,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("vocabEncode ranks by frequency (ties by word), maps OOV to 0, keeps order") {
+    // freq: the=3, cat=2, dog=2, zzz=1 → V=3 vocab: the=1, cat=2, dog=3
+    // (cat before dog on the count tie by word order); zzz is OOV → 0
+    val dir = fixture(Seq(
+      (1L, "the cat sat", "en"),
+      (2L, "the dog sat", "en"),
+      (3L, "the cat dog zzz", "en")))
+    // 'sat' also has count 2 — with V=3 the tie at count 2 resolves
+    // alphabetically: cat, dog, sat → sat (rank 4) falls out as OOV
+    val out = CorpusOps.vocabEncode(spark, dir, v = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out(0) == ((1L, "1,2,0", 1L)))  // the cat sat → sat OOV
+    assert(out(1) == ((2L, "1,3,0", 1L)))  // the dog sat
+    assert(out(2) == ((3L, "1,2,3,0", 1L))) // the cat dog zzz
+  }
 }
