@@ -202,7 +202,18 @@ object TextOps {
     val starPairs = sized.filter(col("__n") > maxBucket && col("doc_id") =!= col("__hub"))
       .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
     val candidates = allPairs.unionAll(starPairs).distinct()
-    val toksById = reps.select(col("doc_id"), col("toks"))
+    // The verify side re-attaches token arrays BY ID. On dup-heavy corpora
+    // the candidate list is orders of magnitude larger than the rep table
+    // (sf0.1: 1.7M pairs from 3.9k reps), so shuffling the pairs to meet
+    // the reps is the wrong plan — broadcast the reps when they fit
+    // (size-gated, same regime split as the delete map: small side ships
+    // to every executor, huge side falls back to the shuffle join AQE
+    // would pick anyway). `reps` is already persisted, so the count is a
+    // cached-scan action, not a recompute.
+    val repRows = reps.count()
+    val toksByIdBase = reps.select(col("doc_id"), col("toks"))
+    val toksById =
+      if (repRows <= 1000000L) broadcast(toksByIdBase) else toksByIdBase
     val inter = graft.functions.TextSignatureFunctions
       .sorted_intersect_count(col("a_toks"), col("b_toks"))
     val out = candidates
@@ -490,6 +501,10 @@ object TextOps {
         (col("a_n") + col("b_n") - inter))
       .filter(col("jac") >= 0.9)
       .select(col("a_id"), col("b_id"))
+      // eager checkpoint: the strong-pair list is consumed twice (count +
+      // containment semi-join); without it the O(cap²) cross join runs
+      // twice back-to-back
+      .localCheckpoint(true)
     val nStrong = strong.count()
     val found = strong.join(pairs.select(col("a_id"), col("b_id")),
       Seq("a_id", "b_id"), "left_semi").count()
