@@ -293,6 +293,18 @@ object TextOps {
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Cluster assignment over the EXACT blocked n-gram-Jaccard pair list:
+    * the same [[connectedComponents]] machinery [[dedupClusters]] runs on
+    * LSH edges, but with an oracle-checkable edge set — so the component
+    * logic itself (min-label propagation, convergence, cluster = min id)
+    * is pinned to a DuckDB recursive-CTE transitive closure instead of
+    * only unit specs. */
+  private def clustersExactQuery(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupNgramJaccard(spark, dir), "a_id", "b_id")
+      .select(col("node").cast(LongType).as("doc_id"),
+        col("cluster").cast(LongType).as("cluster_id"))
+      .orderBy("doc_id")
+
   /** 64-bit SimHash: per-token xxhash64, bit-vote, sign → fingerprint.
     * Pure HOF fold over the token array — map-side, codegen-friendly. */
   def simhash(toks: Column): Column = {
@@ -531,6 +543,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "doc_fingerprint" -> fingerprintQuery
@@ -617,6 +630,19 @@ object TextOps {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+        |und AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(u, x) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT e.u, r.x FROM und e JOIN reach r ON e.v = r.u
+        |)
+        |SELECT u AS doc_id, min(x) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   )
 }
