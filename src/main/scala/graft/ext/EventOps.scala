@@ -36,6 +36,27 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start_us", "event_type")
 
+  /** Skew-hardened fact×dim join as a declared query: the events fact
+    * side is salted across 8 buckets ([[graft.ops.ScaleJoins.saltedJoin]]
+    * — deterministic content-hash salt, dim replicated once per salt,
+    * join key widened to (key, salt)) and the result aggregated per
+    * segment. The oracle is the PLAIN join — hash-matching it proves the
+    * salting rewrite is semantics-preserving, which is the entire
+    * contract of the 100 TB skew path (a hot key splits across `factor`
+    * reducers instead of bottlenecking one; AQE's skew handling covers
+    * sort-merge joins, salting covers the cases it can't — streaming
+    * joins, single mega-keys). */
+  private def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = events(spark, dir).select(col("user_id"), col("value"))
+    val dim = customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.ops.ScaleJoins.saltedJoin(fact, dim, "user_id", factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   // sessionization (gaps-and-islands): new session when gap > 30 min
   private def sessionizeGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -129,6 +150,7 @@ object EventOps {
     "dedup_keyed_latest" -> dedupKeyedLatest,
     "events_hourly_agg" -> eventsHourlyAgg,
     "sessionize_gaps" -> sessionizeGaps,
+    "skew_salted_join" -> skewSaltedJoin,
     "approx_aggs" -> approxAggsGated,
     "multimodal_json" -> multimodalJson
   )
@@ -143,6 +165,11 @@ object EventOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
         |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sessionize_gaps" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
         |m AS (SELECT user_id,
