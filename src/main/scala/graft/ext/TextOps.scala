@@ -159,12 +159,23 @@ object TextOps {
     // b=8, r=8 puts the LSH s-curve threshold at (1/8)^(1/8) ≈ 0.77 —
     // tuned to the 0.8 verify threshold so few candidates fail the exact
     // Jaccard check (candidate precision is what the verify join costs)
-    val r = k / bands
     val reps = setReps(spark, dir)
       // persisted for the four consuming branches, UNPERSISTED before
       // return: the result is eagerly localCheckpoint'ed below, so no
       // cache entry outlives this call to degrade later session queries
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashPairsOverReps(spark, reps, k, bands, threshold, maxBucket)
+    finally reps.unpersist()
+  }
+
+  /** [[dedupMinhashLsh]] core over an already-persisted representative
+    * table — split out so the containment gate can share one reps
+    * scan/shuffle with the pair computation instead of re-deriving it. */
+  private def minhashPairsOverReps(spark: SparkSession,
+                                   reps: DataFrame,
+                                   k: Int, bands: Int, threshold: Double,
+                                   maxBucket: Int): DataFrame = {
+    val r = k / bands
     graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps
       .withColumn("sig",
@@ -231,7 +242,8 @@ object TextOps {
       .localCheckpoint(true)
       .orderBy("a_id", "b_id")
     banded.unpersist()
-    reps.unpersist()
+    // reps is caller-owned (persisted/unpersisted by the wrapper): the
+    // containment gate reuses it after the pairs are materialized
     out
   }
 
@@ -493,9 +505,29 @@ object TextOps {
     * corpus size (at sf ≤ 0.01 the cap covers every document). */
   private def minhashGatedQuery(spark: SparkSession, dir: String,
                                 sampleCap: Int = 700): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir)
     graft.functions.TextSignatureFunctions.register(spark)
-    val reps = setReps(spark, dir)
+    // ONE persisted reps table feeds both the LSH pair computation (four
+    // branches) and the gate's exact side — the documents scan and the
+    // set-digest shuffle run once for the whole gated query instead of
+    // twice (the pairs frame is eagerly checkpointed inside the core, so
+    // the unpersist below frees the cache before the gate's result is
+    // returned)
+    val repsAll = setReps(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = minhashPairsOverReps(spark, repsAll,
+        k = 64, bands = 8, threshold = 0.8, maxBucket = 2000)
+      minhashContainmentGate(pairs, repsAll, sampleCap)
+      pairs
+    } finally repsAll.unpersist()
+  }
+
+  /** The containment check proper — throws if the LSH pair list misses
+    * too many exact-Jaccard ≥ 0.9 pairs from a deterministic sample of
+    * the given representatives. */
+  private def minhashContainmentGate(pairs: DataFrame, repsAll: DataFrame,
+                                     sampleCap: Int): Unit = {
+    val reps = repsAll
       .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
       .limit(sampleCap)
     val inter = graft.functions.TextSignatureFunctions
@@ -530,7 +562,6 @@ object TextOps {
     require(nStrong - found <= math.max(2L, nStrong / 10),
       s"LSH pair list contains only $found of $nStrong exact-Jaccard>=0.9 " +
         "pairs — banding or verification is broken")
-    pairs
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
