@@ -115,13 +115,24 @@ object TextOps {
     * ambiguous concatenations ({"a","bc"} vs {"ab","c"}) must not
     * collide; tokens are space-split so they cannot contain it. Shared
     * by [[dedupMinhashLsh]] (phase 0) and the containment gate so both
-    * agree on what a representative is. */
+    * agree on what a representative is.
+    *
+    * Representatives carry the token set PRE-HASHED (`htoks`: sorted
+    * distinct xxhash64 of each token) rather than as strings -- every
+    * downstream consumer (MinHash signature, exact-Jaccard verify, the
+    * containment gate) only needs set identity, and fixed-width longs
+    * make the persisted reps, the verify broadcast, and the two-pointer
+    * intersect loop all cheaper than variable-length UTF8. A 64-bit
+    * token collision folds two tokens into one set element -- vanishingly
+    * rare and applied consistently on both sides of every comparison. */
   private def setReps(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
-      .withColumn("set_key", xxhash64(concat_ws("", col("toks"))))
+      .withColumn("set_key", xxhash64(concat_ws("\u0001", col("toks"))))
+      .withColumn("htoks",
+        array_sort(array_distinct(transform(col("toks"), t => xxhash64(t)))))
       .groupBy(col("set_key"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("htoks")).as("htoks"))
 
   /** MinHash-LSH near-dup pairs, scale-hardened:
     *
@@ -179,7 +190,7 @@ object TextOps {
     graft.functions.TextSignatureFunctions.register(spark)
     val banded = reps
       .withColumn("sig",
-        graft.functions.TextSignatureFunctions.minhash_signature(col("toks"), k))
+        graft.functions.TextSignatureFunctions.minhash_signature(col("htoks"), k))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
@@ -222,7 +233,7 @@ object TextOps {
     // would pick anyway). `reps` is already persisted, so the count is a
     // cached-scan action, not a recompute.
     val repRows = reps.count()
-    val toksByIdBase = reps.select(col("doc_id"), col("toks"))
+    val toksByIdBase = reps.select(col("doc_id"), col("htoks"))
     val toksById =
       if (repRows <= 1000000L) broadcast(toksByIdBase) else toksByIdBase
     val inter = graft.functions.TextSignatureFunctions
@@ -421,7 +432,7 @@ object TextOps {
     // text-level dedup here would let them slip through the composition)
     val exact = docs
       .withColumn("__set_key",
-        xxhash64(concat_ws("", array_sort(array_distinct(tokens)))))
+        xxhash64(concat_ws("\u0001", array_sort(array_distinct(tokens)))))
       .groupBy(col("__set_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

@@ -25,8 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
 abstract class TokenSignature extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${t.sql}")
+      s"$prettyName requires array<string> or array<bigint>, got ${t.sql}")
+  }
+  /** Tokens may arrive pre-hashed (`array<bigint>`, e.g. the dedup
+    * pipeline's `htoks`): signatures then hash the 8-byte value instead
+    * of the string bytes — same hash family, same independence, but the
+    * arrays shuffling/broadcasting through the plan stay fixed-width. */
+  protected final def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
   protected final def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
@@ -42,12 +51,20 @@ case class MinHashSignature(child: Expression, k: Int) extends TokenSignature {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    val longs = longInput
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = hash(s, 0x9747b28cL)
-        val h2 = hash(s, 0x85ebca6bL) | 1L // odd => full-period mixing
+        var h1 = 0L; var h2 = 0L
+        if (longs) {
+          val v = arr.getLong(i)
+          h1 = XXH64.hashLong(v, 0x9747b28cL)
+          h2 = XXH64.hashLong(v, 0x85ebca6bL) | 1L
+        } else {
+          val s = arr.getUTF8String(i)
+          h1 = hash(s, 0x9747b28cL)
+          h2 = hash(s, 0x85ebca6bL) | 1L // odd => full-period mixing
+        }
         var j = 0
         var g = h1
         while (j < k) {
@@ -66,17 +83,23 @@ case class MinHashSignature(child: Expression, k: Int) extends TokenSignature {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val mins = ctx.freshName("mins"); val s = ctx.freshName("s")
       val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2"); val g = ctx.freshName("g")
+      val hashes =
+        if (longInput)
+          s"""long $h1 = $xxh64Class.hashLong($c.getLong($i), ${0x9747b28cL}L);
+             |    long $h2 = $xxh64Class.hashLong($c.getLong($i), ${0x85ebca6bL}L) | 1L;""".stripMargin
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+             |    long $h1 = $xxh64Class.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x9747b28cL}L);
+             |    long $h2 = $xxh64Class.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x85ebca6bL}L) | 1L;""".stripMargin
       s"""
          |int $n = $c.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-         |    long $h1 = $xxh64Class.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x9747b28cL}L);
-         |    long $h2 = $xxh64Class.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${0x85ebca6bL}L) | 1L;
+         |    $hashes
          |    long $g = $h1;
          |    for (int $j = 0; $j < $k; $j++) {
          |      if ($g < $mins[$j]) $mins[$j] = $g;
@@ -105,8 +128,9 @@ case class SimHash(child: Expression) extends TokenSignature {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = hash(s, 42L)
+        val h =
+          if (longInput) XXH64.hashLong(arr.getLong(i), 42L)
+          else hash(arr.getUTF8String(i), 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -130,14 +154,19 @@ case class SimHash(child: Expression) extends TokenSignature {
       val b2 = ctx.freshName("b2")
       val votes = ctx.freshName("votes"); val s = ctx.freshName("s")
       val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      val hashLine =
+        if (longInput)
+          s"long $h = $xxh64Class.hashLong($c.getLong($i), 42L);"
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+             |    long $h = $xxh64Class.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);""".stripMargin
       s"""
          |int $n = $c.numElements();
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-         |    long $h = $xxh64Class.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $hashLine
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |    }
@@ -155,7 +184,8 @@ case class SimHash(child: Expression) extends TokenSignature {
     copy(child = newChild)
 }
 
-/** Intersection size of two SORTED, DISTINCT `array<string>` columns via
+/** Intersection size of two SORTED, DISTINCT `array<string>` (or
+  * `array<bigint>`) columns via
   * a two-pointer merge — O(|a|+|b|) with zero per-row allocation. The
   * `size(array_intersect(a,b))` formulation builds a hash set per row;
   * on a verify stage touching millions of candidate pairs that hash-set
@@ -170,22 +200,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires (array<string>, array<string>), got (${l.sql}, ${r.sql})")
+        "sorted_intersect_count requires two array<string> or two " +
+          s"array<bigint> inputs, got (${l.sql}, ${r.sql})")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  private def longInput: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val la = x.numElements(); val lb = y.numElements()
+    val longs = longInput
     var i = 0; var j = 0; var c = 0
     while (i < la && j < lb) {
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
       else {
-        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val cmp =
+          if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+          else x.getUTF8String(i).compareTo(y.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
@@ -199,6 +240,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val compare =
+        if (longInput) s"Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $la = $a.numElements();
          |int $lb = $b.numElements();
@@ -207,7 +251,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    int $cmp = $compare;
          |    if ($cmp == 0) { $c++; $i++; $j++; }
          |    else if ($cmp < 0) { $i++; }
          |    else { $j++; }
