@@ -90,6 +90,55 @@ class VectorDotSpec extends AnyFunSuite {
     }
   }
 
+  test("long-array inputs: intersect/jaccard match the string form; codegen parity") {
+    graft.functions.TextSignatureFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def randSet() = (0 until (5 + rnd.nextInt(40))).map(_ => s"w${rnd.nextInt(60)}").distinct.sorted
+    val rows = (0 until 200).map(_ => (randSet(), randSet()))
+    val df = rows.toDF("a", "b")
+      // the dedup pipeline's representation: sorted distinct xxhash64 per token
+      .withColumn("ha", array_sort(array_distinct(transform($"a", t => xxhash64(t)))))
+      .withColumn("hb", array_sort(array_distinct(transform($"b", t => xxhash64(t)))))
+    // intersection over hashed longs == intersection over the strings
+    // (no 64-bit collisions at this scale), so hashed-set Jaccard is exact
+    val cmp = df.select(
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"a", $"b"),
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"ha", $"hb"))
+      .collect()
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // signatures over longs estimate the same Jaccard the string form does:
+    // mean |sig agreement - exact jaccard| stays within MinHash stderr
+    val k = 64
+    val est = df.select(
+      (graft.functions.TextSignatureFunctions.sorted_intersect_count($"a", $"b")
+        .cast("double") / size(array_union($"a", $"b"))).as("jac"),
+      (aggregate(zip_with(
+        graft.functions.TextSignatureFunctions.minhash_signature($"ha", k),
+        graft.functions.TextSignatureFunctions.minhash_signature($"hb", k),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        .cast("double") / k).as("est"))
+      .collect()
+    val meanErr = est.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / est.length
+    assert(meanErr < 0.09, s"mean |est - jac| = $meanErr")
+    // codegen/interpreted parity for every long-input expression
+    def results() = df.select(
+      graft.functions.TextSignatureFunctions.minhash_signature($"ha", 8),
+      graft.functions.TextSignatureFunctions.simhash($"ha"),
+      graft.functions.TextSignatureFunctions.sorted_intersect_count($"ha", $"hb"))
+      .collect().map(_.toString).toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = results()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = results()
+      assert(gen == interp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("VectorDot nulls: null array or null element -> null") {
     GraftFunctions.register(spark)
     val df = Seq(
