@@ -153,6 +153,68 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment by hashed id — the split
+    * must be STABLE across runs, engines, and corpus growth (a doc's
+    * split never changes when other docs are added), which rules out
+    * row_number/rand and leaves content-free id hashing. md5 is the
+    * cross-engine-reproducible choice (same reasoning as
+    * [[TextOps.stratifiedSample]]); the first 8 hex chars give a uniform
+    * 32-bit bucket. Pure map-side — no shuffle, no state, no seed
+    * coordination at any scale. */
+  def splitStable(spark: SparkSession, dir: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 100).cast(IntegerType))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Sliding-window chunking with overlap (RAG / long-context prep):
+    * cut each doc into `window`-token chunks every `stride` tokens, so
+    * consecutive chunks share `window - stride` tokens of context. The
+    * final chunk of a doc may be shorter (no padding here — that is the
+    * packer's job). Map-side HOF + one explode; chunk boundaries depend
+    * only on the doc itself, so the op shards trivially at any scale. */
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
+          s => struct(s.cast(LongType).as("chunk_start"),
+            concat_ws(" ", slice(col("tk"), s, lit(window))).as("chunk_text"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_start"),
+        size(split(col("c.chunk_text"), " ")).cast(LongType).as("n_chunk_tok"),
+        col("c.chunk_text"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  /** Token-length histogram in power-of-two buckets — the length profile
+    * that drives packing efficiency and truncation policy for a training
+    * corpus. One partial-combine aggregation over a map-side bucket
+    * expression; output is O(log max_len) rows at any corpus size. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(floor(log2(greatest(size(toks), lit(1)).cast(DoubleType)))
+        .cast(IntegerType).as("bucket"),
+        size(toks).cast(LongType).as("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .select(col("bucket"),
+        pow(lit(2.0), col("bucket")).cast(LongType).as("bucket_lo"),
+        (pow(lit(2.0), col("bucket") + 1) - 1).cast(LongType).as("bucket_hi"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -160,7 +222,10 @@ object CorpusOps {
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     // V=20 against the synthetic corpus's 31 distinct words, so both the
     // in-vocab and OOV paths are live in the oracle comparison
-    "vocab_encode" -> ((s, d) => vocabEncode(s, d, v = 20))
+    "vocab_encode" -> ((s, d) => vocabEncode(s, d, v = 20)),
+    "split_stable" -> ((s, d) => splitStable(s, d)),
+    "chunk_overlap" -> ((s, d) => chunkOverlap(s, d)),
+    "length_buckets" -> ((s, d) => lengthBuckets(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,6 +284,33 @@ object CorpusOps {
         |         CAST(SUM(len(string_split(text, ' '))) OVER
         |           (PARTITION BY lang ORDER BY doc_id) - len(string_split(text, ' ')) AS BIGINT) AS tok_start
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "split_stable" ->
+      """SELECT doc_id, lang,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+        |         array_to_string(t[CAST(s AS INT):CAST(s + 63 AS INT)], ' ') AS chunk_text
+        |  FROM tk, UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS u(s))
+        |SELECT doc_id, chunk_start,
+        |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tok,
+        |       chunk_text
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+    "length_buckets" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1))) AS INT) AS bucket,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT bucket,
+        |  CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+        |  CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -81,6 +81,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitStable: deterministic, content-free, and stable under corpus growth") {
+    val base = (1L to 300L).map(i => (i, s"doc number $i words", "en"))
+    val dir = fixture(base)
+    val out = CorpusOps.splitStable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3))).sortBy(_._1)
+    // buckets in range, split label derived from the bucket
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // roughly proportional (md5 is uniform; 300 docs, generous bounds)
+    val frac = out.count(_._3 == "train").toDouble / out.length
+    assert(frac > 0.65 && frac < 0.95, s"train fraction $frac")
+    // STABILITY: the same doc keeps its split when the corpus doubles
+    val dir2 = fixture(base ++ (301L to 600L).map(i => (i, s"later doc $i", "en")))
+    val out2 = CorpusOps.splitStable(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    out.foreach { case (id, _, s) => assert(out2(id) == s, s"doc $id moved") }
+  }
+
+  test("chunkOverlap: windows cover every token with the stated overlap") {
+    val n = 150
+    val dir = fixture(Seq((1L, (1 to n).map(i => s"w$i").mkString(" "), "en")))
+    val out = CorpusOps.chunkOverlap(spark, dir, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // starts are 1, 49, 97, ... up to n
+    assert(out.map(_._1).toSeq == Seq(1L, 49L, 97L, 145L))
+    // each chunk holds min(window, n - start + 1) tokens
+    out.foreach { case (s, sz, _) => assert(sz == math.min(64L, n - s + 1)) }
+    // consecutive chunks share exactly the tokens both windows cover
+    val sets = out.map(_._3.split(" ").toSet)
+    out.map(_._1).sliding(2).zip(sets.sliding(2)).foreach {
+      case (Array(s1, s2), Array(a, b)) =>
+        val expected = math.max(0L, math.min(s1 + 63, n.toLong) - s2 + 1)
+        assert(a.intersect(b).size == expected, s"overlap at start $s2")
+      case _ =>
+    }
+    // every token appears in some chunk
+    assert(sets.reduce(_ union _).size == n)
+  }
+
+  test("lengthBuckets: powers-of-two histogram accounts for every doc and token") {
+    val docs = Seq(1, 2, 3, 15, 16, 17, 100, 1000).zipWithIndex.map { case (len, i) =>
+      ((i + 1).toLong, (1 to len).map(j => s"t$j").mkString(" "), "en")
+    }
+    val dir = fixture(docs)
+    val out = CorpusOps.lengthBuckets(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.foreach { case (b, lo, hi, _, _) =>
+      assert(lo == (1L << b) && hi == (1L << (b + 1)) - 1)
+    }
+    assert(out.map(_._4).sum == docs.length)
+    assert(out.map(_._5).sum == docs.map(_._2.split(" ").length.toLong).sum)
+    // doc of length 16 lands in bucket 4 (lo=16), length 15 in bucket 3
+    val byBucket = out.map(t => t._1 -> t._4).toMap
+    assert(byBucket(0) == 1L && byBucket(1) == 2L) // len1 | len2,len3
+  }
+
   test("vocabEncode ranks by frequency (ties by word), maps OOV to 0, keeps order") {
     // freq: the=3, cat=2, dog=2, zzz=1 → V=3 vocab: the=1, cat=2, dog=3
     // (cat before dog on the count tie by word order); zzz is OOV → 0
