@@ -103,6 +103,103 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental ingestion dedup: flag each INCOMING document (one
+    * source) that duplicates or near-duplicates the EXISTING corpus (the
+    * other sources) — the daily-crawl-vs-trained-corpus admission check.
+    * Asymmetric by construction: corpus-internal and batch-internal
+    * duplicates are out of scope here ([[dedupMinhashLsh]] owns those).
+    *
+    * This oracle-gated variant matches on (a) identical token sets via
+    * the 64-bit set digest at any blocking, plus (b) blocked
+    * (lang, n_chars) exact Jaccard >= `threshold` — the same
+    * DuckDB-expressible shape as [[dedupNgramJaccard]]. At corpus scale
+    * the near side swaps to the asymmetric banded-LSH join
+    * ([[dedupIncomingLsh]]); the output contract is identical. */
+  def dedupIncoming(spark: SparkSession, dir: String,
+                    incomingSource: String = "src0",
+                    threshold: Double = 0.8): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+        array_sort(array_distinct(tokens)).as("t"))
+    val inc = d.filter(col("source") === incomingSource)
+      .select(col("doc_id").as("in_id"), col("lang"), col("n_chars"), col("t"))
+    val corp = d.filter(col("source") =!= incomingSource)
+      .select(col("doc_id").as("corp_id"), col("lang").as("c_lang"),
+        col("n_chars").as("c_n_chars"), col("t").as("ct"))
+    // identical sets: join on the cheap scalar digest, verify on the
+    // arrays (collision-proof), independent of any blocking column
+    val exact = inc.withColumn("k", xxhash64(concat_ws("", col("t"))))
+      .join(corp.withColumn("k", xxhash64(concat_ws("", col("ct")))), "k")
+      .filter(col("t") === col("ct"))
+      .select(col("in_id"), col("corp_id"), lit(1.0).as("jac"))
+    val near = inc.join(corp,
+        col("lang") === col("c_lang") && col("n_chars") === col("c_n_chars"))
+      .withColumn("jac",
+        size(array_intersect(col("t"), col("ct"))).cast(DoubleType) /
+          size(array_union(col("t"), col("ct"))))
+      .filter(col("jac") >= threshold)
+      .select(col("in_id"), col("corp_id"), col("jac"))
+    val matches = exact.unionAll(near)
+      .groupBy(col("in_id"), col("corp_id")).agg(max(col("jac")).as("jac"))
+      .groupBy(col("in_id"))
+      .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("best_jac"))
+    inc.select(col("in_id").as("doc_id"))
+      .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupIncoming]]'s corpus-scale near side: asymmetric banded
+    * MinHash-LSH — the corpus representatives band once (in production,
+    * a maintained index), the incoming batch bands and equi-joins on
+    * (band, band_hash), and only cross-side candidates verify with the
+    * exact hashed-token Jaccard. No corpus×corpus or batch×batch pairs
+    * are ever generated, so a small batch against a huge corpus costs
+    * |batch| signatures + candidate verification — not a corpus self-join.
+    * Same output contract as [[dedupIncoming]] (LSH recall at the
+    * threshold applies, as in [[dedupMinhashLsh]]). */
+  def dedupIncomingLsh(spark: SparkSession, dir: String,
+                       incomingSource: String = "src0",
+                       k: Int = 64, bands: Int = 8,
+                       threshold: Double = 0.8): DataFrame = {
+    val r = k / bands
+    graft.functions.TextSignatureFunctions.register(spark)
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(tokens, t => xxhash64(t)))).as("htoks"))
+    def banded(side: DataFrame, idAs: String) = side
+      .withColumn("sig",
+        graft.functions.TextSignatureFunctions.minhash_signature(col("htoks"), k))
+      .select(col("doc_id").as(idAs),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val inc = d.filter(col("source") === incomingSource)
+    val corp = d.filter(col("source") =!= incomingSource)
+    val cand = banded(inc, "in_id").join(banded(corp, "corp_id"), Seq("band", "band_hash"))
+      .select(col("in_id"), col("corp_id")).distinct()
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("t"), col("ct"))
+    val matches = cand
+      .join(inc.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
+      .join(corp.select(col("doc_id").as("corp_id"), col("htoks").as("ct")), "corp_id")
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("t")) + size(col("ct")) - inter))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("in_id"))
+      .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("best_jac"))
+    inc.select(col("doc_id"))
+      .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   // ---- signature-based dedup (no SQL oracle; unit-tested) -------------
 
   /** k seeded min-hashes over the token set (map-side HOFs only). */
@@ -585,6 +682,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_incoming" -> ((s: SparkSession, d: String) => dedupIncoming(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -673,6 +771,29 @@ object TextOps {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_incoming" ->
+      """WITH tok AS (SELECT doc_id, lang, n_chars, source,
+        |             list_sort(list_distinct(string_split(text, ' '))) AS t FROM documents),
+        |inc AS (SELECT doc_id AS in_id, lang, n_chars, t FROM tok WHERE source = 'src0'),
+        |corp AS (SELECT doc_id AS corp_id, lang AS c_lang, n_chars AS c_n_chars, t AS ct
+        |         FROM tok WHERE source != 'src0'),
+        |pairs AS (
+        |  SELECT in_id, corp_id, 1.0 AS jac FROM inc JOIN corp ON t = ct
+        |  UNION ALL
+        |  SELECT in_id, corp_id,
+        |    CAST(len(list_intersect(t, ct)) AS DOUBLE) / len(list_distinct(list_concat(t, ct))) AS jac
+        |  FROM inc JOIN corp ON lang = c_lang AND n_chars = c_n_chars
+        |  WHERE CAST(len(list_intersect(t, ct)) AS DOUBLE) / len(list_distinct(list_concat(t, ct))) >= 0.8),
+        |m AS (SELECT in_id, corp_id, max(jac) AS jac FROM pairs GROUP BY in_id, corp_id),
+        |agg AS (SELECT in_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |               ROUND(max(jac), 4) AS best_jac
+        |        FROM m GROUP BY in_id)
+        |SELECT i.in_id AS doc_id,
+        |       COALESCE(a.n_matches, 0) AS n_matches,
+        |       COALESCE(a.best_jac, 0.0) AS best_jac,
+        |       COALESCE(a.n_matches, 0) > 0 AS is_dup
+        |FROM inc i LEFT JOIN agg a USING (in_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS toks FROM documents),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id

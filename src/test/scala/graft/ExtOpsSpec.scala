@@ -71,6 +71,33 @@ class ExtOpsSpec extends AnyFunSuite {
       "dedupMinhashLsh leaked persisted frames into the session cache")
   }
 
+  test("dedupIncoming flags batch docs duplicating the corpus; LSH variant agrees") {
+    // planted fixture: src0 = incoming batch, src1 = corpus.
+    // doc 0 (base) has an EXACT corpus dup (doc 2, same text);
+    // doc 1 (nearDup, jac ~0.99 vs doc 2) is a near-dup of the corpus;
+    // docs 3/4 are novel — must not be flagged.
+    val exact = TextOps.dedupIncoming(spark, plantedDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(exact.map(_._1) == Seq(0L, 1L, 3L, 4L))
+    // the (lang, n_chars)-blocked oracle variant catches the exact dup
+    // (set-digest path, blocking-independent); the near dup's length
+    // differs so the block misses it — the LSH variant owns that recall
+    assert(exact.map(r => r._1 -> r._4).toMap ==
+      Map(0L -> true, 1L -> false, 3L -> false, 4L -> false))
+    assert(exact.find(_._1 == 0L).get._3 == 1.0)
+    // the asymmetric LSH variant finds the exact dup AND the near dup
+    val lsh = TextOps.dedupIncomingLsh(spark, plantedDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(lsh.map(r => r._1 -> r._4).toMap ==
+      Map(0L -> true, 1L -> true, 3L -> false, 4L -> false))
+    assert(math.abs(lsh.find(_._1 == 1L).get._3 - 80.0 / 81) < 1e-3)
+    // LSH admissions are a superset of the exact variant's (recall
+    // direction), and every flag is backed by a verified >= 0.8 pair
+    assert(exact.filter(_._4).map(_._1).toSet.subsetOf(
+      lsh.filter(_._4).map(_._1).toSet))
+    assert(lsh.filter(_._4).forall(_._3 >= 0.8))
+  }
+
   test("simhash pairs near-identical token sets within hamming bound") {
     val pairs = graft.ext.TextOps.dedupSimhash(spark, plantedDir, maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSeq
