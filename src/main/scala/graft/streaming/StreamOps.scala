@@ -49,6 +49,29 @@ object StreamOps {
       .drop(tmp)
   }
 
+  /** Streaming TOKEN-SET dedup for a document stream: drop arrivals whose
+    * token set was already seen within the watermark horizon — the
+    * stream-side phase 0 of the batch dedup pipeline
+    * ([[graft.ext.TextOps.dedupMinhashLsh]]'s set-digest collapse).
+    * Strictly stronger than exact-text dedup (reordered or re-duplicated
+    * tokens hash to the same set digest), strictly weaker than near-dup
+    * LSH (which needs multi-key state and stays a batch/compaction
+    * concern). State = one 64-bit digest per doc within the horizon,
+    * expired by the watermark — bounded, like [[dedupStream]]. */
+  def dedupSetStream(docs: DataFrame, textCol: String = "text",
+                     tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    val key = "__graft_set_key"; val tmp = "__graft_dedup_ts"
+    require(!docs.columns.contains(key) && !docs.columns.contains(tmp),
+      s"input must not carry $key/$tmp columns")
+    docs
+      .withColumn(key, xxhash64(concat_ws("\u0001",
+        array_sort(array_distinct(split(col(textCol), " "))))))
+      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withWatermark(tmp, watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .drop(key, tmp)
+  }
+
   /** Tumbling 1-hour aggregation with a 2-hour watermark: late events
     * beyond the watermark are dropped, finalized windows emit in append
     * mode. Identical expressions to the batch query. */

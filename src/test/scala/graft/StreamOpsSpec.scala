@@ -294,6 +294,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupSetStream drops token-set re-arrivals (reorders included), keeps novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_ns)
+    val src = mem.toDS().toDF("doc_id", "text", "ts")
+    val q = StreamOps.dedupSetStream(src, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedupset").outputMode("append").start()
+    try {
+      val H = 3600L * 1000000000L // ns
+      mem.addData(
+        (1L, "alpha beta gamma", H),
+        (2L, "gamma alpha beta", H + 1), // same token SET, reordered → dropped
+        (3L, "alpha beta delta", H + 2)) // one token differs → kept
+      q.processAllAvailable()
+      mem.addData(
+        (4L, "beta alpha gamma gamma", H + 3), // set-identical to doc 1 → dropped
+        (5L, "epsilon zeta", H + 4))
+      q.processAllAvailable()
+      val ids = spark.table("dedupset").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("upsert sink: upsertOrderBy makes the latest row win within an epoch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.types._
