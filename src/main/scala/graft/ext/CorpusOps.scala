@@ -162,7 +162,10 @@ object CorpusOps {
     * 32-bit bucket. Pure map-side — no shuffle, no state, no seed
     * coordination at any scale. */
   def splitStable(spark: SparkSession, dir: String,
-                  trainPct: Int = 80, valPct: Int = 10): DataFrame =
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 0 <= trainPct, 0 <= valPct, trainPct + valPct <= 100; " +
+        s"got trainPct=$trainPct valPct=$valPct")
     documents(spark, dir)
       .select(col("doc_id"), col("lang"))
       .withColumn("bucket",
@@ -173,13 +176,17 @@ object CorpusOps {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
       .orderBy("doc_id")
+  }
 
   /** Sliding-window chunking with overlap (RAG / long-context prep):
     * cut each doc into `window`-token chunks every `stride` tokens, so
     * consecutive chunks share `window - stride` tokens of context. The
     * final chunk of a doc may be shorter (no padding here — that is the
-    * packer's job). Map-side HOF + one explode; chunk boundaries depend
-    * only on the doc itself, so the op shards trivially at any scale. */
+    * packer's job), but a start whose window would sit ENTIRELY inside
+    * the previous chunk's coverage is not emitted — it would duplicate
+    * already-chunked text verbatim into the output corpus. Map-side HOF
+    * + one explode; chunk boundaries depend only on the doc itself, so
+    * the op shards trivially at any scale. */
   def chunkOverlap(spark: SparkSession, dir: String,
                    window: Int = 64, stride: Int = 48): DataFrame = {
     require(stride > 0 && window >= stride,
@@ -188,7 +195,12 @@ object CorpusOps {
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
+          // keep start s iff it is the first chunk or the PREVIOUS chunk
+          // (start s-stride, end min(s-stride+window-1, n)) did not
+          // already reach the doc end: s + window - stride - 1 < n
+          filter(
+            sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
+            s => s === 1 || s + lit(window - stride - 1) < size(col("tk"))),
           s => struct(s.cast(LongType).as("chunk_start"),
             concat_ws(" ", slice(col("tk"), s, lit(window))).as("chunk_text"))))
           .as("c"))
@@ -297,7 +309,8 @@ object CorpusOps {
         |c AS (
         |  SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
         |         array_to_string(t[CAST(s AS INT):CAST(s + 63 AS INT)], ' ') AS chunk_text
-        |  FROM tk, UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS u(s))
+        |  FROM tk, UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS u(s)
+        |  WHERE s = 1 OR s + 15 < len(t))
         |SELECT doc_id, chunk_start,
         |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tok,
         |       chunk_text

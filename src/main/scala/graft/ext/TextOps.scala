@@ -118,6 +118,7 @@ object TextOps {
   def dedupIncoming(spark: SparkSession, dir: String,
                     incomingSource: String = "src0",
                     threshold: Double = 0.8): DataFrame = {
+    graft.functions.TextSignatureFunctions.register(spark)
     val d = documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
         array_sort(array_distinct(tokens)).as("t"))
@@ -126,24 +127,36 @@ object TextOps {
     val corp = d.filter(col("source") =!= incomingSource)
       .select(col("doc_id").as("corp_id"), col("lang").as("c_lang"),
         col("n_chars").as("c_n_chars"), col("t").as("ct"))
-    // identical sets: join on the cheap scalar digest, verify on the
-    // arrays (collision-proof), independent of any blocking column
-    val exact = inc.withColumn("k", xxhash64(concat_ws("", col("t"))))
-      .join(corp.withColumn("k", xxhash64(concat_ws("", col("ct")))), "k")
+    // identical sets: join on the cheap scalar digest (SOH-separated like
+    // every set digest in this file), verify on the arrays — independent
+    // of any blocking column
+    val exact = inc.withColumn("k", xxhash64(concat_ws("\u0001", col("t"))))
+      .join(corp.withColumn("k", xxhash64(concat_ws("\u0001", col("ct")))), "k")
       .filter(col("t") === col("ct"))
       .select(col("in_id"), col("corp_id"), lit(1.0).as("jac"))
+    // sorted-merge intersect (the arrays arrive sorted+distinct) — same
+    // reason the LSH verify stage uses it over size(array_intersect)
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("t"), col("ct"))
     val near = inc.join(corp,
         col("lang") === col("c_lang") && col("n_chars") === col("c_n_chars"))
-      .withColumn("jac",
-        size(array_intersect(col("t"), col("ct"))).cast(DoubleType) /
-          size(array_union(col("t"), col("ct"))))
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("t")) + size(col("ct")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("in_id"), col("corp_id"), col("jac"))
-    val matches = exact.unionAll(near)
+    admissionOutput(inc.select(col("in_id").as("doc_id")), exact.unionAll(near))
+  }
+
+  /** Shared output assembly of the two [[dedupIncoming]] variants: a
+    * (in_id, corp_id, jac) match list folds to per-incoming-doc admission
+    * columns. One implementation so the "same output contract" guarantee
+    * between the variants cannot drift. */
+  private def admissionOutput(incIds: DataFrame, matchList: DataFrame): DataFrame = {
+    val matches = matchList
       .groupBy(col("in_id"), col("corp_id")).agg(max(col("jac")).as("jac"))
       .groupBy(col("in_id"))
       .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("best_jac"))
-    inc.select(col("in_id").as("doc_id"))
+    incIds
       .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
@@ -165,39 +178,33 @@ object TextOps {
                        incomingSource: String = "src0",
                        k: Int = 64, bands: Int = 8,
                        threshold: Double = 0.8): DataFrame = {
-    val r = k / bands
     graft.functions.TextSignatureFunctions.register(spark)
     val d = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(transform(tokens, t => xxhash64(t)))).as("htoks"))
-    def banded(side: DataFrame, idAs: String) = side
-      .withColumn("sig",
-        graft.functions.TextSignatureFunctions.minhash_signature(col("htoks"), k))
-      .select(col("doc_id").as(idAs),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val inc = d.filter(col("source") === incomingSource)
-    val corp = d.filter(col("source") =!= incomingSource)
-    val cand = banded(inc, "in_id").join(banded(corp, "corp_id"), Seq("band", "band_hash"))
-      .select(col("in_id"), col("corp_id")).distinct()
-    val inter = graft.functions.TextSignatureFunctions
-      .sorted_intersect_count(col("t"), col("ct"))
-    val matches = cand
-      .join(inc.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
-      .join(corp.select(col("doc_id").as("corp_id"), col("htoks").as("ct")), "corp_id")
-      .withColumn("jac", inter.cast(DoubleType) /
-        (size(col("t")) + size(col("ct")) - inter))
-      .filter(col("jac") >= threshold)
-      .groupBy(col("in_id"))
-      .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("best_jac"))
-    inc.select(col("doc_id"))
-      .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
-        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
-      .orderBy("doc_id")
+      // five consuming subtrees (two banded sides, two verify re-attach
+      // joins, the admission anchor): persist so the documents scan +
+      // tokenize + hash runs once, unpersisted before return like
+      // dedupMinhashLsh's reps
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inc = d.filter(col("source") === incomingSource)
+      val corp = d.filter(col("source") =!= incomingSource)
+      val cand = bandedSignature(inc, "in_id", k, bands)
+        .join(bandedSignature(corp, "corp_id", k, bands), Seq("band", "band_hash"))
+        .select(col("in_id"), col("corp_id")).distinct()
+      val inter = graft.functions.TextSignatureFunctions
+        .sorted_intersect_count(col("t"), col("ct"))
+      val matchList = cand
+        .join(inc.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
+        .join(corp.select(col("doc_id").as("corp_id"), col("htoks").as("ct")), "corp_id")
+        .withColumn("jac", inter.cast(DoubleType) /
+          (size(col("t")) + size(col("ct")) - inter))
+        .filter(col("jac") >= threshold)
+        .select(col("in_id"), col("corp_id"), col("jac"))
+      admissionOutput(inc.select(col("doc_id")), matchList)
+        .localCheckpoint(true)
+    } finally d.unpersist()
   }
 
   // ---- signature-based dedup (no SQL oracle; unit-tested) -------------
@@ -276,6 +283,23 @@ object TextOps {
     finally reps.unpersist()
   }
 
+  /** (id, band, band_hash) rows of a frame carrying `htoks` — THE banding
+    * expression, shared by the self-join LSH ([[minhashPairsOverReps]])
+    * and the asymmetric ingestion LSH ([[dedupIncomingLsh]]). One
+    * implementation: a seed or slice drift between the two would
+    * silently break their documented agreement on what collides. */
+  private def bandedSignature(side: DataFrame, idAs: String,
+                              k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    side
+      .withColumn("sig",
+        graft.functions.TextSignatureFunctions.minhash_signature(col("htoks"), k))
+      .select(col("doc_id").as(idAs),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
   /** [[dedupMinhashLsh]] core over an already-persisted representative
     * table — split out so the containment gate can share one reps
     * scan/shuffle with the pair computation instead of re-deriving it. */
@@ -283,15 +307,8 @@ object TextOps {
                                    reps: DataFrame,
                                    k: Int, bands: Int, threshold: Double,
                                    maxBucket: Int): DataFrame = {
-    val r = k / bands
     graft.functions.TextSignatureFunctions.register(spark)
-    val banded = reps
-      .withColumn("sig",
-        graft.functions.TextSignatureFunctions.minhash_signature(col("htoks"), k))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)).cast(StringType), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedSignature(reps, "doc_id", k, bands)
       // tiny (reps × bands rows of scalars) but feeds five subtrees
       // (size-agg + both all-pair sides + star side); persisting it
       // computes the k-hash signature once instead of per-subtree

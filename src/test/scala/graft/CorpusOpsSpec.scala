@@ -107,8 +107,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = CorpusOps.chunkOverlap(spark, dir, window = 64, stride = 48)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._1)
-    // starts are 1, 49, 97, ... up to n
-    assert(out.map(_._1).toSeq == Seq(1L, 49L, 97L, 145L))
+    // starts are 1, 49, 97; 145 is suppressed — its window (tokens
+    // 145..150) sits entirely inside the chunk at 97 (tokens 97..150),
+    // so emitting it would duplicate text verbatim
+    assert(out.map(_._1).toSeq == Seq(1L, 49L, 97L))
+    // no chunk's tokens are a subset of the previous chunk's
+    out.map(_._3.split(" ").toSet).sliding(2).foreach {
+      case Array(a, b) => assert(!b.subsetOf(a), "redundant chunk emitted")
+      case _ =>
+    }
     // each chunk holds min(window, n - start + 1) tokens
     out.foreach { case (s, sz, _) => assert(sz == math.min(64L, n - s + 1)) }
     // consecutive chunks share exactly the tokens both windows cover
