@@ -69,6 +69,33 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Conversion funnel (view → click → purchase): per user, the earliest
+    * time of each step occurring strictly AFTER the previous step —
+    * sequential pattern matching as three conditional min-aggregations.
+    * Every shuffle is on user_id (the groupBys and joins share the hash
+    * partitioning, so Spark plans one exchange per aggregation and
+    * reuses it for the joins); no window over the whole event stream, no
+    * per-user event sorting. Users who never viewed are outside the
+    * funnel (not emitted). */
+  private def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsWithTs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view_us"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_us") > col("t_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click_us"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_us") > col("t_click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        (lit(1) + when(col("t_click_us").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase_us").isNotNull, 1).otherwise(0)).as("furthest_step"))
+      .orderBy("user_id")
+  }
+
   // typed metadata out of the JSON props column
   private def multimodalJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -152,10 +179,26 @@ object EventOps {
     "sessionize_gaps" -> sessionizeGaps,
     "skew_salted_join" -> skewSaltedJoin,
     "approx_aggs" -> approxAggsGated,
+    "funnel_steps" -> funnelSteps,
     "multimodal_json" -> multimodalJson
   )
 
   val oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS t_view_us
+        |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t_click_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t_view_us GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t_purchase_us
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t_click_us GROUP BY e.user_id)
+        |SELECT s1.user_id, t_view_us, t_click_us, t_purchase_us,
+        |  CAST(1 + CASE WHEN t_click_us IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS furthest_step
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "dedup_keyed_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,
