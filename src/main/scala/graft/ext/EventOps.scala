@@ -132,7 +132,11 @@ object EventOps {
       percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
       exact,
       count(lit(1)).as("n"))
-    val exactUsers = e.select(col("event_type"), col("user_id")).distinct()
+    // NULL keys filtered to keep countDistinct semantics — HLL ignores
+    // NULLs, so counting a NULL "user" here would widen |approx - exact|
+    // past the gate's bound on data with missing ids
+    val exactUsers = e.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
     val joined = sketches.join(exactUsers, Seq("event_type"))
     (if (gateCols)

@@ -341,32 +341,41 @@ object TextOps {
     // The verify side re-attaches token arrays BY ID. On dup-heavy corpora
     // the candidate list is orders of magnitude larger than the rep table
     // (sf0.1: 1.7M pairs from 3.9k reps), so shuffling the pairs to meet
-    // the reps is the wrong plan — broadcast the reps when they fit
-    // (size-gated, same regime split as the delete map: small side ships
-    // to every executor, huge side falls back to the shuffle join AQE
-    // would pick anyway). `reps` is already persisted, so the count is a
-    // cached-scan action, not a recompute.
-    val repRows = reps.count()
+    // the reps is the wrong plan — broadcast the reps when they fit. The
+    // gate is on estimated BYTES, not rows (an explicit broadcast() hint
+    // bypasses autoBroadcastJoinThreshold, and a million 1KB token arrays
+    // is a gigabyte the driver must materialize): one cheap agg over the
+    // already-persisted reps prices the payload (8B per hashed token +
+    // per-row overhead); the huge side falls back to the shuffle join AQE
+    // would pick anyway.
+    val repStats = reps.agg(count(lit(1)), sum(size(col("htoks")))).head()
+    val repRows = repStats.getLong(0)
+    val repBytes =
+      (if (repStats.isNullAt(1)) 0L else repStats.getLong(1)) * 8L + repRows * 32L
     val toksByIdBase = reps.select(col("doc_id"), col("htoks"))
     val toksById =
-      if (repRows <= 1000000L) broadcast(toksByIdBase) else toksByIdBase
+      if (repBytes <= 256L * 1024 * 1024) broadcast(toksByIdBase) else toksByIdBase
     val inter = graft.functions.TextSignatureFunctions
       .sorted_intersect_count(col("a_toks"), col("b_toks"))
-    val out = candidates
-      .join(toksById.toDF("a_id", "a_toks"), "a_id")
-      .join(toksById.toDF("b_id", "b_toks"), "b_id")
-      .withColumn("jac", inter.cast(DoubleType) /
-        (size(col("a_toks")) + size(col("b_toks")) - inter))
-      .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
-      // eager materialization BEFORE the sort: the returned frame reads
-      // its own blocks (reclaimed when the frame is dropped), letting the
-      // inputs unpersist NOW instead of leaking into the session cache —
-      // and consumers that don't need order (count, clustering) skip the
-      // sort entirely
-      .localCheckpoint(true)
-      .orderBy("a_id", "b_id")
-    banded.unpersist()
+    // exception-safe: without try/finally, a failed verify join would
+    // strand the persisted banded frame in the session cache — the exact
+    // leak the unpersist-on-consume design exists to prevent
+    val out =
+      try candidates
+        .join(toksById.toDF("a_id", "a_toks"), "a_id")
+        .join(toksById.toDF("b_id", "b_toks"), "b_id")
+        .withColumn("jac", inter.cast(DoubleType) /
+          (size(col("a_toks")) + size(col("b_toks")) - inter))
+        .filter(col("jac") >= threshold)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+        // eager materialization BEFORE the sort: the returned frame reads
+        // its own blocks (reclaimed when the frame is dropped), letting the
+        // inputs unpersist NOW instead of leaking into the session cache —
+        // and consumers that don't need order (count, clustering) skip the
+        // sort entirely
+        .localCheckpoint(true)
+        .orderBy("a_id", "b_id")
+      finally banded.unpersist()
     // reps is caller-owned (persisted/unpersisted by the wrapper): the
     // containment gate reuses it after the pairs are materialized
     out

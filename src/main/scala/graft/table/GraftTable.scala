@@ -2191,26 +2191,30 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // paths and every file would misclassify as 'log'
     val base = f.makeQualified(new Path(dir)).toUri.getPath
     val it = f.listFiles(new Path(dir), true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // carry the FULLY-QUALIFIED path alongside the display-relative one:
+    // the footer job runs on executors, where a table opened by relative
+    // dir would resolve against the task working directory, not ours
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     while (it.hasNext) {
-      val st = it.next(); buf += ((st.getPath.toUri.getPath, st.getLen))
+      val st = it.next()
+      buf += ((st.getPath.toUri.getPath, st.getPath.toString, st.getLen))
     }
     // classification + per-file parquet footer row counts (the numbers an
     // object-store listing gives, plus what Iceberg's manifests record);
     // footer reads are ONE distributed job — driver does metadata only
-    val entries = buf.toSeq.map { case (abs, len) =>
+    val entries = buf.toSeq.map { case (abs, qualified, len) =>
       val rel = abs.stripPrefix(base).stripPrefix("/")
       val kind =
         if (rel.startsWith("data/")) "data"
         else if (rel.startsWith("deletes/")) "deletes"
         else "log"
-      (rel, kind, len)
+      (rel, kind, len, qualified)
     }
     val parquet = entries.filter(e => e._2 != "log" && e._1.endsWith(".parquet"))
     val rowsByRel = org.apache.spark.sql.GraftShim
-      .footerStats(spark, parquet.map(e => (e._1, s"$dir/${e._1}")))
+      .footerStats(spark, parquet.map(e => (e._1, e._4)))
       .map(r => (r._1, r._3)).toMap
-    entries.map { case (rel, kind, len) =>
+    entries.map { case (rel, kind, len, _) =>
       val partition = rel.split('/').filter(_.startsWith("__dir_"))
         .map(_.stripPrefix("__dir_")).mkString("/")
       (rel, kind, len, rowsByRel.get(rel),
