@@ -2158,7 +2158,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // 100 TB table has far too many leaves for driver-serial footer I/O
     val leaves: Seq[(String, String)] = s.dataDirs.flatMap { d =>
       val spec = s.specAt(d.version)
-      val root = new Path(s"$dir/${d.path}")
+      // qualified like every executor-bound path: a relative table dir
+      // would resolve against the task working directory in footerStats
+      val root = f.makeQualified(new Path(s"$dir/${d.path}"))
       if (spec.isEmpty) Seq(("", root.toString))
       else {
         // accumulate the partition display string (strip __dir_ storage prefix)
@@ -2191,24 +2193,23 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // paths and every file would misclassify as 'log'
     val base = f.makeQualified(new Path(dir)).toUri.getPath
     val it = f.listFiles(new Path(dir), true)
-    // carry the FULLY-QUALIFIED path alongside the display-relative one:
-    // the footer job runs on executors, where a table opened by relative
-    // dir would resolve against the task working directory, not ours
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     while (it.hasNext) {
-      val st = it.next()
-      buf += ((st.getPath.toUri.getPath, st.getPath.toString, st.getLen))
+      val st = it.next(); buf += ((st.getPath, st.getLen))
     }
     // classification + per-file parquet footer row counts (the numbers an
     // object-store listing gives, plus what Iceberg's manifests record);
-    // footer reads are ONE distributed job — driver does metadata only
-    val entries = buf.toSeq.map { case (abs, qualified, len) =>
-      val rel = abs.stripPrefix(base).stripPrefix("/")
+    // footer reads are ONE distributed job — driver does metadata only.
+    // The listed Path yields both forms: display-relative for the output,
+    // FULLY-QUALIFIED for the executor-side footer job (a table opened by
+    // relative dir would otherwise resolve against the task working dir)
+    val entries = buf.toSeq.map { case (p, len) =>
+      val rel = p.toUri.getPath.stripPrefix(base).stripPrefix("/")
       val kind =
         if (rel.startsWith("data/")) "data"
         else if (rel.startsWith("deletes/")) "deletes"
         else "log"
-      (rel, kind, len, qualified)
+      (rel, kind, len, p.toString)
     }
     val parquet = entries.filter(e => e._2 != "log" && e._1.endsWith(".parquet"))
     val rowsByRel = org.apache.spark.sql.GraftShim

@@ -16,6 +16,30 @@ class GraftTableSpec extends AnyFunSuite {
   def sampleDf = Seq((1122L, "User-1"), (1130L, "User-2"), (1119L, "User-3"))
     .toDF("age", "name")
 
+  test("metadata tables work on a table opened by RELATIVE dir") {
+    // the footer-stats jobs run on executors: any path shipped into them
+    // must be fully qualified, or it resolves against the task working
+    // directory instead of the table's — regression for files()/partitions()
+    val rel = s"target/tmp-rel-tbl-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val t = GraftTable.create(spark, rel, sampleSchema)
+      t.append(sampleDf)
+      val files = GraftTable.load(spark, rel).files.collect()
+      val dataParquet = files.filter(r => r.getAs[String]("kind") == "data" &&
+        r.getAs[String]("file").endsWith(".parquet"))
+      assert(dataParquet.nonEmpty &&
+        dataParquet.map(_.getAs[Long]("n_rows")).sum == 3L)
+      val parts = GraftTable.load(spark, rel).partitions.collect()
+      assert(parts.length == 1 && parts.head.getAs[Long]("n_rows") == 3L)
+    } finally {
+      val f = new java.io.File(rel)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(f)
+    }
+  }
+
   test("create + append + load round-trips (K3/K5 snapshot append)") {
     val dir = TestSpark.tmpDir("gt-append")
     val t = GraftTable.create(spark, dir, sampleSchema)
