@@ -34,7 +34,14 @@ import graft.table.GraftTable
   * Eligibility (checked by the caller): single bucket partition field, no
   * equality deletes, at least one data dir.
   */
-final class GraftBucketedScan(table: GraftTable, required: StructType,
+final class GraftBucketedScan(table: GraftTable,
+                              // the snapshot SPJ eligibility was checked on
+                              // — re-reading the log here could observe a
+                              // concurrent commit (equality deletes, spec
+                              // change) this scan does not know how to
+                              // honor, silently returning retracted rows
+                              snap: graft.table.Snapshot,
+                              required: StructType,
                               pushed: Array[Filter],
                               skipReplaceCommits: Boolean = false,
                               maxVersionsPerBatch: Option[Int] = None)
@@ -42,7 +49,6 @@ final class GraftBucketedScan(table: GraftTable, required: StructType,
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
 
-  private val snap = table.snapshot
   private val pf = snap.spec.head
   private def spark = SparkSession.active
 
@@ -570,6 +576,14 @@ object GraftBucketedScan {
     case sources.And(l, r) =>
       for (lc <- renamePushedFilter(l, phys); rc <- renamePushedFilter(r, phys))
         yield sources.And(lc, rc)
+    // Or is as safe as And here (purely-optional row-group skipping; Spark
+    // re-applies the full predicate) — dropping it would decode every row
+    // group on common disjunctions like `k = 1 OR k = 2`
+    case sources.Or(l, r) =>
+      for (lc <- renamePushedFilter(l, phys); rc <- renamePushedFilter(r, phys))
+        yield sources.Or(lc, rc)
+    case sources.StringStartsWith(a, v) =>
+      phys(a).map(sources.StringStartsWith(_, v))
     case _ => None
   }
 }

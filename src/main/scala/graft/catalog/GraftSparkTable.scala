@@ -330,9 +330,15 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     // single-bucket-spec tables with no deletes get the partition-reporting
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)
-    if (asOf.isEmpty && GraftSparkTable.spjEligible(table))
-      return new GraftBucketedScan(table, required, accepted,
-        skipReplaceCommits, maxVersionsPerBatch)
+    if (asOf.isEmpty) {
+      // ONE snapshot read for both the eligibility check and the scan —
+      // checking eligibility on a fresh read and letting the scan read
+      // again would race a concurrent rowDelta/set-spec commit
+      val snap = table.snapshot
+      if (GraftSparkTable.spjEligible(snap))
+        return new GraftBucketedScan(table, snap, required, accepted,
+          skipReplaceCommits, maxVersionsPerBatch)
+    }
     // a METADATA `_file`/`_pos` request needs the DSv2 reader (it stamps
     // real file paths / row positions and applies deletes reader-side;
     // the view path's input_file_name is illegal past multi-source plans

@@ -717,7 +717,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   def replaceSortKey(keys: Seq[String]): GraftTable = {
     val s = snapshot
-    keys.foreach(s.physicalOf) // validate
+    keys.foreach(s.physicalOf) // validate existence
+    GraftTable.requireKeyTypes(s.schema, keys)
     commit(s.version + 1)((rebase, v) => Option(rebase).getOrElse(s)
       .copy(version = v, op = "replace-key", key = keys))
     this
@@ -2274,6 +2275,9 @@ object GraftTable {
              bloomKeys: Seq[String] = Seq.empty,
              statsKeys: Seq[String] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, dir)
+    key.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k not in schema"))
+    requireKeyTypes(schema, key)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(dir, "_graft_log")
     require(!fs.exists(logDir), s"table already exists at $dir")
@@ -2297,6 +2301,23 @@ object GraftTable {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new Path(dir, "_graft_log"))
   }
+
+  /** Upsert/sort keys participate in equality-delete matching through JVM
+    * map lookups, where boxed equality must agree with SQL equality.
+    * Binary (Array[Byte] equals is reference identity — every delete would
+    * silently miss) and float/double (-0.0 vs 0.0, NaN) keys therefore
+    * fail LOUDLY at declaration instead of corrupting MoR reads later. */
+  private[table] def requireKeyTypes(schema: StructType, keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      schema.fields.find(_.name == k).map(_.dataType).foreach {
+        case BinaryType | FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"key column $k has a type unsupported for equality-matched " +
+              "keys (binary/float/double); use a string, integral, date, " +
+              "or decimal key")
+        case _ =>
+      }
+    }
 
   // ---- bounds-sidecar value encoding ----------------------------------
 

@@ -16,6 +16,26 @@ class GraftTableSpec extends AnyFunSuite {
   def sampleDf = Seq((1122L, "User-1"), (1130L, "User-2"), (1119L, "User-3"))
     .toDF("age", "name")
 
+  test("binary/float/double key columns are rejected loudly at declaration") {
+    // equality-delete matching goes through JVM map lookups where boxed
+    // equality must agree with SQL equality — these types silently miss
+    val bad = StructType(Seq(
+      StructField("b", BinaryType), StructField("v", StringType)))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, TestSpark.tmpDir("gt-binkey"), bad, key = Seq("b"))
+    }
+    val dbl = StructType(Seq(
+      StructField("d", DoubleType), StructField("v", StringType)))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, TestSpark.tmpDir("gt-dblkey"), dbl, key = Seq("d"))
+    }
+    // replaceSortKey enforces the same rule on an existing table
+    val t = GraftTable.create(spark, TestSpark.tmpDir("gt-keyswap"), dbl)
+    intercept[IllegalArgumentException] { t.replaceSortKey(Seq("d")) }
+    // and a legal key still works
+    t.replaceSortKey(Seq("v"))
+  }
+
   test("metadata tables work on a table opened by RELATIVE dir") {
     // the footer-stats jobs run on executors: any path shipped into them
     // must be fully qualified, or it resolves against the task working

@@ -48,7 +48,7 @@ class RuntimeBucketPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IN runtime filter keeps partition values but empties excluded buckets") {
     val t = mkBucketed(8)
-    val scan = new GraftBucketedScan(t,
+    val scan = new GraftBucketedScan(t, t.snapshot,
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
       Array.empty)
     val all = scan.planInputPartitions()
@@ -71,7 +71,7 @@ class RuntimeBucketPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("unparseable runtime predicate prunes nothing (sound)") {
     val t = mkBucketed(4)
-    val scan = new GraftBucketedScan(t,
+    val scan = new GraftBucketedScan(t, t.snapshot,
       StructType(Seq(StructField("k", LongType))), Array.empty)
     val weird = new Predicate("=",
       Array[V2Expression](Expressions.column("k"), Expressions.literal(1L)))
@@ -82,10 +82,10 @@ class RuntimeBucketPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("filterAttributes only advertised when the source column is read") {
     val t = mkBucketed(4)
-    val withK = new GraftBucketedScan(t,
+    val withK = new GraftBucketedScan(t, t.snapshot,
       StructType(Seq(StructField("k", LongType))), Array.empty)
     assert(withK.filterAttributes().map(_.describe()).toSeq == Seq("k"))
-    val withoutK = new GraftBucketedScan(t,
+    val withoutK = new GraftBucketedScan(t, t.snapshot,
       StructType(Seq(StructField("v", StringType))), Array.empty)
     assert(withoutK.filterAttributes().isEmpty)
   }

@@ -41,7 +41,7 @@ class ScanStatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
       spec = Seq(PartitionField("k", "bucket", 4)))
     t.append((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
-    val scan = new GraftBucketedScan(t, t.schema, Array.empty)
+    val scan = new GraftBucketedScan(t, t.snapshot, t.schema, Array.empty)
     val st = scan.estimateStatistics()
     assert(st.numRows().getAsLong == 100L)
     assert(st.sizeInBytes().getAsLong == t.dataSizeBytes(t.snapshot))
