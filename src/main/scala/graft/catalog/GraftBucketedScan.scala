@@ -615,6 +615,24 @@ private[catalog] final class GraftBucketReaderFactory(
     outTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
     extends PartitionReaderFactory {
 
+  // stamping layout is fixed at factory construction — computed once here
+  // (and serialized with the factory), not once per file in the hot path
+  private val fileRank = stamped.indexWhere(_._1 == GraftMetaCols.FILE)
+  private val posRank = stamped.indexWhere(_._1 == GraftMetaCols.POS)
+  private val nData = outTypes.length - stamped.length
+  // identity when the meta columns ARE the trailing outputs in
+  // stamped order; otherwise project appended-last into place
+  private val identity = stamped.zipWithIndex.forall { case ((_, at), rank) =>
+    at == nData + rank
+  }
+  private val ordinals: Array[Int] =
+    if (identity) Array.empty
+    else (0 until outTypes.length).map { i =>
+      val rank = stamped.indexWhere(_._2 == i)
+      if (rank >= 0) nData + rank
+      else i - stamped.count(_._2 < i)
+    }.toArray
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilesPartition]
     new PartitionReader[InternalRow] {
@@ -624,8 +642,6 @@ private[catalog] final class GraftBucketReaderFactory(
         .flatMap { case (path, len) =>
           if (stamped.isEmpty) readFunc(path, len)
           else {
-            val fileRank = stamped.indexWhere(_._1 == GraftMetaCols.FILE)
-            val posRank = stamped.indexWhere(_._1 == GraftMetaCols.POS)
             val metaRow = new GenericInternalRow(stamped.length)
             if (fileRank >= 0) metaRow.update(fileRank,
               org.apache.spark.unsafe.types.UTF8String.fromString(path))
@@ -635,22 +651,8 @@ private[catalog] final class GraftBucketReaderFactory(
               if (posRank >= 0) { metaRow.update(posRank, pos); pos += 1 }
               joined(r, metaRow)
             }
-            val n = outTypes.length
-            val nData = n - stamped.length
-            // identity when the meta columns ARE the trailing outputs in
-            // stamped order; otherwise project appended-last into place
-            val identity = stamped.zipWithIndex.forall { case ((_, at), rank) =>
-              at == nData + rank
-            }
             if (identity) base
-            else {
-              val ordinals = (0 until n).map { i =>
-                val rank = stamped.indexWhere(_._2 == i)
-                if (rank >= 0) nData + rank
-                else i - stamped.count(_._2 < i)
-              }
-              base.map(new GraftReorderRow(ordinals.toArray, outTypes, _))
-            }
+            else base.map(new GraftReorderRow(ordinals, outTypes, _))
           }
         }
       private var cur: InternalRow = _
