@@ -74,22 +74,12 @@ final class GraftBucketedScan(table: GraftTable,
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val dt = snap.schema(pf.source).dataType
     val sets = predicates.flatMap { p =>
-      if (p.name() != "IN") None
-      else p.children().headOption match {
-        case Some(r: org.apache.spark.sql.connector.expressions.NamedReference)
-            if r.fieldNames().length == 1 && r.fieldNames()(0).equalsIgnoreCase(pf.source) =>
-          val vals = p.children().tail.flatMap {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] if l.value != null =>
-              Some(GraftBucketedScan.bucketOf(
-                org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(l.value, dt),
-                dt, pf.param))
-            case _ => None
-          }
-          // prune only when every member hashed (partial = unsound)
-          if (vals.length == p.children().length - 1 && vals.forall(_.isDefined))
-            Some(vals.flatten.toSet)
-          else None
-        case _ => None
+      GraftMetaCols.inValues(p, pf.source).flatMap { vs =>
+        val hashed = vs.map(v => GraftBucketedScan.bucketOf(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt),
+          dt, pf.param))
+        // prune only when every member hashed (partial = unsound)
+        if (hashed.forall(_.isDefined)) Some(hashed.flatten.toSet) else None
       }
     }
     if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))

@@ -40,22 +40,26 @@ object GraftMetaCols {
     * `input_file_name()` (`file:///x`) — both normalize to `/x`. */
   def norm(path: String): String = new Path(path).toUri.getPath
 
+  /** The literal members of a runtime `IN(col, ...)` predicate; None for
+    * any other predicate shape OR when any member is null / non-literal —
+    * a partial value set would prune wrongly, so it is all-or-nothing
+    * (caller skips pruning — sound). Shared by `_file` group filtering
+    * and runtime bucket pruning. */
+  def inValues(p: Predicate, col: String): Option[Seq[Any]] =
+    if (p.name() != "IN") None
+    else p.children().headOption match {
+      case Some(r: NamedReference)
+          if r.fieldNames().length == 1 && r.fieldNames()(0).equalsIgnoreCase(col) =>
+        val vals = p.children().tail.flatMap {
+          case l: Literal[_] if l.value != null => Some(l.value)
+          case _ => None
+        }
+        if (vals.length == p.children().length - 1) Some(vals.toSeq) else None
+      case _ => None
+    }
+
   /** The normalized file set of a runtime `IN(_file, ...)` predicate;
     * None for any other predicate shape (caller skips pruning — sound). */
   def inFileSet(p: Predicate): Option[Set[String]] =
-    if (p.name() != "IN") None
-    else {
-      val ch = p.children()
-      ch.headOption match {
-        case Some(r: NamedReference) if r.fieldNames().sameElements(Array(FILE)) =>
-          val vals = ch.tail.flatMap {
-            case l: Literal[_] if l.value != null => Some(norm(l.value.toString))
-            case _ => None
-          }
-          // only prune when EVERY member parsed — a partial set would
-          // wrongly drop groups
-          if (vals.length == ch.length - 1) Some(vals.toSet) else None
-        case _ => None
-      }
-    }
+    inValues(p, FILE).map(_.map(v => norm(v.toString)).toSet)
 }
