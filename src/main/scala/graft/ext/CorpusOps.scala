@@ -210,6 +210,51 @@ object CorpusOps {
       .orderBy("doc_id", "chunk_start")
   }
 
+  /** N-gram LM cross-entropy scoring — the CCNet-style quality filter
+    * that ranks documents by how "expected" their text is under a
+    * language model trained on a reference corpus (CCNet trains KenLM
+    * on Wikipedia and buckets Common Crawl by perplexity; the
+    * mechanics — n-gram counts → per-doc average negative
+    * log-likelihood — are identical, here self-trained on the corpus).
+    * Bigram model with add-one (Laplace) smoothing:
+    * `P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`; the score is the
+    * doc-average of `-log2 P` over its bigrams — bits per token. Low =
+    * text the corpus LM predicts well (fluent or boilerplate), high =
+    * statistical outlier (the tail a perplexity filter drops). Docs
+    * with fewer than two tokens have no bigrams and are not scored.
+    *
+    * Scale shape: bigram construction is a map-side `zip_with` of the
+    * token array against its own shift plus one explode; LM "training"
+    * is one partial-combine groupBy per n-gram order; scoring re-joins
+    * the doc bigrams to the two count tables — every shuffle is keyed
+    * on the n-gram itself, the model is never collected or broadcast
+    * by hand (AQE broadcasts it only if it is actually small), and the
+    * vocabulary size rides along as a broadcast 1-row frame. At 100 TB
+    * the count tables are themselves distributed tables, and swapping
+    * the self-trained model for a reference-corpus model is the same
+    * plan with `biCounts`/`uniCounts` read from the reference. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tk = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+    val bi = tk.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uniCounts = tk.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
+    bi.join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(avg(-log2((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 4)
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Token-length histogram in power-of-two buckets — the length profile
     * that drives packing efficiency and truncation policy for a training
     * corpus. One partial-combine aggregation over a map-side bucket
@@ -237,7 +282,8 @@ object CorpusOps {
     "vocab_encode" -> ((s, d) => vocabEncode(s, d, v = 20)),
     "split_stable" -> ((s, d) => splitStable(s, d)),
     "chunk_overlap" -> ((s, d) => chunkOverlap(s, d)),
-    "length_buckets" -> ((s, d) => lengthBuckets(s, d))
+    "length_buckets" -> ((s, d) => lengthBuckets(s, d)),
+    "lm_perplexity" -> ((s, d) => lmScore(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +370,20 @@ object CorpusOps {
         |  CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
         |  CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "lm_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM uni)
+        |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-log2((c12 + 1.0) / (c1 + v.v))), 4) AS bits_per_token
+        |FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
   )
 }

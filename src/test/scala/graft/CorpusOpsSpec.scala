@@ -162,4 +162,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1) == ((2L, "1,3,0", 1L)))  // the dog sat
     assert(out(2) == ((3L, "1,2,3,0", 1L))) // the cat dog zzz
   }
+
+  test("lmScore: hand-computed Laplace bigram cross-entropy on a planted corpus") {
+    // corpus: doc1 = "a a a a", doc2 = "a b c d"
+    // unigrams: a:5 b:1 c:1 d:1, V=4
+    // bigrams:  (a,a):3 (a,b):1 (b,c):1 (c,d):1
+    // doc1: 3 × -log2((3+1)/(5+4)) = log2(9/4)          = 1.169925 → 1.1699
+    // doc2: (-log2(2/9) - log2(2/5) - log2(2/5)) / 3    = 1.604594 → 1.6046
+    val dir = fixture(Seq((1L, "a a a a", "en"), (2L, "a b c d", "en")))
+    val out = CorpusOps.lmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 3L, 1.1699)))
+    assert(out(1) == ((2L, 3L, 1.6046)))
+    // the repetitive doc is the more "expected" one under the corpus LM
+    assert(out(0)._3 < out(1)._3)
+  }
+
+  test("lmScore skips docs without bigrams") {
+    val dir = fixture(Seq((1L, "solo", "en"), (2L, "two words", "en")))
+    val out = CorpusOps.lmScore(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
