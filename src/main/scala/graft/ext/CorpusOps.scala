@@ -255,6 +255,35 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source distribution drift: KL divergence (bits) of each
+    * source's unigram distribution from the corpus-wide distribution —
+    * the monitoring signal that catches a source going off-domain (or a
+    * scraper breaking) between corpus builds. `KL(P_s ‖ P) = Σ_w
+    * p_s(w) · log2(p_s(w)/p(w))`; no smoothing needed because every
+    * source word is by construction in the corpus (support(P_s) ⊆
+    * support(P), so p(w) > 0 wherever p_s(w) > 0).
+    *
+    * Scale shape: one explode, two partial-combine groupBys keyed on
+    * the token (per-source and corpus-wide), one token-keyed join, one
+    * final groupBy(source) — output is O(sources). Totals ride along as
+    * grouping keys / a broadcast 1-row frame; nothing driver-side. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir).select(col("source"), explode(toks).as("w"))
+    val bySrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("nsw"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
+    val corpus = bySrc.groupBy(col("w")).agg(sum(col("nsw")).as("nw"))
+    val total = corpus.agg(sum(col("nw")).as("n"))
+    bySrc.join(srcTot, Seq("source")).join(corpus, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("vocab"),
+        round(sum((col("nsw") / col("ns")) *
+          log2((col("nsw") / col("ns")) / (col("nw") / col("n")))), 4)
+          .as("kl_bits"))
+      .orderBy("source")
+  }
+
   /** Token-length histogram in power-of-two buckets — the length profile
     * that drives packing efficiency and truncation policy for a training
     * corpus. One partial-combine aggregation over a map-side bucket
@@ -283,7 +312,8 @@ object CorpusOps {
     "split_stable" -> ((s, d) => splitStable(s, d)),
     "chunk_overlap" -> ((s, d) => chunkOverlap(s, d)),
     "length_buckets" -> ((s, d) => lengthBuckets(s, d)),
-    "lm_perplexity" -> ((s, d) => lmScore(s, d))
+    "lm_perplexity" -> ((s, d) => lmScore(s, d)),
+    "source_kl" -> ((s, d) => sourceKl(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +414,19 @@ object CorpusOps {
         |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(-log2((c12 + 1.0) / (c1 + v.v))), 4) AS bits_per_token
         |FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
-        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    "source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |bysrc AS (SELECT source, w, count(*) AS nsw FROM tok GROUP BY source, w),
+        |srctot AS (SELECT source, sum(nsw) AS ns FROM bysrc GROUP BY source),
+        |corpus AS (SELECT w, sum(nsw) AS nw FROM bysrc GROUP BY w),
+        |tot AS (SELECT sum(nw) AS n FROM corpus)
+        |SELECT b.source,
+        |  CAST(max(s.ns) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  ROUND(SUM((nsw / CAST(s.ns AS DOUBLE)) *
+        |    log2((nsw / CAST(s.ns AS DOUBLE)) / (nw / CAST(tot.n AS DOUBLE)))), 4) AS kl_bits
+        |FROM bysrc b JOIN srctot s USING (source) JOIN corpus c ON b.w = c.w CROSS JOIN tot
+        |GROUP BY b.source ORDER BY b.source""".stripMargin
   )
 }

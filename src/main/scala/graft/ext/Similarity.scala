@@ -211,6 +211,36 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding diversity per group — the curation metric behind "is this
+    * slice of the corpus semantically varied or one collapsed cluster".
+    * For unit vectors the MEAN PAIRWISE COSINE of a group needs no pair
+    * join: `Σ_{i≠j} cos(u_i,u_j) = ‖Σu‖² − n`, so mean pairwise cosine
+    * = (‖Σu‖² − n) / (n(n−1)) — an O(N·d) aggregate identity, not the
+    * O(N²) join the naive form suggests. Also reports the centroid norm
+    * ‖Σu‖/n (1 = fully collapsed, → 0 = isotropic spread).
+    *
+    * Scale shape: per-row normalization is map-side (codegen'd vec_dot
+    * norm); the only shuffles are a (group, dim)-keyed partial-combine
+    * sum and an O(groups · d) final fold — no pair join at any scale.
+    * Groups of one vector have no pairs and are excluded. */
+  def embeddingDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("u", transform(col("e"), x => x / sqrt(vec_dot(col("e"), col("e")))))
+    val byDim = e.select(col("label"), posexplode(col("u")).as(Seq("d", "uv")))
+      .groupBy(col("label"), col("d")).agg(sum(col("uv")).as("sd"))
+    val sumsq = byDim.groupBy(col("label")).agg(sum(col("sd") * col("sd")).as("sumsq"))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    counts.join(sumsq, Seq("label")).filter(col("n") >= 2)
+      .select(col("label"), col("n").cast(LongType).as("n_vecs"),
+        round((col("sumsq") - col("n")) / (col("n") * (col("n") - lit(1.0))), 4)
+          .as("mean_pairwise_cos"),
+        round(sqrt(col("sumsq")) / col("n"), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Driver-visible invariant gate for the approximate ANN queries: recall
     * against the exact brute-force top-k must clear a floor, re-checked on
     * EVERY run — a regression in the index machinery (bucketing, probing,
@@ -245,7 +275,8 @@ object Similarity {
       withRecallFloor(s, d, annLshBucketed(s, d), 0.4, "LSH ANN")),
     "ann_ivf" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annIvf(s, d), 0.25, "IVF ANN")),
-    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d))
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
+    "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +298,18 @@ object Similarity {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e)
         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    "embedding_diversity" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nv FROM e),
+        |u AS (SELECT e.label, generate_subscripts(e.e, 1) AS d, unnest(e.e) / n.nv AS uv
+        |      FROM e JOIN nrm n USING (vec_id)),
+        |s AS (SELECT label, d, sum(uv) AS sd FROM u GROUP BY label, d),
+        |q AS (SELECT label, sum(sd * sd) AS sumsq FROM s GROUP BY label),
+        |c AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+        |SELECT c.label, CAST(c.n AS BIGINT) AS n_vecs,
+        |  ROUND((q.sumsq - c.n) / (c.n * (c.n - 1.0)), 4) AS mean_pairwise_cos,
+        |  ROUND(sqrt(q.sumsq) / c.n, 4) AS centroid_norm
+        |FROM c JOIN q USING (label) WHERE c.n >= 2 ORDER BY c.label""".stripMargin
   )
 }

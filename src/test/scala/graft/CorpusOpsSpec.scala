@@ -179,6 +179,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0)._3 < out(1)._3)
   }
 
+  test("sourceKl: hand-computed divergence for a balanced and a skewed source") {
+    // the shared fixture helper stamps one source for every doc — this
+    // test needs two, so it writes its own documents.parquet
+    val d2 = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    Seq(
+      (1L, "x y x y", "en", "balanced", 7L),
+      (2L, "x x x x", "en", "skewed", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val rows = CorpusOps.sourceKl(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // corpus: x:6 y:2 -> p(x)=0.75 p(y)=0.25
+    // balanced: p_s(x)=p_s(y)=0.5 -> KL = 0.5·log2(0.5/0.75) + 0.5·log2(0.5/0.25)
+    //                                    = 0.5·(-0.58496) + 0.5·1 = 0.2075
+    // skewed:   p_s(x)=1           -> KL = log2(1/0.75) = 0.415
+    assert(rows(0) == (("balanced", 4L, 2L, 0.2075)))
+    assert(rows(1) == (("skewed", 4L, 1L, 0.415)))
+  }
+
   test("lmScore skips docs without bigrams") {
     val dir = fixture(Seq((1L, "solo", "en"), (2L, "two words", "en")))
     val out = CorpusOps.lmScore(spark, dir).collect()

@@ -139,6 +139,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall $recall too low")
   }
 
+  test("embeddingDiversity: closed-form mean pairwise cosine on planted vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_div").toString
+    // label 0: identical unit vectors -> mean cos 1.0, centroid norm 1.0
+    // label 1: orthogonal -> mean cos 0.0, centroid sqrt(2)/2 = 0.7071
+    // label 2: opposite -> mean cos -1.0, centroid 0.0
+    // label 3: singleton -> excluded (no pairs)
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 1), (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(1.0f, 0.0f), 2), (5L, Seq(-1.0f, 0.0f), 2),
+      (6L, Seq(1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingDiversity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0, 2L, 1.0, 1.0),
+      (1, 2L, 0.0, 0.7071),
+      (2, 2L, -1.0, 0.0)))
+  }
+
   test("multimodal frame sampling: row -> frames expansion with size contract") {
     val payloads = Seq((1L, Array.tabulate(100)(_.toByte)), (2L, Array.empty[Byte]))
       .toDF("doc_id", "payload")
