@@ -218,11 +218,16 @@ final case class GraftFilePartition(files: Array[(String, Long)],
   * the table. */
 final class GraftFlatBatchScan(table: GraftTable, required: StructType,
                                pushed: Array[Filter],
-                               groupFilter: Option[java.util.concurrent.atomic.AtomicReference[Option[Set[String]]]] = None)
+                               groupFilter: Option[java.util.concurrent.atomic.AtomicReference[Option[Set[String]]]] = None,
+                               // a pre-read snapshot pins the scan (time
+                               // travel, or the builder's routing check —
+                               // re-reading here would race a concurrent
+                               // commit against the routing decision)
+                               snap0: Option[graft.table.Snapshot] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
 
-  private val snap = table.snapshot
+  private val snap = snap0.getOrElse(table.snapshot)
   private def spark = SparkSession.active
 
   // file partitions grouped by the data dir they belong to (the groups
@@ -297,7 +302,7 @@ final class GraftFlatBatchScan(table: GraftTable, required: StructType,
   * from a scratch parquet of merged delete keys (large sets — no driver
   * materialization; see [[GraftScratchDeletes]]). */
 private final class GraftDeleteFilteringReaderFactory(
-    inner: GraftBucketReaderFactory, keyIdx: Array[Int],
+    inner: PartitionReaderFactory, keyIdx: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     delsF: () => Map[Seq[Any], Int]) extends PartitionReaderFactory {
 
@@ -446,93 +451,117 @@ object GraftBucketedScan {
     * physical read internally and projected away after filtering, so a
     * non-key projection of a MoR table still returns live rows only. A
     * delete file with no logged rowCount (legacy -1) is counted from its
-    * parquet footers instead of erroring. */
+    * parquet footers instead of erroring.
+    *
+    * Delete files are applied PER KEY GROUP: the snapshot's equality
+    * deletes share one key set (enforced at commit) and POSITION deletes
+    * (key set `(_file, _pos)`, [[graft.table.GraftTable.PosDeleteKeys]])
+    * coexist with them; each group gets its own map and filter wrapper,
+    * chained over one shared widened read. Position keys bind to the
+    * reader's stamped metadata columns — a stamped `_pos` disables
+    * parquet filter pushdown (see [[readerFactory]]) so ordinals stay
+    * true file positions. */
   private[catalog] def deleteAware(tableDir: String, snap: graft.table.Snapshot,
       required: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
     if (snap.deletes.isEmpty) return readerFactory(snap, required, pushed)
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, lit, max => fmax}
-    val delKeys = snap.deletes.head.keys // uniform key set (enforced at commit)
-    val physKeys = delKeys.map(snap.physicalOf)
-    // legacy delete files (rowCount -1) fall back to a footer-metadata
-    // count — unknown size is a fallback, never an error
-    val counts = snap.deletes.map(d =>
-      if (d.rowCount >= 0) d.rowCount
-      else spark.read.parquet(s"$tableDir/${d.path}").count())
+    val posKeys = graft.table.GraftTable.PosDeleteKeys
+    val groups: Seq[(Seq[String], Seq[graft.table.DeleteFile])] =
+      snap.deletes.groupBy(_.keys).toSeq.sortBy(_._1.mkString(","))
+    // a delete key is a METADATA column when the schema doesn't shadow it
+    def isMetaKey(k: String): Boolean =
+      posKeys.contains(k) && !snap.schema.fieldNames.contains(k)
+    def fieldFor(k: String): StructField =
+      if (!isMetaKey(k)) snap.schema(k)
+      else if (k == GraftMetaCols.FILE) StructField(k, StringType, nullable = false)
+      else StructField(k, LongType, nullable = false)
+    def physFor(k: String): String = if (isMetaKey(k)) k else snap.physicalOf(k)
     val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
       .map(_.toLong).getOrElse(1000000L)
-    // widen the read schema with unselected delete-key columns; the
-    // filtered rows are projected back to the caller's schema below
-    val missing = delKeys.filterNot(k =>
+    // widen the read schema with unselected delete-key columns (data OR
+    // metadata); the filtered rows are projected back below
+    val allKeys = groups.flatMap(_._1).distinct
+    val missing = allKeys.filterNot(k =>
       required.fieldNames.exists(_.equalsIgnoreCase(k)))
-    val widened = StructType(required.fields ++ missing.map(k => snap.schema(k)))
+    val widened = StructType(required.fields ++ missing.map(fieldFor))
     val inner = readerFactory(snap, widened, pushed)
-    // key positions by LOGICAL name (the widened schema may carry
-    // non-physical metadata columns like `_file`)
-    val keyIdx = delKeys.map(k =>
-      widened.fieldNames.indexWhere(_.equalsIgnoreCase(k))).toArray
-    val keyTypes = keyIdx.map(i => widened.fields(i).dataType)
-    val merged = snap.deletes.map { d =>
-      spark.read.parquet(s"$tableDir/${d.path}")
-        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
-    }.reduce(_ unionAll _)
-      .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
-    val delsF: () => Map[Seq[Any], Int] =
-      if (counts.sum <= maxRows) {
-        val conv = keyTypes.map(
-          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
-        val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
-          val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
-          k -> r.getInt(conv.length)
-        }.toMap
-        () => dels
-      } else {
-        // distributed merge: keys never touch the driver. The scratch dir
-        // is content-addressed by the delete-file set, so repeated scans
-        // of the same snapshot reuse both the file and the executor cache
-        // (vacuum sweeps the scratch dir with the other log sidecars).
-        val tag = java.util.UUID.nameUUIDFromBytes(
-          snap.deletes.map(d => s"${d.path}@${d.version}").mkString("|")
-            .getBytes("UTF-8")).toString
-        val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
-        val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
-          // write-then-rename: two sessions racing on the same snapshot
-          // must never overwrite a scratch dir a concurrent reader is
-          // consuming. Both write identical content (the tag is the
-          // delete-file set), so the rename loser just deletes its copy.
-          val attempt = s"${scratch}_w${java.util.UUID.randomUUID().toString.take(8)}"
-          merged.write.mode("overwrite").parquet(attempt)
-          if (!fs.rename(new Path(attempt), new Path(scratch)))
-            fs.delete(new Path(attempt), true)
-          else {
-            // Hadoop rename into an EXISTING dir relocates the source
-            // inside it and still returns true — if a racing winner got
-            // there first, our copy is now nested junk; remove it (the
-            // top-level listing below filters isFile, so reads were
-            // never at risk, but the duplicate keys are real bytes)
-            val nested = new Path(scratch, new Path(attempt).getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
+    val chained = groups.foldLeft(inner: PartitionReaderFactory) {
+      case (wrapped, (delKeys, delFiles)) =>
+        val physKeys = delKeys.map(physFor)
+        // legacy delete files (rowCount -1) fall back to a footer-metadata
+        // count — unknown size is a fallback, never an error
+        val counts = delFiles.map(d =>
+          if (d.rowCount >= 0) d.rowCount
+          else spark.read.parquet(s"$tableDir/${d.path}").count())
+        // key positions by LOGICAL name (the widened schema may carry
+        // non-physical metadata columns like `_file`)
+        val keyIdx = delKeys.map(k =>
+          widened.fieldNames.indexWhere(_.equalsIgnoreCase(k))).toArray
+        val keyTypes = keyIdx.map(i => widened.fields(i).dataType)
+        val merged = delFiles.map { d =>
+          spark.read.parquet(s"$tableDir/${d.path}")
+            .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
+        }.reduce(_ unionAll _)
+          .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
+        val delsF: () => Map[Seq[Any], Int] =
+          if (counts.sum <= maxRows) {
+            val conv = keyTypes.map(
+              org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+            val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
+              val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
+              k -> r.getInt(conv.length)
+            }.toMap
+            () => dels
+          } else {
+            // distributed merge: keys never touch the driver. The scratch
+            // dir is content-addressed by the group's delete-file set, so
+            // repeated scans of the same snapshot reuse both the file and
+            // the executor cache (vacuum sweeps the scratch dir with the
+            // other log sidecars).
+            val tag = java.util.UUID.nameUUIDFromBytes(
+              delFiles.map(d => s"${d.path}@${d.version}").mkString("|")
+                .getBytes("UTF-8")).toString
+            val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
+            val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
+              // write-then-rename: two sessions racing on the same snapshot
+              // must never overwrite a scratch dir a concurrent reader is
+              // consuming. Both write identical content (the tag is the
+              // delete-file set), so the rename loser just deletes its copy.
+              val attempt = s"${scratch}_w${java.util.UUID.randomUUID().toString.take(8)}"
+              merged.write.mode("overwrite").parquet(attempt)
+              if (!fs.rename(new Path(attempt), new Path(scratch)))
+                fs.delete(new Path(attempt), true)
+              else {
+                // Hadoop rename into an EXISTING dir relocates the source
+                // inside it and still returns true — if a racing winner got
+                // there first, our copy is now nested junk; remove it (the
+                // top-level listing below filters isFile, so reads were
+                // never at risk, but the duplicate keys are real bytes)
+                val nested = new Path(scratch, new Path(attempt).getName)
+                if (fs.exists(nested)) fs.delete(nested, true)
+              }
+            }
+            // loud, retryable failure if a pathological rename race left no
+            // committed copy — an empty listing here would silently DROP the
+            // pending deletes from the scan
+            require(fs.exists(new Path(scratch, "_SUCCESS")),
+              s"scratch delete-merge not committed at $scratch; rerun the scan")
+            val files = fs.listStatus(new Path(scratch))
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => (f.getPath.toString, f.getLen)).toSeq
+            val scratchSchema = StructType(
+              keyTypes.zip(physKeys).map { case (dt, n) => StructField(n, dt, nullable = true) } :+
+                StructField("__v", IntegerType, nullable = false))
+            val readFunc = GraftShim.parquetFileReader(spark, scratchSchema, scratchSchema, Nil)
+            val kt = keyTypes
+            () => GraftScratchDeletes.load(scratch, files, readFunc, kt)
           }
-        }
-        // loud, retryable failure if a pathological rename race left no
-        // committed copy — an empty listing here would silently DROP the
-        // pending deletes from the scan
-        require(fs.exists(new Path(scratch, "_SUCCESS")),
-          s"scratch delete-merge not committed at $scratch; rerun the scan")
-        val files = fs.listStatus(new Path(scratch))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath.toString, f.getLen)).toSeq
-        val scratchSchema = StructType(
-          keyTypes.zip(physKeys).map { case (dt, n) => StructField(n, dt, nullable = true) } :+
-            StructField("__v", IntegerType, nullable = false))
-        val readFunc = GraftShim.parquetFileReader(spark, scratchSchema, scratchSchema, Nil)
-        val kt = keyTypes
-        () => GraftScratchDeletes.load(scratch, files, readFunc, kt)
-      }
-    val filtering = new GraftDeleteFilteringReaderFactory(inner, keyIdx, keyTypes, delsF)
-    if (missing.isEmpty) filtering
-    else new GraftProjectingReaderFactory(filtering, required)
+        new GraftDeleteFilteringReaderFactory(wrapped, keyIdx, keyTypes, delsF)
+    }
+    if (missing.isEmpty) chained
+    else new GraftProjectingReaderFactory(chained, required)
   }
 
   /** Recursive `.parquet` listing of one committed data dir, one

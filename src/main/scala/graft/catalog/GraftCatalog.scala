@@ -62,6 +62,10 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   override def loadView(ident: Identifier): View = {
     if (!tableExists(ident)) throw new NoSuchViewException(ident)
     val t = GraftTable.load(spark, dirOf(ident))
+    // pending position deletes are inexpressible as view SQL — report
+    // "no view" so resolution falls through to loadTable's DSv2 scan
+    if (t.snapshot.deletes.exists(_.keys == GraftTable.PosDeleteKeys))
+      throw new NoSuchViewException(ident)
     val viewSchema = t.schema
     val sql = t.viewSql
     new View {

@@ -130,8 +130,12 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
               a.exprId == m.exprId
             case _ => false
           })))
-        if (usesMeta) r
+        if (usesMeta || gst.keepScan) r
         else if (spjOn && gst.asOfVersion.isEmpty && GraftSparkTable.spjEligible(snap)) r
+        // pending POSITION deletes key on the reader-stamped (_file, _pos)
+        // identity — inexpressible as view SQL; keep the DSv2 scan, whose
+        // delete-aware reader applies them
+        else if (snap.deletes.exists(_.keys == graft.table.GraftTable.PosDeleteKeys)) r
         else GraftViewPlaceholder(r.output,
           spark.sessionState.sqlParser.parsePlan(gt.viewSqlOf(snap)))
       case h: GraftViewPlaceholder if h.child.resolved =>

@@ -44,7 +44,14 @@ final class GraftSparkTable(val dir: String, tableName: String,
                             // the table is created ON FIRST WRITE with this
                             // schema/spec — a read of the missing path must
                             // error, never side-effect a table onto disk
-                            pendingCreate: Option[(StructType, Seq[PartitionField])] = None)
+                            pendingCreate: Option[(StructType, Seq[PartitionField])] = None,
+                            // .option("keepScan", true): never swap this
+                            // relation for its SQL view — required when a
+                            // LATER DataFrame transformation will reference
+                            // metadata columns (the bare load() analyzes
+                            // before any projection exists, so the rewrite
+                            // rule cannot see the upcoming meta reference)
+                            val keepScan: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -343,14 +350,17 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     // real file paths / row positions and applies deletes reader-side;
     // the view path's input_file_name is illegal past multi-source plans
     // and has no position at all). A DATA column of the same name
-    // shadows its metadata column and reads normally.
+    // shadows its metadata column and reads normally. Pending POSITION
+    // deletes force the same route: only the stamping reader can apply a
+    // delete keyed on (_file, _pos). Both pin the snapshot they checked.
     val wantsMeta = Seq(GraftMetaCols.FILE, GraftMetaCols.POS).exists(m =>
       required.fieldNames.contains(m) && !table.schema.fieldNames.contains(m))
-    if (wantsMeta) {
-      require(asOf.isEmpty,
-        "_file/_pos are not available on VERSION/TIMESTAMP AS OF reads")
-      return new GraftFlatBatchScan(table, required, accepted)
-    }
+    val routeSnap = asOf.map(table.snapshotAt).getOrElse(table.snapshot)
+    val hasPosDeletes =
+      routeSnap.deletes.exists(_.keys == graft.table.GraftTable.PosDeleteKeys)
+    if (wantsMeta || hasPosDeletes)
+      return new GraftFlatBatchScan(table, required, accepted,
+        snap0 = Some(routeSnap))
     val schema = required
     val filter = pred
     val pinned = asOf

@@ -132,6 +132,19 @@ object RefOps {
     t.toDF.orderBy("customer_id")
   }
 
+  // Position-delete MoR DELETE (extension past the reference's equality
+  // deletes, IcebergJavaApiUpsert.java): rows die by their (_file,_pos)
+  // physical identity — no data rewrite, no key column required.
+  private def positionalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val target = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val t = GraftTable.create(spark, tmp("positional_delete"), target.schema,
+      formatVersion = 2)
+    t.append(target)
+    t.deleteWherePositional(col("customer_id") % 7 === 0)
+    t.toDF.orderBy("customer_id")
+  }
+
   // M5 — the SCD2 pipeline (flagship; IcebergSCD2.java:51-68)
   def scd2Pipeline(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -696,6 +709,7 @@ object RefOps {
     "merge_guard" -> mergeGuard,
     "merge_star_evolve" -> mergeStarEvolve,
     "delete_where" -> deleteWhere,
+    "positional_delete" -> positionalDelete,
     "scd2_pipeline" -> (scd2Pipeline _),
     "rowdelta_upsert" -> rowdeltaUpsert,
     "schema_add_drop" -> schemaAddDrop,
@@ -776,6 +790,10 @@ object RefOps {
       """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment
         |FROM customer
         |WHERE NOT (c_custkey % 10 < 3 AND c_mktsegment = 'BUILDING')
+        |ORDER BY customer_id""".stripMargin,
+    "positional_delete" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_custkey % 7 <> 0
         |ORDER BY customer_id""".stripMargin,
     "scd2_pipeline" ->
       """WITH cust AS (SELECT c_custkey AS customer_id, c_name AS name FROM customer),

@@ -110,7 +110,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                 java.sql.Timestamp.valueOf(ts.trim).getTime }
             GraftTable.load(spark, dir).versionAsOfTimestamp(millis)
           })
-        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf, pending)
+        new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf, pending,
+          keepScan = Option(opts.get("keepScan")).exists(_.trim.equalsIgnoreCase("true")))
     }
   }
 }

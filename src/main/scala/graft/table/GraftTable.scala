@@ -610,9 +610,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     require(s.formatVersion >= 2,
       s"rowDelta requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
-    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+    require(GraftTable.equalityDeleteKeys(s).forall(_ == keys),
       s"rowDelta key set $keys differs from existing delete files' key set " +
-        s"${s.deletes.head.keys}; mixed equality-delete keys are not supported")
+        s"${GraftTable.equalityDeleteKeys(s)}; mixed equality-delete keys are not supported")
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
     deleteKeys.select(keys.map(col): _*)
@@ -626,8 +626,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       val b = Option(rebase).getOrElse(s)
       // re-check on rebase: a racing rowDelta with a different key set
       // must not slip past the pre-read validation
-      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
-        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
+      require(GraftTable.equalityDeleteKeys(b).forall(_ == keys),
+        s"concurrent rowDelta with different key set ${GraftTable.equalityDeleteKeys(b)} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs =
           if (nrows > 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
@@ -635,6 +635,70 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes)
     })
     this
+  }
+
+  /** POSITION deletes — merge-on-read DELETE addressed by physical row
+    * identity instead of a key column: each delete row names a data file
+    * and a row ordinal within it, exactly Iceberg's format-v2 position
+    * delete files (the delete form Spark+Iceberg MoR `DELETE` writes for
+    * tables with no equality spec). The commit reuses the equality-delete
+    * structure with the reserved key set `(_file, _pos)`; readers apply
+    * them through the same version-guarded reader-side filter, keyed on
+    * the scan's stamped metadata columns. A file rewritten later lives
+    * under a new data dir, so stale position deletes can never re-fire.
+    *
+    * `pos` must carry `_file` (string) and `_pos` (long) columns — the
+    * values a graft scan's metadata columns produce. Paths are
+    * canonicalized to the reader's stamped form (filesystem-qualified),
+    * so `file:/x`, `file:///x` and bare `/x` spellings all match.
+    *
+    * The commit ABORTS if the table advanced since this call started:
+    * positions computed against an older snapshot may name files a
+    * concurrent rewrite removed, and folding them forward would silently
+    * drop the delete (the same strictness as [[commitReplace]]). */
+  def positionDelete(pos: DataFrame): GraftTable = {
+    val s = snapshot
+    require(s.formatVersion >= 2,
+      s"positionDelete requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
+    require(!s.schema.fieldNames.exists(n => GraftTable.PosDeleteKeys.contains(n)),
+      "positionDelete keys on the _file/_pos METADATA columns; this table has " +
+        "data columns shadowing them")
+    val uriStr = fs.getUri.toString
+    val qualify = udf { (p: String) =>
+      if (p == null) null
+      else new Path(new Path(p).toUri.getPath)
+        .makeQualified(java.net.URI.create(uriStr), new Path("/")).toString
+    }
+    val dsub = s"deletes/${UUID.randomUUID()}"
+    pos.select(qualify(col(GraftTable.PosDeleteKeys.head)).as(GraftTable.PosDeleteKeys.head),
+        col(GraftTable.PosDeleteKeys(1)).cast(LongType).as(GraftTable.PosDeleteKeys(1)))
+      .write.mode("errorifexists").parquet(s"$dir/$dsub")
+    val dRows = footerRowCount(s"$dir/$dsub")
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      require(b.version == s.version,
+        s"concurrent write during position delete (table advanced " +
+          s"v${s.version} -> v${b.version}); recompute positions and retry")
+      b.copy(version = v, op = "rowdelta",
+        deletes =
+          if (dRows != 0) b.deletes :+ DeleteFile(dsub, GraftTable.PosDeleteKeys, v, dRows)
+          else b.deletes)
+    })
+    this
+  }
+
+  /** Positional MoR DELETE WHERE: scans the table's matching rows for
+    * their `(_file, _pos)` identities (one filtered metadata-column scan,
+    * filters pushed down) and commits them as a position-delete file —
+    * no data rewrite at any scale, the Iceberg merge-on-read `DELETE`
+    * for tables without an equality key. */
+  def deleteWherePositional(cond: Column): GraftTable = {
+    // keepScan: the metadata columns are referenced AFTER load() analyzes,
+    // so the DSv2 relation must not be view-swapped in the meantime
+    val pos = spark.read.format("graft").option("keepScan", "true")
+      .load(dir).where(cond)
+      .select(GraftTable.PosDeleteKeys.map(col): _*)
+    positionDelete(pos)
   }
 
   // ---- schema evolution (D4-D7) ---------------------------------------
@@ -784,6 +848,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def dfAt(s: Snapshot): DataFrame = {
     if (s.dataDirs.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // pending POSITION deletes need each row's (_file, _pos) identity —
+    // only the DSv2 reader stamps it, so route through the graft source
+    // (its delete-aware scan applies every pending delete group)
+    if (s.deletes.exists(_.keys == GraftTable.PosDeleteKeys))
+      return spark.read.format("graft")
+        .option("versionAsOf", s.version).load(dir)
     // physical read schema: physical names + typed partition-derived cols
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
@@ -1311,14 +1381,25 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }
-        val pre = dfAt(parent).select(aligned.toIndexedSeq: _*)
+        val positional = d.keys == GraftTable.PosDeleteKeys
+        // position deletes name rows by the READER-stamped (_file, _pos)
+        // identity: pre-images come from the DSv2 scan of the parent
+        // snapshot with its metadata columns selected alongside the data
+        val pre =
+          if (positional)
+            spark.read.format("graft").option("versionAsOf", parent.version)
+              .option("keepScan", "true").load(dir)
+              .select((aligned.toIndexedSeq ++ d.keys.map(col)): _*)
+          else dfAt(parent).select(aligned.toIndexedSeq: _*)
         val keyDf = spark.read.parquet(s"$dir/${d.path}")
-          .select(d.keys.map(k => col(s.physicalOf(k)).as(k)): _*)
+          .select(d.keys.map(k =>
+            col(if (positional) k else s.physicalOf(k)).as(k)): _*)
         val keySide =
           if (d.rowCount >= 0 && d.rowCount <= deleteBroadcastMaxRows)
             broadcast(keyDf)
           else keyDf
         pre.join(keySide, d.keys.toSeq, "left_semi")
+          .drop((if (positional) d.keys else Nil): _*)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(d.version))
       }
@@ -1335,6 +1416,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def viewSql: String = viewSqlOf(snapshot)
 
   def viewSqlOf(s: Snapshot): String = {
+    // a position delete keys on the READER-stamped (_file, _pos) row
+    // identity, which a self-contained SQL view over parquet.`path`
+    // relations cannot reproduce — consumers must use the DSv2 scan
+    // (GraftExtensions keeps the relation un-rewritten for these)
+    require(!s.deletes.exists(_.keys == GraftTable.PosDeleteKeys),
+      "pending position deletes cannot be rendered as view SQL; " +
+        "read through the graft DSv2 scan or compact() first")
     def q(n: String) = s"`${n.replace("`", "``")}`"
     val logicalList = s.schema.fields.map(f => q(f.name)).mkString(", ")
     if (s.dataDirs.isEmpty) {
@@ -1509,7 +1597,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     require(s.formatVersion >= 2,
       s"delta write requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
-    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+    require(GraftTable.equalityDeleteKeys(s).forall(_ == keys),
       s"delta key set $keys differs from existing delete files' key set")
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
@@ -1519,8 +1607,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       require(b.version == expectedVersion,
         s"concurrent write during row-level operation (table advanced " +
           s"v$expectedVersion -> v${b.version}); retry the statement")
-      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
-        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
+      require(GraftTable.equalityDeleteKeys(b).forall(_ == keys),
+        s"concurrent rowDelta with different key set ${GraftTable.equalityDeleteKeys(b)} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs = if (dataRows > 0) b.dataDirs :+ DataDir(dataSub, v, dataRows) else b.dataDirs,
         deletes = if (delRows > 0) b.deletes :+ DeleteFile(delSub, keys, v, delRows) else b.deletes)
@@ -1539,7 +1627,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     var s = snapshot
     require(s.formatVersion >= 2,
       s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
-    require(s.deletes.isEmpty || s.deletes.head.keys == keys,
+    require(GraftTable.equalityDeleteKeys(s).forall(_ == keys),
       s"upsert key set $keys differs from existing delete files' key set")
     if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
     // a per-epoch delta stream grows one (data dir, delete file) pair per
@@ -2256,6 +2344,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
 object GraftTable {
   private val mapper = new ObjectMapper()
+
+  /** The reserved delete-key set marking a POSITION delete file: keys on
+    * the scan-stamped `_file`/`_pos` metadata columns instead of data
+    * columns (Iceberg's format-v2 position deletes). */
+  val PosDeleteKeys: Seq[String] = Seq("_file", "_pos")
+
+  /** The uniform key set of a snapshot's EQUALITY delete files (position
+    * files are keyed on row identity and coexist with any equality set);
+    * None when only position deletes (or none) are pending. */
+  private[graft] def equalityDeleteKeys(s: Snapshot): Option[Seq[String]] =
+    s.deletes.find(_.keys != PosDeleteKeys).map(_.keys)
 
   /** Column alignment for writes: missing nullable columns become NULL,
     * extra columns error, types cast (ANSI store-assignment — X2). */
