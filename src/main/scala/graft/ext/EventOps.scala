@@ -10,9 +10,11 @@ import graft.ops.Tables._
   * (the streaming forms live in graft.streaming and are unit-tested with
   * the memory sink; same column logic).
   *
-  * `ts` is int64 nanoseconds (see Tables.events); all bucketing /
-  * ordering here uses exact integer microsecond math so results are
-  * bit-identical to the DuckDB oracle (which truncates ns→µs on read). */
+  * `ts` physical encoding varies by fixture generation (int64 nanos or
+  * TIMESTAMP_NTZ micros); Tables.eventsWithTs probes the resolved type
+  * and derives `ts_us` (epoch µs, bigint) either way, so everything here
+  * uses exact integer microsecond math and stays bit-identical to the
+  * DuckDB oracle (`epoch_us(ts)`) regardless of encoding. */
 object EventOps {
 
   // keyed-latest dedup: last event per user (ts desc, event_id desc tiebreak)

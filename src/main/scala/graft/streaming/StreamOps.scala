@@ -16,14 +16,14 @@ import org.apache.spark.sql.types._
   * results — the standard lambda-free design at scale. */
 object StreamOps {
 
-  /** File stream over a testdata dir's events parquet (ts arrives as
-    * int64 nanoseconds, see graft.ops.Tables.events). */
+  /** File stream over a testdata dir's events parquet. `readStream`
+    * requires a user schema, and the `ts` physical type varies by fixture
+    * generation (int64 nanos vs TIMESTAMP_NTZ micros) — so probe the
+    * batch footer once and reuse its resolved schema, instead of baking
+    * an encoding in. Downstream ops derive `ts_us` through the same
+    * schema-probing [[graft.ops.Tables.tsUsExpr]] as the batch queries. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = graft.ops.Tables.events(spark, dir).schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -77,7 +77,7 @@ object StreamOps {
     * mode. Identical expressions to the batch query. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micro", timestamp_micros(graft.ops.Tables.tsUsExpr(events)))
       .withWatermark("ts_micro", "2 hours")
       .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -144,12 +144,12 @@ object StreamOps {
     * time-bound condition, so Spark can expire buffered rows — the state
     * store holds one bounded window per side, never the whole history
     * (the requirement for any stream-stream join at scale). Input is one
-    * raw events stream (ts int64 ns); the two sides are filtered from it
+    * raw events stream; the two sides are filtered from it
     * — joining two streams derived from one source is fully supported. */
   def attribution(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
     def side(t: String, pre: String) = events
       .filter(col("event_type") === t)
-      .withColumn(s"${pre}_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn(s"${pre}_ts", timestamp_micros(graft.ops.Tables.tsUsExpr(events)))
       .withWatermark(s"${pre}_ts", "2 hours")
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col(s"${pre}_ts"))
@@ -176,7 +176,7 @@ object StreamOps {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
-      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micro", timestamp_micros(graft.ops.Tables.tsUsExpr(events)))
       .withWatermark("ts_micro", "2 hours")
       // the watermarked TIMESTAMP column itself must reach the stateful
       // operator (projecting it into a bigint would drop the watermark tag)

@@ -55,8 +55,7 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val streamed = spark.table("attrib").collect().map(_.toSeq).toSet
       // batch twin: identical join logic over the static frame
-      val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = graft.ops.Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
       val v = ev.filter($"event_type" === "view")
         .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts_us".as("view_ts_us"))
       val p = ev.filter($"event_type" === "purchase")
