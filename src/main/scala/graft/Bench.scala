@@ -62,10 +62,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
-    // full JSON beside the build so the timings always survive
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes("UTF-8"))
-    catch { case _: Exception => }
+    // full JSON beside the build so the timings always survive. bench.json
+    // is scratch (any run, any subset); bench_full.json is the durable
+    // full-surface artifact and is NEVER written by subset runs, so a
+    // local 2-query iteration can't clobber the round's record (the r4
+    // artifact was lost exactly that way).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        json.getBytes("UTF-8"))
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+          json.getBytes("UTF-8"))
+    } catch { case _: Exception => }
     spark.stop()
   }
 }

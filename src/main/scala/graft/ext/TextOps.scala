@@ -468,18 +468,28 @@ object TextOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * chunks (Hamming ≤ 3 ⇒ at least one identical chunk), join on chunks,
-    * verify with exact Hamming distance via bit_count(xor). */
-  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // collapse identical fingerprints first (same skew hardening as
-    // dedupMinhashLsh phase 0): pairwise work happens between DISTINCT
-    // fingerprints only, never inside a group of exact duplicates
+  /** Distinct-fingerprint representatives for the SimHash family: one
+    * (sh, min doc_id) row per distinct 64-bit fingerprint — the phase-0
+    * collapse (same skew hardening as [[dedupMinhashLsh]]), shared by the
+    * pair query and its recall gate so both agree on the id space. */
+  private def simhashReps(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextSignatureFunctions.register(spark)
-    val d = documents(spark, dir)
+    documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextSignatureFunctions.simhash(array_distinct(tokens)).as("sh"))
       .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (Hamming ≤ 3 ⇒ at least one identical chunk), join on chunks,
+    * verify with exact Hamming distance via bit_count(xor). */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsOverReps(simhashReps(spark, dir), maxHamming)
+
+  /** [[dedupSimhash]] core over an existing representative table — split
+    * out so the recall gate shares one fingerprint computation with the
+    * pair query. */
+  private def simhashPairsOverReps(d: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = d.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)), i =>
           call_function("shiftright", col("sh"), i * 16).bitwiseAND(0xFFFFL))))
@@ -495,6 +505,45 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Driver-visible recall invariant for the SimHash query: chunk banding
+    * is DETERMINISTICALLY complete for Hamming ≤ 3 (4 chunks, ≤ 3 flipped
+    * bits — pigeonhole leaves at least one chunk untouched), so unlike the
+    * probabilistic MinHash gate this one demands EXACT containment: every
+    * Hamming ≤ 3 pair among a deterministic hash-ordered sample of
+    * distinct-fingerprint representatives must appear in the banded pair
+    * list. The brute-force side is an O(cap²) scalar-long cross join —
+    * bounded at any corpus size (at sf ≤ 0.1 the cap covers every
+    * representative). */
+  private def simhashGatedQuery(spark: SparkSession, dir: String,
+                                maxHamming: Int = 3,
+                                sampleCap: Int = 1500): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one fingerprint computation (documents scan + groupBy) feeds both
+    // the banded pair query and the gate's brute-force side
+    val reps = simhashReps(spark, dir).persist(MEMORY_AND_DISK)
+    try {
+      // eager checkpoint: consumed by the gate's semi-join AND returned —
+      // without it the banded join would re-run after reps unpersists
+      val pairs = simhashPairsOverReps(reps, maxHamming).localCheckpoint(true)
+      val sample = reps
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+        .limit(sampleCap)
+      val expected = sample.toDF("a_sh", "a_id")
+        .crossJoin(sample.toDF("b_sh", "b_id"))
+        .filter(col("a_id") < col("b_id") &&
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val nExpected = expected.count()
+      val found = expected.join(pairs.select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi").count()
+      require(found == nExpected,
+        s"SimHash pair list contains only $found of $nExpected Hamming<=" +
+          s"$maxHamming sample pairs — chunk banding lost pairs it provably must keep")
+      pairs
+    } finally reps.unpersist()
   }
 
   /** Winnowing-style document fingerprints: w-token shingles → md5 →
@@ -711,7 +760,7 @@ object TextOps {
     "dedup_incoming" -> ((s: SparkSession, d: String) => dedupIncoming(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashGatedQuery(s, d)),
     "doc_fingerprint" -> fingerprintQuery
   )
 
