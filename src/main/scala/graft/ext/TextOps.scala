@@ -546,6 +546,108 @@ object TextOps {
     } finally reps.unpersist()
   }
 
+  // ---- oracle-hashable signature slices (md5-digit hashes) ------------
+  //
+  // The production MinHash/SimHash expressions hash with XXH64, which no
+  // SQL oracle can reproduce — those queries are gated by per-run recall
+  // invariants instead ([[minhashGatedQuery]], [[simhashGatedQuery]]).
+  // These two companion queries run the SAME aggregation constructions —
+  // the per-bit majority vote and the k-permutation double-hash min —
+  // over a token hash DuckDB can also compute: md5 hex digits turned
+  // into integers with pure arithmetic. The construction logic itself is
+  // therefore hash-compared against an oracle every round; only the
+  // 64-bit mixer differs from the production path. Shape at scale: one
+  // distinct-token explode, one partial-combined groupBy per query —
+  // the shuffle carries (doc, token) rows and the output is one row per
+  // doc at any corpus size.
+
+  /** Per-token md5 digit values d0..d31 (each 0..15) over the
+    * distinct-token explode of `documents` — the shared front end of the
+    * md5-hash oracle queries. `conv(hexDigit,16,10)` here ==
+    * `strpos('0123456789abcdef', digit) - 1` in DuckDB. */
+  private def md5DigitTokens(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    base.select(col("doc_id") +: (0 until 32).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast(IntegerType).as(s"d$i")): _*)
+  }
+
+  private def md5DigitSql: String = {
+    val digits = (0 until 32).map(i =>
+      s"strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1 AS d$i")
+      .mkString(",\n       ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |           FROM documents),
+       |hh AS (SELECT doc_id, md5(tok) AS h FROM t),
+       |d AS (SELECT doc_id,
+       |       $digits
+       |      FROM hh)""".stripMargin
+  }
+
+  /** SimHash bit-vote construction over md5 digit hashes: bit b of the
+    * 64-bit fingerprint is the sign of Σ_tokens (±1) voted by bit (b%4)
+    * of hex digit (b/4). Ties (vote sum 0) resolve to 0 on both sides.
+    * The b=63 term is Long.MinValue so the two's-complement sum never
+    * overflows (partial sums stay ≤ 2⁶³−1 when the sign term adds last). */
+  private def simhashMd5Query(spark: SparkSession, dir: String): DataFrame = {
+    val d = md5DigitTokens(spark, dir)
+    val votes = (0 until 64).map { b =>
+      val bit = shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agg = d.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sh = (0 until 64).map { b =>
+      val term = if (b == 63) Long.MinValue else 1L << b
+      when(col(s"v$b") > 0, lit(term)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sh.as("sh")).orderBy("doc_id")
+  }
+
+  private def simhashMd5Oracle: String = {
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN ((d${b / 4} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n        ")
+    val terms = (0 until 64).map { b =>
+      val t = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN v$b > 0 THEN CAST($t AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""$md5DigitSql,
+       |v AS (SELECT doc_id,
+       |        $votes
+       |      FROM d GROUP BY doc_id)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash double-hash construction over md5 digit hashes: h1/h2 are
+    * 60-bit integers assembled from hex digits 0-14 / 16-30 (h2 forced
+    * odd), permutation i's hash is (h1 + i·h2) mod 1e9+7 — all values
+    * positive and < 2⁶³, so Spark long and DuckDB BIGINT arithmetic agree
+    * exactly. Per-doc signature = 8 MIN aggregates, partial-combined. */
+  private def minhashMd5Query(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val d = md5DigitTokens(spark, dir)
+    def assemble(off: Int): Column =
+      (0 until 15).map(i =>
+        col(s"d${i + off}").cast(LongType) * lit(1L << (4 * (14 - i)))).reduce(_ + _)
+    val g = d.select(col("doc_id"), assemble(0).as("h1"),
+      assemble(16).bitwiseOR(lit(1L)).as("h2"))
+    val mins = (0 until k).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(1000000007L)).as(s"m$i"))
+    g.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).orderBy("doc_id")
+  }
+
+  private def minhashMd5Oracle: String = {
+    def assemble(off: Int): String =
+      (0 until 15).map(i => s"d${i + off} * ${1L << (4 * (14 - i))}").mkString(" + ")
+    val mins = (0 until 8).map(i =>
+      s"MIN((h1 + $i * h2) % 1000000007) AS m$i").mkString(",\n       ")
+    s"""$md5DigitSql,
+       |g AS (SELECT doc_id, (${assemble(0)}) AS h1, ((${assemble(16)}) | 1) AS h2 FROM d)
+       |SELECT doc_id,
+       |       $mins
+       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Winnowing-style document fingerprints: w-token shingles → md5 →
     * per-doc min-k sketch (k lexicographically-smallest digests, a
     * bottom-k sketch). md5 rather than an engine-native hash on purpose:
@@ -761,10 +863,14 @@ object TextOps {
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashGatedQuery(s, d)),
+    "simhash_md5" -> ((s: SparkSession, d: String) => simhashMd5Query(s, d)),
+    "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
     "doc_fingerprint" -> fingerprintQuery
   )
 
   val oracles: Map[String, String] = Map(
+    "simhash_md5" -> simhashMd5Oracle,
+    "minhash_md5" -> minhashMd5Oracle,
     "sample_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
