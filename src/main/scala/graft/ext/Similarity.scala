@@ -241,6 +241,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Deterministic ±1 sign for JL-projection matrix cell (i, j): an LCG
+    * over the flattened index, bit 16 taken as the sign bit. Computed in
+    * Scala and embedded as LITERALS on both the Spark and oracle sides,
+    * so parity is by construction. */
+  private def jlSign(i: Int, j: Int, outDim: Int): Double = {
+    val v = 1103515245L * (i.toLong * outDim + j) + 12345L
+    if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random-sign projection: 64-d → `outDim`-d via
+    * a fixed ±1 matrix (Achlioptas construction — database-friendly JL,
+    * Achlioptas 2003). The standard pre-ANN dimensionality reduction at
+    * 100 TB: a pure map stage (each output dim is one codegen'd
+    * [[graft.functions.VectorDot]] against a literal sign vector — an
+    * ordered fold, bit-identical to the oracle's `list_dot_product`), no
+    * shuffle, output 4× narrower than the input for downstream index
+    * builds. */
+  def jlProject(spark: SparkSession, dir: String, inDim: Int = 64,
+                outDim: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val cols = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map(i => lit(jlSign(i, j, outDim))): _*)
+      vec_dot(col("e"), signs).as(s"p$j")
+    }
+    e.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
+
+  private def jlProjectOracle(inDim: Int = 64, outDim: Int = 16): String = {
+    val dots = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => jlSign(i, j, outDim)).mkString("[", ", ", "]")
+      s"list_dot_product(e, $signs) AS p$j"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id,
+       |  $dots
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** Driver-visible invariant gate for the approximate ANN queries: recall
     * against the exact brute-force top-k must clear a floor, re-checked on
     * EVERY run — a regression in the index machinery (bucketing, probing,
@@ -276,10 +317,12 @@ object Similarity {
     "ann_ivf" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annIvf(s, d), 0.25, "IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
+    "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "jl_project" -> jlProjectOracle(),
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 8),

@@ -648,6 +648,62 @@ object TextOps {
        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher/C4-style heuristic quality rules — the published document
+    * filters a pretraining pipeline runs before anything model-based:
+    * token-count window, mean token length window, symbol-to-word ratio,
+    * alphabetic-word fraction, numeric-token fraction, minimum stopword
+    * count; `keep` is their conjunction. Everything is per-row
+    * higher-order-function arithmetic (one pass over the token array, no
+    * shuffle at all — at 100 TB this is a pure map stage), and every
+    * feature is integer-or-per-row-double so the DuckDB oracle matches
+    * bit-exactly. */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val sumTokLen = aggregate(transform(tokens, t => length(t)), lit(0), (a, x) => a + x)
+    val meanTokLen = sumTokLen.cast(DoubleType) / nTok
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast(DoubleType) / nTok
+    val alphaFrac = size(filter(tokens, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nTok
+    val numericFrac = size(filter(tokens, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / nTok
+    val stopCount = size(filter(tokens, t => t.isin(gopherStops: _*)))
+    documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        round(meanTokLen, 4).as("mean_tok_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        round(numericFrac, 4).as("numeric_frac"),
+        stopCount.as("stop_count"),
+        (nTok >= 50 && nTok <= 100000 &&
+          meanTokLen >= 3.0 && meanTokLen <= 10.0 &&
+          symbolRatio < 0.1 && alphaFrac > 0.8 && stopCount >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def gopherRulesOracle: String = {
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(w) AS INT) AS n_tok,
+       |  CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) AS mean_tok_len,
+       |  CAST((len(text) - len(replace(text, '#', ''))) +
+       |       (len(text) - len(replace(text, '...', ''))) // 3 AS DOUBLE) / len(w) AS symbol_ratio,
+       |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+       |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) / len(w) AS numeric_frac,
+       |  CAST(len(list_filter(w, t -> t IN ($stops))) AS INT) AS stop_count
+       |FROM d)
+       |SELECT doc_id, n_tok, ROUND(mean_tok_len, 4) AS mean_tok_len,
+       |  ROUND(symbol_ratio, 4) AS symbol_ratio, ROUND(alpha_frac, 4) AS alpha_frac,
+       |  ROUND(numeric_frac, 4) AS numeric_frac, stop_count,
+       |  (n_tok >= 50 AND n_tok <= 100000 AND mean_tok_len >= 3.0 AND
+       |   mean_tok_len <= 10.0 AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND
+       |   stop_count >= 2) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Winnowing-style document fingerprints: w-token shingles → md5 →
     * per-doc min-k sketch (k lexicographically-smallest digests, a
     * bottom-k sketch). md5 rather than an engine-native hash on purpose:
@@ -865,11 +921,13 @@ object TextOps {
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashGatedQuery(s, d)),
     "simhash_md5" -> ((s: SparkSession, d: String) => simhashMd5Query(s, d)),
     "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
+    "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
     "doc_fingerprint" -> fingerprintQuery
   )
 
   val oracles: Map[String, String] = Map(
     "simhash_md5" -> simhashMd5Oracle,
+    "gopher_rules" -> gopherRulesOracle,
     "minhash_md5" -> minhashMd5Oracle,
     "sample_stratified" ->
       """SELECT lang, doc_id FROM (
