@@ -127,7 +127,13 @@ object Multimodal {
         col("meta.source").as("source"))
       .orderBy("doc_id")
 
-  /** Rows-only query driving the real mapPartitions decode path. */
+  /** Oracle-gated query driving the real mapPartitions decode path: the
+    * stub's outputs are all byte-deterministic, so DuckDB reproduces them
+    * — the FNV-ish fold as HUGEINT arithmetic mod 2⁶⁴ (bit-exact vs Java
+    * wrapping long; payloads are ASCII, pinned by FixtureSchemaSpec, so
+    * `ord(char) == byte`), the format sniff from hex head bytes. The
+    * oracle therefore hash-verifies the full Dataset-encoder +
+    * mapPartitions plumbing, not just a row count. */
   private def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, payloads(spark, dir)).toDF()
       .select(col("doc_id"), col("byte_len"), col("format"), col("feature_hash"))
@@ -142,6 +148,26 @@ object Multimodal {
     "multimodal_binary" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex, source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |    hex(CAST(substring(text, 1, 4) AS BLOB)) AS head,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(generate_series(1, len(text)),
+        |          i -> CAST(ord(substring(text, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> CAST((acc * 31 + b)
+        |        % CAST(18446744073709551616 AS HUGEINT) AS HUGEINT)) AS hh
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  CASE WHEN byte_len >= 2 AND substring(head, 1, 4) = 'FFD8' THEN 'jpeg'
+        |       WHEN byte_len >= 4 AND substring(head, 1, 2) = '89'
+        |            AND substring(head, 3, 2) = '50' THEN 'png'
+        |       ELSE 'raw' END AS format,
+        |  CAST(CASE WHEN hh >= 9223372036854775808
+        |            THEN hh - 18446744073709551616 ELSE hh END AS BIGINT) AS feature_hash
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -84,4 +84,17 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(Set[DataType](FloatType, DoubleType).contains(elem),
       s"embedding element resolved to $elem; vec functions support float/double")
   }
+
+  test("documents.text is pure ASCII (multimodal_decode oracle contract)") {
+    // the multimodal_decode oracle equates DuckDB ord(char) with the Java
+    // payload byte, and multimodal_binary equates char length with byte
+    // length — both true only for ASCII text. Pin it so a regeneration
+    // with non-ASCII corpus text fails here, not in the oracle diff.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; the multimodal oracles' " +
+        "byte/char equivalences no longer hold — switch them to BLOB folds")
+  }
 }
