@@ -301,7 +301,35 @@ object CorpusOps {
         col("n_docs"), col("total_tokens"))
       .orderBy("bucket")
 
+  /** Training-mixture composition (domain mixing): fill each source's
+    * char budget greedily in stable hash order — the Pile/Dolma-style op
+    * that turns "40% web, 30% code, …" target weights into a concrete
+    * document selection. Per-source caps here derive from the source id
+    * (so the query survives fixture regeneration); a real pipeline passes
+    * its weight table. A doc is selected iff its source's budget was not
+    * exhausted BEFORE it (greedy fill, one overshoot doc allowed) — the
+    * same stable-hash ordering as [[splitStable]], so the selection never
+    * churns when other sources change. One window over a shuffle by
+    * source; at 100 TB the per-source running sum becomes the
+    * quantile-sketch cutoff (estimate the hash-rank boundary, then pure
+    * map-side filter) — same contract, no per-source serial scan. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = coalesce(expr("try_cast(substring(source, 4, 10) AS int)"), lit(0))
+    val cap = (lit(1000L) + lit(500L) * (srcNum % 4)).cast(LongType)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("mix_rank", row_number().over(w))
+      .withColumn("cum_chars",
+        sum(col("n_chars")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cap_chars", cap)
+      .withColumn("selected", col("cum_chars") - col("n_chars") < cap)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_mix" -> ((s, d) => domainMix(s, d)),
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -317,6 +345,19 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "domain_mix" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  1000 + 500 * (COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4) AS cap,
+        |  row_number() OVER w AS rn,
+        |  SUM(n_chars) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))
+        |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS mix_rank,
+        |  CAST(cum AS BIGINT) AS cum_chars, CAST(cap AS BIGINT) AS cap_chars,
+        |  (cum - n_chars < cap) AS selected
+        |FROM d ORDER BY doc_id""".stripMargin,
     "dedup_segments" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |segs AS (
