@@ -704,6 +704,44 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesSketch]], a native mergeable
+    * TypedImperativeAggregate): find every item with frequency > N/k in
+    * ONE pass of O(k) state per partition — no full group-by of the item
+    * space. Items here are corpus characters (the fixture domain with
+    * real skew); the production shape is identical for join keys
+    * (feeding [[graft.ops.ScaleJoins]] salting) or n-grams.
+    *
+    * Determinism: the sketch's candidate set varies with merge order, but
+    * MG guarantees candidates ⊇ true heavy items — so the exact recount
+    * of candidates filtered by `count·k > N` (integer arithmetic, no
+    * division) equals exactly the true heavy set on every run, and the
+    * oracle comparison doubles as a per-run proof of the guarantee: a
+    * broken sketch that drops a heavy item hash-mismatches immediately. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    graft.functions.HeavyHitterFunctions.register(spark)
+    val items = documents(spark, dir)
+      .select(explode(split(col("text"), "")).as("item"))
+    val sketch = items.agg(
+      graft.functions.HeavyHitterFunctions.misra_gries(col("item"), k).as("cands"),
+      count(lit(1)).as("n_total"))
+    val cands = sketch.select(explode(col("cands")).as("item"), col("n_total"))
+    items.join(cands, "item")
+      .groupBy(col("item"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > col("n_total"))
+      .select(col("item"), col("n"))
+      .orderBy(col("n").desc, col("item"))
+  }
+
+  private def heavyHittersOracle(k: Int = 15): String =
+    s"""WITH c AS (SELECT unnest(string_split(text, '')) AS item FROM documents),
+       |t AS (SELECT count(*) AS n_total FROM c)
+       |SELECT item, CAST(count(*) AS BIGINT) AS n
+       |FROM c GROUP BY item
+       |HAVING count(*) * $k > (SELECT n_total FROM t)
+       |ORDER BY n DESC, item""".stripMargin
+
   /** Winnowing-style document fingerprints: w-token shingles → md5 →
     * per-doc min-k sketch (k lexicographically-smallest digests, a
     * bottom-k sketch). md5 rather than an engine-native hash on purpose:
@@ -922,12 +960,14 @@ object TextOps {
     "simhash_md5" -> ((s: SparkSession, d: String) => simhashMd5Query(s, d)),
     "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
+    "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "doc_fingerprint" -> fingerprintQuery
   )
 
   val oracles: Map[String, String] = Map(
     "simhash_md5" -> simhashMd5Oracle,
     "gopher_rules" -> gopherRulesOracle,
+    "heavy_hitters" -> heavyHittersOracle(),
     "minhash_md5" -> minhashMd5Oracle,
     "sample_stratified" ->
       """SELECT lang, doc_id FROM (
