@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -328,7 +328,94 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---- BPE tokenizer training ----------------------------------------
+
+  /** Initial symbol sequence of a word for BPE: characters + the
+    * end-of-word marker. */
+  private def bpeSyms(w: Column): Column =
+    concat(split(w, ""), array(lit("</w>")))
+
+  /** The counting core of BPE training, oracle-gated: adjacent
+    * symbol-pair frequencies over the char-level vocab, weighted by word
+    * frequency — exactly the statistic each merge step argmaxes over.
+    * Classic shape: BPE trains on the WORD-FREQUENCY table, not the raw
+    * corpus, so after the first groupBy every stage is vocab-sized.
+    * Top-N with (count desc, pair) tie-break = deterministic at any
+    * parallelism. */
+  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val wf = documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.select(col("freq"), bpeSyms(col("w")).as("s"))
+      .select(col("freq"), explode(transform(sequence(lit(0), size(col("s")) - 2),
+        i => struct(get(col("s"), i).as("l"), get(col("s"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(topN)
+  }
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
+    * tokenizer-training loop): `nMerges` rounds of [count adjacent pairs
+    * over the word-frequency table → argmax → merge that pair everywhere,
+    * left to right]. Returns the learned merge list with each pair's
+    * frequency at its selection step.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table in one
+    * shuffle; every merge round is a vocab-sized aggregation plus a
+    * map-side HOF fold that rewrites symbol arrays — the per-round
+    * `collect` is exactly ONE row (the argmax pair), and
+    * `localCheckpoint` keeps the plan linear across rounds instead of
+    * nesting `nMerges` lambda layers. No SQL oracle can express the
+    * iterative argmax, so the query carries a driver-visible
+    * reconstruction gate instead: after all merges every word's symbols
+    * must still concatenate back to the original word — a fold bug
+    * (dropped, duplicated, or misordered symbol) fails the run loudly. */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    var words = documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), bpeSyms(col("w")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(get(col("syms"), i).as("l"), get(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        // left-to-right non-overlapping merge of (l, r), as an ordered
+        // fold: append, or fuse with the accumulator's last symbol
+        words = words.select(col("w"), col("freq"),
+          when(size(col("syms")) < 2, col("syms")).otherwise(
+            aggregate(slice(col("syms"), lit(2), size(col("syms"))),
+              slice(col("syms"), lit(1), lit(1)),
+              (acc, x) => when(element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x))))).as("syms"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    val corrupted = words
+      .filter(concat_ws("", col("syms")) =!= concat(col("w"), lit("</w>"))).count()
+    require(corrupted == 0,
+      s"BPE merges corrupted $corrupted words — the merge fold is not lossless")
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
+    "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "domain_mix" -> ((s, d) => domainMix(s, d)),
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -345,6 +432,15 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      """WITH wf AS (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |sy AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS s FROM wf),
+        |p AS (SELECT freq, s[i] AS l, s[i+1] AS r
+        |      FROM sy, UNNEST(generate_series(1, len(s) - 1)) AS t(i))
+        |SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY l, r
+        |ORDER BY n DESC, l, r LIMIT 20""".stripMargin,
     "domain_mix" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  1000 + 500 * (COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4) AS cap,
