@@ -24,7 +24,8 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.EventOps.queries ++
       ext.TemporalJoins.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++
+      ext.Retrieval.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.EventOps.oracles ++
       ext.TemporalJoins.oracles ++
-      ext.Multimodal.oracles
+      ext.Multimodal.oracles ++
+      ext.Retrieval.oracles
 }

@@ -1,0 +1,238 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Retrieval and model-based curation operators over the `documents`
+  * table: BM25 lexical ranking (the retrieval primitive behind
+  * RAG-corpus construction and dedup-by-retrieval), asymmetric n-gram
+  * containment dedup (doc-quoted-inside-doc detection), and a
+  * linear quality classifier (the fastText-style scorer pipelines run
+  * after the heuristic Gopher/C4 rules).
+  *
+  * All three are oracle-hashed end-to-end: scoring arithmetic is
+  * arranged identically on the Spark and DuckDB sides (integer corpus
+  * statistics, single-division ratios, per-row fp folds), with rounding
+  * only where a genuine float reduction (ln, sigmoid, windowed moments)
+  * could differ in the last ulp between engines. */
+object Retrieval {
+
+  private val toks = split(col("text"), " ")
+
+  // ---- BM25 ----------------------------------------------------------
+
+  /** The published Lucene/Robertson BM25 parameters. */
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** Fixed query terms — literals on both sides (a real pipeline passes
+    * its query batch; scoring shape is identical per query). */
+  private val bm25Terms = Seq("merge", "vector", "slow")
+
+  /** BM25 top-k document retrieval for a literal term set.
+    *
+    * Scale shape: corpus statistics (N, Σdl, per-term document
+    * frequencies) reduce in ONE partial-combine aggregation to a single
+    * metadata row that joins back by broadcast — no per-term shuffle, no
+    * inverted index materialization for a bounded query set. Per-doc
+    * term frequencies are map-side array filters over the token array
+    * (codegen'd HOFs). The only other shuffle is the final top-k
+    * (rank window over one global ordering of score-filtered docs — at
+    * 100 TB the filter `score > 0` first drops every doc containing no
+    * query term, so the ordered set is the posting-list union, not the
+    * corpus). Determinism: N, df, dl, Σdl are integers (bit-exact on
+    * both engines); idf/score involve `ln` and float division, so the
+    * ranking key is the 4-decimal ROUNDED score (then doc_id) — a
+    * last-ulp `ln` difference between engines cannot reorder rows. */
+  def bm25TopK(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")))
+    val statAggs =
+      count(lit(1)).cast(DoubleType).as("n_docs") +:
+        sum(col("dl")).cast(DoubleType).as("sum_dl") +:
+        bm25Terms.zipWithIndex.map { case (term, i) =>
+          sum(array_contains(col("t"), term).cast(IntegerType))
+            .cast(DoubleType).as(s"df$i")
+        }
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val scored = d.crossJoin(broadcast(stats))
+    val termScores = bm25Terms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("t"), x => x === term)).cast(DoubleType)
+      val idf = log(((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) + 1.0)
+      val avgdl = col("sum_dl") / col("n_docs")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }
+    // distributed top-k (TakeOrderedAndProject) FIRST, then the rank
+    // window runs over topN rows only — never a whole-corpus single
+    // -partition sort
+    val top = scored
+      .select(col("doc_id"), col("dl").as("n_tok"),
+        round(termScores.reduce(_ + _), 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .orderBy("rank")
+  }
+
+  private def bm25Oracle(topN: Int = 20): String = {
+    val dfAggs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n  ")
+    val termScores = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(((n_docs - df$i + 0.5) / (df$i + 0.5)) + 1.0)
+         |      * (CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) * ${k1 + 1.0})
+         |      / (CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE)
+         |         + $k1 * (${1.0 - b} + $b * dl / (sum_dl / n_docs)))""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |                  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) AS sum_dl,
+       |  $dfAggs
+       |FROM d),
+       |sc AS (SELECT doc_id, CAST(dl AS INT) AS n_tok,
+       |  ROUND($termScores, 4) AS score
+       |FROM d, st)
+       |SELECT doc_id, n_tok, score, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       |  FROM sc WHERE score > 0)
+       |WHERE rn <= $topN ORDER BY rank""".stripMargin
+  }
+
+  // ---- containment dedup ---------------------------------------------
+
+  /** Asymmetric n-gram containment dedup — "is doc A substantially
+    * quoted inside doc B": containment(A, B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)| over distinct word 8-grams, flagged at ≥ 0.8. Catches
+    * the subset/superset duplicates symmetric Jaccard misses (a short
+    * doc fully embedded in a long one has tiny Jaccard but containment
+    * 1.0) — the RealNews/C4 quote-dedup shape.
+    *
+    * Scale shape: grams explode once; candidate pairs come from the
+    * gram-keyed equi-join, so only pairs SHARING a gram are ever
+    * scored — no all-pairs stage. Grams whose corpus document frequency
+    * exceeds `maxGramDf` are boilerplate (every doc pair would share
+    * them): they're dropped BEFORE the pair join, capping any join
+    * bucket at maxGramDf² — the same hot-bucket bound as the LSH
+    * mega-bucket cap, mirrored exactly in the oracle so the definition
+    * stays hash-checked. Containment itself is a single integer/integer
+    * division — bit-exact on both engines, no rounding needed. */
+  def containmentDedup(spark: SparkSession, dir: String, n: Int = 8,
+                       thresh: Double = 0.8, maxGramDf: Int = 50): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = d.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(0), size(col("t")) - n),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("g"))
+    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val live = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= maxGramDf)
+        .select("g"),
+      "g").select(col("g"), col("doc_id"))
+    val shared = live.select(col("g"), col("doc_id").as("a_id"))
+      .join(live.select(col("g"), col("doc_id").as("b_id")), "g")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared.join(ng.toDF("a_id", "n_grams_a"), "a_id")
+      .withColumn("containment",
+        col("shared_grams").cast(DoubleType) / col("n_grams_a"))
+      .filter(col("containment") >= thresh)
+      .select(col("a_id"), col("b_id"), col("shared_grams"),
+        col("n_grams_a"), col("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def containmentOracle(n: Int = 8, thresh: Double = 0.8,
+                                maxGramDf: Int = 50): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |            WHERE len(string_split(text, ' ')) >= $n),
+       |g AS (SELECT DISTINCT doc_id,
+       |        array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
+       |      FROM tk, UNNEST(generate_series(1, len(t) - ${n - 1})) u(i)),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+       |live AS (SELECT g.* FROM g JOIN (
+       |    SELECT g, count(*) AS gdf FROM g GROUP BY g HAVING count(*) <= $maxGramDf
+       |  ) f USING (g)),
+       |sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_grams
+       |       FROM live a JOIN live b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT sh.a_id, sh.b_id, CAST(sh.shared_grams AS BIGINT) AS shared_grams,
+       |       CAST(ng.n_grams AS BIGINT) AS n_grams_a,
+       |       CAST(sh.shared_grams AS DOUBLE) / ng.n_grams AS containment
+       |FROM sh JOIN ng ON ng.doc_id = sh.a_id
+       |WHERE CAST(sh.shared_grams AS DOUBLE) / ng.n_grams >= $thresh
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- linear quality classifier -------------------------------------
+
+  /** Published-weight linear quality classifier — the fastText-style
+    * scoring pass (CCNet / LLaMA corpus curation) that follows the
+    * heuristic rules: score = sigmoid(w · features) over the same
+    * document features as the Gopher/C4 rules, with the weight vector a
+    * literal on both sides (a trained model ships its weights exactly
+    * like this). Pure map stage — per-row HOF feature math, no shuffle
+    * at any scale. The keep verdict tests the LINEAR margin (z ≥ 0),
+    * not the rounded sigmoid, so the cutoff is exact; only the reported
+    * probability is rounded (sigmoid's `exp` may differ in the last ulp
+    * between engines). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast(DoubleType)
+    val sumTokLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val meanTokLen = sumTokLen.cast(DoubleType) / nTok
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val symbolRatio = nHash.cast(DoubleType) / nTok
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nTok
+    val numericFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / nTok
+    val stopCount = size(filter(toks,
+      t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*)))
+      .cast(DoubleType)
+    val z = lit(0.05) * (nTok - 54.0) +
+      lit(0.2) * (meanTokLen - 4.5) +
+      lit(2.0) * (alphaFrac - 0.9) -
+      lit(10.0) * symbolRatio -
+      lit(5.0) * numericFrac +
+      lit(0.3) * (stopCount - 5.0)
+    documents(spark, dir)
+      .select(col("doc_id"), round(z, 4).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (z >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def qualityClassifierOracle: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id,
+      |  CAST(len(w) AS DOUBLE) AS n_tok,
+      |  CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) AS mean_tok_len,
+      |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS symbol_ratio,
+      |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+      |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) / len(w) AS numeric_frac,
+      |  CAST(len(list_filter(w, t -> t IN ('the','be','to','of','and','that','have','with'))) AS DOUBLE) AS stop_count
+      |FROM d),
+      |z AS (SELECT doc_id,
+      |  0.05 * (n_tok - 54.0) + 0.2 * (mean_tok_len - 4.5) + 2.0 * (alpha_frac - 0.9)
+      |  - 10.0 * symbol_ratio - 5.0 * numeric_frac + 0.3 * (stop_count - 5.0) AS z
+      |FROM f)
+      |SELECT doc_id, ROUND(z, 4) AS margin,
+      |       ROUND(1.0 / (1.0 + exp(-z)), 4) AS score, (z >= 0) AS keep
+      |FROM z ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "containment_dedup" -> ((s: SparkSession, d: String) => containmentDedup(s, d)),
+    "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25Oracle(),
+    "containment_dedup" -> containmentOracle(),
+    "quality_classifier" -> qualityClassifierOracle
+  )
+}

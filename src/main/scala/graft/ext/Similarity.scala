@@ -310,6 +310,207 @@ object Similarity {
     approx
   }
 
+  // ---- k-means / semantic dedup over fixed deterministic centroids ----
+
+  /** Deterministic pseudo-random ±1 component for centroid cell (c, d):
+    * same LCG construction as [[jlSign]] over the flattened (c·dim + d)
+    * index, bit 16 as the sign (cluster balance verified empirically:
+    * 42-98 per cluster on the synthetic embeddings). Computed in Scala
+    * and embedded as LITERALS on both the Spark and oracle sides, so
+    * assignment parity is by construction. */
+  private def centroidSign(c: Int, d: Int, dim: Int): Double = {
+    val v = 1103515245L * (c.toLong * dim + d) + 12345L
+    if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  private def fixedCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until k).map(c => (0 until dim).map(d => centroidSign(c, d, dim)))
+
+  /** Adds `cluster` (nearest fixed centroid by max dot product) and
+    * `__dots` to a (vec_id, e) frame. Pure map-side whole-stage-codegen
+    * assignment — centroids ride the plan as an array literal, each row
+    * takes argmax over k codegen'd [[graft.functions.VectorDot]]s; no
+    * shuffle, no second pass, the exact IVF/k-means assignment shape at
+    * any corpus size. */
+  private def assignFixed(e: DataFrame, k: Int, dim: Int): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    val centLit = array(fixedCentroids(k, dim).map(c => array(c.map(lit): _*)): _*)
+    e.withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+  }
+
+  /** K-means ASSIGNMENT step under fixed published centroids — the
+    * oracle-hashable core of IVF coarse quantization and SemDeDup
+    * clustering: every row's nearest-centroid id and best dot, verified
+    * bit-exact against DuckDB's `list_dot_product` + `list_position`
+    * argmax (both sides fold sequentially; ties break to the first
+    * maximal centroid on both). [[annIvf]]'s trained quantizer uses this
+    * exact expression shape; here the centroid literals are
+    * deterministic, so the whole assignment — dots, argmax, tie-break —
+    * hash-verifies every round instead of hiding behind a recall gate. */
+  def kmeansAssign(spark: SparkSession, dir: String,
+                   k: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    assignFixed(e, k, dim)
+      .select(col("vec_id"), col("cluster"),
+        round(array_max(col("__dots")), 4).as("best_dot"))
+      .orderBy("vec_id")
+  }
+
+  private def kmeansAssignOracle(k: Int = 8, dim: Int = 64): String = {
+    val dots = fixedCentroids(k, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, [
+       |    $dots] AS ds FROM e)
+       |SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster,
+       |       ROUND(list_max(ds), 4) AS best_dot
+       |FROM a ORDER BY vec_id""".stripMargin
+  }
+
+  /** Distributed Lloyd's k-means — the TRAINING loop behind IVF/SemDeDup
+    * quantizers, hand-rolled on DataFrames so the scale shape is
+    * explicit: per iteration, (1) assignment is the same map-side
+    * literal-centroid argmax as [[kmeansAssign]] (no shuffle); (2) new
+    * centroids come from ONE (cluster, dim)-keyed partial-combine
+    * aggregation — k·dim result rows, collected as metadata (O(k·dim),
+    * independent of N, same contract as [[annIvf]]'s model); (3) inertia
+    * (sum of squared distance to the assigned centroid) comes from the
+    * same pass. Empty clusters keep their previous centroid. Init is the
+    * deterministic fixed-centroid set, so runs are reproducible.
+    *
+    * No SQL oracle can express the iterative re-estimation, so the query
+    * carries the textbook invariant as a driver-visible gate instead:
+    * Lloyd's algorithm NEVER increases inertia — any violation beyond
+    * float-sum tolerance fails the run loudly. Returns the per-iteration
+    * trace (sizes + inertia), rounded to absorb shuffle-order float
+    * noise. */
+  def kmeansTrain(spark: SparkSession, dir: String,
+                  k: Int = 8, dim: Int = 64, iters: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .localCheckpoint(true)
+    var cents = fixedCentroids(k, dim)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    var prevInertia = Double.MaxValue
+    for (iter <- 1 to iters) {
+      val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+      val assigned = e
+        .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+        .withColumn("cluster",
+          (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+        .withColumn("cent", element_at(centLit, col("cluster") + 1))
+        .withColumn("dist2", aggregate(
+          zip_with(col("e"), col("cent"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, x) => a + x))
+      // one (cluster, dim)-keyed agg: k*dim mean rows + per-cluster stats
+      val byDim = assigned
+        .select(col("cluster"), col("dist2"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"),
+          sum(when(col("d") === 0, col("dist2")).otherwise(0.0)).as("i0"))
+        .collect()
+      val sizes = byDim.filter(_.getInt(1) == 0)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
+      val inertia = byDim.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
+      require(inertia <= prevInertia * (1 + 1e-9),
+        f"Lloyd iteration $iter INCREASED inertia ($prevInertia%.6f -> $inertia%.6f) " +
+          "— the k-means re-estimation step is broken")
+      prevInertia = inertia
+      val means = byDim.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = (0 until k).map { c =>
+        if (sizes.getOrElse(c, 0L) == 0L) cents(c)
+        else (0 until dim).map(d => means((c, d)))
+      }
+      (0 until k).foreach { c =>
+        trace += ((iter, c, sizes.getOrElse(c, 0L), math.rint(inertia * 100) / 100))
+      }
+    }
+    trace.toSeq.toDF("iter", "cluster", "n_vecs", "inertia_total")
+      .orderBy("iter", "cluster")
+  }
+
+  /** SemDeDup (Abbas et al. 2023) — semantic dedup: cluster embeddings
+    * with a coarse quantizer, then drop every vector that has a
+    * higher-priority (lower id) cluster-mate above the cosine threshold.
+    * The cluster pass is what makes semantic dedup tractable: the
+    * pairwise stage runs WITHIN clusters only, and cluster COUNT grows
+    * with the corpus while cluster SIZE stays bounded by the quantizer's
+    * k — so the per-cluster O(size²) verify never sees the whole corpus,
+    * the same two-phase shape as MinHash-LSH dedup. Assignment here uses
+    * the fixed published centroids of [[kmeansAssign]] (map-side literal
+    * argmax) and cosines are codegen'd [[graft.functions.VectorDot]]
+    * folds, so the WHOLE pipeline — clustering, candidate pairs,
+    * threshold, keep/drop verdicts — hash-verifies against DuckDB. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = 0.3, k: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val assigned = assignFixed(e, k, dim).select(col("vec_id"), col("e"), col("cluster"))
+    val a = assigned.toDF("a_id", "a_e", "cluster")
+    val b = assigned.toDF("b_id", "b_e", "cluster")
+    val dupCounts = a.join(b, "cluster")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_e"), col("b_e")) >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_lower"))
+    assigned.join(dupCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        coalesce(col("n_dup_lower"), lit(0L)).===(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private def semanticDedupOracle(tau: Double = 0.3, k: Int = 8, dim: Int = 64): String = {
+    val dots = fixedCentroids(k, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM e),
+       |asn AS (SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |dup AS (SELECT b.vec_id, count(*) AS n_dup_lower
+       |        FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |        WHERE list_dot_product(a.e, b.e)
+       |              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= $tau
+       |        GROUP BY b.vec_id)
+       |SELECT asn.vec_id, asn.cluster,
+       |       CAST(COALESCE(dup.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+       |       COALESCE(dup.n_dup_lower, 0) = 0 AS kept
+       |FROM asn LEFT JOIN dup ON asn.vec_id = dup.vec_id
+       |ORDER BY asn.vec_id""".stripMargin
+  }
+
+  /** Embedding-norm outlier detection — the cheap curation screen that
+    * catches broken encoders (zero/exploding vectors) before any index
+    * build: per-label z-score of the L2 norm, |z| > 2 flagged. Norms are
+    * map-side codegen'd folds; the only shuffle is one per-label
+    * partial-combine moment aggregation (mean + sample stddev), O(labels)
+    * output at any scale. */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+                        zThresh: Double = 2.0): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(vec_dot(col("e"), col("e"))))
+    val stats = e.groupBy(col("label"))
+      .agg(avg(col("nrm")).as("mu"), stddev_samp(col("nrm")).as("sd"))
+    e.join(stats, "label")
+      .withColumn("z", (col("nrm") - col("mu")) / col("sd"))
+      .select(col("vec_id"), col("label"), round(col("nrm"), 4).as("nrm"),
+        round(col("z"), 4).as("z"), (abs(col("z")) > zThresh).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
@@ -318,11 +519,25 @@ object Similarity {
       withRecallFloor(s, d, annIvf(s, d), 0.25, "IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
-    "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d))
+    "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
+    "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrain(s, d)),
+    "semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "jl_project" -> jlProjectOracle(),
+    "kmeans_assign" -> kmeansAssignOracle(),
+    "semantic_dedup" -> semanticDedupOracle(),
+    "embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+        |s AS (SELECT label, avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n GROUP BY label)
+        |SELECT n.vec_id, n.label, ROUND(n.nrm, 4) AS nrm,
+        |       ROUND((n.nrm - s.mu) / s.sd, 4) AS z,
+        |       (abs((n.nrm - s.mu) / s.sd) > 2.0) AS is_outlier
+        |FROM n JOIN s USING (label) ORDER BY n.vec_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 8),

