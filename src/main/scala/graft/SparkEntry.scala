@@ -25,7 +25,8 @@ object SparkEntry {
       ext.EventOps.queries ++
       ext.TemporalJoins.queries ++
       ext.Multimodal.queries ++
-      ext.Retrieval.queries
+      ext.Retrieval.queries ++
+      ext.Sampling.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       ext.EventOps.oracles ++
       ext.TemporalJoins.oracles ++
       ext.Multimodal.oracles ++
-      ext.Retrieval.oracles
+      ext.Retrieval.oracles ++
+      ext.Sampling.oracles
 }

@@ -105,6 +105,49 @@ object Retrieval {
        |WHERE rn <= $topN ORDER BY rank""".stripMargin
   }
 
+  // ---- tf-idf keyword extraction -------------------------------------
+
+  /** Per-document tf-idf keyword extraction — the classic corpus-level
+    * term weighting (keyword tagging, topic drift monitoring, BM25's
+    * ancestor): tfidf(t, d) = tf(t, d) · ln(N / df(t)), top `topK` terms
+    * per doc.
+    *
+    * Scale shape: one explode → (doc, term) partial-combine count; df
+    * comes from a term-keyed agg OVER THE TF TABLE (already one row per
+    * (doc, term) — never a second pass over the corpus); N broadcasts as
+    * a one-row stat. The per-doc top-k is a window over the doc-keyed
+    * shuffle. Ranking key is the ROUNDED score (ln is libm), then term. */
+  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private def tfidfOracle(topK: Int = 3): String =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |        ROUND(tf.tf * ln(n.n_docs / dft.df), 4) AS tfidf
+       |      FROM tf JOIN dft USING (term), n)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |       tfidf, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term) AS rn FROM s)
+       |WHERE rn <= $topK ORDER BY doc_id, rank""".stripMargin
+
   // ---- containment dedup ---------------------------------------------
 
   /** Asymmetric n-gram containment dedup — "is doc A substantially
@@ -226,12 +269,14 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "containment_dedup" -> ((s: SparkSession, d: String) => containmentDedup(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25Oracle(),
+    "tfidf_keywords" -> tfidfOracle(),
     "containment_dedup" -> containmentOracle(),
     "quality_classifier" -> qualityClassifierOracle
   )

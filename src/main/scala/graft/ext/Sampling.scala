@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Corpus sampling / split-hygiene operators: cross-split leakage
+  * detection, temperature-based language rebalancing, and one-pass
+  * weighted sampling — the selection machinery between a cleaned corpus
+  * and a training mixture.
+  *
+  * Engine-parity discipline (everything here is oracle-hashed): corpus
+  * statistics stay integers as long as possible; the only float math is
+  * IEEE-exact (`sqrt`, `/`, `*` are correctly rounded and identical on
+  * any IEEE-754 engine — unlike libm's `pow`/`ln`/`exp`, which may
+  * differ in the last ulp and are rounded wherever used). */
+object Sampling {
+
+  /** The stable md5 split-bucket of [[CorpusOps.splitStable]]. */
+  private def splitOf(trainPct: Int = 80, valPct: Int = 10) = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Cross-split leakage check — the eval-integrity gate every training
+    * pipeline needs: find val/test documents whose EXACT content also
+    * appears in train (leaked eval data inflates benchmark scores). The
+    * fixtures carry no exact text duplicates, so the query SEEDS
+    * deterministic leaks first (docs with doc_id ≡ 3 (mod 7) take the
+    * text of doc_id − 3 — the same in-query seeding pattern as
+    * `pii_redact`), then detects them from scratch via content hash:
+    * md5(text) as the dedup key, train-side hash counts, and a hash-keyed
+    * join from the eval side.
+    *
+    * Scale shape: content hashes collapse each doc to 32 bytes before
+    * the only shuffle (hash-keyed groupBy + join) — the standard exact
+    * cross-corpus dedup plan; no text ever moves twice, no self-join on
+    * the eval side. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val donor = d.select((col("doc_id") + 3).as("doc_id"), col("text").as("donor_text"))
+    val seeded = d.join(donor, Seq("doc_id"), "left")
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 3 && col("donor_text").isNotNull,
+          col("donor_text")).otherwise(col("text")))
+      .select(col("doc_id"), md5(col("text2")).as("h"))
+      .withColumn("split", splitOf())
+    val trainCounts = seeded.filter(col("split") === "train")
+      .groupBy(col("h")).agg(count(lit(1)).as("n_train_dups"))
+    seeded.filter(col("split") =!= "train")
+      .join(trainCounts, "h")
+      .select(col("doc_id"), col("split"), col("n_train_dups"))
+      .orderBy("doc_id")
+  }
+
+  private val splitLeakageOracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |seeded AS (
+      |  SELECT d.doc_id,
+      |    md5(CASE WHEN d.doc_id % 7 = 3 AND b.text IS NOT NULL THEN b.text
+      |             ELSE d.text END) AS h,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM d LEFT JOIN d b ON b.doc_id = d.doc_id - 3),
+      |tc AS (SELECT h, count(*) AS n_train_dups FROM seeded WHERE split = 'train' GROUP BY h)
+      |SELECT s.doc_id, s.split, CAST(tc.n_train_dups AS BIGINT) AS n_train_dups
+      |FROM seeded s JOIN tc USING (h) WHERE s.split <> 'train'
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Temperature-based language rebalancing (the multilingual
+    * α-sampling of XLM-R / mT5): sampling share q_l ∝ p_l^α flattens the
+    * language distribution so high-resource languages stop drowning out
+    * low-resource ones. α = 1/2 here, computed as `sqrt` — IEEE-exact on
+    * every engine, so per-language target counts (floor of q_l × budget)
+    * are bit-deterministic with no rounding games; budget = 40% of the
+    * corpus, so the query is shape-identical across scale factors.
+    * Selection within a language is the stable md5 order of
+    * [[CorpusOps.splitStable]] — a doc's selection never churns as OTHER
+    * languages grow.
+    *
+    * Scale shape: language stats are one tiny partial-combine agg
+    * broadcast back; per-language ranking is one window over a shuffle
+    * by lang (at 100 TB: the same quantile-cutoff upgrade as
+    * [[CorpusOps.domainMix]] — estimate the md5-rank boundary, then pure
+    * map-side filter). */
+  def langTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"))
+    val perLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val totals = perLang.agg(
+      sum(col("n_lang")).cast(DoubleType).as("n_total"),
+      sum(sqrt(col("n_lang"))).as("sqrt_sum"))
+    val targets = perLang.crossJoin(broadcast(totals))
+      .withColumn("q", sqrt(col("n_lang")) / col("sqrt_sum"))
+      .withColumn("n_sel",
+        floor(col("q") * floor(col("n_total") * 0.4)).cast(LongType))
+      .select(col("lang"), col("n_lang"), round(col("q"), 4).as("q_share"), col("n_sel"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    d.withColumn("sel_rank", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("q_share"),
+        col("n_sel"), col("sel_rank"), (col("sel_rank") <= col("n_sel")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  private val langTemperatureOracle: String =
+    """WITH pl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_lang) AS DOUBLE) AS n_total, sum(sqrt(n_lang)) AS sqrt_sum FROM pl),
+      |tg AS (SELECT lang, n_lang, sqrt(n_lang) / sqrt_sum AS q,
+      |         CAST(floor(sqrt(n_lang) / sqrt_sum * floor(n_total * 0.4)) AS BIGINT) AS n_sel
+      |       FROM pl, t),
+      |r AS (SELECT doc_id, lang,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sel_rank
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang, CAST(tg.n_lang AS BIGINT) AS n_lang,
+      |       ROUND(tg.q, 4) AS q_share, tg.n_sel, CAST(r.sel_rank AS INT) AS sel_rank,
+      |       (r.sel_rank <= tg.n_sel) AS selected
+      |FROM r JOIN tg USING (lang) ORDER BY r.doc_id""".stripMargin
+
+  /** One-pass distributed weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006, exponential-jumps form): each row draws
+    * a deterministic uniform u from its md5 (exact integer arithmetic),
+    * takes key = −ln(u) / w with weight w = n_chars, and the k SMALLEST
+    * keys are the weighted sample. This is THE scale shape for weighted
+    * sampling: a single map stage computes keys, a distributed top-k
+    * (TakeOrdered — no global sort, no second pass, no driver-side
+    * weighting) selects the sample; merging partial top-ks is exactly
+    * how it runs on 1000 executors. The ranking key is ROUNDED to 9
+    * decimals (then doc_id) because `ln` is libm, not IEEE-exact — a
+    * last-ulp difference between engines cannot reorder the sample. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+      .cast(DoubleType) + 1.0) / 4294967296.0
+    val key = round(-log(u) / col("n_chars"), 9)
+    val top = documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("es_key"), col("doc_id"))))
+      .orderBy("rank")
+  }
+
+  private def weightedSampleOracle(k: Int = 50): String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |  ROUND(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 1.0)
+       |            / 4294967296.0) / n_chars, 9) AS es_key
+       |FROM documents)
+       |SELECT doc_id, n_chars, es_key, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM d)
+       |WHERE rn <= $k ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> ((s: SparkSession, d: String) => splitLeakage(s, d)),
+    "lang_temperature" -> ((s: SparkSession, d: String) => langTemperature(s, d)),
+    "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "split_leakage" -> splitLeakageOracle,
+    "lang_temperature" -> langTemperatureOracle,
+    "weighted_sample" -> weightedSampleOracle()
+  )
+}

@@ -489,6 +489,55 @@ object Similarity {
        |ORDER BY asn.vec_id""".stripMargin
   }
 
+  /** Hard-example mining for embedding-model training (the triplet/
+    * contrastive batch-construction step): for each query vector, the
+    * hardest NEGATIVE (most-similar vector with a DIFFERENT label — the
+    * confusable the model most needs to separate) and the hardest
+    * POSITIVE (least-similar vector with the SAME label — the in-class
+    * straggler it most needs to pull in). Same plan shape as
+    * [[bruteForceTopK]]: small query batch broadcast, exact codegen'd
+    * cosines, two per-query rank windows; at mining scale the corpus
+    * side swaps to the LSH/IVF candidate generation exactly like ANN. */
+  def hardExamples(spark: SparkSession, dir: String,
+                   numQueries: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"), col("e").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), cosine(col("qe"), col("e")).as("sim"))
+    val negW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val posW = Window.partitionBy(col("query_id")).orderBy(col("sim").asc, col("neighbor_id"))
+    val hardNeg = scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(negW)).filter(col("rn") === 1)
+      .select(col("query_id"), lit("hard_negative").as("kind"),
+        col("neighbor_id"), col("n_label"), col("sim"))
+    val hardPos = scored.filter(col("n_label") === col("q_label"))
+      .withColumn("rn", row_number().over(posW)).filter(col("rn") === 1)
+      .select(col("query_id"), lit("hard_positive").as("kind"),
+        col("neighbor_id"), col("n_label"), col("sim"))
+    hardNeg.unionAll(hardPos).orderBy("query_id", "kind")
+  }
+
+  private def hardExamplesOracle(numQueries: Int = 8): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, e AS qe FROM e WHERE vec_id < $numQueries),
+       |s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+       |        list_dot_product(q.qe, e.e)
+       |          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.e, e.e))) AS sim
+       |      FROM q, e WHERE e.vec_id <> q.query_id),
+       |neg AS (SELECT query_id, 'hard_negative' AS kind, neighbor_id, n_label, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM s WHERE n_label <> q_label) WHERE rn = 1),
+       |pos AS (SELECT query_id, 'hard_positive' AS kind, neighbor_id, n_label, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim ASC, neighbor_id) AS rn
+       |    FROM s WHERE n_label = q_label) WHERE rn = 1)
+       |SELECT * FROM (SELECT * FROM neg UNION ALL SELECT * FROM pos)
+       |ORDER BY query_id, kind""".stripMargin
+
   /** Embedding-norm outlier detection — the cheap curation screen that
     * catches broken encoders (zero/exploding vectors) before any index
     * build: per-label z-score of the L2 norm, |z| > 2 flagged. Norms are
@@ -523,13 +572,15 @@ object Similarity {
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrain(s, d)),
     "semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
-    "embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d))
+    "embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
+    "hard_examples" -> ((s: SparkSession, d: String) => hardExamples(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
     "semantic_dedup" -> semanticDedupOracle(),
+    "hard_examples" -> hardExamplesOracle(),
     "embedding_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, label, sqrt(list_dot_product(e, e)) AS nrm FROM e),

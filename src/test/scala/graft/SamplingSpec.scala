@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling / split-hygiene ops (`ext.Sampling`) + tf-idf and hard-example
+  * mining, on the sf0.001 fixtures. Oracle parity is the driver's job;
+  * these pin the semantic invariants. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split_leakage: seeded leaks detected, none reported from train") {
+    val rows = ext.Sampling.splitLeakage(spark, dir).collect()
+    assert(rows.nonEmpty, "seeding guarantees leaked eval docs")
+    rows.foreach { r =>
+      assert(r.getAs[String]("split") != "train")
+      assert(r.getAs[Long]("n_train_dups") >= 1)
+    }
+  }
+
+  test("lang_temperature: flattens the distribution — low-resource langs " +
+    "keep a larger share than their raw proportion") {
+    val rows = ext.Sampling.langTemperature(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      val n = rs.head.getAs[Long]("n_lang")
+      val sel = rs.count(_.getAs[Boolean]("selected"))
+      (l, n, sel)
+    }.toSeq
+    // selected counts match each lang's n_sel target
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val nSel = rs.head.getAs[Long]("n_sel")
+      assert(rs.count(_.getAs[Boolean]("selected")) == nSel)
+    }
+    // temperature flattening: sampling rate (sel/n) strictly higher for
+    // the smallest language than for the largest
+    val biggest = byLang.maxBy(_._2)
+    val smallest = byLang.minBy(_._2)
+    assert(biggest._2 > smallest._2, "fixture should have imbalanced langs")
+    assert(smallest._3.toDouble / smallest._2 > biggest._3.toDouble / biggest._2,
+      s"α=1/2 must upsample low-resource langs: $byLang")
+  }
+
+  test("weighted_sample: k rows, heavier docs overrepresented vs uniform") {
+    val rows = ext.Sampling.weightedSample(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = graft.ops.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"E-S keys weight by n_chars; sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
+  }
+
+  test("tfidf_keywords: top terms per doc, ranks dense, corpus-wide terms score 0") {
+    val rows = ext.Retrieval.tfidfKeywords(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // a term appearing in EVERY doc has idf ln(1)=0
+    rows.filter(r => r.getAs[Long]("df") == 500L)
+      .foreach(r => assert(r.getAs[Double]("tfidf") == 0.0))
+  }
+
+  test("hard_examples: one negative and one positive per query, labels correct") {
+    val rows = ext.Similarity.hardExamples(spark, dir).collect()
+    val e = graft.ops.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[String]("kind")).sorted.toSeq ==
+        Seq("hard_negative", "hard_positive"))
+      rs.foreach { r =>
+        val sameLabel = e(r.getAs[Long]("neighbor_id")) == e(q)
+        assert(sameLabel == (r.getAs[String]("kind") == "hard_positive"))
+      }
+    }
+  }
+}
