@@ -170,26 +170,35 @@ object Retrieval {
                        thresh: Double = 0.8, maxGramDf: Int = 50): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
+    // the exploded gram table feeds FOUR consumers (per-doc counts, the
+    // df filter, both sides of the pair join) — persist so the documents
+    // scan + n-gram assembly runs once, unpersisted before return (the
+    // result is materialized by an eager localCheckpoint, so nothing
+    // stays in the session cache)
     val grams = d.select(col("doc_id"), explode(array_distinct(
       transform(sequence(lit(0), size(col("t")) - n),
         i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("g"))
-    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val live = grams.join(
-      grams.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= maxGramDf)
-        .select("g"),
-      "g").select(col("g"), col("doc_id"))
-    val shared = live.select(col("g"), col("doc_id").as("a_id"))
-      .join(live.select(col("g"), col("doc_id").as("b_id")), "g")
-      .filter(col("a_id") =!= col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared_grams"))
-    shared.join(ng.toDF("a_id", "n_grams_a"), "a_id")
-      .withColumn("containment",
-        col("shared_grams").cast(DoubleType) / col("n_grams_a"))
-      .filter(col("containment") >= thresh)
-      .select(col("a_id"), col("b_id"), col("shared_grams"),
-        col("n_grams_a"), col("containment"))
-      .orderBy("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val live = grams.join(
+        grams.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= maxGramDf)
+          .select("g"),
+        "g").select(col("g"), col("doc_id"))
+      val shared = live.select(col("g"), col("doc_id").as("a_id"))
+        .join(live.select(col("g"), col("doc_id").as("b_id")), "g")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("shared_grams"))
+      shared.join(ng.toDF("a_id", "n_grams_a"), "a_id")
+        .withColumn("containment",
+          col("shared_grams").cast(DoubleType) / col("n_grams_a"))
+        .filter(col("containment") >= thresh)
+        .select(col("a_id"), col("b_id"), col("shared_grams"),
+          col("n_grams_a"), col("containment"))
+        .orderBy("a_id", "b_id")
+        .localCheckpoint(true)
+    } finally grams.unpersist()
   }
 
   private def containmentOracle(n: Int = 8, thresh: Double = 0.8,

@@ -157,13 +157,54 @@ object Sampling {
        |  SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM d)
        |WHERE rn <= $k ORDER BY rank""".stripMargin
 
+  /** Per-source corpus datasheet — the "data card" summary every corpus
+    * release ships (docs, chars, tokens, language spread, heuristic-keep
+    * rate per source). One partial-combine aggregation, O(sources)
+    * output at any scale; every statistic is an integer sum/count or an
+    * integer ratio (exact IEEE division), so the whole sheet
+    * hash-verifies with no rounding at all. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val stop = size(filter(t,
+      x => x.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*)))
+    documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"), nTok.as("n_tok"),
+        (nTok >= 50 && stop >= 2).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).cast(LongType).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("keep").cast(IntegerType)).cast(LongType).as("n_keep"),
+        (sum(col("n_tok")).cast(DoubleType) / count(lit(1))).as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  private val corpusDatasheetOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(CASE WHEN n_tok >= 50 AND stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens
+      |FROM (SELECT source, lang, n_chars,
+      |        len(string_split(text, ' ')) AS n_tok,
+      |        len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_datasheet" -> ((s: SparkSession, d: String) => corpusDatasheet(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => splitLeakage(s, d)),
     "lang_temperature" -> ((s: SparkSession, d: String) => langTemperature(s, d)),
     "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_datasheet" -> corpusDatasheetOracle,
     "split_leakage" -> splitLeakageOracle,
     "lang_temperature" -> langTemperatureOracle,
     "weighted_sample" -> weightedSampleOracle()

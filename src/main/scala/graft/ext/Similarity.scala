@@ -437,6 +437,41 @@ object Similarity {
       .orderBy("iter", "cluster")
   }
 
+  /** K-means UPDATE step under the fixed published centroids — the
+    * other half of a Lloyd iteration, oracle-hashed: per-cluster
+    * per-dimension mean of the assigned vectors (plus the cluster size),
+    * i.e. exactly the (cluster, dim)-keyed partial-combine aggregation
+    * [[kmeansTrain]] runs each round. With [[kmeansAssign]] covering
+    * assignment and this covering re-estimation, only the iteration glue
+    * (argmax→refit loop) remains gate-covered — the same
+    * shrink-the-unoracled-surface pattern as the simhash/minhash md5
+    * slices. Means are float sums over a shuffle, so they are ROUNDED;
+    * sizes are exact integers. */
+  def kmeansUpdate(spark: SparkSession, dir: String,
+                   k: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    assignFixed(e, k, dim)
+      .select(col("cluster"), posexplode(col("e")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n_vecs"))
+      .orderBy("cluster", "d")
+  }
+
+  private def kmeansUpdateOracle(k: Int = 8, dim: Int = 64): String = {
+    val dots = fixedCentroids(k, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM e),
+       |asn AS (SELECT e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |x AS (SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INT) AS d, unnest(e) AS x FROM asn)
+       |SELECT cluster, d, ROUND(avg(x), 4) AS mean_x, count(*) AS n_vecs
+       |FROM x GROUP BY cluster, d ORDER BY cluster, d""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023) — semantic dedup: cluster embeddings
     * with a coarse quantizer, then drop every vector that has a
     * higher-priority (lower id) cluster-mate above the cosine threshold.
@@ -570,6 +605,7 @@ object Similarity {
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
     "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrain(s, d)),
     "semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
@@ -579,6 +615,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
+    "kmeans_update" -> kmeansUpdateOracle(),
     "semantic_dedup" -> semanticDedupOracle(),
     "hard_examples" -> hardExamplesOracle(),
     "embedding_outliers" ->
