@@ -196,7 +196,69 @@ object Sampling {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** End-to-end corpus release — the full pipeline a training-data drop
+    * actually runs, composed from this library's own pieces and closed
+    * over the TABLE LAYER: quality-gate → exact content dedup → stable
+    * split assignment → write a lang-partitioned
+    * [[graft.table.GraftTable]] → reload the table FROM DISK and compute
+    * the release manifest (per lang×split doc/char/token totals). The
+    * oracle replays curation + dedup + split directly over the raw
+    * parquet — so a hash match proves the governed write→commit→reload
+    * roundtrip preserved every curated row bit-for-bit, not just that
+    * the curation math agrees.
+    *
+    * Scale shape: curation is map-side; dedup is the md5-keyed window
+    * (32-byte shuffle keys); the write shuffles once into identity
+    * lang partitions (partition-pruned reads downstream); the manifest
+    * is one partial-combine agg. */
+  def corpusRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{GraftTable, PartitionField}
+    val t = split(col("text"), " ")
+    val stop = size(filter(t,
+      x => x.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*)))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val curated = documents(spark, dir)
+      .withColumn("n_tok", size(t))
+      .filter(col("n_tok") >= 50 && stop >= 2)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("split", splitOf())
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_tok"), col("split"), col("text"))
+    val table = GraftTable.create(spark, tmp("corpus_release"), curated.schema,
+      spec = Seq(PartitionField("lang", "identity")))
+    table.append(curated)
+    // reload FROM DISK — the release manifest reads the committed table,
+    // not the in-flight frame
+    GraftTable.load(spark, table.dir).toDF
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).cast(LongType).as("total_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  private val corpusReleaseOracle: String =
+    """WITH f AS (SELECT doc_id, lang, source, n_chars, text,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop
+      |  FROM documents),
+      |cur AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |        FROM f WHERE n_tok >= 50 AND stop >= 2),
+      |rel AS (SELECT doc_id, lang, n_chars, n_tok,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM cur WHERE rn = 1)
+      |SELECT lang, split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      |FROM rel GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_release" -> ((s: SparkSession, d: String) => corpusRelease(s, d)),
     "corpus_datasheet" -> ((s: SparkSession, d: String) => corpusDatasheet(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => splitLeakage(s, d)),
     "lang_temperature" -> ((s: SparkSession, d: String) => langTemperature(s, d)),
@@ -204,6 +266,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_release" -> corpusReleaseOracle,
     "corpus_datasheet" -> corpusDatasheetOracle,
     "split_leakage" -> splitLeakageOracle,
     "lang_temperature" -> langTemperatureOracle,

@@ -51,6 +51,23 @@ class SamplingSpec extends AnyFunSuite {
       f"E-S keys weight by n_chars; sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
   }
 
+  test("corpus_release: manifest covers every lang, totals consistent, " +
+    "counts bounded by the raw corpus") {
+    val rows = ext.Sampling.corpusRelease(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val langs = rows.map(_.getAs[String]("lang")).distinct.sorted.toSeq
+    assert(langs.size > 1, "release should span languages")
+    rows.foreach { r =>
+      assert(Seq("train", "val", "test").contains(r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("total_tokens") >= 50 * r.getAs[Long]("n_docs"),
+        "curation floor: every released doc has >= 50 tokens")
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.ops.Tables.documents(spark, dir).count()
+    assert(total <= corpus, "release can never exceed the raw corpus")
+  }
+
   test("tfidf_keywords: top terms per doc, ranks dense, corpus-wide terms score 0") {
     val rows = ext.Retrieval.tfidfKeywords(spark, dir).collect()
     assert(rows.nonEmpty)
