@@ -167,8 +167,15 @@ object Retrieval {
     * stays hash-checked. Containment itself is a single integer/integer
     * division — bit-exact on both engines, no rounding needed. */
   def containmentDedup(spark: SparkSession, dir: String, n: Int = 8,
-                       thresh: Double = 0.8, maxGramDf: Int = 50): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+                       thresh: Double = 0.8, maxGramDf: Int = 50): DataFrame =
+    containmentDedupDocs(documents(spark, dir), n, thresh, maxGramDf)
+
+  /** [[containmentDedup]] core over any (doc_id, text) frame — split out
+    * so the df-cap (hot-bucket bound) semantics are unit-testable on
+    * synthetic boilerplate corpora. */
+  def containmentDedupDocs(docs: DataFrame, n: Int = 8,
+                           thresh: Double = 0.8, maxGramDf: Int = 50): DataFrame = {
+    val d = docs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
     // the exploded gram table feeds FOUR consumers (per-doc counts, the
     // df filter, both sides of the pair join) — persist so the documents
