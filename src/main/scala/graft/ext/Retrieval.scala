@@ -229,6 +229,77 @@ object Retrieval {
        |WHERE CAST(sh.shared_grams AS DOUBLE) / ng.n_grams >= $thresh
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- sketch containment (the 100 TB containment path) --------------
+
+  /** Bottom-k sketch containment — [[containmentDedup]]'s scale path:
+    * instead of joining EVERY gram of every doc, each probe doc ships
+    * only its k smallest md5 gram hashes and joins them against the
+    * (df-capped) corpus gram index; containment(A, B) is estimated as
+    * |{s ∈ bottom-k(A) : s ∈ grams(B)}| / min(k, |grams(A)|) — an
+    * unbiased estimate under uniform hashing, and EXACT (no false
+    * negatives) for full containment: if A ⊆ B every bottom-k hash of A
+    * is in B, so true subsets always score 1.0. Probe-side join cost
+    * drops from O(grams/doc) to O(k) per doc; the estimate is an
+    * integer/integer division, so the whole query hash-verifies with no
+    * rounding. md5 bottom-k is the same engine-portable sketch as
+    * [[TextOps.docFingerprint]]. */
+  def containmentSketch(spark: SparkSession, dir: String, n: Int = 8,
+                        k: Int = 16, thresh: Double = 0.8,
+                        maxGramDf: Int = 50): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+    // per-doc DISTINCT md5 gram hashes; feeds the sketch, the index, and
+    // the per-doc size — persist, consume, unpersist (result eagerly
+    // checkpointed)
+    val gs = d.select(col("doc_id"), array_distinct(
+      transform(sequence(lit(0), size(col("t")) - n),
+        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = gs.select(col("doc_id").as("a_id"),
+        least(size(col("gs")), lit(k)).as("k_eff"),
+        explode(slice(array_sort(col("gs")), 1, k)).as("g"))
+      val index = gs.select(col("doc_id").as("b_id"), explode(col("gs")).as("g"))
+      val live = index.join(
+        index.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= maxGramDf)
+          .select("g"),
+        "g").select(col("g"), col("b_id"))
+      probe.join(live, "g")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("k_eff"))
+        .agg(count(lit(1)).as("k_hits"))
+        .withColumn("containment_est",
+          col("k_hits").cast(DoubleType) / col("k_eff"))
+        .filter(col("containment_est") >= thresh)
+        .select(col("a_id"), col("b_id"), col("k_hits"),
+          col("k_eff").cast(IntegerType).as("k_eff"), col("containment_est"))
+        .orderBy("a_id", "b_id")
+        .localCheckpoint(true)
+    } finally gs.unpersist()
+  }
+
+  private def containmentSketchOracle(n: Int = 8, k: Int = 16,
+                                      thresh: Double = 0.8,
+                                      maxGramDf: Int = 50): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |            WHERE len(string_split(text, ' ')) >= $n),
+       |gs AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, len(t) - ${n - 1}),
+       |         i -> md5(array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')))) AS gs
+       |       FROM tk),
+       |probe AS (SELECT doc_id AS a_id, least(len(gs), $k) AS k_eff, unnest(list_sort(gs)[1:$k]) AS g FROM gs),
+       |idx AS (SELECT doc_id AS b_id, unnest(gs) AS g FROM gs),
+       |live AS (SELECT idx.* FROM idx JOIN (
+       |    SELECT g FROM idx GROUP BY g HAVING count(*) <= $maxGramDf) f USING (g)),
+       |hits AS (SELECT a_id, b_id, k_eff, count(*) AS k_hits
+       |         FROM probe JOIN live USING (g) WHERE a_id <> b_id
+       |         GROUP BY a_id, b_id, k_eff)
+       |SELECT a_id, b_id, CAST(k_hits AS BIGINT) AS k_hits,
+       |       CAST(k_eff AS INT) AS k_eff,
+       |       CAST(k_hits AS DOUBLE) / k_eff AS containment_est
+       |FROM hits WHERE CAST(k_hits AS DOUBLE) / k_eff >= $thresh
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- linear quality classifier -------------------------------------
 
   /** Published-weight linear quality classifier — the fastText-style
@@ -287,6 +358,7 @@ object Retrieval {
     "bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "containment_dedup" -> ((s: SparkSession, d: String) => containmentDedup(s, d)),
+    "containment_sketch" -> ((s: SparkSession, d: String) => containmentSketch(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d))
   )
 
@@ -294,6 +366,7 @@ object Retrieval {
     "bm25_topk" -> bm25Oracle(),
     "tfidf_keywords" -> tfidfOracle(),
     "containment_dedup" -> containmentOracle(),
+    "containment_sketch" -> containmentSketchOracle(),
     "quality_classifier" -> qualityClassifierOracle
   )
 }

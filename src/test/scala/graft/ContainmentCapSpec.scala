@@ -35,6 +35,22 @@ class ContainmentCapSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("containment") == 1.0))
   }
 
+  test("sketch containment: no false negatives on full containment — " +
+    "every exact 1.0 pair from the fixture surfaces with estimate 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = ext.Retrieval.containmentDedup(spark, dir).collect()
+      .filter(_.getAs[Double]("containment") == 1.0)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(exact.nonEmpty, "fixtures plant fully-contained docs")
+    val sketch = ext.Retrieval.containmentSketch(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("containment_est"))).toMap
+    exact.foreach { p =>
+      assert(sketch.get(p).contains(1.0),
+        s"full containment $p must be sketch-exact (A ⊆ B ⇒ bottom-k(A) ⊆ grams(B))")
+    }
+  }
+
   test("partial containment is asymmetric: the quoted doc scores 1.0 " +
     "against its superset, the superset scores below threshold") {
     val short = "q w e r t y u i"                        // 8 tokens = 1 gram
