@@ -146,6 +146,39 @@ object StreamOps {
     * (the requirement for any stream-stream join at scale). Input is one
     * raw events stream; the two sides are filtered from it
     * — joining two streams derived from one source is fully supported. */
+  /** Streaming corpus-ingestion pipeline — the live twin of the batch
+    * `corpus_release` query: quality gate (map-side filter, no state) →
+    * watermarked token-set dedup ([[dedupSetStream]], bounded state) →
+    * per (hour-window, lang) admission stats emitted as windows finalize
+    * (append mode). Two stateful operators chained under one event-time
+    * column — the Spark ≥3.4 multi-stateful shape; the dedup horizon and
+    * the window watermark share `watermark`, so a doc admitted by the
+    * dedup can never miss its window. At scale both stateful ops
+    * partition on their keys (set digest / window+lang) with no extra
+    * shuffle between them beyond the agg's own. `tsCol` is int64
+    * nanoseconds (the synthetic-stream contract used by every op here). */
+  def streamIngest(docs: DataFrame, textCol: String = "text",
+                   tsCol: String = "ts", minTokens: Int = 5,
+                   watermark: String = "2 hours"): DataFrame = {
+    val key = "__graft_set_key"; val tmp = "__graft_ingest_ts"
+    require(!docs.columns.contains(key) && !docs.columns.contains(tmp),
+      s"input must not carry $key/$tmp columns")
+    val t = split(col(textCol), " ")
+    docs.filter(size(t) >= minTokens)
+      // ONE event-time column + ONE watermark shared by both stateful
+      // operators — Spark forbids redefining the watermark mid-chain
+      .withColumn(key, xxhash64(concat_ws("\u0001",
+        array_sort(array_distinct(t)))))
+      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withWatermark(tmp, watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .groupBy(window(col(tmp), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast(LongType)).as("total_tokens"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("lang"), col("n_docs"), col("total_tokens"))
+  }
+
   def attribution(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
     def side(t: String, pre: String) = events
       .filter(col("event_type") === t)

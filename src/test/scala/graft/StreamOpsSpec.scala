@@ -366,4 +366,35 @@ class StreamOpsSpec extends AnyFunSuite {
     val reloaded = graft.table.GraftTable.load(spark, dir)
     assert(reloaded.snapshot.streamEpochs("q1") == 6L)
   }
+
+  test("streamIngest: quality gate drops shorts, set-dedup drops rewrites, " +
+    "finalized windows carry admitted counts only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val docs = mem.toDF.toDF("doc_id", "lang", "text", "ts")
+    val q = StreamOps.streamIngest(docs, minTokens = 5, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      val ns = 1000000000L // seconds → ns
+      mem.addData(
+        (1L, "en", "alpha beta gamma delta epsilon", 100L * ns),
+        (2L, "en", "beta alpha gamma epsilon delta alpha", 200L * ns), // same token SET as 1 → dedup
+        (3L, "en", "too short", 300L * ns),                            // quality-rejected
+        (4L, "de", "eins zwei drei vier fuenf sechs", 400L * ns),
+        (5L, "en", "one two three four five six seven", 500L * ns))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 so its windows finalize
+      mem.addData((9L, "en", "way later doc with enough tokens", 20000L * ns))
+      q.processAllAvailable()
+      val rows = spark.table("ingest").collect()
+        .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("lang"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toSet
+      // hour-0 window: en admits docs 1 (5 toks) and 5 (7 toks) — 2 is a
+      // set-duplicate of 1, 3 fails the gate; de admits doc 4 (6 toks)
+      assert(rows.contains((0L, "en", 2L, 12L)), s"got $rows")
+      assert(rows.contains((0L, "de", 1L, 6L)), s"got $rows")
+      assert(!rows.exists(r => r._1 == 0L && r._2 == "en" && r._3 > 2L),
+        "duplicate or rejected docs leaked into the admitted counts")
+    } finally q.stop()
+  }
 }
