@@ -293,6 +293,46 @@ object RefOps {
       .orderBy("_commit_version", "_change_type", "customer_id")
   }
 
+  // incremental MATERIALIZED-ROLLUP maintenance — the lakehouse pattern
+  // the changelog read exists FOR: an aggregate table is kept current by
+  // applying insert/delete deltas from changesBetween instead of
+  // recomputing from scratch. v1 state seeds the rollup; an append and a
+  // rowDelta upsert land; the delta pass folds +row for inserts, −row for
+  // delete pre-images into the seeded rollup. The oracle recomputes the
+  // FINAL table state directly — a hash match proves incremental
+  // maintenance ≡ full recompute (the MV-consistency law). Sums run in
+  // DECIMAL so the incremental and recompute paths are exactly
+  // associative at any partitioning; at 100 TB the delta pass touches
+  // only changed rows, never the base table.
+  private def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("id"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val t = GraftTable.create(spark, tmp("inc_rollup"), cust.schema,
+      key = Seq("id"), formatVersion = 2)
+    t.append(cust.filter(col("id") % 2 === 0))                       // v1
+    // the "existing aggregate table", materialized at v1
+    val roll0 = t.toDF.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("total"))
+      .localCheckpoint(true)
+    t.append(cust.filter(col("id") % 2 === 1 && col("id") % 5 =!= 0)) // v2
+    val upd = cust.filter(col("id") % 10 === 2)
+      .withColumn("bal", (col("bal") + 100).cast(DecimalType(18, 2)))
+    t.rowDelta(upd.select(col("id")), upd, Seq("id"))                 // v3 upsert
+    val ch = t.changesBetween(1, 3)
+    val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+    val deltas = ch.groupBy(col("seg")).agg(
+      sum(sign).cast(LongType).as("dn"),
+      sum(col("bal") * sign).as("dtotal"))
+    roll0.join(deltas, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("total"), lit(BigDecimal(0))) +
+          coalesce(col("dtotal"), lit(BigDecimal(0)))).cast(DoubleType).as("total"))
+      .filter(col("n_rows") > 0)
+      .orderBy("seg")
+  }
+
   // incremental changelog read: only the rows appended after a version
   private def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
@@ -733,6 +773,7 @@ object RefOps {
     "spec_evolution" -> specEvolution,
     "time_travel" -> timeTravel,
     "changelog_read" -> changelogRead,
+    "incremental_rollup" -> incrementalRollup,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync,
     "refs_wap_rollback" -> refsWapRollback
@@ -863,6 +904,15 @@ object RefOps {
         |  UNION ALL
         |  SELECT c_custkey, c_name || '-v2', 'insert', CAST(2 AS INT) FROM customer WHERE c_custkey % 10 = 0
         |) ORDER BY _commit_version, _change_type, customer_id""".stripMargin,
+    "incremental_rollup" ->
+      """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+        |                     CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |final AS (
+        |  SELECT id, seg,
+        |         CASE WHEN id % 10 = 2 THEN CAST(bal + 100 AS DECIMAL(18,2)) ELSE bal END AS bal
+        |  FROM base WHERE id % 2 = 0 OR (id % 2 = 1 AND id % 5 <> 0))
+        |SELECT seg, count(*) AS n_rows, CAST(sum(bal) AS DOUBLE) AS total
+        |FROM final GROUP BY seg ORDER BY seg""".stripMargin,
     "sql_cow_dml" ->
       """SELECT customer_id, name,
         |       CASE WHEN customer_id % 20 = 0 THEN orig * 3
