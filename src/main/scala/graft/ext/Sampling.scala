@@ -257,7 +257,85 @@ object Sampling {
       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
       |FROM rel GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** Curation audit — per-document LINEAGE for the cleaning pipeline:
+    * every doc gets a verdict (`kept`) and, when dropped, the FIRST
+    * pipeline stage that dropped it plus its evidence — `exact_dup`
+    * (with the kept representative's id), `quality` (token floor /
+    * type-token-ratio floor), or `lang_cap` (per-language budget in the
+    * stable md5 order). This is the explainability surface a production
+    * pipeline ships next to the release: "why is my doc gone" answers
+    * in one row. The set-dup key here is the PORTABLE md5 set digest
+    * (not xxhash64) so the whole audit — including which twin survives —
+    * hash-verifies against DuckDB.
+    *
+    * Scale shape: two windows (set-key min for representatives, per-lang
+    * rank for the cap) and map-side feature math — no joins, no explode;
+    * stage precedence is plain CASE logic so adding a stage is one more
+    * WHEN on both sides. */
+  def curationAudit(spark: SparkSession, dir: String, minTok: Int = 5,
+                    minTtr: Double = 0.2, perLangCap: Int = 200): DataFrame = {
+    val t = split(col("text"), " ")
+    val setKey = md5(concat_ws("\u0001", array_sort(array_distinct(t))))
+    val repW = Window.partitionBy(col("set_key"))
+    val d = documents(spark, dir)
+      .withColumn("set_key", setKey)
+      .withColumn("n_tok", size(t))
+      .withColumn("ttr", size(array_distinct(t)).cast(DoubleType) / size(t))
+      .withColumn("rep", min(col("doc_id")).over(repW))
+      .withColumn("is_exact_dup", col("doc_id") =!= col("rep"))
+      .withColumn("bad_quality",
+        col("n_tok") < minTok || col("ttr") < minTtr)
+    // the cap ranks only docs that SURVIVED the earlier stages — same
+    // md5 order as stratifiedSample/corpusClean
+    d.withColumn("cap_rank",
+        when(!col("is_exact_dup") && !col("bad_quality"),
+          row_number().over(Window.partitionBy(col("lang"),
+            col("is_exact_dup") || col("bad_quality"))
+            .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+          .otherwise(lit(null)))
+      .withColumn("stage",
+        when(col("is_exact_dup"), "exact_dup")
+          .when(col("bad_quality"), "quality")
+          .when(col("cap_rank") > perLangCap, "lang_cap")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("lang"), col("stage"),
+        when(col("is_exact_dup"), col("rep")).otherwise(lit(-1L)).as("evidence"),
+        (col("stage") === "kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private def curationAuditOracle(minTok: Int = 5, minTtr: Double = 0.2,
+                                  perLangCap: Int = 200): String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), chr(1))) AS set_key,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr
+       |  FROM documents),
+       |f AS (SELECT *, min(doc_id) OVER (PARTITION BY set_key) AS rep FROM d),
+       |g AS (SELECT *, (doc_id <> rep) AS is_exact_dup,
+       |        (n_tok < $minTok OR ttr < $minTtr) AS bad_quality FROM f),
+       |r AS (SELECT *, CASE WHEN NOT is_exact_dup AND NOT bad_quality THEN
+       |        row_number() OVER (PARTITION BY lang, (is_exact_dup OR bad_quality)
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) END AS cap_rank
+       |      FROM g)
+       |SELECT doc_id, lang,
+       |  CASE WHEN is_exact_dup THEN 'exact_dup'
+       |       WHEN bad_quality THEN 'quality'
+       |       WHEN cap_rank > $perLangCap THEN 'lang_cap'
+       |       ELSE 'kept' END AS stage,
+       |  CASE WHEN is_exact_dup THEN rep ELSE -1 END AS evidence,
+       |  (CASE WHEN is_exact_dup THEN 'exact_dup'
+       |        WHEN bad_quality THEN 'quality'
+       |        WHEN cap_rank > $perLangCap THEN 'lang_cap'
+       |        ELSE 'kept' END = 'kept') AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // minTok=15 / cap=150 keep all four verdict stages live on the
+    // fixtures (19 quality drops, en over-budget by ~36)
+    "curation_audit" -> ((s: SparkSession, d: String) =>
+      curationAudit(s, d, minTok = 15, perLangCap = 150)),
     "corpus_release" -> ((s: SparkSession, d: String) => corpusRelease(s, d)),
     "corpus_datasheet" -> ((s: SparkSession, d: String) => corpusDatasheet(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => splitLeakage(s, d)),
@@ -266,6 +344,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "curation_audit" -> curationAuditOracle(minTok = 15, perLangCap = 150),
     "corpus_release" -> corpusReleaseOracle,
     "corpus_datasheet" -> corpusDatasheetOracle,
     "split_leakage" -> splitLeakageOracle,

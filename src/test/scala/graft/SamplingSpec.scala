@@ -81,6 +81,26 @@ class SamplingSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Double]("tfidf") == 0.0))
   }
 
+  test("curation_audit: stage precedence — exact dups cite a kept twin, " +
+    "every doc gets exactly one verdict, audit covers the whole corpus") {
+    val rows = ext.Sampling.curationAudit(spark, dir, minTok = 15, perLangCap = 150)
+      .collect()
+    assert(rows.length == graft.ops.Tables.documents(spark, dir).count())
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { r =>
+      val stage = r.getAs[String]("stage")
+      assert(Seq("kept", "exact_dup", "quality", "lang_cap").contains(stage))
+      assert(r.getAs[Boolean]("kept") == (stage == "kept"))
+      if (stage == "exact_dup") {
+        val rep = r.getAs[Long]("evidence")
+        assert(rep >= 0 && rep < r.getAs[Long]("doc_id"),
+          "evidence must be the LOWER surviving twin")
+        assert(byId(rep).getAs[String]("stage") != "exact_dup",
+          "the cited representative itself must not be an exact dup")
+      } else assert(r.getAs[Long]("evidence") == -1L)
+    }
+  }
+
   test("hard_examples: one negative and one positive per query, labels correct") {
     val rows = ext.Similarity.hardExamples(spark, dir).collect()
     val e = graft.ops.Tables.embeddings(spark, dir)
