@@ -260,7 +260,8 @@ object Sampling {
   /** Curation audit — per-document LINEAGE for the cleaning pipeline:
     * every doc gets a verdict (`kept`) and, when dropped, the FIRST
     * pipeline stage that dropped it plus its evidence — `exact_dup`
-    * (with the kept representative's id), `quality` (token floor /
+    * (with the min-id representative of its token set — the doc that
+    * proceeds to the later stages in its place), `quality` (token floor /
     * type-token-ratio floor), or `lang_cap` (per-language budget in the
     * stable md5 order). This is the explainability surface a production
     * pipeline ships next to the release: "why is my doc gone" answers
