@@ -413,6 +413,41 @@ object CorpusOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
   }
 
+
+  /** Deterministic approximate quantiles from a MERGEABLE fixed-bin
+    * histogram — the scale alternative to `percentile_approx` whose
+    * output is bit-reproducible (and therefore hash-verifiable): exact
+    * per-(group, bin) counts are a partial-combine aggregation that
+    * merges associatively across any partitioning, and the quantile
+    * estimate is linear interpolation inside the target bin — integer
+    * counts + IEEE-exact arithmetic end to end, so unlike sketch-based
+    * quantiles (approx_aggs' t-digest) the answer never depends on merge
+    * order. Error is bounded by the bin width; at 100 TB the histogram
+    * is O(groups x bins) however large the data. */
+  def histogramQuantiles(spark: SparkSession, dir: String, binW: Int = 50,
+                         qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(col("lang"), (col("n_chars") / binW).cast(IntegerType).as("bin"))
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+    val perQ = qs.map { q =>
+      // target rank q*total: the estimate lives in the FIRST bin whose
+      // cumulative count reaches it; interpolate linearly inside the bin
+      val target = col("total") * q
+      cum.filter(col("cum") >= target && (col("cum") - col("n")) < target)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), lit(q).as("q"),
+          round(col("bin") * binW +
+            (target - (col("cum") - col("n"))) / col("n") * binW, 4).as("est"))
+    }
+    perQ.reduce(_ unionAll _).orderBy("lang", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -427,6 +462,7 @@ object CorpusOps {
     "split_stable" -> ((s, d) => splitStable(s, d)),
     "chunk_overlap" -> ((s, d) => chunkOverlap(s, d)),
     "length_buckets" -> ((s, d) => lengthBuckets(s, d)),
+    "histogram_quantiles" -> ((s, d) => histogramQuantiles(s, d)),
     "lm_perplexity" -> ((s, d) => lmScore(s, d)),
     "source_kl" -> ((s, d) => sourceKl(s, d))
   )
@@ -538,6 +574,19 @@ object CorpusOps {
         |  CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "histogram_quantiles" ->
+      """WITH c AS (SELECT lang, CAST(n_chars // 50 AS INT) AS bin, count(*) AS n
+        |           FROM documents GROUP BY lang, bin),
+        |cm AS (SELECT *, sum(n) OVER (PARTITION BY lang ORDER BY bin
+        |                              ROWS UNBOUNDED PRECEDING) AS cum,
+        |              sum(n) OVER (PARTITION BY lang) AS total FROM c),
+        |qq AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+        |hit AS (SELECT cm.*, qq.q, cm.total * qq.q AS target,
+        |          row_number() OVER (PARTITION BY lang, q ORDER BY bin) AS rn
+        |        FROM cm, qq
+        |        WHERE cm.cum >= cm.total * qq.q AND (cm.cum - cm.n) < cm.total * qq.q)
+        |SELECT lang, q, ROUND(bin * 50 + (target - (cum - n)) / n * 50, 4) AS est
+        |FROM hit WHERE rn = 1 ORDER BY lang, q""".stripMargin,
     "lm_perplexity" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (

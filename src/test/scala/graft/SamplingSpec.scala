@@ -101,6 +101,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram_quantiles: estimates within one bin width of the exact " +
+    "quantile, monotone in q") {
+    val rows = ext.CorpusOps.histogramQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val exact = graft.ops.Tables.documents(spark, dir)
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n_chars")).sorted).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byQ = rs.map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+      assert(byQ(0.5) <= byQ(0.9), "quantile estimates must be monotone in q")
+      byQ.foreach { case (q, est) =>
+        val vals = exact(lang)
+        val ex = vals(math.min(vals.length - 1, math.ceil(q * vals.length).toInt - 1))
+        assert(math.abs(est - ex) <= 50.0 + 1e-9,
+          s"$lang q=$q est=$est exact=$ex drifted beyond the bin-width bound")
+      }
+    }
+  }
+
   test("hard_examples: one negative and one positive per query, labels correct") {
     val rows = ext.Similarity.hardExamples(spark, dir).collect()
     val e = graft.ops.Tables.embeddings(spark, dir)
