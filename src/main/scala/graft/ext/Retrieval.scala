@@ -181,10 +181,21 @@ object Retrieval {
     // df filter, both sides of the pair join) — persist so the documents
     // scan + n-gram assembly runs once, unpersisted before return (the
     // result is materialized by an eager localCheckpoint, so nothing
-    // stays in the session cache)
+    // stays in the session cache).
+    //
+    // Grams are hashed to a 60-bit integer BEFORE the persist and the
+    // pair join: raw 8-gram strings average 50-100 bytes and dominated
+    // the persist + two shuffle legs (the r5 driver bench measured this
+    // query spilling at 33 s); a fixed-width long cuts those bytes ~10×.
+    // The hash is the engine-portable md5-prefix integer (same domain
+    // trick as minhash_md5), mirrored digit-for-digit in the oracle, so
+    // the query stays hash-checked — a collision folds two grams into
+    // one identically on both engines.
     val grams = d.select(col("doc_id"), explode(array_distinct(
       transform(sequence(lit(0), size(col("t")) - n),
-        i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("g"))
+        i => conv(substring(md5(
+          concat_ws(" ", slice(col("t"), i + 1, lit(n)))), 1, 15), 16, 10)
+          .cast(LongType)))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -208,13 +219,23 @@ object Retrieval {
     } finally grams.unpersist()
   }
 
+  /** DuckDB mirror of Spark's `conv(substring(md5(g),1,15),16,10)` —
+    * the 60-bit md5-prefix gram hash, assembled digit-by-digit with
+    * integer arithmetic (same portable-hash recipe as minhash_md5).
+    * `expr` must already be the md5 hex string (computed once in a CTE). */
+  private def md5Prefix60Sql(expr: String): String =
+    (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substring($expr, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}")
+      .mkString("(", " + ", ")")
+
   private def containmentOracle(n: Int = 8, thresh: Double = 0.8,
                                 maxGramDf: Int = 50): String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |            WHERE len(string_split(text, ' ')) >= $n),
-       |g AS (SELECT DISTINCT doc_id,
-       |        array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
+       |g0 AS (SELECT DISTINCT doc_id,
+       |        md5(array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')) AS h
        |      FROM tk, UNNEST(generate_series(1, len(t) - ${n - 1})) u(i)),
+       |g AS (SELECT doc_id, ${md5Prefix60Sql("h")} AS g FROM g0),
        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
        |live AS (SELECT g.* FROM g JOIN (
        |    SELECT g, count(*) AS gdf FROM g GROUP BY g HAVING count(*) <= $maxGramDf

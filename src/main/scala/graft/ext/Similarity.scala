@@ -110,6 +110,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Plain Euclidean Lloyd's k-means over an in-memory sample — the
+    * quantizer trainer for [[annIvf]]. Deterministic: init is the first
+    * `k` sample vectors (the sample itself is hash-ordered), ties go to
+    * the lowest cluster index, empty clusters keep their centroid. The
+    * input is bounded by construction (the caller caps the sample
+    * independent of corpus size), so this is driver-side metadata work —
+    * the corpus-scale passes stay in the Spark plan. */
+  private def localLloyd(sample: Array[Array[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
+    require(sample.length >= k, s"IVF training sample (${sample.length}) smaller than k=$k")
+    val dim = sample.head.length
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d2 = 0.0; var i = 0
+          val ct = cents(c)
+          while (i < dim) { val t = v(i) - ct(i); d2 += t * t; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(i => s(i) / counts(c)) }
+      }
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means,
     * then search only the `nProbe` clusters nearest to each query and
     * exact-cosine re-rank within them.
@@ -130,24 +165,23 @@ object Similarity {
              numQueries: Int = 8, k: Int = 5,
              nClusters: Int = 16, nProbe: Int = 4,
              trainPerCluster: Int = 256): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.GraftFunctions.vec_dot
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    // deterministic hash-ordered training sample, capped independent of N
-    val fit = e.orderBy(xxhash64(col("vec_id").cast(StringType)), col("vec_id"))
+    // deterministic hash-ordered training sample, capped independent of N.
+    // The sample is BOUNDED (nClusters·trainPerCluster rows — 4096×64
+    // doubles ≈ 2 MB here), so collecting it and running Lloyd's loop on
+    // the driver is metadata-scale work: one TakeOrdered job over the
+    // corpus, then zero Spark jobs until assignment. (MLlib KMeans.fit on
+    // the same sample ran several RDD job waves per iteration — the r5
+    // driver bench measured it at 6× the whole rest of the query.)
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(nClusters * trainPerCluster)
-      .withColumn("fv", array_to_vector(col("e")))
-    // random init (seeded): k-means|| spends several full passes picking
-    // seeds — for a COARSE quantizer trained on a bounded sample, random
-    // seeds + the Lloyd iterations reach the same bucket quality (recall
-    // 0.55 vs floor 0.25 here) without the extra job waves
-    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fit)
-    val cents: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents: Seq[Seq[Double]] = localLloyd(sample, nClusters, iters = 5)
     // centroids as a plan literal: per-row dots vector, home = argmax —
     // whole-stage-codegen assignment, zero extra passes over the corpus
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)

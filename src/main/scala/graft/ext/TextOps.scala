@@ -403,14 +403,23 @@ object TextOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = edges
+      // the label-update join already sees both the old and the new label,
+      // so convergence rides the SAME action that materializes the persist:
+      // carry the previous label in a `prev` column and count label<prev on
+      // the cached frame — one join and one job per iteration, not two of
+      // each. Every 5th iteration swaps the persist for an eager
+      // localCheckpoint so a deep component can't accumulate an
+      // iterations-deep lazy plan.
+      val stepped = edges
         .join(labels.select(col("node").as("peer"), col("label").as("peer_label")), "peer")
         .groupBy(col("node")).agg(min(col("peer_label")).as("nbr_label"))
-        .join(labels, "node")
-        .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
-        .persist(MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") < col("old")).count()
+        .join(labels.select("node", "label"), "node")
+        .select(col("node"), least(col("label"), col("nbr_label")).as("label"),
+          col("label").as("prev"))
+      val next =
+        if ((i + 1) % 5 == 0) stepped.localCheckpoint(true)
+        else stepped.persist(MEMORY_AND_DISK)
+      val changed = next.filter(col("label") < col("prev")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
