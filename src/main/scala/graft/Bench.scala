@@ -1,6 +1,45 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-task metric totals since JVM start, fed by a listener — snapshotted
+    * around each query so the bench artifact can attribute spill/shuffle
+    * bytes per query. Attribution is approximate at the boundaries (the
+    * listener bus is async), which is fine for the 10×-delta forensics it
+    * exists for. */
+  private val memSpilled = new java.util.concurrent.atomic.AtomicLong
+  private val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+  private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+  private val shufRead = new java.util.concurrent.atomic.AtomicLong
+
+  private final class MetricsListener extends SparkListener {
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  /** Drop every block the previous query left behind (leaked persists,
+    * eager localCheckpoint RDDs of frames the caller already dropped).
+    * Bench semantics are fresh-session-per-query: in production each
+    * pipeline runs in its own job, so one query's leftover storage must
+    * not squeeze the next query's execution memory — the r5 driver run
+    * showed exactly that failure mode (late heavy queries 6-10× slower
+    * in the 114-query JVM than in isolation). Untimed. */
+  private def sweepBlocks(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +50,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new MetricsListener)
     // Untimed warmup at the smallest SF: whole-stage codegen compilation
     // (Janino), the parquet committer, and AQE machinery initialize once
     // per JVM — without this, several seconds of one-time JVM cost land on
@@ -35,12 +75,16 @@ object Bench {
       try SparkEntry.queries.get(q).foreach(_(spark, warmDir).count())
       catch { case _: Throwable => }
     }
+    sweepBlocks(spark)
     // local iteration aid: bench only a comma-separated subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val mb = 1024.0 * 1024.0
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        val (m0, d0, w0, r0) =
+          (memSpilled.get, diskSpilled.get, shufWrite.get, shufRead.get)
         val t0 = System.nanoTime()
         // a FAILED query reports its elapsed time NEGATED — otherwise a
         // fast-failing query (e.g. a tripped invariant gate) is
@@ -49,17 +93,34 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         val secs = (System.nanoTime() - t0) / 1e9
-        name -> (if (ok) secs else -secs)
+        sweepBlocks(spark) // untimed: next query starts with a clean block store
+        val io = Seq(
+          math.rint((memSpilled.get - m0) / mb),
+          math.rint((diskSpilled.get - d0) / mb),
+          math.rint((shufWrite.get - w0) / mb),
+          math.rint((shufRead.get - r0) / mb))
+        name -> ((if (ok) secs else -secs, io))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query [spill_mem_mb, spill_disk_mb, shuffle_write_mb,
+    // shuffle_read_mb] — attributes a 10× wall-clock delta to memory
+    // pressure (spill columns nonzero) vs plan change at a glance
+    val ios = results.map { case (k, (_, io)) =>
+      s"\"" + k + "\":[" + io.map(_.toLong).mkString(",") + "]" }
       .mkString("{", ",", "}")
     // total stays the real wall time (failures still cost their elapsed);
     // the failed list makes a broken run unmistakable in the artifact
-    val total = results.values.map(math.abs).sum
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.values.map(v => math.abs(v._1)).sum
+    val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val env = {
+      val rt = Runtime.getRuntime
+      s"""{"threads":"$cpus","heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
+        s""""host_cpus":${rt.availableProcessors}}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive. bench.json

@@ -160,9 +160,16 @@ object EventOps {
     * bound would false-fail on gapped/bimodal distributions — so the
     * sketch median must land inside the exact [p45, p55] VALUE window
     * (rank 0.5±0.0001 ⊂ [0.45, 0.55] for any n). HLL++ at rsd=0.02 gets
-    * 8% (4σ). One filter over the (tiny) grouped result; a sketch
-    * regression fails every run loudly; sketch internals themselves can
-    * never hash-match a SQL oracle. */
+    * 8% (4σ).
+    *
+    * The bound CHECK itself is oracle-hashed: the output carries each
+    * group's verdict as a boolean column computed from the real sketch
+    * values, and — because the sketches honor their guarantees — the
+    * DuckDB oracle asserts those columns as literal TRUE next to the
+    * independently recomputed exact aggregates. A sketch regression
+    * flips a verdict to false and breaks the hash (and the in-query
+    * require fails the run loudly first). Sketch internals themselves
+    * stay out of the compared columns — they are engine-private. */
   private def approxAggsGated(spark: SparkSession, dir: String): DataFrame = {
     // eager checkpoint: the grouped result is a handful of rows — compute
     // it once, gate and return both read the materialized blocks instead
@@ -176,7 +183,13 @@ object EventOps {
       s"$bad event-type groups have sketch estimates outside their " +
         "guaranteed bounds (HLL 4-sigma / median outside exact p45-p55) " +
         "— sketch aggregation is broken")
-    wide.drop("__p45", "__p55")
+    wide.select(col("event_type"), col("exact_users"),
+      round(col("exact_p50"), 6).as("exact_p50"), col("n"),
+      (abs(col("approx_users") - col("exact_users")) <=
+        col("exact_users") * 0.08).as("users_within_4sigma"),
+      (col("approx_p50") >= col("__p45") &&
+        col("approx_p50") <= col("__p55")).as("p50_within_rank_window"))
+      .orderBy("event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,6 +203,16 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "approx_aggs" ->
+      """WITH e AS (SELECT event_type, user_id, value FROM events),
+        |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         ROUND(quantile_cont(value, 0.5), 6) AS exact_p50
+        |       FROM e GROUP BY event_type),
+        |eu AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |       FROM e WHERE user_id IS NOT NULL GROUP BY event_type)
+        |SELECT ex.event_type, eu.exact_users, ex.exact_p50, ex.n,
+        |       TRUE AS users_within_4sigma, TRUE AS p50_within_rank_window
+        |FROM ex JOIN eu USING (event_type) ORDER BY event_type""".stripMargin,
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS t_view_us

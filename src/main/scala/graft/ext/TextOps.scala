@@ -420,7 +420,11 @@ object TextOps {
         if ((i + 1) % 5 == 0) stepped.localCheckpoint(true)
         else stepped.persist(MEMORY_AND_DISK)
       val changed = next.filter(col("label") < col("prev")).count()
+      // the old frame may itself be a checkpoint (every 5th iteration):
+      // unpersist covers the persisted case, the shim call the checkpoint
+      // case (Dataset.unpersist is a no-op for checkpoint RDDs)
       labels.unpersist()
+      org.apache.spark.sql.GraftShim.dropCheckpointBlocks(labels)
       labels = next
       converged = changed == 0
       i += 1
@@ -437,6 +441,7 @@ object TextOps {
     val out = labels.select(col("node"), col("label").as("cluster"))
       .localCheckpoint(true)
     labels.unpersist()
+    org.apache.spark.sql.GraftShim.dropCheckpointBlocks(labels)
     out
   }
 

@@ -22,6 +22,20 @@ object GraftShim {
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Free the block-store blocks behind an eager `localCheckpoint`ed
+    * Dataset NOW. `Dataset.unpersist` goes through the cacheManager and
+    * is a NO-OP for checkpoint RDDs — without this the blocks sit in the
+    * block store until GC + ContextCleaner get to them, and a long-lived
+    * session (Bench's 114-query JVM) accumulates them into real
+    * execution-memory pressure. Only call once the frame is fully
+    * consumed: a localCheckpoint's lineage is truncated, so its blocks
+    * ARE the data and the frame is unreadable afterwards. */
+  def dropCheckpointBlocks(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Neutral view of a Column's (private[sql]) ColumnNode tree, for
     * predicate analysis outside the sql package (transform pruning). */
   sealed trait Node
