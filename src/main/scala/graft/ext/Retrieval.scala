@@ -258,8 +258,13 @@ object Retrieval {
     * (df-capped) corpus gram index; containment(A, B) is estimated as
     * |{s ∈ bottom-k(A) : s ∈ grams(B)}| / min(k, |grams(A)|) — an
     * unbiased estimate under uniform hashing, and EXACT (no false
-    * negatives) for full containment: if A ⊆ B every bottom-k hash of A
-    * is in B, so true subsets always score 1.0. Probe-side join cost
+    * negatives) for full containment PROVIDED none of A's bottom-k grams
+    * is df-capped: if A ⊆ B every bottom-k hash of A is in B, so true
+    * subsets score 1.0 — unless a probe hash hits a boilerplate gram the
+    * `maxGramDf` cap removed from the index side, in which case the
+    * score drops below 1.0 (the exact variant suppresses the same grams
+    * intentionally; the conditional is shared, not a sketch artifact).
+    * Probe-side join cost
     * drops from O(grams/doc) to O(k) per doc; the estimate is an
     * integer/integer division, so the whole query hash-verifies with no
     * rounding. md5 bottom-k is the same engine-portable sketch as

@@ -77,8 +77,9 @@ object Sampling {
     * α-sampling of XLM-R / mT5): sampling share q_l ∝ p_l^α flattens the
     * language distribution so high-resource languages stop drowning out
     * low-resource ones. α = 1/2 here, computed as `sqrt` — IEEE-exact on
-    * every engine, so per-language target counts (floor of q_l × budget)
-    * are bit-deterministic with no rounding games; budget = 40% of the
+    * every engine per element; the SUM of the sqrts goes through DECIMAL
+    * so it is order-independent too, making per-language target counts
+    * (floor of q_l × budget) bit-deterministic; budget = 40% of the
     * corpus, so the query is shape-identical across scale factors.
     * Selection within a language is the stable md5 order of
     * [[CorpusOps.splitStable]] — a doc's selection never churns as OTHER
@@ -92,9 +93,15 @@ object Sampling {
   def langTemperature(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("lang"))
     val perLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    // per-element sqrt is IEEE-exact, but a raw double SUM of them is
+    // partial-agg-order-dependent (HACKING determinism rule #1) — and
+    // n_sel floors q·budget, so a last-ulp wobble in sqrt_sum could flip
+    // a count at an integer boundary. Sum through DECIMAL (exact,
+    // order-independent, identical elementwise cast on both engines).
     val totals = perLang.agg(
       sum(col("n_lang")).cast(DoubleType).as("n_total"),
-      sum(sqrt(col("n_lang"))).as("sqrt_sum"))
+      sum(sqrt(col("n_lang")).cast(DecimalType(30, 15)))
+        .cast(DoubleType).as("sqrt_sum"))
     val targets = perLang.crossJoin(broadcast(totals))
       .withColumn("q", sqrt(col("n_lang")) / col("sqrt_sum"))
       .withColumn("n_sel",
@@ -111,7 +118,8 @@ object Sampling {
 
   private val langTemperatureOracle: String =
     """WITH pl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
-      |t AS (SELECT CAST(sum(n_lang) AS DOUBLE) AS n_total, sum(sqrt(n_lang)) AS sqrt_sum FROM pl),
+      |t AS (SELECT CAST(sum(n_lang) AS DOUBLE) AS n_total,
+      |             CAST(sum(CAST(sqrt(n_lang) AS DECIMAL(30,15))) AS DOUBLE) AS sqrt_sum FROM pl),
       |tg AS (SELECT lang, n_lang, sqrt(n_lang) / sqrt_sum AS q,
       |         CAST(floor(sqrt(n_lang) / sqrt_sum * floor(n_total * 0.4)) AS BIGINT) AS n_sel
       |       FROM pl, t),

@@ -159,10 +159,15 @@ object StreamOps {
     * nanoseconds (the synthetic-stream contract used by every op here). */
   def streamIngest(docs: DataFrame, textCol: String = "text",
                    tsCol: String = "ts", minTokens: Int = 5,
+                   langCol: String = "lang",
                    watermark: String = "2 hours"): DataFrame = {
     val key = "__graft_set_key"; val tmp = "__graft_ingest_ts"
     require(!docs.columns.contains(key) && !docs.columns.contains(tmp),
       s"input must not carry $key/$tmp columns")
+    Seq(textCol, tsCol, langCol).foreach(c =>
+      require(docs.columns.contains(c),
+        s"streamIngest input must carry a '$c' column (has: " +
+          docs.columns.mkString(", ") + ")"))
     val t = split(col(textCol), " ")
     docs.filter(size(t) >= minTokens)
       // ONE event-time column + ONE watermark shared by both stateful
@@ -172,7 +177,7 @@ object StreamOps {
       .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
       .withWatermark(tmp, watermark)
       .dropDuplicatesWithinWatermark(key)
-      .groupBy(window(col(tmp), "1 hour"), col("lang"))
+      .groupBy(window(col(tmp), "1 hour"), col(langCol).as("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(t).cast(LongType)).as("total_tokens"))
       .select(unix_micros(col("window.start")).as("window_start_us"),

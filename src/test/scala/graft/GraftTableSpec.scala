@@ -632,6 +632,29 @@ class GraftTableSpec extends AnyFunSuite {
       Seq(2L, 10L))
   }
 
+  test("dynamic overwrite refuses driver-scale partition-tuple sets") {
+    // the replaced-partition membership predicate is built from a
+    // driver-side distinct().collect() of the input's partition tuples —
+    // an identity spec over a high-cardinality key must fail with the
+    // configured cap in the message, not drag the driver
+    val dir = TestSpark.tmpDir("owcap")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("g", LongType))),
+      spec = Seq(PartitionField("g", "identity")))
+    spark.conf.set("graft.overwrite.maxPartitionTuples", "50")
+    try {
+      t.append(spark.range(10).selectExpr("id", "id AS g"))
+      val e = intercept[IllegalArgumentException] {
+        t.overwriteDynamic(spark.range(200).selectExpr("id", "id AS g"))
+      }
+      assert(e.getMessage.contains("50 distinct partition tuples"))
+      assert(t.toDF.count() == 10, "failed overwrite must not commit")
+      // under the cap the same op works
+      t.overwriteDynamic(spark.range(40).selectExpr("id", "id AS g"))
+      assert(t.toDF.count() == 40)
+    } finally spark.conf.unset("graft.overwrite.maxPartitionTuples")
+  }
+
   test("emptying a partitioned table leaves it readable") {
     // regression: a zero-row write on a partitioned table creates no
     // files (partitionBy of nothing); the commit must reference no dir
