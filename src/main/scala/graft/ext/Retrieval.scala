@@ -380,12 +380,89 @@ object Retrieval {
       |       ROUND(1.0 / (1.0 + exp(-z)), 4) AS score, (z >= 0) AS keep
       |FROM z ORDER BY doc_id""".stripMargin
 
+  // ---- hybrid retrieval fusion (RRF) ---------------------------------
+
+  /** Reciprocal-rank fusion (Cormack et al.) of two retrievers over the
+    * embeddings corpus — the standard late-fusion step of hybrid
+    * (sparse + dense) retrieval in RAG pipelines: each retriever
+    * contributes 1/(C + rank) for candidates inside its top-`k` list,
+    * and candidates re-rank by the summed score. The two retrievers
+    * here are cosine (normalized semantic match) and raw inner product
+    * (magnitude-sensitive match) — genuinely different rankings from
+    * one scored pass.
+    *
+    * Determinism: both retriever scores are sequential-fold dot
+    * products (bit-identical to DuckDB), so the per-retriever integer
+    * ranks agree exactly; the RRF score is one or two exact divisions
+    * plus one addition — no rounding needed anywhere. Scale shape: one
+    * broadcast-query scored pass feeds BOTH rank windows (no second
+    * corpus scan); at production Q·N each retriever would contribute
+    * its own top-k candidate list (ANN/BM25) and fusion joins k-sized
+    * lists per query — the fusion stage itself never touches the
+    * corpus. */
+  def rrfFusion(spark: SparkSession, dir: String,
+                numQueries: Int = 8, k: Int = 20, fuseK: Int = 10,
+                c: Int = 60): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val toD = (col: Column) => transform(col, x => x.cast(DoubleType))
+    val e = embeddings(spark, dir).select(col("vec_id"), toD(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        vec_dot(col("qe"), col("e")).as("dot"),
+        (vec_dot(col("qe"), col("e")) /
+          (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("e"), col("e")))))
+          .as("cos"))
+    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val wDot = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+    val ranked = scored
+      .withColumn("r_cos", row_number().over(wCos))
+      .withColumn("r_dot", row_number().over(wDot))
+      .withColumn("rrf",
+        when(col("r_cos") <= k, lit(1.0) / (lit(c) + col("r_cos"))).otherwise(lit(0.0)) +
+          when(col("r_dot") <= k, lit(1.0) / (lit(c) + col("r_dot"))).otherwise(lit(0.0)))
+      .filter(col("rrf") > 0)
+    val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= fuseK)
+      .select(col("query_id"), col("neighbor_id"), col("r_cos"), col("r_dot"),
+        col("rrf"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def rrfOracle(numQueries: Int = 8, k: Int = 20, fuseK: Int = 10,
+                        c: Int = 60): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < $numQueries),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, e.e) AS dot,
+       |         list_dot_product(q.qe, e.e)
+       |           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.e, e.e))) AS cos
+       |       FROM q, e WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r_cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS r_dot
+       |      FROM sc),
+       |f AS (SELECT query_id, neighbor_id, r_cos, r_dot,
+       |        (CASE WHEN r_cos <= $k THEN 1.0 / ($c + r_cos) ELSE 0.0 END
+       |         + CASE WHEN r_dot <= $k THEN 1.0 / ($c + r_dot) ELSE 0.0 END) AS rrf
+       |      FROM r)
+       |SELECT query_id, neighbor_id, CAST(r_cos AS INT) AS r_cos,
+       |       CAST(r_dot AS INT) AS r_dot, rrf, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn
+       |  FROM f WHERE rrf > 0)
+       |WHERE rn <= $fuseK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "containment_dedup" -> ((s: SparkSession, d: String) => containmentDedup(s, d)),
     "containment_sketch" -> ((s: SparkSession, d: String) => containmentSketch(s, d)),
-    "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d))
+    "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d)),
+    "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +470,7 @@ object Retrieval {
     "tfidf_keywords" -> tfidfOracle(),
     "containment_dedup" -> containmentOracle(),
     "containment_sketch" -> containmentSketchOracle(),
-    "quality_classifier" -> qualityClassifierOracle
+    "quality_classifier" -> qualityClassifierOracle,
+    "rrf_fusion" -> rrfOracle()
   )
 }

@@ -313,6 +313,102 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Canonical-copy selection for exact-duplicate groups — the dedup
+    * refinement real pipelines run after grouping: instead of keeping
+    * the FIRST copy (min doc_id, what [[curationAudit]] and plain exact
+    * dedup do), keep the BEST copy by a quality key. Groups are the same
+    * engine-portable md5 set digest as [[curationAudit]] (identical
+    * distinct-token sets); the quality key is type-token ratio (higher =
+    * less internal repetition — duplicates share distinct tokens but
+    * differ in repetition/length), tiebreak doc_id. Only groups with ≥2
+    * members emit (singletons have no decision to make).
+    *
+    * Determinism: ttr is one per-row integer/integer division (exact on
+    * both engines); the winner rank is a window over (ttr DESC, doc_id).
+    * Scale shape: one digest-keyed shuffle, window within groups —
+    * identical cost to exact dedup. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val gw = Window.partitionBy(col("set_key"))
+    val rw = gw.orderBy(col("ttr").desc, col("doc_id"))
+    documents(spark, dir)
+      .withColumn("set_key", md5(concat_ws("\u0001", array_sort(array_distinct(t)))))
+      .withColumn("ttr", size(array_distinct(t)).cast(DoubleType) / size(t))
+      .withColumn("n_members", count(lit(1)).over(gw))
+      .withColumn("pick", row_number().over(rw))
+      .withColumn("min_id", min(col("doc_id")).over(gw))
+      .filter(col("n_members") >= 2 && col("pick") === 1)
+      .select(col("set_key"), col("n_members"),
+        col("doc_id").as("canonical_id"), col("min_id"),
+        round(col("ttr"), 4).as("canonical_ttr"),
+        (col("doc_id") =!= col("min_id")).as("beats_first_copy"))
+      .orderBy("set_key")
+  }
+
+  private val dedupCanonicalOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), chr(1))) AS set_key,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY set_key) AS n_members,
+      |        row_number() OVER (PARTITION BY set_key ORDER BY ttr DESC, doc_id) AS pick,
+      |        min(doc_id) OVER (PARTITION BY set_key) AS min_id
+      |      FROM d)
+      |SELECT set_key, CAST(n_members AS BIGINT) AS n_members,
+      |       doc_id AS canonical_id, min_id, ROUND(ttr, 4) AS canonical_ttr,
+      |       (doc_id <> min_id) AS beats_first_copy
+      |FROM g WHERE n_members >= 2 AND pick = 1 ORDER BY set_key""".stripMargin
+
+  /** Token-budget-constrained corpus selection — "give me the best docs
+    * that fit in B training tokens": rank the corpus by a quality key,
+    * admit docs in rank order while the running token total stays within
+    * budget (greedy knapsack with unit value density, the shape of every
+    * budgeted-pretraining data selection). Budget here is 30% of corpus
+    * tokens (floor — integer-exact, scale-free).
+    *
+    * Determinism: quality is the exact per-row ttr ratio, the running
+    * total is an INTEGER prefix sum over a total order (ttr DESC,
+    * doc_id) — bit-exact on both engines, no float accumulation.
+    * Scale shape: the demo ranks with one global window (fine at
+    * sf-test scale); the production upgrade is the same two-phase
+    * quantile-cutoff as [[CorpusOps.domainMix]]: estimate the quality
+    * cutoff whose prefix fits the budget, map-side filter, exact-adjust
+    * only the boundary stratum. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+                        budgetFrac: Double = 0.3): DataFrame = {
+    val t = split(col("text"), " ")
+    val d = documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tok"),
+        (size(array_distinct(t)).cast(DoubleType) / size(t)).as("ttr"))
+    val budget = d.agg(floor(sum(col("n_tok")) * budgetFrac).cast(LongType).as("budget"))
+    val w = Window.orderBy(col("ttr").desc, col("doc_id"))
+    d.crossJoin(broadcast(budget))
+      .withColumn("sel_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tok").cast(LongType)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
+        col("sel_rank"), col("cum_tokens"), col("budget"))
+      .orderBy("sel_rank")
+  }
+
+  private def tokenBudgetOracle(budgetFrac: Double = 0.3): String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr
+       |  FROM documents),
+       |b AS (SELECT CAST(floor(sum(n_tok) * $budgetFrac) AS BIGINT) AS budget FROM d),
+       |r AS (SELECT d.*, b.budget,
+       |        row_number() OVER (ORDER BY ttr DESC, doc_id) AS sel_rank,
+       |        sum(n_tok) OVER (ORDER BY ttr DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM d, b)
+       |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, ROUND(ttr, 4) AS ttr,
+       |       CAST(sel_rank AS INT) AS sel_rank,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens, budget
+       |FROM r WHERE cum_tokens <= budget ORDER BY sel_rank""".stripMargin
+
   private def curationAuditOracle(minTok: Int = 5, minTtr: Double = 0.2,
                                   perLangCap: Int = 200): String =
     s"""WITH d AS (SELECT doc_id, lang,
@@ -349,7 +445,9 @@ object Sampling {
     "corpus_datasheet" -> ((s: SparkSession, d: String) => corpusDatasheet(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => splitLeakage(s, d)),
     "lang_temperature" -> ((s: SparkSession, d: String) => langTemperature(s, d)),
-    "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d))
+    "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "dedup_canonical" -> ((s: SparkSession, d: String) => dedupCanonical(s, d)),
+    "token_budget_select" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,6 +456,8 @@ object Sampling {
     "corpus_datasheet" -> corpusDatasheetOracle,
     "split_leakage" -> splitLeakageOracle,
     "lang_temperature" -> langTemperatureOracle,
-    "weighted_sample" -> weightedSampleOracle()
+    "weighted_sample" -> weightedSampleOracle(),
+    "dedup_canonical" -> dedupCanonicalOracle,
+    "token_budget_select" -> tokenBudgetOracle()
   )
 }

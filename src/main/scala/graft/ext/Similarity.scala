@@ -679,7 +679,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the compression
+    * step production ANN indexes run before storing vectors (4× smaller
+    * than float32, 8× smaller than the double math here): per vector,
+    * scale = 127/max|x| and q_i = floor(x_i·scale + 0.5) ∈ [-127, 127].
+    * Output characterizes the quantization deterministically — the md5
+    * of the comma-joined int codes pins the FULL quantized vector, the
+    * saturation count / code sum are exact integers, and the max
+    * reconstruction error is a per-element exact-arithmetic fold.
+    *
+    * Determinism: every step is IEEE-exact (`/ * + abs floor` are
+    * correctly rounded; no libm), so codes agree bit-for-bit with the
+    * DuckDB oracle; only the two reported double summaries are rounded
+    * for display. Pure map stage — zero shuffle at any scale. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+    val qv = transform(col("e"), x =>
+      floor(x * col("scale") + lit(0.5)).cast(IntegerType))
+    val errs = transform(col("e"), x =>
+      abs(x - floor(x * col("scale") + lit(0.5)) / col("scale")))
+    e.withColumn("qv", qv)
+      .select(col("vec_id"), round(col("amax"), 6).as("amax"),
+        size(filter(col("qv"), q => abs(q) === 127)).as("n_sat"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        md5(concat_ws(",", transform(col("qv"), _.cast(StringType)))).as("q_md5"),
+        round(array_max(errs), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |a AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM e),
+      |s AS (SELECT vec_id, e, amax, CAST(127 AS DOUBLE) / amax AS scale
+      |      FROM a WHERE amax > 0),
+      |q AS (SELECT vec_id, amax, scale,
+      |        list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv,
+      |        list_max(list_transform(e,
+      |          x -> abs(x - floor(x * scale + 0.5) / scale))) AS err
+      |      FROM s)
+      |SELECT vec_id, ROUND(amax, 6) AS amax,
+      |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       md5(array_to_string(qv, ',')) AS q_md5,
+      |       ROUND(err, 6) AS recon_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize" -> ((s: SparkSession, d: String) => embedQuantize(s, d)),
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annLshBucketed(s, d), 0.4, "LSH ANN")),
@@ -697,6 +747,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),

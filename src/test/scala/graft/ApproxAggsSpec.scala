@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.EventOps
 
-/** Error bounds for the sketch-based approximate aggregates (no DuckDB
-  * oracle — sketch internals are engine-specific, so the exact columns
-  * computed in the same query are the reference). */
+/** Error bounds for the sketch-based approximate aggregates. The
+  * oracle-compared output carries the bound-check VERDICT columns (plus
+  * the exact aggregates); the raw sketch values stay inside the query —
+  * sketch internals are engine-specific. This spec asserts the verdicts
+  * hold and the sketches stay deterministic across runs. */
 class ApproxAggsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -16,20 +18,16 @@ class ApproxAggsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
-  test("HLL distinct within 5% of exact; approx p50 within the value spread") {
+  test("every group's sketch verdicts hold (HLL 4-sigma, p50 rank window)") {
     val rows = EventOps.queries("approx_aggs")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approxU = r.getAs[Long]("approx_users").toDouble
-      val exactU = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approxU - exactU) / exactU <= 0.05,
-        s"${r.getAs[String]("event_type")}: approx=$approxU exact=$exactU")
-      val approxP = r.getAs[Double]("approx_p50")
-      val exactP = r.getAs[Double]("exact_p50")
-      // percentile_approx with accuracy 10000 on a few hundred rows per
-      // group returns an actual data value adjacent to the true median
-      assert(math.abs(approxP - exactP) <= math.max(1.0, math.abs(exactP) * 0.05),
-        s"${r.getAs[String]("event_type")}: p50 approx=$approxP exact=$exactP")
+      assert(r.getAs[Boolean]("users_within_4sigma"),
+        s"${r.getAs[String]("event_type")}: HLL outside 4-sigma bound")
+      assert(r.getAs[Boolean]("p50_within_rank_window"),
+        s"${r.getAs[String]("event_type")}: approx p50 outside exact [p45, p55]")
+      assert(r.getAs[Long]("exact_users") > 0)
+      assert(r.getAs[Long]("n") >= r.getAs[Long]("exact_users"))
     }
   }
 

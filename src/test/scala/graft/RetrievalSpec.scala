@@ -114,4 +114,46 @@ class RetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rrf_fusion: scores decompose into the two 1/(60+rank) terms and " +
+    "fused order follows the score") {
+    val rows = ext.Retrieval.rrfFusion(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = ordered.map(_.getAs[Double]("rrf")).toSeq
+      assert(scores == scores.sorted.reverse, "fused rank must follow rrf desc")
+      ordered.foreach { r =>
+        val expect =
+          (if (r.getAs[Int]("r_cos") <= 20) 1.0 / (60 + r.getAs[Int]("r_cos")) else 0.0) +
+            (if (r.getAs[Int]("r_dot") <= 20) 1.0 / (60 + r.getAs[Int]("r_dot")) else 0.0)
+        assert(r.getAs[Double]("rrf") == expect)
+        assert(expect > 0, "only candidates inside at least one top-20 list emit")
+      }
+      // a candidate top-ranked by BOTH retrievers must be fused rank 1
+      val both = rs.find(r => r.getAs[Int]("r_cos") == 1 && r.getAs[Int]("r_dot") == 1)
+      both.foreach(r => assert(r.getAs[Int]("rank") == 1))
+    }
+  }
+
+  test("embed_quantize: codes bounded, reconstruction error under half a " +
+    "quantization step, md5 pins content") {
+    val rows = ext.Similarity.embedQuantize(spark, dir).collect()
+    assert(rows.length ==
+      graft.ops.Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      val amax = r.getAs[Double]("amax")
+      assert(amax > 0)
+      // max reconstruction error of round-to-nearest is (amax/127)/2
+      assert(r.getAs[Double]("recon_err") <= amax / 127.0 / 2.0 + 1e-6)
+      assert(r.getAs[Int]("n_sat") >= 1,
+        "the element attaining amax quantizes to exactly +/-127")
+      assert(r.getAs[String]("q_md5").length == 32)
+    }
+    // deterministic across runs
+    val again = ext.Similarity.embedQuantize(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

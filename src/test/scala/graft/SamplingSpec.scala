@@ -137,4 +137,52 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedup_canonical: one winner per multi-member group, winner has the " +
+    "group's best (ttr, -doc_id) key") {
+    val rows = ext.Sampling.dedupCanonical(spark, dir).collect()
+    assert(rows.nonEmpty, "fixtures carry exact-dup groups")
+    val keys = rows.map(_.getAs[String]("set_key"))
+    assert(keys.distinct.length == keys.length, "one row per group")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2)
+      assert(r.getAs[Long]("canonical_id") >= r.getAs[Long]("min_id"))
+      assert(r.getAs[Boolean]("beats_first_copy") ==
+        (r.getAs[Long]("canonical_id") != r.getAs[Long]("min_id")))
+    }
+    // cross-check the winner against a direct recomputation for one group
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "md5(array_join(array_sort(array_distinct(split(text, ' '))), '\u0001')) AS k",
+        "size(array_distinct(split(text, ' '))) / cast(size(split(text, ' ')) AS DOUBLE) AS ttr")
+      .collect().groupBy(_.getAs[String]("k"))
+    rows.take(5).foreach { r =>
+      val grp = docs(r.getAs[String]("set_key"))
+      val best = grp.maxBy(g => (g.getAs[Double]("ttr"), -g.getAs[Long]("doc_id")))
+      assert(best.getAs[Long]("doc_id") == r.getAs[Long]("canonical_id"))
+    }
+  }
+
+  test("token_budget_select: greedy prefix by quality exactly fills the " +
+    "budget — adding the next-ranked doc would exceed it") {
+    val rows = ext.Sampling.tokenBudgetSelect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val last = rows.maxBy(_.getAs[Int]("sel_rank"))
+    assert(last.getAs[Long]("cum_tokens") <= budget)
+    // ranks are the dense prefix 1..n (no holes — a hole would mean a
+    // skipped better doc)
+    assert(rows.map(_.getAs[Int]("sel_rank")).sorted.toSeq ==
+      (1 to rows.length).toSeq)
+    // cum_tokens is consistent with the per-row n_tok running sum
+    val ordered = rows.sortBy(_.getAs[Int]("sel_rank"))
+    var acc = 0L
+    ordered.foreach { r =>
+      acc += r.getAs[Int]("n_tok")
+      assert(r.getAs[Long]("cum_tokens") == acc)
+    }
+    // maximality: the corpus has more docs than selected (budget binds)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length < total)
+  }
 }
