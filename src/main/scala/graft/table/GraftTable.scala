@@ -597,12 +597,22 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val tuples = tuplesCapped
     if (tuples.isEmpty) return this // empty input replaces nothing
     // membership predicates: over the derived k=v dir columns (for dir
-    // pruning) and over the source-column transforms (for row filtering)
-    def member(colOf: PartitionField => Column): Column = tuples.map { r =>
+    // pruning) and over the source-column transforms (for row filtering).
+    // The OR over tuples is reduced as a BALANCED tree: a left-deep fold
+    // of tens of thousands of disjuncts recurses that deep in every
+    // Catalyst traversal (stack overflow territory near the tuple cap);
+    // balanced depth is log2(n).
+    def orBalanced(cs: Seq[Column]): Column = {
+      var cur = cs
+      while (cur.length > 1)
+        cur = cur.grouped(2).map(g => if (g.length == 2) g(0) || g(1) else g(0)).toSeq
+      cur.head
+    }
+    def member(colOf: PartitionField => Column): Column = orBalanced(tuples.map { r =>
       s.spec.zipWithIndex.map { case (pf, i) =>
         colOf(pf) <=> lit(r.get(i))
       }.reduce(_ && _)
-    }.reduce(_ || _)
+    })
     val dirPred = member(pf => col(pf.name))
     val rowPred = member(pf => pf.exprFor(col(pf.source), s.schema(pf.source).dataType))
     val touched = prunedLeafDirs(s.dataDirs.map(d => s"$dir/${d.path}"), s.spec, s.schema, dirPred) match {
