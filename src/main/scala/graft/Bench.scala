@@ -32,8 +32,9 @@ object Bench {
     * pipeline runs in its own job, so one query's leftover storage must
     * not squeeze the next query's execution memory — the r5 driver run
     * showed exactly that failure mode (late heavy queries 6-10× slower
-    * in the 114-query JVM than in isolation). Untimed. */
-  private def sweepBlocks(spark: SparkSession): Unit = {
+    * in the 114-query JVM than in isolation). Untimed. Shared with
+    * Verify (same fresh-session semantics, one implementation). */
+  private[graft] def sweepBlocks(spark: SparkSession): Unit = {
     try spark.catalog.clearCache() catch { case _: Throwable => }
     try spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

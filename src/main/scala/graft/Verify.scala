@@ -21,13 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // fresh-session-per-query block hygiene (same sweep as Bench): one
-      // query's leaked persist/checkpoint blocks must not squeeze the
-      // next 113 queries' execution memory in this shared JVM
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => }
+      // fresh-session-per-query block hygiene (Bench's sweep — one
+      // implementation so the two drivers cannot drift): one query's
+      // leaked persist/checkpoint blocks must not squeeze the next 113
+      // queries' execution memory in this shared JVM
+      Bench.sweepBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -235,7 +235,7 @@ object Retrieval {
        |g0 AS (SELECT DISTINCT doc_id,
        |        md5(array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')) AS h
        |      FROM tk, UNNEST(generate_series(1, len(t) - ${n - 1})) u(i)),
-       |g AS (SELECT doc_id, ${md5Prefix60Sql("h")} AS g FROM g0),
+       |g AS (SELECT DISTINCT doc_id, ${md5Prefix60Sql("h")} AS g FROM g0),
        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
        |live AS (SELECT g.* FROM g JOIN (
        |    SELECT g, count(*) AS gdf FROM g GROUP BY g HAVING count(*) <= $maxGramDf
@@ -405,17 +405,18 @@ object Retrieval {
                 c: Int = 60): DataFrame = {
     import graft.functions.GraftFunctions.vec_dot
     graft.functions.GraftFunctions.register(spark)
-    val toD = (col: Column) => transform(col, x => x.cast(DoubleType))
-    val e = embeddings(spark, dir).select(col("vec_id"), toD(col("embedding")).as("e"))
+    // one cosine implementation in the codebase: Similarity.cosine is
+    // the fold shape every oracle mirrors — an inline copy here could
+    // silently drift from the DuckDB side under a future edit
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         vec_dot(col("qe"), col("e")).as("dot"),
-        (vec_dot(col("qe"), col("e")) /
-          (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("e"), col("e")))))
-          .as("cos"))
+        Similarity.cosine(col("qe"), col("e")).as("cos"))
     val wCos = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     val wDot = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
     val ranked = scored

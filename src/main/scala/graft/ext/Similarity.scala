@@ -84,7 +84,14 @@ object Similarity {
       when(vec_dot(e, array(row.map(lit): _*)) >= 0, shiftleft(lit(1L), p))
         .otherwise(0L)
     }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
+    val sig = planeBits.reduce((a, b) => a.bitwiseOR(b))
+    // vec_dot truncates to min(lengths), so a fixture regenerated at a
+    // different dimensionality would otherwise bucket on silently
+    // truncated projections (and desync from the 64-wide oracle
+    // literals) — fail loudly per row instead
+    when(size(e) === dim, sig).otherwise(raise_error(concat(
+      lit(s"lshSignature: published hyperplanes are $dim-dimensional, got "),
+      size(e).cast(StringType))).cast(LongType))
   }
 
   /** ANN via random-hyperplane LSH buckets: candidates share the exact

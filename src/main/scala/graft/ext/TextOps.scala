@@ -420,11 +420,13 @@ object TextOps {
         if ((i + 1) % 5 == 0) stepped.localCheckpoint(true)
         else stepped.persist(MEMORY_AND_DISK)
       val changed = next.filter(col("label") < col("prev")).count()
-      // the old frame may itself be a checkpoint (every 5th iteration):
-      // unpersist covers the persisted case, the shim call the checkpoint
-      // case (Dataset.unpersist is a no-op for checkpoint RDDs)
+      // persisted old frames unpersist at the swap; checkpoint frames
+      // (every 5th iteration) are NOT dropped mid-loop — `next` is only
+      // cached, so a later cache-miss recompute still walks lineage back
+      // to the old checkpoint, and freeing it would strand the loop on
+      // any block loss. The ≤ maxIters/5 lingering label-table copies
+      // are bounded and reclaimed after the final result materializes.
       labels.unpersist()
-      org.apache.spark.sql.GraftShim.dropCheckpointBlocks(labels)
       labels = next
       converged = changed == 0
       i += 1
@@ -440,6 +442,10 @@ object TextOps {
     // when dropped) and nothing lingers in the session cache
     val out = labels.select(col("node"), col("label").as("cluster"))
       .localCheckpoint(true)
+    // out's lineage is truncated by its own checkpoint, so the final
+    // labels frame (a checkpoint itself on every-5th iterations — the
+    // root-only shim drop handles that case; a plain persist otherwise —
+    // unpersist handles that one) is safe to free now
     labels.unpersist()
     org.apache.spark.sql.GraftShim.dropCheckpointBlocks(labels)
     out

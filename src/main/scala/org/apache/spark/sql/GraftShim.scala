@@ -27,11 +27,18 @@ object GraftShim {
     * is a NO-OP for checkpoint RDDs — without this the blocks sit in the
     * block store until GC + ContextCleaner get to them, and a long-lived
     * session (Bench's 114-query JVM) accumulates them into real
-    * execution-memory pressure. Only call once the frame is fully
-    * consumed: a localCheckpoint's lineage is truncated, so its blocks
-    * ARE the data and the frame is unreadable afterwards. */
+    * execution-memory pressure.
+    *
+    * ROOT-ONLY on purpose: the frame's plan may chain through cached
+    * (recomputable) frames to OTHER checkpoint LogicalRDDs that are
+    * still live lineage for them — unpersisting every LogicalRDD in the
+    * tree would free blocks a later cache-miss recompute still needs.
+    * Only the checkpoint this frame IS (its root) is known to be done
+    * with. Only call once the frame is fully consumed: a
+    * localCheckpoint's lineage is truncated, so its blocks ARE the data
+    * and the frame is unreadable afterwards. */
   def dropCheckpointBlocks(df: Dataset[_]): Unit =
-    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ =>
     }
