@@ -632,6 +632,26 @@ class GraftTableSpec extends AnyFunSuite {
       Seq(2L, 10L))
   }
 
+  test("partitioned writes roll files at graft.write.maxRecordsPerFile") {
+    // hash distribution sends a whole partition value to one task; the
+    // records cap is what bounds file size when that value is heavy
+    val dir = TestSpark.tmpDir("rollcap")
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("g", LongType))),
+      spec = Seq(PartitionField("g", "identity")))
+    spark.conf.set("graft.write.maxRecordsPerFile", "100")
+    try {
+      t.append(spark.range(1000).selectExpr("id", "id % 2 AS g"))
+      val files = new java.io.File(dir).listFiles().filter(_.getName == "data").flatMap(
+        _.listFiles()).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .flatMap(d => if (d.isDirectory) d.listFiles() else Array(d))
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 10,
+        s"500 rows per partition value at cap 100 must roll into >=5 files each, got ${files.length}")
+      assert(t.toDF.count() == 1000)
+    } finally spark.conf.unset("graft.write.maxRecordsPerFile")
+  }
+
   test("dynamic overwrite refuses driver-scale partition-tuple sets") {
     // the replaced-partition membership predicate is built from a
     // driver-side distinct().collect() of the input's partition tuples —
