@@ -276,6 +276,52 @@ object RefOps {
       .orderBy("version")
   }
 
+  // Maintenance law: compact + snapshot expiry must preserve the logical
+  // table EXACTLY. Builds real physical debt first — three append dirs,
+  // a MoR equality-delete group (rowDelta upsert), a predicate delete —
+  // then compacts (one dir, zero pending deletes, asserted), expires all
+  // but the latest snapshot, and reads the final state through a FRESH
+  // load from disk. The oracle recomputes that state from raw customer,
+  // so the hash match is the maintenance-preserves-results law itself —
+  // the property that makes background compaction safe to run against a
+  // live 100 TB table. (Same close-over-storage pattern as
+  // corpus_release.)
+  private def maintenanceCompact(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val base = cust.select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val path = tmp("maintenance")
+    val t = GraftTable.create(spark, path, base.schema, key = Seq("customer_id"))
+    t.append(base.filter(col("customer_id") % 3 === 0))
+    t.append(base.filter(col("customer_id") % 3 === 1))
+    t.append(base.filter(col("customer_id") % 3 === 2))
+    t.upgradeFormat(2)
+    val hit = cust.filter(col("c_custkey") % 5 === 0)
+    t.rowDelta(
+      hit.select(col("c_custkey").as("customer_id")),
+      hit.select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit("-v2")).as("name"),
+        (col("c_acctbal") + 50.0).as("acctbal")),
+      Seq("customer_id"))
+    // positional (MoR) delete: kills rows WITHOUT rewriting dirs — the
+    // COW delete() would defragment as a side effect and leave compact()
+    // nothing to prove
+    t.deleteWherePositional(col("acctbal") < 0)
+    val before = GraftTable.load(spark, path).snapshot
+    assert(before.dataDirs.length > 1 && before.deletes.nonEmpty,
+      "maintenance demo needs real fragmentation + pending deletes before compacting")
+    t.compact()
+    val after = GraftTable.load(spark, path).snapshot
+    assert(after.dataDirs.length == 1 && after.deletes.isEmpty,
+      "compact must leave one clustered dir and no pending delete files")
+    t.expireSnapshots(keepLast = 1)
+    // fresh load AFTER expiry: the surviving snapshot alone must carry
+    // the full logical state
+    GraftTable.load(spark, path).toDF
+      .select(col("customer_id"), col("name"), col("acctbal"))
+      .orderBy("customer_id")
+  }
+
   // row-level CDC changelog: inserts read from their commit's data dirs,
   // delete pre-images recovered by a keyed semi-join against the parent
   // snapshot (an upsert reads as delete(old)+insert(new))
@@ -776,7 +822,8 @@ object RefOps {
     "incremental_rollup" -> incrementalRollup,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync,
-    "refs_wap_rollback" -> refsWapRollback
+    "refs_wap_rollback" -> refsWapRollback,
+    "maintenance_compact" -> maintenanceCompact
   )
 
   val oracles: Map[String, String] = Map(
@@ -1001,6 +1048,13 @@ object RefOps {
         |  SELECT c_custkey AS customer_id, c_name AS name FROM customer WHERE c_custkey % 2 = 0
         |  UNION ALL
         |  SELECT c_custkey, c_name || '-wap' FROM customer WHERE c_custkey % 2 <> 0
-        |) ORDER BY customer_id""".stripMargin
+        |) ORDER BY customer_id""".stripMargin,
+    "maintenance_compact" ->
+      """WITH b AS (SELECT c_custkey AS customer_id,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_name || '-v2' ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS acctbal
+        |  FROM customer)
+        |SELECT customer_id, name, acctbal FROM b
+        |WHERE NOT (acctbal < 0.0) ORDER BY customer_id""".stripMargin
   )
 }
