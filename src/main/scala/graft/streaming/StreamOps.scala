@@ -85,6 +85,28 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming Misra–Gries heavy hitters per group — live monitoring of
+    * the head of an ingest distribution (hot sources per language, hot
+    * keys per table) without keeping the full item space in state: the
+    * sketch is a mergeable TypedImperativeAggregate with O(k) state per
+    * group, so complete-mode re-emission stays bounded no matter how
+    * many distinct items flow past. Same expression as the batch
+    * [[graft.ext.TextOps.heavyHitters]] sketch stage — the batch-parity
+    * spec pins stream ≡ batch on the candidate guarantee (candidates ⊇
+    * every item with frequency > N/k; the exact recount that turns
+    * candidates into the true heavy set stays a batch/downstream step,
+    * as in the batch query). */
+  def streamHeavyHitters(docs: DataFrame, groupCol: String = "lang",
+                         itemCol: String = "source", k: Int = 8): DataFrame = {
+    require(docs.columns.contains(groupCol) && docs.columns.contains(itemCol),
+      s"streamHeavyHitters input must carry '$groupCol' and '$itemCol' columns " +
+        s"(has: ${docs.columns.mkString(", ")})")
+    docs.groupBy(col(groupCol).as("group"))
+      .agg(graft.functions.HeavyHitterFunctions.misra_gries(col(itemCol), k)
+        .as("candidates"),
+        count(lit(1)).as("n_total"))
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double, last_ts_us: Long)
 
   /** Stateful per-user running aggregate via mapGroupsWithState — the

@@ -397,4 +397,39 @@ class StreamOpsSpec extends AnyFunSuite {
         "duplicate or rejected docs leaked into the admitted counts")
     } finally q.stop()
   }
+
+  test("streamHeavyHitters: complete-mode sketch candidates cover every " +
+    "true heavy item and match the batch sketch guarantee") {
+    graft.functions.HeavyHitterFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (lang, source)
+    // skewed feed across two batches: src0 is heavy in en, src9 in de
+    mem.addData(Seq.fill(30)(("en", "src0")) ++ (1 to 10).map(i => ("en", s"src$i")): _*)
+    mem.addData(Seq.fill(25)(("de", "src9")) ++ (1 to 10).map(i => ("de", s"s$i")): _*)
+    val k = 8
+    val q = StreamOps.streamHeavyHitters(
+        mem.toDF.toDF("lang", "source"), "lang", "source", k)
+      .writeStream.format("memory").queryName("shh").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("shh").collect()
+        .map(r => r.getAs[String]("group") ->
+          (r.getSeq[String](r.fieldIndex("candidates")), r.getAs[Long]("n_total"))).toMap
+      assert(rows.keySet == Set("en", "de"))
+      // MG guarantee: candidates ⊇ every item with freq > N/k — src0 is
+      // 30/40 of en (>N/8), src9 is 25/35 of de
+      assert(rows("en")._1.contains("src0") && rows("en")._2 == 40L)
+      assert(rows("de")._1.contains("src9") && rows("de")._2 == 35L)
+      // bounded state: at most k candidates per group ever emitted
+      rows.values.foreach { case (cands, _) => assert(cands.length <= k) }
+      // batch parity: the same data through the batch sketch expression
+      // yields candidate sets honoring the same guarantee
+      val batch = StreamOps.streamHeavyHitters(
+        (Seq.fill(30)(("en", "src0")) ++ (1 to 10).map(i => ("en", s"src$i")) ++
+          Seq.fill(25)(("de", "src9")) ++ (1 to 10).map(i => ("de", s"s$i")))
+          .toDF("lang", "source"), "lang", "source", k).collect()
+        .map(r => r.getAs[String]("group") -> r.getSeq[String](r.fieldIndex("candidates"))).toMap
+      assert(batch("en").contains("src0") && batch("de").contains("src9"))
+    } finally q.stop()
+  }
 }
