@@ -97,7 +97,7 @@ final class GraftMicroBatchStream(table: GraftTable, required: StructType,
         // a rowdelta that ADDED a delete file retracts rows already
         // delivered — as un-representable as an overwrite; pure-insert
         // rowdeltas (no delete file stamped at v) are plain appends
-        val replaces = sv.op == "overwrite" || sv.op == "rewrite" ||
+        val replaces = !graft.table.GraftTable.AppendSafeOps.contains(sv.op) ||
           sv.deletes.exists(_.version == v)
         require(!replaces,
           s"streaming read crosses a ${sv.op} commit at v$v that replaces " +

@@ -334,18 +334,20 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
   override def build(): Scan = {
     // row-level operations plan their scan as a real Batch (no V1 path)
     if (batchOnly) return new GraftFlatBatchScan(table, required, accepted, groupFilter)
+    // ONE snapshot read feeds every routing decision below (SPJ
+    // eligibility, metadata-column shadowing, position-delete routing)
+    // AND the scan that wins: separate reads would pay up to three log
+    // round-trips per planned query on an object store, and would let a
+    // concurrent commit (e.g. add-column of a '_file' data column, or a
+    // rowDelta) land BETWEEN the decision and the pinned snapshot,
+    // making them inconsistent.
+    val routeSnap = asOf.map(table.snapshotAt).getOrElse(table.snapshot)
     // single-bucket-spec tables with no deletes get the partition-reporting
     // Batch scan, unlocking storage-partitioned (shuffle-free) joins
     // (current-snapshot reads only; version-pinned reads take the V1 path)
-    if (asOf.isEmpty) {
-      // ONE snapshot read for both the eligibility check and the scan —
-      // checking eligibility on a fresh read and letting the scan read
-      // again would race a concurrent rowDelta/set-spec commit
-      val snap = table.snapshot
-      if (GraftSparkTable.spjEligible(snap))
-        return new GraftBucketedScan(table, snap, required, accepted,
-          skipReplaceCommits, maxVersionsPerBatch)
-    }
+    if (asOf.isEmpty && GraftSparkTable.spjEligible(routeSnap))
+      return new GraftBucketedScan(table, routeSnap, required, accepted,
+        skipReplaceCommits, maxVersionsPerBatch)
     // a METADATA `_file`/`_pos` request needs the DSv2 reader (it stamps
     // real file paths / row positions and applies deletes reader-side;
     // the view path's input_file_name is illegal past multi-source plans
@@ -354,8 +356,7 @@ private[catalog] final class GraftScanBuilder(table: GraftTable,
     // deletes force the same route: only the stamping reader can apply a
     // delete keyed on (_file, _pos). Both pin the snapshot they checked.
     val wantsMeta = Seq(GraftMetaCols.FILE, GraftMetaCols.POS).exists(m =>
-      required.fieldNames.contains(m) && !table.schema.fieldNames.contains(m))
-    val routeSnap = asOf.map(table.snapshotAt).getOrElse(table.snapshot)
+      required.fieldNames.contains(m) && !routeSnap.schema.fieldNames.contains(m))
     val hasPosDeletes =
       routeSnap.deletes.exists(_.keys == graft.table.GraftTable.PosDeleteKeys)
     if (wantsMeta || hasPosDeletes)

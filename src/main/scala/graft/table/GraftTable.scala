@@ -431,9 +431,28 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     } else {
       observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
-    val rows =
-      if (needObs) try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    val rowsRaw =
+      if (needObs) try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable =>
+        footerRowCount(s"$dir/$sub") } // listener hiccup: footers still know
       else footerRowCount(s"$dir/$sub")
+    // -1 means "count unknown", which commit gates must NOT conflate with
+    // "zero rows": dropping a dir that has real files because a transient
+    // FS error broke the count would be silent data loss. Distinguish by
+    // file presence — a truly empty write (partitionBy of nothing) has no
+    // files and is a genuine 0; unknown-with-files commits as -1 (which
+    // only disables the count fold and delete-broadcast gating).
+    val rows =
+      if (rowsRaw >= 0) rowsRaw
+      else {
+        val hasFiles = try {
+          val it = fs.listFiles(new Path(s"$dir/$sub"), true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        } catch { case _: Exception => true } // cannot even list: assume data
+        if (hasFiles) -1L else 0L
+      }
     // persist bloom sidecars under the log (metadata, not data):
     // _graft_log/blooms/<dir-uuid>__<logical-key>.bloom
     if (snap.bloomKeys.nonEmpty || snap.statsKeys.nonEmpty) {
@@ -506,6 +525,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       }
     } catch { case _: Exception => -1L }
 
+  /** The Spark session time zone — the zone `date_format` renders
+    * instants in on the WRITE side, so every literal-side temporal
+    * derivation (transform pruning) must read instants through it too. */
+  private def sessionZone: java.time.ZoneId = java.time.ZoneId.of(
+    spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+
   /** Sizing for per-commit key blooms (~0.9 MB at the 1M default, 3% fpp). */
   private def bloomExpectedItems: Long =
     spark.conf.getOption("graft.bloom.expectedItems").map(_.toLong).getOrElse(1000000L)
@@ -536,26 +561,66 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       // zero-row appends commit no dir (a partitioned zero-row write
       // creates no files; on object stores the empty path doesn't exist)
       b.copy(version = v, op = "append", dataDirs =
-        if (rows > 0) b.dataDirs :+ DataDir(sub, v, rows) else b.dataDirs)
+        if (rows != 0) b.dataDirs :+ DataDir(sub, v, rows) else b.dataDirs)
     })
     this
   }
 
   /** Copy-on-write replace of the full table contents (commit path of
-    * DELETE / MERGE — SURVEY.md M1-M5). */
+    * DELETE / MERGE — SURVEY.md M1-M5).
+    *
+    * Concurrency: the replacement was computed against the snapshot read
+    * HERE, so an OCC rebase past a row-CHANGING concurrent commit would
+    * silently drop that commit's rows (its appended dirs / delete files
+    * never made it into the replacement) — a lost update. Such races
+    * throw [[GraftTable.ConcurrentOverwriteException]] ("retry the
+    * statement"); the in-repo COW statements (delete/update/merge/
+    * compact) catch it and recompute against the fresh snapshot
+    * (statement-level retry = serializable). Row-PRESERVING rewrites
+    * fold through safely: the replacement carries the complete logical
+    * content either way. */
   def overwrite(df: DataFrame): GraftTable = {
     val s = snapshot
     val (sub, rows) = writeData(df, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
+      if (b.version != s.version) {
+        val ops = (s.version + 1 to b.version).map(snapshotAt(_).op)
+        if (!ops.forall(_ == "rewrite"))
+          throw new GraftTable.ConcurrentOverwriteException(
+            s"concurrent ${ops.distinct.mkString("/")} commit during " +
+              s"copy-on-write replace (table advanced v${s.version} -> " +
+              s"v${b.version}); retry the statement")
+      }
       b.copy(version = v, op = "overwrite",
         // a zero-row write on a partitioned table creates no files —
         // commit the empty table, not a file-less dir
-        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
         deletes = Seq.empty)
     })
     this
+  }
+
+  /** Statement-level retry for copy-on-write operations: on an OCC race
+    * (ConcurrentOverwriteException from [[overwrite]] / the partial COW
+    * commit), recompute the WHOLE statement against the fresh snapshot —
+    * the result is as if the statement ran after the concurrent commit,
+    * i.e. serializable. The body must re-read table state itself (all
+    * in-repo callers rebuild from `toDF`/`snapshot` per attempt). */
+  private def retryCow[A](what: String)(body: => A): A = {
+    val maxAttempts = 5
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: GraftTable.ConcurrentOverwriteException =>
+          n += 1
+          if (n >= maxAttempts) throw new IllegalStateException(
+            s"$what lost $maxAttempts consecutive commit races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Dynamic partition overwrite (Iceberg's `overwritePartitions()` /
@@ -626,7 +691,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val keptSub =
       if (touched.isEmpty) None
       else Some(writeData(readLogical(s, touched).filter(!rowPred), s))
-        .filter(_._2 > 0)
+        .filter(_._2 != 0)
     val (newSub, newRows) = writeData(aligned, s)
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
@@ -639,7 +704,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           s"v${s.version} -> v${b.version}); retry")
       b.copy(version = v, op = "overwrite",
         dataDirs = untouched ++ keptSub.map { case (p, r) => DataDir(p, v, r) } ++
-          (if (newRows > 0) Seq(DataDir(newSub, v, newRows)) else Seq.empty))
+          (if (newRows != 0) Seq(DataDir(newSub, v, newRows)) else Seq.empty))
     })
     this
   }
@@ -672,7 +737,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"concurrent rowDelta with different key set ${GraftTable.equalityDeleteKeys(b)} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs =
-          if (nrows > 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
+          if (nrows != 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
         deletes =
           if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes)
     })
@@ -981,7 +1046,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** One spec-uniform dir group of [[scan]]. */
   private def scanGroup(s: Snapshot, spec: Seq[PartitionField],
                         live: Seq[DataDir], pred: Column): DataFrame = {
-    val derived = TransformPruning.derive(spec, s.schema, pred, includeIdentity = true)
+    val derived = TransformPruning.derive(spec, s.schema, pred, includeIdentity = true, sessionZone)
     if (spec.isEmpty || derived.isEmpty)
       return readLogical(s, live).filter(pred)
     // read schema includes the derived partition columns (they are stored
@@ -1212,24 +1277,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   /** Streaming read: an unbounded DataFrame tailing this table's APPENDS
-    * (Iceberg's streaming read is likewise append-tailing). Built on
-    * Spark's file stream source watching the table's data root — each
-    * commit's new parquet files surface as a micro-batch. Append-only
-    * semantics: rows from overwrite/rowDelta commits appear as appended
-    * data; deletes are not retracted (pair with a downstream dedup or
-    * CDC consumer for upsert semantics). Physical names alias to the
-    * CURRENT logical schema at stream start. */
-  def toStreamDF: DataFrame = {
-    val s = snapshot
-    val physSchema = StructType(s.schema.fields.map(f =>
-      StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
-    spark.readStream
-      .schema(physSchema)
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$dir/data")
-      .select(s.schema.fields.map(f => col(s.physicalOf(f.name)).as(f.name)): _*)
-  }
+    * (Iceberg's streaming read is likewise append-tailing). Routed
+    * through the DSv2 snapshot-version-offset source
+    * ([[graft.catalog.GraftMicroBatchStream]]): micro-batches are the
+    * data dirs of COMMITTED snapshots only — staged write-audit-publish
+    * dirs and orphans from aborted writers are invisible, exactly as the
+    * WAP contract promises (the previous file-stream tail of the raw
+    * data/ root surfaced them). Mid-stream overwrite/rewrite commits
+    * raise rather than silently surfacing replaced rows; deletes are not
+    * retracted (pair with a downstream dedup or CDC consumer for upsert
+    * semantics). */
+  def toStreamDF: DataFrame = spark.readStream.format("graft").load(dir)
 
   /** Time travel: the table as of snapshot `version` (Iceberg's
     * `VERSION AS OF` — every snapshot file is immutable, so historical
@@ -1273,10 +1331,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshotAt(toVersion)
     (fromVersion + 1 to toVersion).foreach { v =>
       val op = snapshotAt(v).op
-      // overwrite replaces rows; rewrite re-stamps OLD rows with a new
-      // commit version — crossing either would surface non-appended rows
-      require(op != "overwrite" && op != "rewrite",
-        s"incremental read crosses an $op commit at v$v; start from v$v instead")
+      // whitelist, default-closed: overwrite replaces rows; rewrite
+      // re-stamps OLD rows with a new commit version; rollback restores
+      // dirs whose versions predate the window (silently empty reads);
+      // 'expired' erased what the original op was — crossing any of
+      // them (or an unknown future op) would corrupt the append stream
+      require(GraftTable.AppendSafeOps.contains(op),
+        s"incremental read crosses a non-append '$op' commit at v$v; " +
+          s"start from v$v instead")
     }
     val newDirs = s.dataDirs.filter(d => d.version > fromVersion && d.version <= toVersion)
     if (newDirs.isEmpty)
@@ -1345,7 +1407,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     require(f.rename(src, dest),
       s"add_files could not move $sourceDir under the table " +
         s"(cross-filesystem moves are not supported — copy first)")
-    commit(currentVersion + 1)((rebase, v) => {
+    // start the OCC attempt at the version read BEFORE validation (which
+    // includes a full count job): starting at a re-read currentVersion+1
+    // could land first-try in a free slot with b = the stale pre-read s,
+    // silently dropping a commit that arrived during validation — the
+    // collision-then-rebase path below folds it in correctly instead
+    commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
       b.copy(version = v, op = "append", dataDirs = b.dataDirs :+ DataDir(sub, v, rows))
@@ -1373,14 +1440,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshotAt(toVersion)
     // ops whose row-level effect a changelog CAN carry: appends/rowdeltas
     // (their dirs + delete files are read below), plus commits that touch
-    // no rows at all. Everything else — overwrite/rewrite/rollback/
-    // cherrypick/expiry — removes or re-stamps rows in ways an
-    // insert/delete stream cannot express; crossing one silently diverges
-    // a CDC consumer, so it raises instead (a whitelist: unknown future
-    // ops fail safe).
-    val expressible = Set("create", "append", "rowdelta", "cherrypick",
-      "add-column", "drop-column", "rename-column", "replace-key",
-      "upgrade-format", "set-bloom-keys")
+    // no rows at all (cherry-picked appends included). Everything else —
+    // overwrite/rewrite/rollback/expiry — removes or re-stamps rows in
+    // ways an insert/delete stream cannot express; crossing one silently
+    // diverges a CDC consumer, so it raises instead (the shared
+    // AppendSafeOps whitelist: unknown future ops fail safe).
+    val expressible = GraftTable.AppendSafeOps
     (fromVersion + 1 to toVersion).foreach { v =>
       val op = snapshotAt(v).op
       require(expressible.contains(op),
@@ -1503,7 +1568,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   /** Compaction: rewrite live rows into one data dir, dropping delete
     * files (the maintenance action a 100 TB deployment runs continuously). */
-  def compact(): GraftTable = overwrite(toDF)
+  def compact(): GraftTable =
+    retryCow("compact") { overwrite(toDF) } // toDF re-binds per attempt
 
   /** Commit of an externally-written data dir as a full replace — the
     * DSv2 row-level ReplaceData path lands here after its executors wrote
@@ -1522,7 +1588,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       b.copy(version = v, op = "overwrite",
         // 0 replacement rows (e.g. DELETE matching everything): no dir
         // was ever created — commit the empty table, not a ghost path
-        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
         deletes = Seq.empty)
     })
   }
@@ -1551,7 +1617,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           s"v$expectedVersion -> v${b.version}); retry the statement")
       val kept = b.dataDirs.filterNot(d => replacedDirs.contains(d.path))
       b.copy(version = v, op = "overwrite",
-        dataDirs = kept ++ (if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
+        dataDirs = kept ++ (if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
         deletes = b.deletes.filter(del => kept.exists(_.version < del.version)))
     })
   }
@@ -1576,7 +1642,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"concurrent write during row-level operation (table advanced " +
           s"v$expectedVersion -> v${b.version}); retry the statement")
       b.copy(version = v, op = "overwrite",
-        dataDirs = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+        dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
         deletes = Seq.empty)
     })
   }
@@ -1618,7 +1684,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
-      val d = if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty
+      val d = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty
       b.copy(version = v,
         op = if (replace) "overwrite" else "append",
         dataDirs = if (replace) d else b.dataDirs ++ d,
@@ -1707,7 +1773,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs =
-          if (nrows > 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
+          if (nrows != 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
         deletes =
           if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes,
         streamEpochs = b.streamEpochs + (queryId -> epochId))
@@ -2061,7 +2127,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * row data moves); the marker is consumed. */
   def publishStaged(id: String): GraftTable = {
     val (sub, rows, stagedAt) = readStaged(id)
-    if (rows > 0) {
+    if (rows != 0) { // -1 = staged with unknown count: still real data
       val cur = snapshot
       commit(cur.version + 1)((rebase, v) => {
         val b = Option(rebase).getOrElse(cur)
@@ -2166,10 +2232,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   // ---- DML (delegates to the planner; commits copy-on-write) ----------
 
   def delete(pred: Column): GraftTable =
-    cowRewrite(pred, df => graft.dml.MergePlanner.delete(df, pred))
+    retryCow("delete") {
+      cowRewrite(pred, df => graft.dml.MergePlanner.delete(df, pred))
+    }
 
   def update(set: Map[String, Column], pred: Column): GraftTable =
-    cowRewrite(pred, df => graft.dml.MergePlanner.update(df, set, pred))
+    retryCow("update") {
+      cowRewrite(pred, df => graft.dml.MergePlanner.update(df, set, pred))
+    }
 
   /** Partition-scoped copy-on-write: data dirs that provably cannot
     * contain rows matching `pred` (every k=v leaf fails the derived
@@ -2192,7 +2262,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val touched: Seq[DataDir] = bloomLive.groupBy(d => s.specAt(d.version)).toSeq
       .flatMap { case (spec, group) =>
         if (spec.isEmpty) group
-        else TransformPruning.derive(spec, s.schema, pred, includeIdentity = true) match {
+        else TransformPruning.derive(spec, s.schema, pred, includeIdentity = true, sessionZone) match {
           case None => group
           case Some(derived) =>
             prunedLeafDirs(group.map(d => s"$dir/${d.path}"), spec, s.schema, derived) match {
@@ -2211,11 +2281,20 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
+      // the untouched-dir list was computed against s — folding it over
+      // ANY concurrent commit (even a row-preserving rewrite, which may
+      // have consolidated those very dirs) would corrupt the dir set;
+      // throw and let the caller-level retryCow recompute the statement
+      // against the fresh snapshot (serializable)
+      if (b.version != s.version)
+        throw new GraftTable.ConcurrentOverwriteException(
+          s"concurrent commit during partition-scoped copy-on-write " +
+            s"(table advanced v${s.version} -> v${b.version}); retry the statement")
       b.copy(version = v, op = "overwrite",
         // rows == 0 (everything in the touched dirs was deleted): a
         // partitioned zero-row write creates no files — commit no dir
         dataDirs = untouched ++
-          (if (rows > 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
+          (if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
         deletes = Seq.empty)
     })
     this
@@ -2234,11 +2313,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
               matched: Seq[graft.dml.MergeClause],
               notMatched: Seq[graft.dml.MergeClause],
               notMatchedBySource: Seq[graft.dml.MergeClause] = Seq.empty,
-              validateCardinality: Boolean = true): GraftTable = {
-    val merged = graft.dml.MergePlanner.mergeOn(toDF, source, keyPairs, matched, notMatched,
-      notMatchedBySource, validateCardinality)
-    overwrite(merged)
-  }
+              validateCardinality: Boolean = true): GraftTable =
+    retryCow("merge") {
+      // toDF re-binds to the fresh snapshot on every retry attempt
+      val merged = graft.dml.MergePlanner.mergeOn(toDF, source, keyPairs, matched,
+        notMatched, notMatchedBySource, validateCardinality)
+      overwrite(merged)
+    }
 
   // ---- metadata tables (S4/S6/D8) -------------------------------------
 
@@ -2386,6 +2467,29 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
 object GraftTable {
   private val mapper = new ObjectMapper()
+
+  /** A copy-on-write replace lost its OCC race against a row-changing
+    * concurrent commit: the replacement was computed from a stale
+    * snapshot and committing it would drop the concurrent commit's rows.
+    * Retry the statement (the in-repo delete/update/merge/compact do so
+    * automatically via their statement-level retry loop). */
+  final class ConcurrentOverwriteException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Commit ops that touch NO row data — every incremental / changelog /
+    * streaming reader may cross them. */
+  val MetadataOnlyOps: Set[String] = Set("add-column", "drop-column",
+    "rename-column", "replace-key", "upgrade-format",
+    "set-bloom-keys", "set-stats-keys", "set-spec")
+
+  /** Commit ops that only ADD rows (or touch none): the whitelist of
+    * commits an append-shaped incremental/streaming reader may cross.
+    * DEFAULT-CLOSED — overwrite/rewrite/rollback/expired and any future
+    * op fail the read instead of silently diverging the consumer
+    * (rollback restores dirs whose versions predate the read window;
+    * `expired` hides what the original op was). */
+  val AppendSafeOps: Set[String] =
+    MetadataOnlyOps ++ Set("create", "append", "rowdelta", "cherrypick")
 
   /** The reserved delete-key set marking a POSITION delete file: keys on
     * the scan-stamped `_file`/`_pos` metadata columns instead of data

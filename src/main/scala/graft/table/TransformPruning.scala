@@ -35,7 +35,8 @@ object TransformPruning {
     * what lets [[GraftTable.scan]] prune identity-partitioned
     * DIRECTORIES before listing a single file. */
   def derive(spec: Seq[PartitionField], schema: StructType, pred: Column,
-             includeIdentity: Boolean = false): Option[Column] = {
+             includeIdentity: Boolean = false,
+             zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[Column] = {
     // a struct field reference (s.x) is indistinguishable from an
     // alias-qualified column (t.x) in the unresolved ColumnNode tree —
     // both reduce to their last name part. On a schema with struct
@@ -45,7 +46,7 @@ object TransformPruning {
     if (schema.fields.exists(_.dataType.isInstanceOf[StructType])) return None
     val fields = if (includeIdentity) spec else spec.filterNot(_.transform == "identity")
     val parts = fields.flatMap { pf =>
-      deriveFor(pf, schema(pf.source).dataType, GraftShim.toNode(pred))
+      deriveFor(pf, schema(pf.source).dataType, GraftShim.toNode(pred), zone)
     }
     parts.reduceOption(_ && _)
   }
@@ -58,20 +59,20 @@ object TransformPruning {
   private val rangeOps = Set(">", ">=", "<", "<=")
 
   private def deriveFor(pf: PartitionField, srcType: DataType,
-                        n: Node): Option[Column] = {
+                        n: Node, zone: java.time.ZoneId): Option[Column] = {
     val d = col(pf.name)
-    def mapped(v: Any): Option[Column] = transformLiteral(pf, srcType, v)
+    def mapped(v: Any): Option[Column] = transformLiteral(pf, srcType, v, zone)
     def isSource(x: Node) = attrNameOf(x).exists(_.equalsIgnoreCase(pf.source))
     n match {
       case f: FnNode if f.name.equalsIgnoreCase("and") && f.args.length == 2 =>
-        (deriveFor(pf, srcType, f.args(0)), deriveFor(pf, srcType, f.args(1))) match {
+        (deriveFor(pf, srcType, f.args(0), zone), deriveFor(pf, srcType, f.args(1), zone)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) => a.orElse(b)
         }
       // OR is derivable only when BOTH branches derive (else unsound)
       case f: FnNode if f.name.equalsIgnoreCase("or") && f.args.length == 2 =>
-        for (a <- deriveFor(pf, srcType, f.args(0));
-             b <- deriveFor(pf, srcType, f.args(1))) yield a || b
+        for (a <- deriveFor(pf, srcType, f.args(0), zone);
+             b <- deriveFor(pf, srcType, f.args(1), zone)) yield a || b
       case f: FnNode if f.name == "=" && f.args.length == 2 =>
         f.args match {
           case Seq(a, LitNode(v)) if isSource(a) => mapped(v).map(d === _)
@@ -101,9 +102,9 @@ object TransformPruning {
   /** The literal's value under the transform, as a Column literal.
     * ColumnNode literals carry plain Scala/Java values. */
   private def transformLiteral(pf: PartitionField, srcType: DataType,
-                               v: Any): Option[Column] = pf.transform match {
+                               v: Any, zone: java.time.ZoneId): Option[Column] = pf.transform match {
     case "identity" => Some(lit(v).cast(srcType))
-    case "month" => monthOf(v).map(lit)
+    case "month" => monthOf(v, zone).map(lit)
     case "truncate" => v match {
       case s: String => Some(lit(s.take(pf.param)))
       case n: java.lang.Number
@@ -177,13 +178,25 @@ object TransformPruning {
     walk(GraftShim.toNode(pred))
   }
 
-  private def monthOf(v: Any): Option[String] = v match {
+  /** yyyy-MM of a temporal literal, read the way the WRITE side reads it:
+    * `date_format(col, "yyyy-MM")` renders instants in the SESSION time
+    * zone, so instant-typed literals (Timestamp/Instant) must convert
+    * through the same `zone` — a UTC (or JVM-default) reading here would
+    * derive the wrong month near month boundaries and silently prune
+    * dirs that DO hold matching rows (and mis-filter rows, since the
+    * derived predicate is conjoined into the scan). Zone-free literals
+    * (Date/LocalDate/LocalDateTime) carry their own calendar fields and
+    * need no conversion: Spark resolves a LocalDateTime against an
+    * instant column via the session zone and date_format converts back
+    * through the same zone, so its yyyy-MM is already correct. */
+  private def monthOf(v: Any, zone: java.time.ZoneId): Option[String] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toString.substring(0, 7))
     case d: java.time.LocalDate => Some(d.toString.substring(0, 7))
-    case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate.toString.substring(0, 7))
+    case t: java.sql.Timestamp =>
+      Some(t.toInstant.atZone(zone).toLocalDate.toString.substring(0, 7))
     case t: java.time.LocalDateTime => Some(t.toLocalDate.toString.substring(0, 7))
     case t: java.time.Instant =>
-      Some(t.atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString.substring(0, 7))
+      Some(t.atZone(zone).toLocalDate.toString.substring(0, 7))
     case _ => None
   }
 }

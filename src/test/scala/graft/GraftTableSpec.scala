@@ -632,6 +632,48 @@ class GraftTableSpec extends AnyFunSuite {
       Seq(2L, 10L))
   }
 
+  test("compact racing an append keeps BOTH: no lost update either way") {
+    // regression: the copy-on-write replace used to fold its stale
+    // full-content rewrite over ANY concurrent commit on an OCC rebase —
+    // racing an append, the appended dir silently vanished. Now the
+    // replace detects the row-changing race and retries against the
+    // fresh snapshot (statement-level retry = serializable).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { i =>
+      val dir = TestSpark.tmpDir(s"gt-compact-race-$i")
+      val t = GraftTable.create(spark, dir, sampleSchema)
+      t.append(Seq((1L, "a")).toDF("age", "name"))
+      t.append(Seq((2L, "b")).toDF("age", "name"))
+      t.append(Seq((3L, "c")).toDF("age", "name"))
+      val compactF = Future { GraftTable.load(spark, dir).compact() }
+      val appendF = Future {
+        GraftTable.load(spark, dir).append(Seq((4L, "d")).toDF("age", "name"))
+      }
+      Await.result(Future.sequence(Seq(compactF, appendF)), 120.seconds)
+      assert(GraftTable.load(spark, dir).toDF.count() == 4,
+        s"iteration $i lost rows to a compact/append race")
+    }
+  }
+
+  test("incremental read refuses to cross a rollback commit") {
+    // a rollback restores dirs whose versions predate the read window —
+    // an append-shaped incremental reader crossing it would silently
+    // return nothing for rows the table dropped and re-added
+    val dir = TestSpark.tmpDir("gt-incr-rb")
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(Seq((1L, "a")).toDF("age", "name")) // v1
+    t.append(Seq((2L, "b")).toDF("age", "name")) // v2
+    t.rollbackTo(1)                              // v3 op=rollback
+    val e = intercept[IllegalArgumentException] {
+      t.appendsBetween(2, 3).count()
+    }
+    assert(e.getMessage.contains("rollback"))
+    // crossing only appends still works
+    assert(t.appendsBetween(0, 1).count() == 1)
+  }
+
   test("partitioned writes roll files at graft.write.maxRecordsPerFile") {
     // hash distribution sends a whole partition value to one task; the
     // records cap is what bounds file size when that value is heavy

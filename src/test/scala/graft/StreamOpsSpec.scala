@@ -119,6 +119,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("toStreamDF never surfaces staged (unpublished) WAP dirs") {
+    // regression: the old file-stream tail of the raw data/ root surfaced
+    // stageAppend dirs before publish — breaking the WAP invisibility
+    // contract; the DSv2 version-offset source reads committed dirs only
+    import org.apache.spark.sql.types._
+    val t = graft.table.GraftTable.create(spark, TestSpark.tmpDir("wap-stream"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val q = t.toStreamDF.writeStream.format("memory").queryName("wapstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wapstream").count() == 1)
+      val id = t.stageAppend(Seq((2L, "staged"), (3L, "staged")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("wapstream").count() == 1,
+        "staged (uncommitted) rows leaked into the stream")
+      t.publishStaged(id)
+      q.processAllAvailable()
+      assert(spark.table("wapstream").orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "staged"), (3L, "staged")))
+    } finally q.stop()
+  }
+
   test("table-to-table streaming pipeline: tail source, CDC-merge into target") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType),

@@ -100,4 +100,34 @@ class TransformPruningSpec extends AnyFunSuite {
       col("o_orderkey") === 1L || col("o_orderkey") > 10L)
     assert(mixed.isEmpty)
   }
+
+  test("month pruning on TIMESTAMP reads instant literals in the SESSION " +
+    "time zone — boundary instants stay findable under a shifted zone") {
+    // regression: monthOf used UTC (Instant) / the JVM default zone
+    // (java.sql.Timestamp) while the write side's date_format uses the
+    // session zone, so an instant within hours of a month boundary
+    // derived the WRONG ts_month, pruned the dir that holds the row, AND
+    // mis-filtered the scan (the derived predicate is conjoined)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val dir = TestSpark.tmpDir("tp-tz")
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType)))
+      val t = GraftTable.create(spark, dir, schema,
+        spec = Seq(PartitionField("ts", "month")))
+      // 2020-04-01T03:00:00Z = 2020-03-31T20:00 in LA → written under
+      // ts_month=2020-03; a UTC reading of the same literal says 2020-04
+      val boundary = java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-04-01T03:00:00Z"))
+      val plain = java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-06-15T12:00:00Z"))
+      t.append(Seq((1L, boundary), (2L, plain)).toDF("id", "ts"))
+      assert(t.scan(col("ts") === boundary).count() == 1,
+        "boundary instant lost to a wrong-zone month derivation")
+      assert(t.scan(col("ts") === java.time.Instant.parse("2020-04-01T03:00:00Z"))
+        .count() == 1, "Instant literal lost to a wrong-zone month derivation")
+      assert(t.scan(col("ts") >= boundary).count() == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
