@@ -109,6 +109,8 @@ object MergePlanner {
     val m = matched.map(expandStar(_, targetCols, sourceCols))
     val nm = notMatched.map(expandStar(_, targetCols, sourceCols))
     val nmbs = notMatchedBySource
+    require(m.forall(c => c.isInstanceOf[UpdateClause] || c.isInstanceOf[DeleteClause]),
+      "WHEN MATCHED supports UPDATE/DELETE only")
     require(nm.forall(_.isInstanceOf[InsertClause]), "WHEN NOT MATCHED supports INSERT only")
     require(nmbs.forall(c => c.isInstanceOf[UpdateClause] || c.isInstanceOf[DeleteClause]),
       "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")

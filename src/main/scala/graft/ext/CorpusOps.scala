@@ -250,7 +250,11 @@ object CorpusOps {
       .crossJoin(broadcast(vocabSize))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
-        round(avg(-log2((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 4)
+        // HACKING rule 1: the per-bigram bits are doubles — average them
+        // as an order-independent DECIMAL sum over one exact division,
+        // not a partial-agg-order-dependent double AVG
+        round(sum((-log2((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+            .cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1)), 4)
           .as("bits_per_token"))
       .orderBy("doc_id")
   }
@@ -278,8 +282,12 @@ object CorpusOps {
       .groupBy(col("source"))
       .agg(max(col("ns")).cast(LongType).as("n_tokens"),
         count(lit(1)).cast(LongType).as("vocab"),
-        round(sum((col("nsw") / col("ns")) *
-          log2((col("nsw") / col("ns")) / (col("nw") / col("n")))), 4)
+        // HACKING rule 1: order-independent DECIMAL sum of the double
+        // KL terms (the per-term arithmetic stays bit-identical to the
+        // oracle; only the reduction order is pinned)
+        round(sum(((col("nsw") / col("ns")) *
+          log2((col("nsw") / col("ns")) / (col("nw") / col("n"))))
+            .cast(DecimalType(30, 15))).cast(DoubleType), 4)
           .as("kl_bits"))
       .orderBy("source")
   }
@@ -598,7 +606,8 @@ object CorpusOps {
         |        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
         |v AS (SELECT count(*) AS v FROM uni)
         |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(AVG(-log2((c12 + 1.0) / (c1 + v.v))), 4) AS bits_per_token
+        |  ROUND(CAST(SUM(CAST(-log2((c12 + 1.0) / (c1 + v.v)) AS DECIMAL(30,15))) AS DOUBLE)
+        |        / count(*), 4) AS bits_per_token
         |FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
     "source_kl" ->
@@ -610,8 +619,9 @@ object CorpusOps {
         |SELECT b.source,
         |  CAST(max(s.ns) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS vocab,
-        |  ROUND(SUM((nsw / CAST(s.ns AS DOUBLE)) *
-        |    log2((nsw / CAST(s.ns AS DOUBLE)) / (nw / CAST(tot.n AS DOUBLE)))), 4) AS kl_bits
+        |  ROUND(CAST(SUM(CAST((nsw / CAST(s.ns AS DOUBLE)) *
+        |    log2((nsw / CAST(s.ns AS DOUBLE)) / (nw / CAST(tot.n AS DOUBLE)))
+        |    AS DECIMAL(30,15))) AS DOUBLE), 4) AS kl_bits
         |FROM bysrc b JOIN srctot s USING (source) JOIN corpus c ON b.w = c.w CROSS JOIN tot
         |GROUP BY b.source ORDER BY b.source""".stripMargin
   )

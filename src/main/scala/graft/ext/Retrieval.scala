@@ -340,15 +340,15 @@ object Retrieval {
     * between engines). */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(toks).cast(DoubleType)
-    val sumTokLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-    val meanTokLen = sumTokLen.cast(DoubleType) / nTok
+    val meanTokLen = DocFeatures.meanTokLen(toks)
+    // hash-only symbol ratio — a DELIBERATE difference from gopherRules'
+    // hash+ellipsis ratio: the published weights below were fit to this
+    // feature (see DocFeatures' scaladoc)
     val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
     val symbolRatio = nHash.cast(DoubleType) / nTok
-    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nTok
-    val numericFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / nTok
-    val stopCount = size(filter(toks,
-      t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*)))
-      .cast(DoubleType)
+    val alphaFrac = DocFeatures.alphaFrac(toks)
+    val numericFrac = DocFeatures.numericFrac(toks)
+    val stopCount = DocFeatures.stopCount(toks).cast(DoubleType)
     val z = lit(0.05) * (nTok - 54.0) +
       lit(0.2) * (meanTokLen - 4.5) +
       lit(2.0) * (alphaFrac - 0.9) -

@@ -287,9 +287,15 @@ object Similarity {
     val e = embeddings(spark, dir)
       .select(col("label"), toDouble(col("embedding")).as("e"))
       .withColumn("u", transform(col("e"), x => x / sqrt(vec_dot(col("e"), col("e")))))
+    // HACKING rule 1 at both reduction levels: per-dim unit-vector sums
+    // and the sum of their squares are double reductions — route through
+    // DECIMAL so the result is independent of partition order
     val byDim = e.select(col("label"), posexplode(col("u")).as(Seq("d", "uv")))
-      .groupBy(col("label"), col("d")).agg(sum(col("uv")).as("sd"))
-    val sumsq = byDim.groupBy(col("label")).agg(sum(col("sd") * col("sd")).as("sumsq"))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("uv").cast(DecimalType(30, 15))).cast(DoubleType).as("sd"))
+    val sumsq = byDim.groupBy(col("label"))
+      .agg(sum((col("sd") * col("sd")).cast(DecimalType(30, 15)))
+        .cast(DoubleType).as("sumsq"))
     val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
     counts.join(sumsq, Seq("label")).filter(col("n") >= 2)
       .select(col("label"), col("n").cast(LongType).as("n_vecs"),
@@ -460,8 +466,11 @@ object Similarity {
 
   /** Distributed Lloyd's k-means — the TRAINING loop behind IVF/SemDeDup
     * quantizers, hand-rolled on DataFrames so the scale shape is
-    * explicit: per iteration, (1) assignment is the same map-side
-    * literal-centroid argmax as [[kmeansAssign]] (no shuffle); (2) new
+    * explicit: per iteration, (1) assignment is a map-side
+    * literal-centroid argmin of Euclidean distance (no shuffle — same
+    * plan shape as [[kmeansAssign]]'s argmax-dot, but it must minimize
+    * the objective inertia measures or the monotonicity gate below is
+    * unsound); (2) new
     * centroids come from ONE (cluster, dim)-keyed partial-combine
     * aggregation — k·dim result rows, collected as metadata (O(k·dim),
     * independent of N, same contract as [[annIvf]]'s model); (3) inertia
@@ -488,14 +497,19 @@ object Similarity {
     var prevInertia = Double.MaxValue
     try for (iter <- 1 to iters) {
       val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+      // assignment MUST minimize the same objective inertia measures
+      // (Euclidean distance): a max-dot assignment only agrees with
+      // nearest-Euclidean while centroids share a norm (true for the ±1
+      // init, false for the mean centroids of iteration ≥2), so the
+      // monotone-inertia gate below could abort a perfectly healthy run —
+      // Lloyd's guarantee holds for argmin-distance assignment only
       val assigned = e
-        .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+        .withColumn("__dists", transform(centLit, c => aggregate(
+          zip_with(col("e"), c, (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, x) => a + x)))
         .withColumn("cluster",
-          (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
-        .withColumn("cent", element_at(centLit, col("cluster") + 1))
-        .withColumn("dist2", aggregate(
-          zip_with(col("e"), col("cent"), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, x) => a + x))
+          (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast(IntegerType))
+        .withColumn("dist2", array_min(col("__dists")))
       // one (cluster, dim)-keyed agg: k*dim mean rows + per-cluster stats
       val byDim = assigned
         .select(col("cluster"), col("dist2"), posexplode(col("e")).as(Seq("d", "x")))
@@ -793,8 +807,8 @@ object Similarity {
         |nrm AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nv FROM e),
         |u AS (SELECT e.label, generate_subscripts(e.e, 1) AS d, unnest(e.e) / n.nv AS uv
         |      FROM e JOIN nrm n USING (vec_id)),
-        |s AS (SELECT label, d, sum(uv) AS sd FROM u GROUP BY label, d),
-        |q AS (SELECT label, sum(sd * sd) AS sumsq FROM s GROUP BY label),
+        |s AS (SELECT label, d, CAST(sum(CAST(uv AS DECIMAL(30,15))) AS DOUBLE) AS sd FROM u GROUP BY label, d),
+        |q AS (SELECT label, CAST(sum(CAST(sd * sd AS DECIMAL(30,15))) AS DOUBLE) AS sumsq FROM s GROUP BY label),
         |c AS (SELECT label, count(*) AS n FROM e GROUP BY label)
         |SELECT c.label, CAST(c.n AS BIGINT) AS n_vecs,
         |  ROUND((q.sumsq - c.n) / (c.n * (c.n - 1.0)), 4) AS mean_pairwise_cos,

@@ -677,19 +677,19 @@ object TextOps {
     * shuffle at all — at 100 TB this is a pure map stage), and every
     * feature is integer-or-per-row-double so the DuckDB oracle matches
     * bit-exactly. */
-  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(tokens)
-    val sumTokLen = aggregate(transform(tokens, t => length(t)), lit(0), (a, x) => a + x)
-    val meanTokLen = sumTokLen.cast(DoubleType) / nTok
+    val meanTokLen = DocFeatures.meanTokLen(tokens)
+    // gopher's symbol ratio counts ellipses as well as hashes — a
+    // DELIBERATE difference from qualityClassifier's hash-only ratio
+    // (the classifier's published weights were fit to its own feature)
     val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
     val nEllipsis = (length(col("text")) -
       length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
     val symbolRatio = (nHash + nEllipsis).cast(DoubleType) / nTok
-    val alphaFrac = size(filter(tokens, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nTok
-    val numericFrac = size(filter(tokens, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / nTok
-    val stopCount = size(filter(tokens, t => t.isin(gopherStops: _*)))
+    val alphaFrac = DocFeatures.alphaFrac(tokens)
+    val numericFrac = DocFeatures.numericFrac(tokens)
+    val stopCount = DocFeatures.stopCount(tokens)
     documents(spark, dir)
       .select(col("doc_id"), nTok.as("n_tok"),
         round(meanTokLen, 4).as("mean_tok_len"),
@@ -704,7 +704,7 @@ object TextOps {
   }
 
   private def gopherRulesOracle: String = {
-    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    val stops = DocFeatures.stops.map(s => s"'$s'").mkString(", ")
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
        |f AS (SELECT doc_id,
        |  CAST(len(w) AS INT) AS n_tok,

@@ -138,13 +138,17 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
                         data: Option[DataFrame]): DataFrame = {
     val name = nameParts.mkString(".").toLowerCase
     val dir = createDirFor(nameParts)
-    if (GraftTable.exists(spark, dir)) {
+    val existed = GraftTable.exists(spark, dir)
+    if (existed) {
       if (!ignoreIfExists) throw new IllegalStateException(s"table $name already exists")
     } else {
       GraftTable.create(spark, dir, schema, spec = partitioning.map(PartitionField.fromTransform))
     }
     register(name, GraftTable.load(spark, dir))
-    data.foreach(df => { tables(name).append(df); refreshView(name) })
+    // CTAS data loads only into a table THIS statement created: re-running
+    // `CREATE TABLE IF NOT EXISTS ... AS SELECT` must leave an existing
+    // table untouched (SQL semantics), not append a duplicate copy
+    if (!existed) data.foreach(df => { tables(name).append(df); refreshView(name) })
     tables(name).toDF
   }
 
@@ -171,9 +175,7 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
   }
 
   private def alterSpec(rawName: String)(change: Seq[PartitionField] => Seq[PartitionField]): DataFrame = {
-    val name = rawName.replace("`", "").toLowerCase
-    val t = tables.get(name).orElse(catalogLookup(name))
-      .getOrElse(throw new IllegalArgumentException(s"unknown graft table: $name"))
+    val (name, t) = namedTable(rawName)
     t.updateSpec(change(t.spec))
     refreshView(name)
     t.toDF
@@ -266,8 +268,16 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
       case d: DeleteFromTable if targetTable(d.table).isDefined =>
         val name = nameOf(d.table).get
         val t = tables(name)
-        val cond = d.condition
-        t.delete(toCol(cond, aliasOf(d.table).orElse(nameOf(d.table).map(_.toLowerCase)), None))
+        // strip the alias/table qualifier (same rewrite as UPDATE below):
+        // the condition filters the UNALIASED toDF frame inside
+        // MergePlanner.delete, where `c.customer_id` can never resolve
+        val alias = aliasOf(d.table).orElse(Some(name))
+        def bare(e: Expression) = expr(e.transform {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            alias.contains(a.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(a.nameParts.tail)
+        }.sql)
+        t.delete(bare(d.condition))
         refreshView(name)
         t.toDF
       case u: UpdateTable if targetTable(u.table).isDefined =>

@@ -43,7 +43,7 @@ object StreamOps {
     require(!events.columns.contains(tmp), s"input must not carry a $tmp column")
     events
       // integer ns→µs division via col() — no raw-SQL splice of the name
-      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withColumn(tmp, timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
       .withWatermark(tmp, watermark)
       .dropDuplicatesWithinWatermark(idCol)
       .drop(tmp)
@@ -66,7 +66,7 @@ object StreamOps {
     docs
       .withColumn(key, xxhash64(concat_ws("\u0001",
         array_sort(array_distinct(split(col(textCol), " "))))))
-      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withColumn(tmp, timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
       .withWatermark(tmp, watermark)
       .dropDuplicatesWithinWatermark(key)
       .drop(key, tmp)
@@ -196,7 +196,7 @@ object StreamOps {
       // operators — Spark forbids redefining the watermark mid-chain
       .withColumn(key, xxhash64(concat_ws("\u0001",
         array_sort(array_distinct(t)))))
-      .withColumn(tmp, timestamp_micros((col(tsCol) / lit(1000)).cast(LongType)))
+      .withColumn(tmp, timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
       .withWatermark(tmp, watermark)
       .dropDuplicatesWithinWatermark(key)
       .groupBy(window(col(tmp), "1 hour"), col(langCol).as("lang"))
@@ -251,13 +251,30 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionOut(uid, s.startUs, s.endUs, s.n))
           } else {
-            val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+            val sorted = rows.map { r =>
+              // full microsecond precision: getTime truncates to ms and
+              // would desync session boundaries from the us-exact batch path
+              val i = r._2.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toSeq.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  cur = Some(SessionState(s.startUs, t, s.n + 1))
+                // late-but-within-watermark arrivals land here with
+                // t <= endUs: the window must only ever WIDEN (end = max,
+                // start = min) — setting end = t unconditionally shrank
+                // the session below its start and fired the gap timeout
+                // early
+                case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.endUs, t), s.n + 1))
+                case Some(s) if t < s.startUs - gapUs =>
+                  // beyond-gap BEFORE the open session: bounded state
+                  // cannot re-open closed history — emit the straggler as
+                  // its own single-event session (documented approximation
+                  // of the batch gaps-and-islands result under late data)
+                  closed ::= SessionOut(uid, t, t, 1)
                 case Some(s) =>
                   closed ::= SessionOut(uid, s.startUs, s.endUs, s.n)
                   cur = Some(SessionState(t, t, 1))

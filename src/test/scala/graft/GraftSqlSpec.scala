@@ -313,4 +313,33 @@ class GraftSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no such partition field"))
   }
+
+  test("CREATE TABLE IF NOT EXISTS ... AS SELECT is a no-op on an existing table") {
+    val g = GraftSql(spark)
+    g.sql("CREATE TABLE IF NOT EXISTS ctas_t AS SELECT 1 AS id, 'a' AS v")
+    assert(g.sql("SELECT * FROM ctas_t").count() == 1)
+    // idempotent bootstrap re-run: the existing table must stay untouched
+    g.sql("CREATE TABLE IF NOT EXISTS ctas_t AS SELECT 1 AS id, 'a' AS v")
+    assert(g.sql("SELECT * FROM ctas_t").count() == 1,
+      "re-running CTAS IF NOT EXISTS duplicated rows")
+    // without IF NOT EXISTS it still refuses
+    intercept[IllegalStateException] {
+      g.sql("CREATE TABLE ctas_t AS SELECT 2 AS id, 'b' AS v")
+    }
+  }
+
+  test("DELETE and UPDATE accept alias- and table-qualified conditions") {
+    val (g, t) = freshTable("qual")
+    g.sql("INSERT INTO test_table select 1, 'a', 'x'")
+    g.sql("INSERT INTO test_table select 2, 'b', 'y'")
+    g.sql("INSERT INTO test_table select 3, 'c', 'z'")
+    g.sql("UPDATE test_table SET name = 'b2' WHERE test_table.customer_id = 2")
+    assert(t.toDF.filter(org.apache.spark.sql.functions.col("name") === "b2").count() == 1)
+    // alias-qualified DELETE used to die with UNRESOLVED_COLUMN (the
+    // condition filters the unaliased frame): must strip the qualifier
+    g.sql("DELETE FROM test_table t WHERE t.customer_id = 1")
+    assert(t.toDF.count() == 2, "alias-qualified DELETE did not apply")
+    g.sql("DELETE FROM test_table WHERE test_table.customer_id = 3")
+    assert(t.toDF.count() == 1, "table-qualified DELETE did not apply")
+  }
 }

@@ -422,6 +422,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late-but-within-watermark event widens the session, " +
+    "never shrinks it") {
+    // regression: the merge branch set end = t unconditionally, so a late
+    // arrival moved the session end BELOW its start and fired the gap
+    // timeout early
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDS().toDF("event_id", "ts", "utag")
+      .withColumn("user_id", when($"utag" === "a", 1L).otherwise(2L))
+    val q = StreamOps.sessionize(spark, src)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      val ns = 1000000000L
+      // batch 1: events at t=1000s and t=1300s (one session)
+      mem.addData((1L, 1000L * ns, "a"), (2L, 1300L * ns, "a"))
+      q.processAllAvailable()
+      // batch 2: LATE event at t=1100s (inside the open session, within
+      // the 2h watermark) — must only widen/keep the window
+      mem.addData((3L, 1100L * ns, "a"))
+      q.processAllAvailable()
+      // close the session via the gap, then advance the watermark
+      mem.addData((4L, (1300L + 7200L) * ns, "a"))
+      q.processAllAvailable()
+      mem.addData((5L, (1300L + 7200L * 4) * ns, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("late_sessions")
+        .as[StreamOps.SessionOut].collect().filter(_.user_id == 1L)
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.session_end_us >= r.session_start_us,
+          s"session shrank below its start: $r")
+      }
+      val first = rows.minBy(_.session_start_us)
+      assert(first.session_start_us == 1000L * 1000000L &&
+        first.session_end_us == 1300L * 1000000L && first.n_events == 3,
+        s"late event did not fold into the open session: $first")
+    } finally q.stop()
+  }
+
   test("streamHeavyHitters: complete-mode sketch candidates cover every " +
     "true heavy item and match the batch sketch guarantee") {
     graft.functions.HeavyHitterFunctions.register(spark)
