@@ -77,9 +77,16 @@ object Bench {
       catch { case _: Throwable => }
     }
     sweepBlocks(spark)
-    // local iteration aid: bench only a comma-separated subset
+    // local iteration aid: bench only a comma-separated subset. An empty
+    // value means "no subset" (a wrapper exporting BENCH_ONLY="" must not
+    // silently produce a zero-query run), and unknown names warn loudly —
+    // a typo'd subset that filters everything out looks exactly like a
+    // fast clean run otherwise.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names unknown query '$n'")))
     val mb = 1024.0 * 1024.0
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

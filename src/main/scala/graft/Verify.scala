@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet behind:
+        // the driver's oracle compare would hash the stale result as a
+        // false pass for a query that now throws
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$outDir/$name"))
+        catch { case _: Exception => }
       }
       // fresh-session-per-query block hygiene (Bench's sweep — one
       // implementation so the two drivers cannot drift): one query's

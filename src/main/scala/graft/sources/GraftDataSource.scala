@@ -40,10 +40,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     require(p != null && p.nonEmpty, "format(\"graft\") requires .load(path)/.save(path) or option(\"path\", ...)")
     p
   }
-  /** Splits `dir#meta` (metadata read) from a plain table dir. */
+  /** Splits `dir#meta` (metadata read) from a plain table dir. Only a
+    * suffix naming a REAL metadata table routes to the metadata branch —
+    * '#' is a legal POSIX path character, so `/data/run#3/events` must
+    * stay a plain table path instead of failing as an unknown metadata
+    * table with no escape syntax. */
   private def metaOf(path: String): (String, Option[String]) = path.lastIndexOf('#') match {
     case -1 => (path, None)
-    case i  => (path.substring(0, i), Some(path.substring(i + 1).toLowerCase))
+    case i =>
+      val suffix = path.substring(i + 1).toLowerCase
+      if (GraftMetadataTable.names.contains(suffix)) (path.substring(0, i), Some(suffix))
+      else (path, None)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -107,7 +114,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             val millis =
               try ts.trim.toLong
               catch { case _: NumberFormatException =>
-                java.sql.Timestamp.valueOf(ts.trim).getTime }
+                // wall-clock strings resolve in the SESSION time zone
+                // (like Spark's own TIMESTAMP AS OF) — Timestamp.valueOf
+                // would read them in the JVM default zone and silently
+                // pin a snapshot offset by the zone difference
+                java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+                  .atZone(java.time.ZoneId.of(spark.conf.get(
+                    "spark.sql.session.timeZone",
+                    java.util.TimeZone.getDefault.getID)))
+                  .toInstant.toEpochMilli }
             GraftTable.load(spark, dir).versionAsOfTimestamp(millis)
           })
         new graft.catalog.GraftSparkTable(dir, s"graft.`$dir`", asOf, pending,

@@ -51,12 +51,18 @@ final class GraftMetadataTable(dir: String, meta: String)
 final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
     extends Table with SupportsRead {
 
-  private def frame: DataFrame = {
-    val t = GraftTable.load(SparkSession.active, dir)
-    t.changesBetween(from, to.getOrElse(t.currentVersion))
-  }
+  // the open end pins ONCE at table construction: re-resolving
+  // currentVersion per schema()/scan call would let a concurrent commit
+  // land between analysis and execution, returning change rows the
+  // analyzed range never asked for (and rebuilt the changesBetween plan
+  // on every schema() call)
+  private val toV: Int = to.getOrElse(
+    GraftTable.load(SparkSession.active, dir).currentVersion)
 
-  override def name(): String = s"graft.`$dir#changes($from,${to.getOrElse(-1)}]`"
+  private def frame: DataFrame =
+    GraftTable.load(SparkSession.active, dir).changesBetween(from, toV)
+
+  override def name(): String = s"graft.`$dir#changes($from,$toV]`"
   override def schema(): StructType = frame.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)

@@ -1220,7 +1220,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         else bloomOf(name).forall { bloom =>
           val dt = s.schema(c).dataType
           values.exists(v =>
-            org.apache.spark.sql.GraftShim.xxh64Of(v, dt).forall(bloom.mightContainLong))
+            org.apache.spark.sql.GraftShim.xxh64Of(v, dt,
+              spark.conf.get("spark.sql.session.timeZone",
+                java.util.TimeZone.getDefault.getID)).forall(bloom.mightContainLong))
         }
       }
     }

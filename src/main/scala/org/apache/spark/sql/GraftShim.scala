@@ -110,12 +110,16 @@ object GraftShim {
 
   /** Driver-side xxhash64 of a literal AS the given column type — must
     * match the write-side `XxHash64(cast(col))` hashing for bloom probes
-    * (hashing Int 42 and Long 42L differ). */
-  def xxh64Of(v: Any, dt: types.DataType): Option[Long] =
+    * (hashing Int 42 and Long 42L differ). `tz` is the SESSION time zone:
+    * Spark evaluates the query's own filter casts under it, so a
+    * string→timestamp probe cast under the JVM default zone would hash
+    * micros offset by the zone difference and the bloom would silently
+    * prune dirs that hold matching rows. */
+  def xxh64Of(v: Any, dt: types.DataType, tz: String): Option[Long] =
     try {
       val lit = catalyst.expressions.Literal.create(v)
       val e = if (lit.dataType == dt) lit
-        else catalyst.expressions.Cast(lit, dt, Some(java.util.TimeZone.getDefault.getID))
+        else catalyst.expressions.Cast(lit, dt, Some(tz))
       Option(new catalyst.expressions.XxHash64(Seq(e)).eval(null)).map(_.asInstanceOf[Long])
     } catch { case _: Exception => None }
 
@@ -131,7 +135,7 @@ object GraftShim {
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(conf)
     val slices = math.min(dirs.size, 64)
-    spark.sparkContext.parallelize(dirs, slices).map { case (tag, d) =>
+    try spark.sparkContext.parallelize(dirs, slices).map { case (tag, d) =>
       val c = bc.value.value
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(c)
@@ -148,6 +152,10 @@ object GraftShim {
       }
       (tag, files, rows, bytes)
     }.collect().toSeq
+    // explicit broadcasts are NOT reclaimed by the between-query block
+    // sweep (it only unpersists RDDs); destroy eagerly or every commit's
+    // stats refresh leaks one broadcast into the long-lived JVM
+    finally bc.destroy()
   }
 
   def toNode(c: Column): Node = conv(c.node)

@@ -632,6 +632,41 @@ class GraftTableSpec extends AnyFunSuite {
       Seq(2L, 10L))
   }
 
+  test("bloom probe literals hash under the SESSION time zone, not the JVM default") {
+    // regression: a string->timestamp probe cast under the JVM default
+    // zone hashes micros offset by the zone difference, so the bloom
+    // rejects the dir holding the matching row — silent missing results
+    // whenever driver default TZ != session TZ (session is UTC here)
+    val prevTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      val dir = TestSpark.tmpDir("bloom-tz")
+      val t = GraftTable.create(spark, dir, StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType))))
+      t.setBloomKeys(Seq("ts"))
+      val inst = java.time.Instant.parse("2024-03-01T12:00:00Z")
+      t.append(Seq((1L, java.sql.Timestamp.from(inst))).toDF("id", "ts"))
+      t.append(Seq((2L, java.sql.Timestamp.from(inst.plusSeconds(864000))))
+        .toDF("id", "ts"))
+      // string literal: the pruning layer must cast it exactly like the
+      // session-zone filter evaluation does ("2024-03-01 12:00:00" UTC)
+      assert(t.scan(col("ts") === "2024-03-01 12:00:00").count() == 1,
+        "bloom pruned the dir holding the matching row (wrong-zone hash)")
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
+  test("a '#' inside a plain table path does not route to a metadata table") {
+    // '#' is a legal path character; only a suffix naming a REAL metadata
+    // table (#snapshots etc.) may split
+    val base = java.nio.file.Files.createTempDirectory("hashdir").toString
+    val dir = s"$base/run#3/t"
+    val t = GraftTable.create(spark, dir, sampleSchema)
+    t.append(sampleDf)
+    assert(spark.read.format("graft").load(dir).count() == 3)
+    // the metadata suffix still works on the same table
+    assert(spark.read.format("graft").load(s"$dir#snapshots").count() >= 1)
+  }
+
   test("compact racing an append keeps BOTH: no lost update either way") {
     // regression: the copy-on-write replace used to fold its stale
     // full-content rewrite over ANY concurrent commit on an OCC rebase —
