@@ -118,6 +118,26 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     case _ => None
   }
 
+  /** Strips the table qualifier off attribute references in a single-table
+    * DML condition so they resolve against the UNALIASED toDF frame.
+    * Accepts the explicit alias, the full registered name (`db.t.col`),
+    * or its last segment (`t.col` against a table registered as `db.t`). */
+  private def stripQualifier(e: Expression, registered: String,
+                             alias: Option[String]): Expression = {
+    val nameLc = registered.toLowerCase.split('.').toSeq
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val lc = a.nameParts.map(_.toLowerCase)
+        val stripped =
+          if (alias.contains(lc.head)) a.nameParts.tail
+          else if (lc.length > nameLc.length && lc.startsWith(nameLc))
+            a.nameParts.drop(nameLc.length)
+          else if (lc.head == nameLc.last) a.nameParts.tail
+          else a.nameParts
+        if (stripped eq a.nameParts) a else UnresolvedAttribute(stripped)
+    }
+  }
+
   /** Executes a SQL statement. DML over registered graft tables runs
     * through the graft planner; other statements run via `spark.sql`
     * (registered tables are visible to SELECTs as `<name with . as __>`
@@ -271,26 +291,18 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         // strip the alias/table qualifier (same rewrite as UPDATE below):
         // the condition filters the UNALIASED toDF frame inside
         // MergePlanner.delete, where `c.customer_id` can never resolve
-        val alias = aliasOf(d.table).orElse(Some(name))
-        def bare(e: Expression) = expr(e.transform {
-          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-            alias.contains(a.nameParts.head.toLowerCase) =>
-            UnresolvedAttribute(a.nameParts.tail)
-        }.sql)
+        val alias = aliasOf(d.table)
+        def bare(e: Expression) = expr(stripQualifier(e, name, alias).sql)
         t.delete(bare(d.condition))
         refreshView(name)
         t.toDF
       case u: UpdateTable if targetTable(u.table).isDefined =>
         val name = nameOf(u.table).get
         val t = tables(name)
-        val alias = aliasOf(u.table).orElse(Some(name))
+        val alias = aliasOf(u.table)
         // UPDATE set-expressions/condition reference unqualified columns
         // after alias rewrite (single-table statement)
-        def bare(e: Expression) = expr(e.transform {
-          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-            alias.contains(a.nameParts.head.toLowerCase) =>
-            UnresolvedAttribute(a.nameParts.tail)
-        }.sql)
+        def bare(e: Expression) = expr(stripQualifier(e, name, alias).sql)
         val set = u.assignments.map(a =>
           a.key.asInstanceOf[UnresolvedAttribute].nameParts.last -> bare(a.value)).toMap
         t.update(set, u.condition.map(bare).getOrElse(

@@ -582,25 +582,40 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def overwrite(df: DataFrame): GraftTable = {
     val s = snapshot
     val (sub, rows) = writeData(df, s)
-    commit(s.version + 1)((rebase, v) => {
-      val b = Option(rebase).getOrElse(s)
-      requireSpecStable(b, s)
-      if (b.version != s.version) {
-        val ops = (s.version + 1 to b.version).map(snapshotAt(_).op)
-        if (!ops.forall(_ == "rewrite"))
-          throw new GraftTable.ConcurrentOverwriteException(
-            s"concurrent ${ops.distinct.mkString("/")} commit during " +
-              s"copy-on-write replace (table advanced v${s.version} -> " +
-              s"v${b.version}); retry the statement")
-      }
-      b.copy(version = v, op = "overwrite",
-        // a zero-row write on a partitioned table creates no files —
-        // commit the empty table, not a file-less dir
-        dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
-        deletes = Seq.empty)
-    })
+    dropDirOnRace(sub) {
+      commit(s.version + 1)((rebase, v) => {
+        val b = Option(rebase).getOrElse(s)
+        requireSpecStable(b, s)
+        if (b.version != s.version) {
+          val ops = (s.version + 1 to b.version).map(snapshotAt(_).op)
+          if (!ops.forall(_ == "rewrite"))
+            throw new GraftTable.ConcurrentOverwriteException(
+              s"concurrent ${ops.distinct.mkString("/")} commit during " +
+                s"copy-on-write replace (table advanced v${s.version} -> " +
+                s"v${b.version}); retry the statement")
+        }
+        b.copy(version = v, op = "overwrite",
+          // a zero-row write on a partitioned table creates no files —
+          // commit the empty table, not a file-less dir
+          dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+          deletes = Seq.empty)
+      })
+    }
     this
   }
+
+  /** Runs a commit whose data dir `sub` is already on disk; if the commit
+    * loses an OCC race (ConcurrentOverwriteException), the never-committed
+    * dir is best-effort deleted before rethrowing — without this, every
+    * lost retryCow attempt would strand a fully-written orphan dir until
+    * [[vacuumOrphans]]. */
+  private def dropDirOnRace[A](sub: String)(attempt: => A): A =
+    try attempt
+    catch {
+      case e: GraftTable.ConcurrentOverwriteException =>
+        try fs.delete(new Path(dir, sub), true) catch { case _: Exception => () }
+        throw e
+    }
 
   /** Statement-level retry for copy-on-write operations: on an OCC race
     * (ConcurrentOverwriteException from [[overwrite]] / the partial COW
@@ -2121,7 +2136,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * (columns added since staging read as NULL). */
   def stagedDF(id: String): DataFrame = {
     val (sub, rows, _) = readStaged(id)
-    if (rows <= 0) emptyDF(snapshot)
+    // rows == -1 means staged with an unknown count — still real data;
+    // publishStaged commits it, so the AUDIT step must surface it too.
+    if (rows == 0) emptyDF(snapshot)
     else readLogical(snapshot, Seq(DataDir(sub, Int.MaxValue, rows)))
   }
 
@@ -2280,25 +2297,27 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     if (touched.isEmpty) return this // predicate can match nothing
     val untouched = s.dataDirs.filterNot(touched.toSet)
     val (sub, rows) = writeData(f(readLogical(s, touched)), s)
-    commit(s.version + 1)((rebase, v) => {
-      val b = Option(rebase).getOrElse(s)
-      requireSpecStable(b, s)
-      // the untouched-dir list was computed against s — folding it over
-      // ANY concurrent commit (even a row-preserving rewrite, which may
-      // have consolidated those very dirs) would corrupt the dir set;
-      // throw and let the caller-level retryCow recompute the statement
-      // against the fresh snapshot (serializable)
-      if (b.version != s.version)
-        throw new GraftTable.ConcurrentOverwriteException(
-          s"concurrent commit during partition-scoped copy-on-write " +
-            s"(table advanced v${s.version} -> v${b.version}); retry the statement")
-      b.copy(version = v, op = "overwrite",
-        // rows == 0 (everything in the touched dirs was deleted): a
-        // partitioned zero-row write creates no files — commit no dir
-        dataDirs = untouched ++
-          (if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
-        deletes = Seq.empty)
-    })
+    dropDirOnRace(sub) {
+      commit(s.version + 1)((rebase, v) => {
+        val b = Option(rebase).getOrElse(s)
+        requireSpecStable(b, s)
+        // the untouched-dir list was computed against s — folding it over
+        // ANY concurrent commit (even a row-preserving rewrite, which may
+        // have consolidated those very dirs) would corrupt the dir set;
+        // throw and let the caller-level retryCow recompute the statement
+        // against the fresh snapshot (serializable)
+        if (b.version != s.version)
+          throw new GraftTable.ConcurrentOverwriteException(
+            s"concurrent commit during partition-scoped copy-on-write " +
+              s"(table advanced v${s.version} -> v${b.version}); retry the statement")
+        b.copy(version = v, op = "overwrite",
+          // rows == 0 (everything in the touched dirs was deleted): a
+          // partitioned zero-row write creates no files — commit no dir
+          dataDirs = untouched ++
+            (if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty),
+          deletes = Seq.empty)
+      })
+    }
     this
   }
 

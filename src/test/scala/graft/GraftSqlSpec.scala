@@ -342,4 +342,22 @@ class GraftSqlSpec extends AnyFunSuite {
     g.sql("DELETE FROM test_table WHERE test_table.customer_id = 3")
     assert(t.toDF.count() == 1, "table-qualified DELETE did not apply")
   }
+
+  test("DELETE/UPDATE qualifier stripping works for dotted registered names") {
+    val g = GraftSql(spark)
+    val t = GraftTable.create(spark, TestSpark.tmpDir("sql_dotted"), StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("lastname", StringType))))
+    g.register("db.tq", t)
+    (1 to 4).foreach(i => g.sql(s"INSERT INTO db.tq select $i, 'c$i', 'l$i'"))
+    // last-segment qualifier against a dotted registered name
+    g.sql("DELETE FROM db.tq WHERE tq.customer_id = 1")
+    assert(t.toDF.count() == 3, "last-segment-qualified DELETE did not apply")
+    // full dotted qualifier
+    g.sql("DELETE FROM db.tq WHERE db.tq.customer_id = 2")
+    assert(t.toDF.count() == 2, "fully-qualified DELETE did not apply")
+    g.sql("UPDATE db.tq SET name = 'upd' WHERE tq.customer_id = 3")
+    assert(t.toDF.filter(org.apache.spark.sql.functions.col("name") === "upd").count() == 1,
+      "last-segment-qualified UPDATE did not apply")
+  }
 }

@@ -76,6 +76,25 @@ class RefsSpec extends AnyFunSuite {
     assert(t.vacuumOrphans(olderThanMs = 0).isEmpty, "abort already cleaned up")
   }
 
+  test("WAP: unknown-count staged append (rows = -1) audits and publishes real rows") {
+    val dir = TestSpark.tmpDir("refs-wap-unk")
+    val t = GraftTable.create(spark, dir, schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val id = t.stageAppend(Seq((2L, "staged")).toDF("id", "v"))
+    // simulate a writer whose row-count observation fell back to unknown:
+    // rewrite the marker with rows = -1 (publishStaged treats -1 as real
+    // data; the AUDIT step must surface the same rows, not an empty frame)
+    val marker = new java.io.File(s"$dir/_graft_log/staged/$id.json")
+    val txt = scala.io.Source.fromFile(marker).mkString
+    val unk = txt.replaceAll(""""rows":\d+""", """"rows":-1""")
+    assert(unk != txt, "marker rewrite did not change the rows field")
+    java.nio.file.Files.write(marker.toPath, unk.getBytes("UTF-8"))
+    assert(t.stagedDF(id).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "staged")), "rows = -1 staged append must audit as its real rows")
+    t.publishStaged(id)
+    assert(ids(t) == Seq((1L, "a"), (2L, "staged")))
+  }
+
   test("expiry keeps ref-pinned snapshots and their data alive") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("refs-exp"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
