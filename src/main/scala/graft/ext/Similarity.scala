@@ -188,24 +188,33 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String,
              numQueries: Int = 8, k: Int = 5,
              nClusters: Int = 16, nProbe: Int = 4,
-             trainPerCluster: Int = 256): DataFrame = {
+             trainPerCluster: Int = 256,
+             quantizer: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import graft.functions.GraftFunctions.vec_dot
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    // deterministic hash-ordered training sample, capped independent of N.
-    // The sample is BOUNDED (nClusters·trainPerCluster rows — 4096×64
-    // doubles ≈ 2 MB here), so collecting it and running Lloyd's loop on
-    // the driver is metadata-scale work: one TakeOrdered job over the
-    // corpus, then zero Spark jobs until assignment. (MLlib KMeans.fit on
-    // the same sample ran several RDD job waves per iteration — the r5
-    // driver bench measured it at 6× the whole rest of the query.)
-    val sample: Array[Array[Double]] = e
-      .orderBy(xxhash64(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(nClusters * trainPerCluster)
-      .select(col("e")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    val cents: Seq[Seq[Double]] = localLloyd(sample, nClusters, iters = 5)
+    // The quantizer model is either PUBLISHED (frozen centroid literals —
+    // how a production IVF index serves: train once, freeze, every reader
+    // shares the same model; this variant is what the ann_ivf oracle
+    // replays in DuckDB) or TRAINED here: a deterministic hash-ordered
+    // sample, capped independent of N. The sample is BOUNDED
+    // (nClusters·trainPerCluster rows — 4096×64 doubles ≈ 2 MB here), so
+    // collecting it and running Lloyd's loop on the driver is
+    // metadata-scale work: one TakeOrdered job over the corpus, then zero
+    // Spark jobs until assignment. (MLlib KMeans.fit on the same sample
+    // ran several RDD job waves per iteration — the r5 driver bench
+    // measured it at 6× the whole rest of the query.)
+    val cents: Seq[Seq[Double]] = quantizer.getOrElse {
+      val sample: Array[Array[Double]] = e
+        .orderBy(xxhash64(col("vec_id").cast(StringType)), col("vec_id"))
+        .limit(nClusters * trainPerCluster)
+        .select(col("e")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      localLloyd(sample, nClusters, iters = 5)
+    }
+    require(cents.length == nClusters,
+      s"quantizer has ${cents.length} centroids, expected $nClusters")
     // centroids as a plan literal: per-row dots vector, home = argmax —
     // whole-stage-codegen assignment, zero extra passes over the corpus
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
@@ -213,26 +222,20 @@ object Similarity {
       .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
       .withColumn("cluster",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
-      .select(col("vec_id"), col("e"), col("cluster"))
 
-    // centroid table: nClusters rows of array<double> — metadata-scale
-    import spark.implicits._
-    val centroids = cents.zipWithIndex
-      .map { case (c, i) => (i, c) }
-      .toDF("cluster", "centroid")
-
-    // each query probes its nProbe nearest centroids
-    val q = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val qProbes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("cluster"),
-        graft.functions.GraftFunctions.vec_dot(col("qe"), col("centroid")).as("cdot"))
+    // each query probes its nProbe max-dot centroids — selected from the
+    // SAME per-row dots vector the corpus was assigned under (no second
+    // centroid pass, no crossJoin), so probe and home buckets agree by
+    // construction
+    val qProbes = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        posexplode(col("__dots")).as(Seq("pcluster", "cdot")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("cluster"))))
+        Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("pcluster"))))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qe"), col("cluster"))
+      .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
 
-    val scored = qProbes.join(assigned, Seq("cluster"))
+    val scored = qProbes.join(assigned.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("e")).as("sim"))
@@ -241,6 +244,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[annIvf]] under the published fixed quantizer:
+    * the same literal centroid matrix, argmax-dot home assignment,
+    * top-`nProbe` probe selection from the query's own dots vector,
+    * bucket join, sequential-fold cosine re-rank. Dots and cosines are
+    * bit-identical on both engines (HACKING rule 5), so raw-double
+    * ranking is safe — the ann_lsh_bucketed precedent. */
+  private def annIvfOracle(numQueries: Int = 8, k: Int = 5,
+                           nClusters: Int = 16, nProbe: Int = 4,
+                           dim: Int = 64): String = {
+    val dots = fixedCentroids(nClusters, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM e),
+       |asn AS (SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |qd AS (SELECT vec_id AS query_id, e AS qe,
+       |         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cluster, unnest(ds) AS cdot
+       |       FROM a WHERE vec_id < $numQueries),
+       |qp AS (SELECT query_id, qe, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cluster) AS crank
+       |         FROM qd) WHERE crank <= $nProbe),
+       |sc AS (SELECT qp.query_id, asn.vec_id AS neighbor_id,
+       |         list_dot_product(qp.qe, asn.e)
+       |           / (sqrt(list_dot_product(qp.qe, qp.qe)) * sqrt(list_dot_product(asn.e, asn.e))) AS sim
+       |       FROM qp JOIN asn USING (cluster) WHERE asn.vec_id <> qp.query_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate PAIRS (exact): upper-triangle self
@@ -415,7 +449,7 @@ object Similarity {
     if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
   }
 
-  private def fixedCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
+  private[ext] def fixedCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
     (0 until k).map(c => (0 until dim).map(d => centroidSign(c, d, dim)))
 
   /** Adds `cluster` (nearest fixed centroid by max dot product) and
@@ -755,7 +789,8 @@ object Similarity {
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annLshBucketed(s, d), 0.4, "LSH ANN")),
     "ann_ivf" -> ((s: SparkSession, d: String) =>
-      withRecallFloor(s, d, annIvf(s, d), 0.25, "IVF ANN")),
+      withRecallFloor(s, d,
+        annIvf(s, d, quantizer = Some(fixedCentroids(16, 64))), 0.25, "IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
@@ -770,6 +805,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
+    "ann_ivf" -> annIvfOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),
