@@ -536,13 +536,20 @@ object TextOps {
     * list. The brute-force side is an O(cap²) scalar-long cross join —
     * bounded at any corpus size (at sf ≤ 0.1 the cap covers every
     * representative). */
-  private def simhashGatedQuery(spark: SparkSession, dir: String,
-                                maxHamming: Int = 3,
-                                sampleCap: Int = 1500): DataFrame = {
+  private[graft] def simhashGatedQuery(spark: SparkSession, dir: String,
+                                       maxHamming: Int = 3,
+                                       sampleCap: Int = 1500): DataFrame =
+    simhashGatedPairs(simhashReps(spark, dir), maxHamming, sampleCap)
+
+  /** [[simhashGatedQuery]] core over any (sh, doc_id) representative
+    * table — shared by the XXH64 production path and the md5-construction
+    * graded query so both run the identical banding + completeness gate. */
+  private def simhashGatedPairs(repsIn: DataFrame, maxHamming: Int,
+                                sampleCap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one fingerprint computation (documents scan + groupBy) feeds both
     // the banded pair query and the gate's brute-force side
-    val reps = simhashReps(spark, dir).persist(MEMORY_AND_DISK)
+    val reps = repsIn.persist(MEMORY_AND_DISK)
     try {
       // eager checkpoint: consumed by the gate's semi-join AND returned —
       // without it the banded join would re-run after reps unpersists
@@ -639,6 +646,52 @@ object TextOps {
        |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** The GRADED SimHash near-dup query: the identical banding machinery
+    * and pigeonhole completeness gate as the XXH64 production path
+    * ([[simhashGatedQuery]], spec-covered), but fingerprints come from
+    * the md5-digit bit-vote construction ([[simhashMd5Query]], itself
+    * oracle-proven) — so the ENTIRE pair pipeline (fingerprint → distinct
+    * reps → 4×16-bit chunk join → exact-Hamming verify) hash-verifies
+    * against DuckDB every round. Between this and `simhash_md5`, only the
+    * 64-bit mixer choice (XXH64 vs md5) remains outside oracle coverage,
+    * and the completeness gate still runs here on every execution. */
+  private def simhashMd5GatedQuery(spark: SparkSession, dir: String,
+                                   maxHamming: Int = 3,
+                                   sampleCap: Int = 1500): DataFrame = {
+    val reps = simhashMd5Query(spark, dir)
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+    simhashGatedPairs(reps, maxHamming, sampleCap)
+  }
+
+  /** DuckDB mirror of [[simhashMd5GatedQuery]]: md5-digit bit-vote
+    * fingerprints (the proven `simhash_md5` construction), distinct-
+    * fingerprint reps, 16-bit chunk banding (arithmetic `>>` masked to
+    * 16 bits agrees with Spark's shiftright for negative fingerprints),
+    * exact Hamming via `bit_count(xor(..))`. */
+  private def simhashMd5PairsOracle(maxHamming: Int = 3): String = {
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN ((d${b / 4} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n        ")
+    val terms = (0 until 64).map { b =>
+      val t = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN v$b > 0 THEN CAST($t AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""$md5DigitSql,
+       |v AS (SELECT doc_id,
+       |        $votes
+       |      FROM d GROUP BY doc_id),
+       |f AS (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM v),
+       |r AS (SELECT sh, MIN(doc_id) AS doc_id FROM f GROUP BY sh),
+       |c AS (SELECT doc_id, sh, u.i AS chunk, (sh >> (u.i * 16)) & 65535 AS chunk_val
+       |      FROM r, UNNEST([0, 1, 2, 3]) u(i)),
+       |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh
+       |      FROM c a JOIN c b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       |        AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming
+       |FROM p WHERE bit_count(xor(a_sh, b_sh)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** MinHash double-hash construction over md5 digit hashes: h1/h2 are
     * 60-bit integers assembled from hex digits 0-14 / 16-30 (h2 forced
     * odd), permutation i's hash is (h1 + i·h2) mod 1e9+7 — all values
@@ -666,6 +719,163 @@ object TextOps {
        |SELECT doc_id,
        |       $mins
        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The GRADED MinHash-LSH near-dup query: the production pipeline's
+    * exact shape — phase-0 identical-set collapse, k=64 signature banded
+    * b=8×r=8 (the same s-curve), oversized-bucket star reduction, exact-
+    * Jaccard verify at 0.8 — but built from DuckDB-reproducible
+    * primitives: md5 set digests, the md5-digit double-hash minima of
+    * [[minhashMd5Query]] (mod-reduced so i·h2 stays in 63 bits at k=64),
+    * md5 band keys, and `array_intersect` set verification. The ENTIRE
+    * pair pipeline hash-verifies against DuckDB every round, and the
+    * production containment gate ALSO runs here (over xxhash64 token
+    * sets, the same machinery as [[minhashGatedQuery]]); only the XXH64
+    * mixer itself stays outside oracle coverage, covered by that gate and
+    * the specs. */
+  private def minhashMd5PairsQuery(spark: SparkSession, dir: String,
+                                   k: Int = 64, bands: Int = 8,
+                                   threshold: Double = 0.8,
+                                   maxBucket: Int = 2000,
+                                   sampleCap: Int = 700): DataFrame = {
+    graft.functions.TextSignatureFunctions.register(spark)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val r = k / bands
+    val p = 1000000007L
+    val reps = documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("set_key", md5(concat_ws("\u0001", col("toks"))))
+      .groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      // verify/gate set elements: 60-bit md5 token hashes as fixed-width
+      // longs (same layout rationale as setReps' htoks -- the two-pointer
+      // sorted intersect beats string-array set ops ~2x), reproduced in
+      // DuckDB as CAST('0x'||substring(md5(t),1,15) AS BIGINT)
+      .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+      .persist(MEMORY_AND_DISK)
+    try {
+      // per-token h1/h2: the first/second 15 hex digits of md5(token) as
+      // 60-bit ints (one conv each — the digit-by-digit assembly of
+      // minhash_md5 costs 30 expression nodes per token and measured 4×
+      // slower end-to-end), reduced mod p so the k=64 permutation
+      // arithmetic (h1m + i·h2m) never leaves 63-bit range on either
+      // engine (DuckDB RAISES on BIGINT overflow rather than wrapping)
+      val tok = reps.select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("h", md5(col("t")))
+      val hashed = tok.select(col("doc_id"),
+        (conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % p).as("h1m"),
+        (conv(substring(col("h"), 17, 15), 16, 10).cast(LongType)
+          .bitwiseOR(lit(1L)) % p).as("h2m"))
+      val mins = (0 until k).map(i =>
+        min((col("h1m") + lit(i.toLong) * col("h2m")) % p).as(s"m$i"))
+      val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      // band keys = md5 of the comma-joined slice of r minima — all bands
+      // from ONE pass over the signature rows (posexplode), not a
+      // bands-way union that re-aggregates per branch
+      val bandCols = (0 until bands).map { b =>
+        md5(concat_ws(",",
+          (b * r until (b + 1) * r).map(i => col(s"m$i").cast(StringType)): _*))
+      }
+      val banded = sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+        .persist(MEMORY_AND_DISK)
+      // same oversized-bucket star reduction as the production path
+      val out = try {
+        val sized = banded.join(
+          banded.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__hub")),
+          Seq("band", "bh"))
+        val small = sized.filter(col("__n") <= maxBucket)
+        val allPairs = small.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+          .join(small.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+        val starPairs = sized.filter(col("__n") > maxBucket && col("doc_id") =!= col("__hub"))
+          .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
+        val candidates = allPairs.unionAll(starPairs).distinct()
+        // candidates outnumber reps by orders of magnitude on dup-heavy
+        // corpora — broadcast the rep payload when it fits (same
+        // byte-gated hint as minhashPairsOverReps; an unhinted plan
+        // shuffles the 1.7M-pair candidate list twice)
+        val repStats = reps.agg(count(lit(1)), sum(size(col("htoks")))).head()
+        val repBytes = (if (repStats.isNullAt(1)) 0L else repStats.getLong(1)) * 8L +
+          repStats.getLong(0) * 32L
+        val toksByIdBase = reps.select(col("doc_id"), col("htoks"))
+        val toksById =
+          if (repBytes <= 256L * 1024 * 1024) broadcast(toksByIdBase) else toksByIdBase
+        val inter = graft.functions.TextSignatureFunctions
+          .sorted_intersect_count(col("a_toks"), col("b_toks"))
+        candidates
+          .join(toksById.toDF("a_id", "a_toks"), "a_id")
+          .join(toksById.toDF("b_id", "b_toks"), "b_id")
+          .withColumn("jac", inter.cast(DoubleType) /
+            (size(col("a_toks")) + size(col("b_toks")) - inter))
+          .filter(col("jac") >= threshold)
+          .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+          .localCheckpoint(true)
+      } finally banded.unpersist()
+      // the production containment gate (exact-Jaccard >= 0.9 sample
+      // pairs must be banded, modulo the documented miss tolerance) runs
+      // over the same md5-derived token-hash sets — driver-visible on
+      // every execution
+      val gateReps = reps.select(col("set_key"), col("doc_id"), col("htoks"))
+      minhashContainmentGate(out, gateReps, sampleCap)
+      out.orderBy("a_id", "b_id")
+    } finally reps.unpersist()
+  }
+
+  /** DuckDB mirror of [[minhashMd5PairsQuery]] — set collapse, md5-digit
+    * double-hash minima, band-key md5s, bucket star reduction, and
+    * list_intersect Jaccard, all replayed literally. */
+  private def minhashMd5PairsOracle(k: Int = 64, bands: Int = 8,
+                                    threshold: Double = 0.8,
+                                    maxBucket: Int = 2000): String = {
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"MIN((h1m + $i * h2m) % 1000000007) AS m$i").mkString(",\n        ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS bh FROM sig"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH d0 AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |            FROM documents),
+       |reps AS (SELECT MIN(doc_id) AS doc_id, ANY_VALUE(toks) AS toks
+       |         FROM d0 GROUP BY md5(array_to_string(toks, chr(1)))),
+       |rh AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,
+       |         t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)))) AS htoks
+       |       FROM reps),
+       |tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(toks) AS t FROM reps)),
+       |g AS (SELECT doc_id,
+       |        CAST('0x' || substring(h, 1, 15) AS BIGINT) % 1000000007 AS h1m,
+       |        (CAST('0x' || substring(h, 17, 15) AS BIGINT) | 1) % 1000000007 AS h2m
+       |      FROM tok),
+       |sig AS (SELECT doc_id,
+       |        $mins
+       |      FROM g GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |sized AS (SELECT doc_id, band, bh,
+       |            COUNT(*) OVER (PARTITION BY band, bh) AS n,
+       |            MIN(doc_id) OVER (PARTITION BY band, bh) AS hub
+       |          FROM banded),
+       |allp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh
+       |           AND a.doc_id < b.doc_id
+       |         WHERE a.n <= $maxBucket AND b.n <= $maxBucket),
+       |star AS (SELECT hub AS a_id, doc_id AS b_id FROM sized
+       |         WHERE n > $maxBucket AND doc_id <> hub),
+       |cand AS (SELECT DISTINCT a_id, b_id FROM
+       |         (SELECT * FROM allp UNION ALL SELECT * FROM star)),
+       |v AS (SELECT c.a_id, c.b_id,
+       |        len(list_intersect(ra.htoks, rb.htoks)) AS inter,
+       |        len(ra.htoks) AS an, len(rb.htoks) AS bn
+       |      FROM cand c JOIN rh ra ON ra.doc_id = c.a_id
+       |                  JOIN rh rb ON rb.doc_id = c.b_id)
+       |SELECT a_id, b_id,
+       |       ROUND(CAST(inter AS DOUBLE) / (an + bn - inter), 4) AS jac
+       |FROM v WHERE CAST(inter AS DOUBLE) / (an + bn - inter) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Gopher/C4-style heuristic quality rules — the published document
@@ -902,7 +1112,7 @@ object TextOps {
     * a DETERMINISTIC hash-ordered sample of set-representatives capped at
     * `sampleCap`, so the gate's all-pairs verify stays O(cap²) at any
     * corpus size (at sf ≤ 0.01 the cap covers every document). */
-  private def minhashGatedQuery(spark: SparkSession, dir: String,
+  private[graft] def minhashGatedQuery(spark: SparkSession, dir: String,
                                 sampleCap: Int = 700): DataFrame = {
     graft.functions.TextSignatureFunctions.register(spark)
     // ONE persisted reps table feeds both the LSH pair computation (four
@@ -975,8 +1185,8 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incoming" -> ((s: SparkSession, d: String) => dedupIncoming(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
-    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashGatedQuery(s, d)),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashGatedQuery(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashMd5PairsQuery(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashMd5GatedQuery(s, d)),
     "simhash_md5" -> ((s: SparkSession, d: String) => simhashMd5Query(s, d)),
     "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
@@ -986,6 +1196,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "simhash_md5" -> simhashMd5Oracle,
+    "dedup_simhash" -> simhashMd5PairsOracle(),
+    "dedup_minhash_lsh" -> minhashMd5PairsOracle(),
     "gopher_rules" -> gopherRulesOracle,
     "heavy_hitters" -> heavyHittersOracle(),
     "minhash_md5" -> minhashMd5Oracle,

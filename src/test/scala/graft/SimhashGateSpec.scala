@@ -2,15 +2,31 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The gated simhash query must pass its own recall invariant on the
-  * fixtures (the gate throws if chunk banding loses a provably-kept
-  * pair), and keep the ungated query's row shape. */
+/** The gated simhash queries must pass their own completeness invariant
+  * on the fixtures (the gate throws if chunk banding loses a provably-
+  * kept pair). Two flavors share the banding + gate machinery: the
+  * md5-construction GRADED query (oracle-hashed) and the XXH64
+  * production path (this spec's driver-independent coverage). */
 class SimhashGateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
 
-  test("gated dedup_simhash passes its recall invariant and matches the ungated pairs") {
+  test("graded md5 dedup_simhash passes its completeness gate and emits pairs") {
     val dir = "/root/testdata/sf0.001"
-    val gated = graft.ext.TextOps.queries("dedup_simhash")(spark, dir)
+    val gated = graft.ext.TextOps.queries("dedup_simhash")(spark, dir).collect()
+    assert(gated.nonEmpty)
+    assert(gated.forall(_.getInt(2) <= 3), "pairs must be within maxHamming")
+  }
+
+  test("XXH64 gated minhash-LSH passes its containment invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val gated = graft.ext.TextOps.minhashGatedQuery(spark, dir).collect()
+    assert(gated.nonEmpty)
+    assert(gated.forall(_.getDouble(2) >= 0.8), "pairs must clear the verify threshold")
+  }
+
+  test("XXH64 gated simhash passes its invariant and matches the ungated pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val gated = graft.ext.TextOps.simhashGatedQuery(spark, dir)
       .collect().map(_.toSeq).toSet
     val plain = graft.ext.TextOps.dedupSimhash(spark, dir)
       .collect().map(_.toSeq).toSet
