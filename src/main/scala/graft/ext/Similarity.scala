@@ -576,6 +576,116 @@ object Similarity {
       .orderBy("iter", "cluster")
   }
 
+  /** The GRADED k-means training query: a fixed-length Lloyd TRACE whose
+    * every step is bit-reproducible in DuckDB — the iteration glue that
+    * [[kmeansAssign]] (assignment) and [[kmeansUpdate]] (re-estimation)
+    * left unproven. Two full iterations from the published ±1 centroids:
+    * assignment minimizes Euclidean distance computed as
+    * `‖x‖² − 2·x·c + ‖c‖²` (three sequential-fold dot products — the form
+    * both engines evaluate bit-identically, unlike a per-dim (x−c)²
+    * fold), ties to the lowest cluster; re-estimation is the
+    * (cluster, dim)-keyed DECIMAL-summed mean (HACKING rule 1 — exact,
+    * partition-order-independent, so the iter-2 centroids are IDENTICAL
+    * doubles on both engines, not approximately equal); empty clusters
+    * keep their previous centroid. The k·dim means are collected between
+    * iterations (metadata-scale, the same contract as [[kmeansTrain]])
+    * and folded into the iter-2 plan as literals. Output: per-iteration
+    * per-(cluster, dim) means (rounded for display only) + cluster sizes.
+    *
+    * The DISTRIBUTED trainer ([[kmeansTrain]], arbitrary iters, inertia
+    * trace + monotonicity gate) remains the engine API and is
+    * spec-covered; this trace pins its per-iteration semantics to an
+    * oracle. */
+  def kmeansTrace(spark: SparkSession, dir: String,
+                  k: Int = 8, dim: Int = 64, iters: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .localCheckpoint(true)
+    try {
+      var cents = fixedCentroids(k, dim)
+      var out: DataFrame = null
+      for (iter <- 1 to iters) {
+        val centsDf = broadcast(cents.zipWithIndex
+          .map { case (c, i) => (i, c) }.toDF("cluster", "c"))
+        val assigned = e.crossJoin(centsDf)
+          .withColumn("d2", vec_dot(col("e"), col("e"))
+            - lit(2.0) * vec_dot(col("e"), col("c"))
+            + vec_dot(col("c"), col("c")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("e"), col("cluster"))
+        val means = assigned
+          .select(col("cluster"), posexplode(col("e")).as(Seq("d", "x")))
+          .groupBy(col("cluster"), col("d"))
+          .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType)
+            / count(lit(1))).as("mean_x"), count(lit(1)).as("n_vecs"))
+        val rows = means.select(lit(iter).as("iter"), col("cluster"), col("d"),
+          col("mean_x"), col("n_vecs"))
+        out = if (out == null) rows else out.unionAll(rows)
+        // exact means as next-iteration centroid literals; empty clusters
+        // keep their previous centroid (same rule as kmeansTrain)
+        val m = means.collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        cents = (0 until k).map(c => (0 until dim).map(d =>
+          m.getOrElse((c, d), cents(c)(d))))
+      }
+      out.select(col("iter"), col("cluster"), col("d"),
+          round(col("mean_x"), 6).as("mean_x"), col("n_vecs"))
+        .orderBy("iter", "cluster", "d")
+        .localCheckpoint(true)
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(e)
+  }
+
+  /** DuckDB mirror of [[kmeansTrace]] — the same two Lloyd iterations
+    * recomputed from the literal ±1 centroids entirely in SQL (DECIMAL
+    * means make iter-2 centroids bit-identical to the Spark side's). */
+  private def kmeansTraceOracle(k: Int = 8, dim: Int = 64): String = {
+    val c0 = fixedCentroids(k, dim).zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT * FROM (VALUES
+       |         $c0) t(cluster, c)),
+       |a1 AS (SELECT vec_id, e, cluster,
+       |         list_dot_product(e, e) - 2.0 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d2
+       |       FROM e CROSS JOIN c0),
+       |s1 AS (SELECT vec_id, e, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |x1 AS (SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INT) AS d, unnest(e) AS x
+       |       FROM s1),
+       |m1 AS (SELECT cluster, d,
+       |         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mean_x,
+       |         COUNT(*) AS n_vecs
+       |       FROM x1 GROUP BY cluster, d),
+       |c0x AS (SELECT cluster, CAST(generate_subscripts(c, 1) - 1 AS INT) AS d, unnest(c) AS x
+       |        FROM c0),
+       |c1 AS (SELECT c0x.cluster, list(COALESCE(m1.mean_x, c0x.x) ORDER BY c0x.d) AS c
+       |       FROM c0x LEFT JOIN m1 ON m1.cluster = c0x.cluster AND m1.d = c0x.d
+       |       GROUP BY c0x.cluster),
+       |a2 AS (SELECT vec_id, e, cluster,
+       |         list_dot_product(e, e) - 2.0 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d2
+       |       FROM e CROSS JOIN c1),
+       |s2 AS (SELECT vec_id, e, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a2) WHERE rn = 1),
+       |x2 AS (SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INT) AS d, unnest(e) AS x
+       |       FROM s2),
+       |m2 AS (SELECT cluster, d,
+       |         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mean_x,
+       |         COUNT(*) AS n_vecs
+       |       FROM x2 GROUP BY cluster, d)
+       |SELECT iter, cluster, d, ROUND(mean_x, 6) AS mean_x, n_vecs FROM (
+       |  SELECT 1 AS iter, * FROM m1 UNION ALL SELECT 2 AS iter, * FROM m2)
+       |ORDER BY iter, cluster, d""".stripMargin
+  }
+
   /** K-means UPDATE step under the fixed published centroids — the
     * other half of a Lloyd iteration, oracle-hashed: per-cluster
     * per-dimension mean of the assigned vectors (plus the cluster size),
@@ -796,7 +906,7 @@ object Similarity {
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
-    "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrain(s, d)),
+    "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrace(s, d)),
     "semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "hard_examples" -> ((s: SparkSession, d: String) => hardExamples(s, d))
@@ -809,6 +919,7 @@ object Similarity {
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),
+    "kmeans_train" -> kmeansTraceOracle(),
     "semantic_dedup" -> semanticDedupOracle(),
     "hard_examples" -> hardExamplesOracle(),
     "embedding_outliers" ->
