@@ -391,6 +391,11 @@ object CorpusOps {
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
       val top = words
+        // singleton guard: a fully-merged one-symbol word has no adjacent
+        // pairs — without the filter, sequence(0, -1) yields a descending
+        // [0, -1] index pair and a phantom (sym, null) group (mirrors the
+        // oracle's WHERE len(s) >= 2)
+        .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
           i => struct(get(col("syms"), i).as("l"), get(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -419,6 +424,47 @@ object CorpusOps {
     require(corrupted == 0,
       s"BPE merges corrupted $corrupted words — the merge fold is not lossless")
     merges.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[bpeMerges]] — the full iterative training loop
+    * unrolled: per round, a pair-count aggregate, the (n DESC, l, r)
+    * argmax, and the left-to-right non-overlapping merge fold replayed as
+    * a RECURSIVE CTE whose accumulator is the partially-merged symbol
+    * list (base case `[s[1]]`, step fuses `acc[-1]` with the next symbol
+    * exactly like the Spark `aggregate` fold). An empty round (vocab
+    * exhausted) yields an empty argmax CTE, which contributes no output
+    * row and empties the remaining rounds — the same early-stop shape as
+    * the Spark loop. Non-recursive CTEs carry MATERIALIZED hints:
+    * DuckDB inlines plain CTEs, and re-expanding each round's upstream
+    * chain inside the next round's recursion is exponential (the
+    * unhinted form did not finish at sf0.001; hinted runs in 0.13s). */
+  private def bpeMergesOracle(nMerges: Int = 8): String = {
+    def round(n: Int): String =
+      s"""pc$n AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+         |       FROM w${n - 1}, UNNEST(range(1, len(s))) u(i) WHERE len(s) >= 2
+         |       GROUP BY 1, 2),
+         |t$n AS MATERIALIZED (SELECT l, r, n FROM pc$n ORDER BY n DESC, l, r LIMIT 1),
+         |rec$n AS (
+         |  SELECT w, freq, s, 1 AS i, [s[1]] AS acc FROM w${n - 1}
+         |  UNION ALL
+         |  SELECT rec$n.w, rec$n.freq, rec$n.s, rec$n.i + 1,
+         |    CASE WHEN acc[-1] = t$n.l AND s[i+1] = t$n.r
+         |         THEN list_append(list_slice(acc, 1, len(acc)-1), t$n.l || t$n.r)
+         |         ELSE list_append(acc, s[i+1]) END
+         |  FROM rec$n, t$n WHERE rec$n.i < len(rec$n.s)),
+         |w$n AS MATERIALIZED (SELECT w, freq, acc AS s FROM rec$n WHERE i = len(s))""".stripMargin
+    val rounds = (1 to nMerges).map(round).mkString(",\n")
+    val out = (1 to nMerges).map(n =>
+      s"""SELECT CAST($n AS INT) AS rank, l AS "left", r AS "right", n AS pair_freq FROM t$n""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT w, freq, list_append(string_split(w, ''), '</w>') AS s FROM wf),
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY rank""".stripMargin
   }
 
 
@@ -476,6 +522,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesOracle(),
     "bpe_pair_counts" ->
       """WITH wf AS (SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
