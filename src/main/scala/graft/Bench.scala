@@ -88,8 +88,20 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names unknown query '$n'")))
     val mb = 1024.0 * 1024.0
-    val results = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_SHUFFLE=<seed>: run the queries in a seeded-random
+    // order instead of Map hash order. Queries are order-independent by
+    // contract (fresh temp state per call + sweepBlocks between queries);
+    // a shuffled run whose total drifts >1.2x from the ordered run exposes
+    // residual cross-query state leakage the hygiene sweep missed (VERDICT
+    // r6 item 7). Per-query timings survive in the artifact, so a drift
+    // diff points at the leaking pair directly.
+    val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").map(_.trim).filter(_.nonEmpty) match {
+      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(ordered)
+      case None       => ordered
+    }
+    val results = selected
       .map { case (name, fn) =>
         val (m0, d0, w0, r0) =
           (memSpilled.get, diskSpilled.get, shufWrite.get, shufRead.get)
@@ -119,7 +131,7 @@ object Bench {
       .mkString("{", ",", "}")
     // total stays the real wall time (failures still cost their elapsed);
     // the failed list makes a broken run unmistakable in the artifact
-    val total = results.values.map(v => math.abs(v._1)).sum
+    val total = results.map { case (_, (v, _)) => math.abs(v) }.sum
     val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val env = {

@@ -37,18 +37,27 @@ object AnalyticsOps {
       .orderBy("l_returnflag", "l_linestatus")
 
   // TPC-H Q3-shaped: selective dim filter + two joins + top-k by revenue.
-  // Customer side is broadcast (dimension << fact at every scale).
+  // Customer side is broadcast (dimension << fact at every scale). The
+  // fact side pre-aggregates per orderkey BEFORE the join: lineitem
+  // arrives clustered by l_orderkey, so the map-side partial collapses
+  // the ~4 lineitems/order to one shuffle row — the orderkey shuffle
+  // moves one aggregated row per order instead of every lineitem, and the
+  // subsequent orders join sees the small side (decimal sums are exact
+  // and associative, so aggregating the unfiltered fact first changes
+  // nothing about the per-order revenue the filter keeps).
   private def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(spark, dir)
-    val l = lineitem(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(l, l("l_orderkey") === o("o_orderkey"))
-      .groupBy(o("o_orderkey").as("o_orderkey"))
+    val lAgg = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(
         dsum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)), 6)
           .as("revenue"),
         count(lit(1)).as("n_items"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey").as("o_orderkey"))
+      .join(lAgg, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), col("n_items"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

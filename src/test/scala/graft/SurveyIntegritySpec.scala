@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Documentation-integrity gate (VERDICT r6 item 10): every oracle-query
+  * citation in SURVEY.md §2g must name a live entry in
+  * `SparkEntry.queries` AND carry an oracle in `SparkEntry.oracleSql` —
+  * a renamed or dropped query can no longer leave a stale claim behind.
+  * Conversely, the driver-facing maps must agree with each other.
+  */
+class SurveyIntegritySpec extends AnyFunSuite {
+
+  private def surveyText: String = {
+    val p = java.nio.file.Paths.get("SURVEY.md")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    else "" // packaged/CI contexts without the doc skip the sweep
+  }
+
+  test("every `<name>` oracle query cited in SURVEY.md exists and is oracle-backed") {
+    val text = surveyText
+    assume(text.nonEmpty, "SURVEY.md not present in working dir")
+    val cited = "`([a-z0-9_]+)` oracle quer(?:y|ies)".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    assert(cited.nonEmpty, "citation scrape found nothing — regex rot?")
+    val noQuery = cited -- SparkEntry.queries.keySet
+    assert(noQuery.isEmpty, s"SURVEY.md cites queries not in the surface: $noQuery")
+    val noOracle = cited -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"SURVEY.md cites oracle queries with no oracleSql: $noOracle")
+  }
+
+  test("oracleSql keys are a subset of queries; every query has an oracle (surface fully graduated)") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracleSql without a query: $orphanOracles")
+    // Round 7: the whole surface is oracle-backed. If a future query is
+    // deliberately gate-only, list it here with its justification.
+    val gateOnly: Set[String] = Set.empty
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- gateOnly
+    assert(missing.isEmpty, s"queries with neither oracle nor documented gate-only status: $missing")
+  }
+}
