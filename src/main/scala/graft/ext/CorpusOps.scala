@@ -381,6 +381,27 @@ object CorpusOps {
     * (dropped, duplicated, or misordered symbol) fails the run loudly. */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import spark.implicits._
+    val (_, merges) = bpeTrain(spark, dir, nMerges)
+    merges.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+  }
+
+  /** Tokenizer APPLY: each distinct word's final subword split under the
+    * `nMerges` learned merges — the encode table a trained BPE tokenizer
+    * IS (at inference, encoding = longest-chain merge replay; serving
+    * systems precompute exactly this word→pieces map for the hot
+    * vocabulary). Same training loop as [[bpeMerges]], same lossless-
+    * reconstruction gate; the oracle replays the identical unrolled
+    * recursive-CTE fold and reads the final round's splits. */
+  def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val (words, _) = bpeTrain(spark, dir, nMerges)
+    words.select(col("w"), concat_ws(" ", col("syms")).as("bpe"),
+      size(col("syms")).cast(IntegerType).as("n_pieces"),
+      col("freq"))
+      .orderBy("w")
+  }
+
+  private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var words = documents(spark, dir)
       .select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -423,7 +444,7 @@ object CorpusOps {
       .filter(concat_ws("", col("syms")) =!= concat(col("w"), lit("</w>"))).count()
     require(corrupted == 0,
       s"BPE merges corrupted $corrupted words — the merge fold is not lossless")
-    merges.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+    (words, merges.toSeq)
   }
 
   /** DuckDB mirror of [[bpeMerges]] — the full iterative training loop
@@ -439,6 +460,23 @@ object CorpusOps {
     * chain inside the next round's recursion is exponential (the
     * unhinted form did not finish at sf0.001; hinted runs in 0.13s). */
   private def bpeMergesOracle(nMerges: Int = 8): String = {
+    val out = (1 to nMerges).map(n =>
+      s"""SELECT CAST($n AS INT) AS rank, l AS "left", r AS "right", n AS pair_freq FROM t$n""")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeOraclePrefix(nMerges)}
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** Encode oracle = the training replay's FINAL round splits. */
+  private def bpeEncodeOracle(nMerges: Int = 8): String =
+    s"""${bpeOraclePrefix(nMerges)}
+       |SELECT w, array_to_string(s, ' ') AS bpe, CAST(len(s) AS INT) AS n_pieces,
+       |  CAST(freq AS BIGINT) AS freq
+       |FROM w$nMerges ORDER BY w""".stripMargin
+
+  private def bpeOraclePrefix(nMerges: Int): String = {
     def round(n: Int): String =
       s"""pc$n AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
          |       FROM w${n - 1}, UNNEST(range(1, len(s))) u(i) WHERE len(s) >= 2
@@ -454,17 +492,11 @@ object CorpusOps {
          |  FROM rec$n, t$n WHERE rec$n.i < len(rec$n.s)),
          |w$n AS MATERIALIZED (SELECT w, freq, acc AS s FROM rec$n WHERE i = len(s))""".stripMargin
     val rounds = (1 to nMerges).map(round).mkString(",\n")
-    val out = (1 to nMerges).map(n =>
-      s"""SELECT CAST($n AS INT) AS rank, l AS "left", r AS "right", n AS pair_freq FROM t$n""")
-      .mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE
        |wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
        |w0 AS MATERIALIZED (SELECT w, freq, list_append(string_split(w, ''), '</w>') AS s FROM wf),
-       |$rounds
-       |SELECT * FROM (
-       |  $out
-       |) ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
 
@@ -502,9 +534,84 @@ object CorpusOps {
     perQ.reduce(_ unionAll _).orderBy("lang", "q")
   }
 
+  /** Cross-document exact-substring span detection — the span-level
+    * member of the dedup family (doc-level = dedup_exact, paragraph =
+    * dedup_segments, THIS = Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better": remove every ≥minSpan-token substring
+    * that also appears verbatim in another document).
+    *
+    * Spark-first substitute for the paper's suffix array: a token
+    * position is COVERED when its k-gram occurs in ≥2 distinct docs;
+    * covered positions expand to their k token indices, and maximal runs
+    * of duplicated token indices are exactly the union of all duplicated
+    * ≥k-token substrings (a duplicated substring of length L ≥ k covers
+    * precisely its L token indices via its L−k+1 grams). Spans shorter
+    * than minSpan are kept as incidental collisions.
+    *
+    * Scale shape: gram emission is one map-side posexplode; the df count
+    * shuffles on md5(gram) (fixed-width key, never the text); covered
+    * positions explode ×k on the DUPLICATED minority only; run grouping
+    * is a per-doc window (doc-keyed, bounded partitions). No self-joins
+    * at any scale — corpus growth only widens the gram-hash shuffle. */
+  def exactSubstringSpans(spark: SparkSession, dir: String,
+                          k: Int = 8, minSpan: Int = 12): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("tk"))
+    val grams = d.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .toDF("doc_id", "pos", "gk")
+    val dup = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("gk")
+    val covered = grams.join(dup, Seq("gk"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    val spans = covered
+      .withColumn("grp", col("t") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .filter(col("len") >= minSpan)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("dup_tokens"),
+        max(col("len")).as("max_span"))
+    d.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .orderBy("doc_id")
+  }
+
+  private def exactSubstringSpansOracle(k: Int = 8, minSpan: Int = 12): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |p AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+${k - 1}], ' ')) AS gk
+       |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${k - 1})) AS i
+       |            FROM d WHERE len(tk) >= $k)),
+       |dup AS (SELECT gk FROM p GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, t FROM (
+       |  SELECT p.doc_id, unnest(generate_series(p.pos, p.pos + ${k - 1})) AS t
+       |  FROM p SEMI JOIN dup ON p.gk = dup.gk)),
+       |r AS (SELECT doc_id, t,
+       |        t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp FROM cov),
+       |s AS (SELECT doc_id, grp, count(*) AS len FROM r GROUP BY 1, 2
+       |      HAVING count(*) >= $minSpan),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |        CAST(SUM(len) AS BIGINT) AS dup_tokens,
+       |        CAST(MAX(len) AS BIGINT) AS max_span FROM s GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       |  COALESCE(a.n_spans, 0) AS n_spans, COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       |  COALESCE(a.max_span, 0) AS max_span
+       |FROM d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_substring_spans" -> ((s, d) => exactSubstringSpans(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "domain_mix" -> ((s, d) => domainMix(s, d)),
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -522,7 +629,9 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "exact_substring_spans" -> exactSubstringSpansOracle(),
     "bpe_merges" -> bpeMergesOracle(),
+    "bpe_encode" -> bpeEncodeOracle(),
     "bpe_pair_counts" ->
       """WITH wf AS (SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),

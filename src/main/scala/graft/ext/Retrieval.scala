@@ -338,7 +338,10 @@ object Retrieval {
     * not the rounded sigmoid, so the cutoff is exact; only the reported
     * probability is rounded (sigmoid's `exp` may differ in the last ulp
     * between engines). */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The classifier's linear margin z = w · (features − centers) — one
+    * expression shared by the scoring query and the AUC evaluation so
+    * the two can never drift. */
+  private def classifierMargin: Column = {
     val nTok = size(toks).cast(DoubleType)
     val meanTokLen = DocFeatures.meanTokLen(toks)
     // hash-only symbol ratio — a DELIBERATE difference from gopherRules'
@@ -349,12 +352,16 @@ object Retrieval {
     val alphaFrac = DocFeatures.alphaFrac(toks)
     val numericFrac = DocFeatures.numericFrac(toks)
     val stopCount = DocFeatures.stopCount(toks).cast(DoubleType)
-    val z = lit(0.05) * (nTok - 54.0) +
+    lit(0.05) * (nTok - 54.0) +
       lit(0.2) * (meanTokLen - 4.5) +
       lit(2.0) * (alphaFrac - 0.9) -
       lit(10.0) * symbolRatio -
       lit(5.0) * numericFrac +
       lit(0.3) * (stopCount - 5.0)
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val z = classifierMargin
     documents(spark, dir)
       .select(col("doc_id"), round(z, 4).as("margin"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
@@ -379,6 +386,77 @@ object Retrieval {
       |SELECT doc_id, ROUND(z, 4) AS margin,
       |       ROUND(1.0 / (1.0 + exp(-z)), 4) AS score, (z >= 0) AS keep
       |FROM z ORDER BY doc_id""".stripMargin
+
+  // ---- classifier evaluation: ROC-AUC --------------------------------
+
+  /** ROC-AUC of the quality classifier per language (+ pooled 'all') —
+    * the evaluation step that belongs next to every trained filter: did
+    * the scorer actually rank good docs above bad ones, per slice? The
+    * proxy label is `n_chars >= cut` (longer docs as "good"), a
+    * deterministic stand-in for human labels with the same mechanics.
+    *
+    * AUC via the Mann–Whitney rank identity with exact tie handling:
+    * over ranks ASC by score, a tie group's average rank is
+    * (2·rank + ties − 1)/2, so DOUBLED average ranks stay integers —
+    * summed as BIGINTs, the whole statistic is integer-exact until the
+    * one final division, and hash-verifies with no float tolerance.
+    * AUC = (Σ_pos 2·avg_rank − n_pos(n_pos+1)) / (2·n_pos·n_neg).
+    *
+    * Scale shape: scoring is the classifier's map stage; ranking is one
+    * window per (lang) slice — slices shard the sort; the pooled row
+    * costs one more pass. The ranking key is the margin ROUNDED to 6
+    * (ulp-safe across engines), ties resolved by the average-rank
+    * formula rather than an arbitrary tiebreak. */
+  def classifierAuc(spark: SparkSession, dir: String,
+                    cut: Int = 256): DataFrame = {
+    val scored = documents(spark, dir)
+      .select(col("lang"), round(classifierMargin, 6).as("s"),
+        (col("n_chars") >= cut).as("pos"))
+    val pooled = scored.withColumn("lang", lit("all"))
+    val u = scored.unionByName(pooled)
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("s"))
+    val wTie = Window.partitionBy(col("lang"), col("s"))
+    val ranked = u
+      .withColumn("ar2", // doubled average rank: 2·rank + ties − 1 (integer)
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+    ranked.groupBy(col("lang"))
+      .agg(
+        sum(when(col("pos"), col("ar2")).otherwise(lit(0L))).as("sum_pos_2r"),
+        count(when(col("pos"), lit(1))).as("n_pos"),
+        count(when(!col("pos"), lit(1))).as("n_neg"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        round((col("sum_pos_2r") - col("n_pos") * (col("n_pos") + 1))
+          .cast(DoubleType) / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
+      .orderBy("lang")
+  }
+
+  private def classifierAucOracle(cut: Int = 256): String =
+    """WITH d AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, lang, n_chars,
+      |  CAST(len(w) AS DOUBLE) AS n_tok,
+      |  CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) AS mean_tok_len,
+      |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS symbol_ratio,
+      |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+      |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) / len(w) AS numeric_frac,
+      |  CAST(len(list_filter(w, t -> t IN ('the','be','to','of','and','that','have','with'))) AS DOUBLE) AS stop_count
+      |FROM d),
+      |z AS (SELECT lang, ROUND(
+      |    0.05 * (n_tok - 54.0) + 0.2 * (mean_tok_len - 4.5) + 2.0 * (alpha_frac - 0.9)
+      |    - 10.0 * symbol_ratio - 5.0 * numeric_frac + 0.3 * (stop_count - 5.0), 6) AS s,
+      |  (n_chars >= CUT) AS pos FROM f),
+      |u AS (SELECT * FROM z UNION ALL SELECT 'all' AS lang, s, pos FROM z),
+      |r AS (SELECT lang, pos,
+      |  2 * rank() OVER (PARTITION BY lang ORDER BY s)
+      |    + count(*) OVER (PARTITION BY lang, s) - 1 AS ar2 FROM u)
+      |SELECT lang,
+      |  CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+      |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(CAST(SUM(CASE WHEN pos THEN ar2 ELSE 0 END) AS BIGINT)
+      |        - count(*) FILTER (WHERE pos) * (count(*) FILTER (WHERE pos) + 1) AS DOUBLE)
+      |    / (2.0 * count(*) FILTER (WHERE pos) * count(*) FILTER (WHERE NOT pos)), 6) AS auc
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+      .replace("CUT", cut.toString)
 
   // ---- hybrid retrieval fusion (RRF) ---------------------------------
 
@@ -463,6 +541,7 @@ object Retrieval {
     "containment_dedup" -> ((s: SparkSession, d: String) => containmentDedup(s, d)),
     "containment_sketch" -> ((s: SparkSession, d: String) => containmentSketch(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d)),
+    "classifier_auc" -> ((s: SparkSession, d: String) => classifierAuc(s, d)),
     "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d))
   )
 
@@ -472,6 +551,7 @@ object Retrieval {
     "containment_dedup" -> containmentOracle(),
     "containment_sketch" -> containmentSketchOracle(),
     "quality_classifier" -> qualityClassifierOracle,
+    "classifier_auc" -> classifierAucOracle(),
     "rrf_fusion" -> rrfOracle()
   )
 }

@@ -893,7 +893,72 @@ object Similarity {
       |       ROUND(err, 6) AS recon_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization codebook cell (subspace j, centroid c, dim d):
+    * the [[centroidSign]] LCG over the (j·nCent + c, d) cell in the
+    * subspace width, published as literals on both sides. */
+  private[graft] def pqCodebook(m: Int, nCent: Int, sub: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => (0 until nCent).map(c =>
+      (0 until sub).map(d => centroidSign(j * nCent + c, d, sub))))
+
+  /** Product-quantization ENCODE (Jégou et al. 2011 — the compression
+    * step behind IVF-PQ ANN serving): split each 64-d vector into `m`
+    * subvectors, code each against its subspace's published codebook,
+    * emit the code word + exact reconstruction error. With ±1 codebook
+    * entries every centroid has identical norm, so nearest-by-L2 ≡
+    * argmax dot — each code is an argmax over `nCent` codegen'd
+    * [[graft.functions.VectorDot]]s (first-max = lowest code on ties,
+    * matching DuckDB `list_position`), and the total squared error
+    * folds from the same dots: Σ_j (‖s_j‖² − 2·maxdot_j + sub) =
+    * ‖e‖² − 2·Σ_j maxdot_j + m·sub — IEEE-exact, no libm, no rounding.
+    *
+    * Scale shape: pure map stage, zero shuffle at any corpus size;
+    * 64 doubles compress to m small ints per row (the 32× memory cut
+    * that makes billion-vector indexes fit RAM). */
+  def pqEncode(spark: SparkSession, dir: String,
+               m: Int = 8, nCent: Int = 4, sub: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val cb = pqCodebook(m, nCent, sub)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val withDots = (0 until m).foldLeft(e) { (df, j) =>
+      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      df.withColumn(s"__d$j",
+        transform(cents, c => vec_dot(slice(col("e"), j * sub + 1, sub), c)))
+    }
+    val codes = (0 until m).map(j =>
+      (array_position(col(s"__d$j"), array_max(col(s"__d$j"))) - 1)
+        .cast(IntegerType).cast(StringType))
+    val maxDotSum = (0 until m).map(j => array_max(col(s"__d$j")))
+      .reduce(_ + _)
+    withDots.select(col("vec_id"),
+      concat_ws("-", codes: _*).as("code"),
+      (vec_dot(col("e"), col("e")) - lit(2.0) * maxDotSum + lit((m * sub).toDouble))
+        .as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  private def pqEncodeOracle(m: Int = 8, nCent: Int = 4, sub: Int = 8): String = {
+    val cb = pqCodebook(m, nCent, sub)
+    val dcols = (0 until m).map { j =>
+      val lits = cb(j).map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"list_transform($lits, cc -> list_dot_product(e[${j * sub + 1}:${(j + 1) * sub}], cc)) AS d$j"
+    }.mkString(",\n  ")
+    val code = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_max(d$j)) - 1 AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val errSum = (0 until m).map(j => s"list_max(d$j)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |d AS (SELECT vec_id, e,
+       |  $dcols
+       |FROM e)
+       |SELECT vec_id, $code AS code,
+       |  list_dot_product(e, e) - 2 * ($errSum) + ${m * sub} AS recon_err
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "embed_quantize" -> ((s: SparkSession, d: String) => embedQuantize(s, d)),
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
@@ -913,6 +978,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "pq_encode" -> pqEncodeOracle(),
     "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
     "ann_ivf" -> annIvfOracle(),

@@ -62,6 +62,37 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.head._3 == 30L, "3 non-overlapping (a,a) slots x freq 10")
   }
 
+  test("bpeEncode: final splits equal a reference replay of the learned merges") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val wf = graft.ops.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceBpe(wf, 8).map { case (l, r, _) => (l, r) }
+    def replay(w: String): Vector[String] =
+      merges.foldLeft(w.split("").toVector :+ "</w>") { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toVector
+      }
+    val got = graft.ext.CorpusOps.bpeEncode(spark, dir, nMerges = 8).collect()
+    assert(got.length == wf.size)
+    got.foreach { row =>
+      val (w, bpe, n, freq) = (row.getString(0), row.getString(1),
+        row.getInt(2), row.getLong(3))
+      val want = replay(w)
+      assert(bpe == want.mkString(" "), s"word '$w' split drifted")
+      assert(n == want.length)
+      assert(freq == wf(w))
+      // lossless: pieces concatenate back to the word + terminator
+      assert(bpe.replace(" ", "") == w + "</w>")
+    }
+  }
+
   test("pair counts query agrees with merge step 1") {
     val dir = "/root/testdata/sf0.001"
     val top = graft.ext.CorpusOps.bpePairCounts(spark, dir, topN = 1)

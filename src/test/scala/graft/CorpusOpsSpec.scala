@@ -204,4 +204,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = CorpusOps.lmScore(spark, dir).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("exactSubstringSpans: planted cross-doc span found with exact boundaries; " +
+    "sub-minSpan collisions suppressed") {
+    // 20-token run shared verbatim by docs 1 and 2 at different offsets;
+    // doc 3 shares only a single 8-gram with doc 1 (span = 8 < minSpan 12);
+    // doc 4 is entirely unique
+    val shared = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val gram8 = (1 to 8).map(i => s"g$i").mkString(" ")
+    val u = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = fixture(Seq(
+      (1L, s"${u("a", 5)} $shared ${u("b", 5)} $gram8", "en"),
+      (2L, s"${u("c", 9)} $shared ${u("d", 3)}", "en"),
+      (3L, s"${u("e", 7)} $gram8 ${u("f", 7)}", "en"),
+      (4L, u("z", 40), "en")))
+    val out = CorpusOps.exactSubstringSpans(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 5 + 20 + 5 + 8 = 38 tokens, one 20-token span (the 8-gram
+    // collision is an 8-token run, under minSpan)
+    assert(out(1L) == ((38L, 1L, 20L, 20L)))
+    assert(out(2L) == ((32L, 1L, 20L, 20L)))
+    assert(out(3L) == ((22L, 0L, 0L, 0L)))
+    assert(out(4L) == ((40L, 0L, 0L, 0L)))
+  }
+
+  test("exactSubstringSpans: adjacent overlapping grams merge into ONE span, " +
+    "tokens counted once") {
+    // doc 2 contains doc 1's whole 30-token text -> doc 1 is one full span
+    val run = (1 to 30).map(i => s"t$i").mkString(" ")
+    val dir = fixture(Seq(
+      (1L, run, "en"),
+      (2L, s"prefix1 prefix2 $run suffix1", "en")))
+    val out = CorpusOps.exactSubstringSpans(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((30L, 1L, 30L, 30L))) // whole doc duplicated
+    assert(out(2L) == ((33L, 1L, 30L, 30L))) // the run, not the affixes
+  }
 }

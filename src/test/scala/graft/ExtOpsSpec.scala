@@ -232,4 +232,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cl.join(roots, cl("doc_id") === col("root"), "left_semi")
       .filter($"doc_id" =!= $"cluster_id").count() == 0)
   }
+
+  test("pqEncode: codes and reconstruction error match a plain-Scala replay " +
+    "of the published codebook; centroid-exact vectors get zero error") {
+    val m = 2; val nCent = 4; val sub = 2
+    val cb = Similarity.pqCodebook(m, nCent, sub)
+    // vector equal to (codebook(0)(1) ++ codebook(1)(3)) reconstructs
+    // exactly; others are arbitrary
+    val exact = (cb(0)(1) ++ cb(1)(3)).map(_.toFloat)
+    val vs = Seq(
+      (0L, exact, 0),
+      (1L, Seq(0.3f, -0.7f, 1.2f, 0.1f), 0),
+      (2L, Seq(-1.0f, -1.0f, -1.0f, -1.0f), 1),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 1)) // all-tie -> first centroid
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    vs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    def replay(e: Seq[Double]): (String, Double) = {
+      val per = (0 until m).map { j =>
+        val s = e.slice(j * sub, (j + 1) * sub)
+        val dots = cb(j).map(c => c.zip(s).map { case (a, b) => a * b }.sum)
+        val mx = dots.max
+        (dots.indexOf(mx), mx) // first max = lowest code, like the engine
+      }
+      (per.map(_._1).mkString("-"),
+        e.map(x => x * x).sum - 2.0 * per.map(_._2).sum + m * sub)
+    }
+    val got = Similarity.pqEncode(spark, dir, m, nCent, sub).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    vs.foreach { case (id, e, _) =>
+      val (code, err) = replay(e.map(_.toDouble))
+      assert(got(id) == ((code, err)), s"vec $id drifted")
+    }
+    assert(got(0L)._2 == 0.0, "centroid-exact vector must reconstruct exactly")
+  }
 }

@@ -156,4 +156,49 @@ class RetrievalSpec extends AnyFunSuite {
     val again = ext.Similarity.embedQuantize(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  /** documents fixture with an EXPLICIT n_chars column (the AUC label),
+    * decoupled from the text so score and label can be planted
+    * independently. */
+  private def aucFixture(docs: Seq[(Long, String, String, Long)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    val sp = spark
+    import sp.implicits._
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", lit("src0"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("classifierAuc: perfect separation scores 1.0, anti-separation 0.0") {
+    // 'good' text: long, alphabetic, stopword-rich -> large positive margin;
+    // 'bad' text: short, numeric, symbol-heavy -> negative margin
+    val good = ("the and with have that " * 20).trim
+    val bad = "# 123 456 # 789"
+    val dir = aucFixture(Seq(
+      (1L, good, "en", 300L), (2L, good, "en", 290L),
+      (3L, bad, "en", 10L), (4L, bad, "en", 20L),
+      // lang fr: labels INVERTED vs score -> AUC exactly 0
+      (5L, good, "fr", 10L), (6L, bad, "fr", 300L)))
+    val out = ext.Retrieval.classifierAuc(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((2L, 2L, 1.0)))
+    assert(out("fr") == ((1L, 1L, 0.0)))
+    // pooled: positives {1,2,6}, negatives {3,4,5} over two distinct
+    // scores (good g > bad b): 4 clean wins, 4 same-score ties (half
+    // credit), 1 loss -> AUC = (4 + 4·0.5) / 9 = 0.666667
+    assert(out("all") == ((3L, 3L, 0.666667)))
+  }
+
+  test("classifierAuc: all-tied scores give exactly 0.5 (average-rank ties)") {
+    val same = "identical text for every document here"
+    val dir = aucFixture(Seq(
+      (1L, same, "en", 300L), (2L, same, "en", 300L),
+      (3L, same, "en", 10L), (4L, same, "en", 10L)))
+    val out = ext.Retrieval.classifierAuc(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("en") == 0.5)
+    assert(out("all") == 0.5)
+  }
 }
