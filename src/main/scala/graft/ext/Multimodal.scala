@@ -139,12 +139,47 @@ object Multimodal {
       .select(col("doc_id"), col("byte_len"), col("format"), col("feature_hash"))
       .orderBy("doc_id")
 
+  /** Oracle-gated query driving the real flatMap row→frames expansion +
+    * resize plumbing: the stub frame slicer and cycle-pad resize are both
+    * byte-deterministic, so DuckDB reproduces every frame's md5 from the
+    * same ASCII payload (frame chunk = substring; resize = the chunk
+    * repeated then truncated to w·h bytes). A hash match proves the
+    * Dataset-encoder frame expansion, the per-frame byte math, and the
+    * binary md5 agree end to end — the real-decoder swap point keeps the
+    * exact same shape. */
+  private def multimodalFrames(spark: SparkSession, dir: String,
+                               nFrames: Int = 4, w: Int = 8, h: Int = 4): DataFrame =
+    sampleFrames(spark, payloads(spark, dir), nFrames, w, h).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  private def multimodalFramesOracle(nFrames: Int = 4, w: Int = 8, h: Int = 4): String = {
+    val whSz = w * h
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+       |           FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+       |sz AS (SELECT doc_id, text, len, greatest(1, len // $nFrames) AS sz FROM d),
+       |fr AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |         substring(text, CAST(f * sz + 1 AS INT), CAST(sz AS INT)) AS chunk
+       |       FROM sz, unnest(generate_series(0, ${nFrames - 1})) u(f)
+       |       WHERE f * sz < len),
+       |rs AS (SELECT doc_id, frame_idx,
+       |         substring(repeat(chunk, CAST(ceil($whSz.0 / len(chunk)) AS INT)),
+       |                   1, $whSz) AS resized
+       |       FROM fr)
+       |SELECT doc_id, frame_idx, CAST($whSz AS INT) AS frame_len,
+       |       md5(resized) AS frame_md5
+       |FROM rs ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
-    "multimodal_decode" -> multimodalDecode
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_frames" -> multimodalFramesOracle(),
     "multimodal_binary" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex, source
