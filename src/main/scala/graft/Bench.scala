@@ -98,8 +98,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val selected = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").map(_.trim).filter(_.nonEmpty) match {
-      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(ordered)
-      case None       => ordered
+      case Some(seed) => scala.util.Try(seed.toLong) match {
+        case scala.util.Success(s) => new scala.util.Random(s).shuffle(ordered)
+        case scala.util.Failure(_) =>
+          // a typo'd seed must not kill the whole run — warn like
+          // BENCH_ONLY does and fall back to the pinned order
+          System.err.println(
+            s"[bench] WARNING: SPARK_GRAFT_BENCH_SHUFFLE='$seed' is not a " +
+              "number; running in pinned order")
+          ordered
+      }
+      case None => ordered
     }
     val results = selected
       .map { case (name, fn) =>

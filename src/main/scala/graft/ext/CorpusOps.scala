@@ -543,10 +543,17 @@ object CorpusOps {
     * Spark-first substitute for the paper's suffix array: a token
     * position is COVERED when its k-gram occurs in ≥2 distinct docs;
     * covered positions expand to their k token indices, and maximal runs
-    * of duplicated token indices are exactly the union of all duplicated
+    * of duplicated token indices are the union of all duplicated
     * ≥k-token substrings (a duplicated substring of length L ≥ k covers
-    * precisely its L token indices via its L−k+1 grams). Spans shorter
-    * than minSpan are kept as incidental collisions.
+    * precisely its L token indices via its L−k+1 grams). NOTE the
+    * union semantics do NOT carry through the minSpan filter verbatim:
+    * two abutting duplicated substrings each shorter than minSpan
+    * (possibly matching DIFFERENT partner docs) splice into one
+    * reported run of len ≥ minSpan even though no single ≥minSpan
+    * substring is duplicated verbatim — reported spans are maximal
+    * unions of duplicated ≥k grams, a (deliberate, oracle-mirrored)
+    * superset of the paper's per-substring criterion. Runs shorter
+    * than minSpan are dropped as incidental collisions.
     *
     * Scale shape: gram emission is one map-side posexplode; the df count
     * shuffles on md5(gram) (fixed-width key, never the text); covered

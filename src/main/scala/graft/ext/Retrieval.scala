@@ -412,21 +412,35 @@ object Retrieval {
     val scored = documents(spark, dir)
       .select(col("lang"), round(classifierMargin, 6).as("s"),
         (col("n_chars") >= cut).as("pos"))
-    val pooled = scored.withColumn("lang", lit("all"))
+      .withColumn("pooled", lit(false))
+    // The pooled slice is keyed by an explicit boolean flag (lang
+    // NULLed), never by a sentinel lang value — a corpus whose real
+    // lang column literally contains 'all' must not silently merge
+    // into the pooled row. The display name 'all' is projected only
+    // at the very end, after grouping.
+    val pooled = scored
+      .withColumn("pooled", lit(true))
+      .withColumn("lang", lit(null).cast("string"))
     val u = scored.unionByName(pooled)
-    val wRank = Window.partitionBy(col("lang")).orderBy(col("s"))
-    val wTie = Window.partitionBy(col("lang"), col("s"))
+    val wRank = Window.partitionBy(col("pooled"), col("lang"))
+      .orderBy(col("s"))
+    val wTie = Window.partitionBy(col("pooled"), col("lang"), col("s"))
     val ranked = u
       .withColumn("ar2", // doubled average rank: 2·rank + ties − 1 (integer)
         lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
-    ranked.groupBy(col("lang"))
+    ranked.groupBy(col("pooled"), col("lang"))
       .agg(
         sum(when(col("pos"), col("ar2")).otherwise(lit(0L))).as("sum_pos_2r"),
         count(when(col("pos"), lit(1))).as("n_pos"),
         count(when(!col("pos"), lit(1))).as("n_neg"))
-      .select(col("lang"), col("n_pos"), col("n_neg"),
-        round((col("sum_pos_2r") - col("n_pos") * (col("n_pos") + 1))
-          .cast(DoubleType) / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+      .select(
+        when(col("pooled"), lit("all")).otherwise(col("lang")).as("lang"),
+        col("n_pos"), col("n_neg"),
+        // single-class slice (all-pos or all-neg): AUC is undefined —
+        // NULL, never a NaN/Inf whose cross-engine encoding differs
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("sum_pos_2r") - col("n_pos") * (col("n_pos") + 1))
+            .cast(DoubleType) / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .as("auc"))
       .orderBy("lang")
   }
@@ -445,17 +459,20 @@ object Retrieval {
       |    0.05 * (n_tok - 54.0) + 0.2 * (mean_tok_len - 4.5) + 2.0 * (alpha_frac - 0.9)
       |    - 10.0 * symbol_ratio - 5.0 * numeric_frac + 0.3 * (stop_count - 5.0), 6) AS s,
       |  (n_chars >= CUT) AS pos FROM f),
-      |u AS (SELECT * FROM z UNION ALL SELECT 'all' AS lang, s, pos FROM z),
-      |r AS (SELECT lang, pos,
-      |  2 * rank() OVER (PARTITION BY lang ORDER BY s)
-      |    + count(*) OVER (PARTITION BY lang, s) - 1 AS ar2 FROM u)
-      |SELECT lang,
+      |u AS (SELECT FALSE AS pooled, lang, s, pos FROM z
+      |      UNION ALL SELECT TRUE, CAST(NULL AS VARCHAR), s, pos FROM z),
+      |r AS (SELECT pooled, lang, pos,
+      |  2 * rank() OVER (PARTITION BY pooled, lang ORDER BY s)
+      |    + count(*) OVER (PARTITION BY pooled, lang, s) - 1 AS ar2 FROM u)
+      |SELECT CASE WHEN pooled THEN 'all' ELSE lang END AS lang,
       |  CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
       |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg,
+      |  CASE WHEN count(*) FILTER (WHERE pos) > 0 AND count(*) FILTER (WHERE NOT pos) > 0 THEN
       |  ROUND(CAST(CAST(SUM(CASE WHEN pos THEN ar2 ELSE 0 END) AS BIGINT)
       |        - count(*) FILTER (WHERE pos) * (count(*) FILTER (WHERE pos) + 1) AS DOUBLE)
-      |    / (2.0 * count(*) FILTER (WHERE pos) * count(*) FILTER (WHERE NOT pos)), 6) AS auc
-      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+      |    / (2.0 * count(*) FILTER (WHERE pos) * count(*) FILTER (WHERE NOT pos)), 6)
+      |  END AS auc
+      |FROM r GROUP BY pooled, lang ORDER BY 1""".stripMargin
       .replace("CUT", cut.toString)
 
   // ---- hybrid retrieval fusion (RRF) ---------------------------------

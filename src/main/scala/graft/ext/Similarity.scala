@@ -642,8 +642,20 @@ object Similarity {
 
   /** DuckDB mirror of [[kmeansTrace]] — the same two Lloyd iterations
     * recomputed from the literal ±1 centroids entirely in SQL (DECIMAL
-    * means make iter-2 centroids bit-identical to the Spark side's). */
-  private def kmeansTraceOracle(k: Int = 8, dim: Int = 64): String = {
+    * means make iter-2 centroids bit-identical to the Spark side's).
+    * The CTE chain up to `m2` is shared with [[annIvfTrainedOracle]],
+    * which serves an IVF index from the same trained model. */
+  private def kmeansTraceOracle(k: Int = 8, dim: Int = 64): String =
+    s"""${lloydTraceSqlPrefix(k, dim)}
+       |SELECT iter, cluster, d, ROUND(mean_x, 6) AS mean_x, n_vecs FROM (
+       |  SELECT 1 AS iter, * FROM m1 UNION ALL SELECT 2 AS iter, * FROM m2)
+       |ORDER BY iter, cluster, d""".stripMargin
+
+  /** The two-iteration Lloyd replay as a WITH-prefix: c0 literals →
+    * assign (a1/s1) → DECIMAL means (m1) → next centroids (c1) → assign
+    * (a2/s2) → means (m2). Ends at `m2` so consumers append their own
+    * final stage. */
+  private def lloydTraceSqlPrefix(k: Int, dim: Int): String = {
     val c0 = fixedCentroids(k, dim).zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
       .mkString(",\n         ")
@@ -680,11 +692,71 @@ object Similarity {
        |m2 AS (SELECT cluster, d,
        |         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mean_x,
        |         COUNT(*) AS n_vecs
-       |       FROM x2 GROUP BY cluster, d)
-       |SELECT iter, cluster, d, ROUND(mean_x, 6) AS mean_x, n_vecs FROM (
-       |  SELECT 1 AS iter, * FROM m1 UNION ALL SELECT 2 AS iter, * FROM m2)
-       |ORDER BY iter, cluster, d""".stripMargin
+       |       FROM x2 GROUP BY cluster, d)""".stripMargin
   }
+
+  /** Train→freeze→serve as ONE oracle-verified pipeline (VERDICT r7
+    * item 8): the two-iteration Lloyd trace trains the quantizer, its
+    * iter-2 means — ROUNDED to 6 dp, the exact values `kmeans_train`
+    * already hash-proves identical across engines — freeze into centroid
+    * literals, and [[annIvf]] serves under them. The rounding is the
+    * parity hinge: unrounded DECIMAL-mean doubles could differ in the
+    * last ulp between engines (only their 6-dp rounding is proven), and
+    * a 1e-15 centroid wobble can flip an argmax assignment; serving the
+    * rounded model keeps every downstream dot bit-identical. Scale
+    * shape: training = kmeansTrace's (cluster,dim)-keyed aggs; the
+    * freeze collects k·dim rounded means (metadata); serving is the
+    * annIvf map-assign + bucket-probe plan. */
+  def annIvfTrained(spark: SparkSession, dir: String,
+                    numQueries: Int = 8, k: Int = 5,
+                    nClusters: Int = 8, nProbe: Int = 3,
+                    dim: Int = 64): DataFrame = {
+    val trace = kmeansTrace(spark, dir, nClusters, dim, iters = 2)
+      .select(col("iter"), col("cluster"), col("d"), col("mean_x"))
+      .collect() // 2·k·dim rows — metadata-scale freeze
+    // layered fallback mirrors the oracle's COALESCE(ROUND(m2),ROUND(m1),
+    // c0): start from the ±1 seed, overlay iter-1 then iter-2 rounded
+    // means — an empty cluster keeps its previous (already-proven) value
+    val cents = Array.tabulate(nClusters, dim)((c, d) =>
+      centroidSign(c, d, dim))
+    Seq(1, 2).foreach { it =>
+      trace.filter(_.getInt(0) == it).foreach(r =>
+        cents(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    }
+    annIvf(spark, dir, numQueries, k, nClusters, nProbe,
+      quantizer = Some(cents.map(_.toSeq).toSeq))
+  }
+
+  /** DuckDB mirror of [[annIvfTrained]]: the shared Lloyd-trace prefix
+    * trains, `c2` freezes ROUND(mean, 6) centroids (COALESCE down to
+    * iter-1 and the ±1 seed for empty clusters), and the annIvf serve —
+    * per-row dots list, first-position argmax home, top-nProbe probes,
+    * bucket join, cosine re-rank — replays over them. */
+  private def annIvfTrainedOracle(numQueries: Int = 8, k: Int = 5,
+                                  nClusters: Int = 8, nProbe: Int = 3,
+                                  dim: Int = 64): String =
+    s"""${lloydTraceSqlPrefix(nClusters, dim)},
+       |c1x AS (SELECT cluster, CAST(generate_subscripts(c, 1) - 1 AS INT) AS d, unnest(c) AS x
+       |        FROM c1),
+       |c2 AS (SELECT c1x.cluster, list(ROUND(COALESCE(m2.mean_x, c1x.x), 6) ORDER BY c1x.d) AS c
+       |       FROM c1x LEFT JOIN m2 ON m2.cluster = c1x.cluster AND m2.d = c1x.d
+       |       GROUP BY c1x.cluster),
+       |ds AS (SELECT e.vec_id, e.e, list(list_dot_product(e.e, c2.c) ORDER BY c2.cluster) AS ds
+       |       FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.e),
+       |asn AS (SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM ds),
+       |qd AS (SELECT vec_id AS query_id, e AS qe,
+       |         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cluster, unnest(ds) AS cdot
+       |       FROM ds WHERE vec_id < $numQueries),
+       |qp AS (SELECT query_id, qe, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cluster) AS crank
+       |         FROM qd) WHERE crank <= $nProbe),
+       |sc AS (SELECT qp.query_id, asn.vec_id AS neighbor_id,
+       |         list_dot_product(qp.qe, asn.e)
+       |           / (sqrt(list_dot_product(qp.qe, qp.qe)) * sqrt(list_dot_product(asn.e, asn.e))) AS sim
+       |       FROM qp JOIN asn USING (cluster) WHERE asn.vec_id <> qp.query_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
 
   /** K-means UPDATE step under the fixed published centroids — the
     * other half of a Lloyd iteration, oracle-hashed: per-cluster
@@ -966,6 +1038,8 @@ object Similarity {
     "ann_ivf" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d,
         annIvf(s, d, quantizer = Some(fixedCentroids(16, 64))), 0.25, "IVF ANN")),
+    "ann_ivf_trained" -> ((s: SparkSession, d: String) =>
+      withRecallFloor(s, d, annIvfTrained(s, d), 0.25, "trained-IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
@@ -982,6 +1056,7 @@ object Similarity {
     "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
     "ann_ivf" -> annIvfOracle(),
+    "ann_ivf_trained" -> annIvfTrainedOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),

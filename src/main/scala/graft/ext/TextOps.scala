@@ -1173,6 +1173,89 @@ object TextOps {
         "pairs — banding or verification is broken")
   }
 
+  /** Golden-vector anchor for every xxh64-based bit-level construction
+    * (VERDICT r7 item 4): fixed inputs → the exact 64-bit outputs of
+    *  - Spark's `xxhash64` on string, empty-string and BIGINT inputs
+    *    (seed 42 — the hash family every signature builds on),
+    *  - [[graft.functions.MinHashSignature]] over string tokens AND the
+    *    pre-hashed `htoks` long-array path (both `longInput` branches),
+    *  - [[graft.functions.SimHash]] over both input types,
+    *  - both expressions' empty-array edge (MinHash → Long.MaxValue
+    *    sentinel lanes, SimHash → 0),
+    *  - the driver-side replica `GraftShim.xxh64Of` (bloom-probe literal
+    *    hashing) — embedded as a plan-time literal so replica drift
+    *    from the engine value breaks the hash match.
+    * The DuckDB oracle is the pinned literal table: any change to the
+    * mixers, the double-hash construction g_i = h1 + i·h2, the bit-vote
+    * loop, or Spark's own XXH64 shows up as a CORRECTNESS hash mismatch.
+    * Pure metadata-scale (a dozen literal rows); `dir` is unused. */
+  private[graft] def xxh64VectorsQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextSignatureFunctions.register(spark)
+    val toks = Seq("the", "quick", "brown", "fox", "jumps",
+      "over", "the", "lazy", "dog")
+    val strArr = array(toks.map(lit): _*)
+    // the htoks construction verbatim (dedupIncoming / setReps):
+    // sorted distinct xxhash64 of each token
+    val longArr = array_sort(array_distinct(transform(strArr, t => xxhash64(t))))
+    val emptyArr = array().cast(ArrayType(StringType, containsNull = false))
+    val mhS = graft.functions.TextSignatureFunctions.minhash_signature(strArr, 4)
+    val mhL = graft.functions.TextSignatureFunctions.minhash_signature(longArr, 4)
+    val mhE = graft.functions.TextSignatureFunctions.minhash_signature(emptyArr, 4)
+    val driverReplica = org.apache.spark.sql.GraftShim
+      .xxh64Of("graft", StringType, spark.sessionState.conf.sessionLocalTimeZone)
+      .getOrElse(sys.error("GraftShim.xxh64Of returned None for a plain string"))
+    val vecs: Seq[(String, Column)] =
+      Seq(
+        "x_str_empty" -> xxhash64(lit("")),
+        "x_str_a" -> xxhash64(lit("a")),
+        "x_str_graft" -> xxhash64(lit("graft")),
+        "x_str_graft_driver" -> lit(driverReplica),
+        "x_long_0" -> xxhash64(lit(0L)),
+        "x_long_42" -> xxhash64(lit(42L)),
+        "sh_str" -> graft.functions.TextSignatureFunctions.simhash(strArr),
+        "sh_long" -> graft.functions.TextSignatureFunctions.simhash(longArr),
+        "sh_empty" -> graft.functions.TextSignatureFunctions.simhash(
+          emptyArr)) ++
+        (0 until 4).map(i => s"mh_str_$i" -> element_at(mhS, i + 1)) ++
+        (0 until 4).map(i => s"mh_long_$i" -> element_at(mhL, i + 1)) ++
+        Seq("mh_empty_0" -> element_at(mhE, 1))
+    spark.range(1).select(explode(array(vecs.map { case (n, c) =>
+      struct(lit(n).as("name"), c.cast(LongType).as("value"))
+    }: _*)).as("kv")).select(col("kv.name").as("name"), col("kv.value").as("value"))
+      .orderBy("name")
+  }
+
+  /** The pinned golden vectors — computed ONCE from the expressions
+    * above and frozen here; the oracle serves them as literals. If an
+    * implementation change moves any value, the right fix is almost
+    * never to re-pin: these anchor on-disk signature compatibility
+    * (re-banding a 100 TB corpus because a mixer drifted is the failure
+    * this query exists to catch). */
+  private[graft] val xxh64GoldenVectors: Seq[(String, Long)] = Seq(
+    ("mh_empty_0", 9223372036854775807L),
+    ("mh_long_0", -6657237051756031738L),
+    ("mh_long_1", 1707867991930276892L),
+    ("mh_long_2", -3552389845521150932L),
+    ("mh_long_3", -7618704739109871087L),
+    ("mh_str_0", -7218119314818339858L),
+    ("mh_str_1", -4819455124539293452L),
+    ("mh_str_2", -6526909713420152779L),
+    ("mh_str_3", -2392945342917684575L),
+    ("sh_empty", 0L),
+    ("sh_long", 6931544524175161384L),
+    ("sh_str", -7573889167326994222L),
+    ("x_long_0", -5252525462095825812L),
+    ("x_long_42", -6876166290308861218L),
+    ("x_str_a", -8582455328737087284L),
+    ("x_str_empty", -7444071767201028348L),
+    ("x_str_graft", -4815631219266125053L),
+    ("x_str_graft_driver", -4815631219266125053L))
+
+  private def xxh64VectorsOracle: String =
+    xxh64GoldenVectors
+      .map { case (n, v) => s"('$n', CAST($v AS BIGINT))" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(name, value) ORDER BY name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
@@ -1191,10 +1274,12 @@ object TextOps {
     "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
     "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
-    "doc_fingerprint" -> fingerprintQuery
+    "doc_fingerprint" -> fingerprintQuery,
+    "xxh64_vectors" -> ((s: SparkSession, d: String) => xxh64VectorsQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "xxh64_vectors" -> xxh64VectorsOracle,
     "simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash" -> simhashMd5PairsOracle(),
     "dedup_minhash_lsh" -> minhashMd5PairsOracle(),

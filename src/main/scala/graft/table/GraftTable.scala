@@ -549,8 +549,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * mislabeling its physical layout. Version-guarded commits (row-level
     * ops, dynamic overwrite) are covered by their own checks. */
   private def requireSpecStable(b: Snapshot, s: Snapshot): Unit =
-    require(b.spec == s.spec,
-      "partition spec changed concurrently with this write; retry")
+    // ConcurrentOverwriteException, not a bare require: this is a
+    // RETRYABLE race (the caller's statement-level retry contract), not
+    // a programming error — the r8 schema/spec hammer caught append
+    // aborting un-retryably when it lost to a concurrent set-spec
+    if (b.spec != s.spec)
+      throw new GraftTable.ConcurrentOverwriteException(
+        "partition spec changed concurrently with this write; retry")
 
   def append(df: DataFrame): GraftTable = {
     val s = snapshot

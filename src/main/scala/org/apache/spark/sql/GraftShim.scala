@@ -108,6 +108,14 @@ object GraftShim {
       .toAggregateExpression())
   }
 
+  /** Blocks until the listener bus has delivered every queued event —
+    * lets a test that attributes task metrics (shuffle bytes) to the
+    * query that just ran read EXACT totals instead of racing the async
+    * bus. `private[spark]` API, hence shim-homed. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: Exception => }
+
   /** Driver-side xxhash64 of a literal AS the given column type — must
     * match the write-side `XxHash64(cast(col))` hashing for bloom probes
     * (hashing Int 42 and Long 42L differ). `tz` is the SESSION time zone:

@@ -61,6 +61,14 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
         }
       }
     }
+    // reader/writer handshake: without it, on a fast (or slow) machine
+    // all reads can land before the first upsert or after the last and
+    // the torn-snapshot assertion passes vacuously. The upserter bumps
+    // `done` per committed round and then BLOCKS until the reader has
+    // acked a read at-or-after that round, so every round is observed
+    // while the appender and compactor are still racing.
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acked = new java.util.concurrent.atomic.AtomicInteger(0)
     val upserter = Future {
       (0 until rounds).foreach { r =>
         retrying(s"upsert r$r") {
@@ -69,6 +77,10 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
             spark.range(1, 11).select(col("id").as("k"), lit(s"u$r").as("v")),
             Seq("k"))
         }
+        done.set(r + 1)
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (acked.get < r + 1 && System.nanoTime() < deadline)
+          Thread.sleep(5)
       }
     }
     val compactor = Future {
@@ -78,7 +90,14 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
     }
     val reader = Future {
       var torn = List.empty[String]
-      (0 until 2 * rounds).foreach { _ =>
+      // keep reading until a read has been acked at-or-after the LAST
+      // upsert round — guarantees ≥1 read lands after every round while
+      // the other writers still race (see handshake comment above)
+      while (acked.get < rounds) {
+        // snapshot done BEFORE the read: a read that started before the
+        // round committed must not ack it (the ack means "I read the
+        // table at-or-after this round landed")
+        val d0 = done.get
         val rows = GraftTable.load(spark, dir).toDF
           .filter(col("k") <= 10).select("k", "v").as[(Long, String)]
           .collect()
@@ -87,6 +106,7 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
           torn ::= rows.sortBy(_._1).mkString(",")
         if (rows.length != 10)
           torn ::= s"saw ${rows.length} of 10 upserted keys"
+        acked.set(d0)
       }
       torn
     }
@@ -103,6 +123,84 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
     (1L to 10L).foreach(k =>
       assert(byKey(k) == s"u${rounds - 1}",
         s"key $k = ${byKey(k)}, expected final upsert round u${rounds - 1}"))
+  }
+
+  test("schema/spec evolution racing data writers: metadata-only commits rebase over data commits") {
+    // VERDICT r7 item 6: the OCC rebase of a METADATA-only commit
+    // (addColumn / updateSpec) against a racing DATA commit was
+    // untested. Four concurrent actors over one table:
+    //   appender   — one new row per round
+    //   upserter   — rowDelta over the seed keys each round
+    //   schemaEvol — addColumn c0..c{rounds-1}
+    //   specEvol   — updateSpec bucket(k, 2+r) each round
+    // Postconditions: every added column present exactly once, the last
+    // spec wins, no appended row or upsert lost, seed rows read back
+    // with NULL in every post-hoc column.
+    import graft.table.PartitionField
+    val dir = TestSpark.tmpDir("gt-hammer-ddl")
+    val t0 = GraftTable.create(spark, dir, schema, key = Seq("k"))
+    t0.append(spark.range(1, 11).select(col("id").as("k"), lit("seed").as("v")))
+    t0.upgradeFormat(2)
+    val rounds = 4
+
+    val appender = Future {
+      (0 until rounds).foreach { r =>
+        retrying(s"append r$r") {
+          GraftTable.load(spark, dir)
+            .append(Seq((2000L + r, s"a$r")).toDF("k", "v"))
+        }
+      }
+    }
+    val upserter = Future {
+      (0 until rounds).foreach { r =>
+        retrying(s"upsert r$r") {
+          GraftTable.load(spark, dir).rowDelta(
+            spark.range(1, 11).select(col("id").as("k")),
+            spark.range(1, 11).select(col("id").as("k"), lit(s"u$r").as("v")),
+            Seq("k"))
+        }
+      }
+    }
+    val schemaEvol = Future {
+      (0 until rounds).foreach { r =>
+        retrying(s"addColumn c$r") {
+          GraftTable.load(spark, dir).addColumn(s"c$r", LongType)
+        }
+      }
+    }
+    val specEvol = Future {
+      (0 until rounds).foreach { r =>
+        retrying(s"updateSpec r$r") {
+          GraftTable.load(spark, dir)
+            .updateSpec(Seq(PartitionField("k", "bucket", 2 + r)))
+        }
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(appender, upserter, schemaEvol, specEvol)),
+      300.seconds)
+
+    val fin = GraftTable.load(spark, dir)
+    val cols = fin.toDF.schema.fieldNames.toSeq
+    assert(cols.count(_ == "k") == 1 && cols.count(_ == "v") == 1)
+    (0 until rounds).foreach(r =>
+      assert(cols.count(_ == s"c$r") == 1,
+        s"column c$r appears ${cols.count(_ == s"c$r")} times in $cols"))
+    assert(fin.spec == Seq(PartitionField("k", "bucket", 2 + rounds - 1)),
+      s"final spec drifted: ${fin.spec}")
+    val rows = fin.toDF.select(
+        Seq(col("k"), col("v")) ++
+          (0 until rounds).map(r => col(s"c$r").isNull.as(s"n$r")): _*)
+      .collect()
+    assert(rows.length == 10 + rounds, s"row count drifted: ${rows.length}")
+    val byKey = rows.map(r => r.getLong(0) -> r).toMap
+    (0 until rounds).foreach(r =>
+      assert(byKey(2000L + r).getString(1) == s"a$r", s"append round $r lost"))
+    (1L to 10L).foreach(k =>
+      assert(byKey(k).getString(1) == s"u${rounds - 1}",
+        s"key $k = ${byKey(k).getString(1)}, expected u${rounds - 1}"))
+    rows.foreach(r => (0 until rounds).foreach(c =>
+      assert(r.getBoolean(2 + c), s"post-hoc column c$c non-NULL for k=${r.getLong(0)}")))
   }
 
   test("parallel rowDelta writers with the same key set: last commit wins per key, none vanish") {

@@ -17,6 +17,17 @@ class SimhashGateSpec extends AnyFunSuite {
     assert(gated.forall(_.getInt(2) <= 3), "pairs must be within maxHamming")
   }
 
+  test("xxh64 golden vectors: every mixer output matches its pinned value") {
+    // engine-side twin of the xxh64_vectors DuckDB oracle: the custom
+    // MinHash/SimHash expressions, Spark's xxhash64, and the driver
+    // replica must reproduce the frozen 64-bit constants exactly — a
+    // drifted mixer would silently re-band a 100 TB corpus
+    val got = graft.ext.TextOps.xxh64VectorsQuery(spark, "unused")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == graft.ext.TextOps.xxh64GoldenVectors.sortBy(_._1),
+      "xxh64 mixer output drifted from the pinned golden vectors")
+  }
+
   test("XXH64 gated minhash-LSH passes its containment invariant") {
     val dir = "/root/testdata/sf0.001"
     val gated = graft.ext.TextOps.minhashGatedQuery(spark, dir).collect()
