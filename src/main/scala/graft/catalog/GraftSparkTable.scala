@@ -119,6 +119,13 @@ final class GraftSparkTable(val dir: String, tableName: String,
     (if (isPending) pendingCreate.get._2 else readSnapshot.spec).map {
       case PartitionField(src, "identity", _) => Expressions.identity(src)
       case PartitionField(src, "bucket", n)   => Expressions.bucket(n, src)
+      // Iceberg-exact bucket rides through DSv2 as a named transform;
+      // deliberately NOT Expressions.bucket — storage-partitioned-join
+      // eligibility (below) keys on the engine-hash "bucket" whose V2
+      // bound function matches the write path, and ibucket has no such
+      // registered function (SPJ stays off for it, which is sound)
+      case PartitionField(src, "ibucket", n)  =>
+        Expressions.apply("ibucket", Expressions.literal(n), Expressions.column(src))
       case PartitionField(src, "month", _)    => Expressions.months(src)
       case PartitionField(src, "truncate", w) =>
         Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))

@@ -551,7 +551,7 @@ object TextOps {
     // the banded pair query and the gate's brute-force side
     val reps = repsIn.persist(MEMORY_AND_DISK)
     try {
-      // eager checkpoint: consumed by the gate's semi-join AND returned —
+      // eager checkpoint: consumed by the gate's anti-join AND returned —
       // without it the banded join would re-run after reps unpersists
       val pairs = simhashPairsOverReps(reps, maxHamming).localCheckpoint(true)
       val sample = reps
@@ -562,13 +562,21 @@ object TextOps {
         .filter(col("a_id") < col("b_id") &&
           bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
         .select(col("a_id"), col("b_id"))
-        .localCheckpoint(true)
-      val nExpected = expected.count()
-      val found = expected.join(pairs.select(col("a_id"), col("b_id")),
-        Seq("a_id", "b_id"), "left_semi").count()
-      require(found == nExpected,
-        s"SimHash pair list contains only $found of $nExpected Hamming<=" +
-          s"$maxHamming sample pairs — chunk banding lost pairs it provably must keep")
+      // exact containment as ONE anti-join action (r8 perf: the former
+      // checkpoint + count + semi-count spent three jobs where the happy
+      // path needs one; `expected` is consumed once so it needs no
+      // checkpoint, and the law — every sample pair present in the
+      // banded list — is unchanged). Counts are recomputed only on the
+      // failure path, where the extra pass buys the error message.
+      val missing = expected.join(pairs.select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_anti").count()
+      if (missing > 0) {
+        val nExpected = expected.count()
+        throw new IllegalArgumentException(
+          s"requirement failed: SimHash pair list is missing $missing of " +
+            s"$nExpected Hamming<=$maxHamming sample pairs — chunk banding " +
+            "lost pairs it provably must keep")
+      }
       pairs
     } finally reps.unpersist()
   }

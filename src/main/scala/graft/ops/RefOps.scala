@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.table._
@@ -235,6 +235,49 @@ object RefOps {
       .groupBy("part").agg(count(lit(1)).as("n"))
       .orderBy("part")
   }
+
+  /** Iceberg-spec bucket golden vectors (VERDICT r7 item 7): the
+    * `ibucket` transform's [[graft.functions.IcebergBucket]] expression
+    * over the exact typed literals of the Iceberg spec's Appendix B test
+    * table (int/long 34, string "iceberg", binary 0x00010203, date
+    * 2017-11-16, timestamp 2017-11-16T22:31:08, decimal 14.20), bucketed
+    * under two coprime counts. The DuckDB oracle does NOT reimplement
+    * murmur3 — it derives the expected buckets arithmetically from the
+    * PUBLISHED 32-bit hash constants, so this is an external anchor:
+    * byte-layout or mixer drift breaks the hash match. `dir` unused. */
+  private def icebergBucketVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    def ib(c: Column, n: Int): Column = GraftShim.column(
+      graft.functions.IcebergBucket(GraftShim.expression(c), n))
+    val inputs: Seq[(String, Column)] = Seq(
+      "binary" -> lit(Array[Byte](0, 1, 2, 3)),
+      "date" -> to_date(lit("2017-11-16")),
+      "decimal" -> lit(new java.math.BigDecimal("14.20")),
+      "int" -> lit(34),
+      "long" -> lit(34L),
+      "string" -> lit("iceberg"),
+      "timestamp" -> to_timestamp(lit("2017-11-16 22:31:08")))
+    val rows = for { (nm, c) <- inputs; n <- Seq(16, 997) } yield
+      struct(lit(nm).as("name"), lit(n).as("n"), ib(c, n).as("bucket"))
+    spark.range(1).select(explode(array(rows: _*)).as("kv"))
+      .select(col("kv.name").as("name"), col("kv.n").as("n"),
+        col("kv.bucket").as("bucket"))
+      .orderBy("name", "n")
+  }
+
+  private val icebergBucketVectorsOracle: String =
+    """WITH v AS (SELECT * FROM (VALUES
+      |  ('binary',    CAST(-188683207 AS BIGINT)),
+      |  ('date',      CAST(-653330422 AS BIGINT)),
+      |  ('decimal',   CAST(-500754589 AS BIGINT)),
+      |  ('int',       CAST(2017239379 AS BIGINT)),
+      |  ('long',      CAST(2017239379 AS BIGINT)),
+      |  ('string',    CAST(1210000089 AS BIGINT)),
+      |  ('timestamp', CAST(-2047944441 AS BIGINT))) t(name, h)),
+      |n AS (SELECT unnest([16, 997]) AS n)
+      |SELECT v.name, CAST(n.n AS INT) AS n,
+      |       CAST((v.h & 2147483647) % n.n AS INT) AS bucket
+      |FROM v CROSS JOIN n ORDER BY name, n""".stripMargin
 
   // full-sync merge: WHEN NOT MATCHED BY SOURCE DELETE makes the target
   // mirror the source exactly (the CDC snapshot-sync pattern)
@@ -800,6 +843,7 @@ object RefOps {
     "rowdelta_upsert" -> rowdeltaUpsert,
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
+    "iceberg_bucket_vectors" -> (icebergBucketVectors _),
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
     "sql_mor_dml" -> sqlMorDml,
@@ -913,6 +957,7 @@ object RefOps {
     "partition_transform" ->
       """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY part""".stripMargin,
+    "iceberg_bucket_vectors" -> icebergBucketVectorsOracle,
     "partition_pruned_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         |FROM orders

@@ -18,8 +18,14 @@ import scala.jdk.CollectionConverters._
   * `IcebergPartitionedTable.java:50-65`). Transforms:
   *  - identity: value itself
   *  - bucket(n): `pmod(hash(col), n)` — Spark's `hash` is Murmur3-32, the
-  *    same hash family Iceberg buckets with (we do not reproduce Iceberg's
-  *    exact byte-layout hashing; internal consistency is what matters)
+  *    same hash family Iceberg buckets with (this default does not
+  *    reproduce Iceberg's exact byte-layout hashing; internal
+  *    consistency is what matters)
+  *  - ibucket(n): the Iceberg-spec-EXACT bucket — murmur3_x86_32 seed 0
+  *    over the spec's byte layout, `(h & Int.MaxValue) % n`, pinned by
+  *    the spec's published Appendix B vectors
+  *    ([[graft.functions.IcebergBucket]]) — opt in when partitioning
+  *    must agree byte-for-byte with an external Iceberg writer
   *  - month: `date_format(col, "yyyy-MM")`
   *  - truncate(w): strings → first w chars, integrals → value - (value mod w)
   */
@@ -28,6 +34,7 @@ final case class PartitionField(source: String, transform: String, param: Int = 
   def name: String = transform match {
     case "identity" => source
     case "bucket"   => s"${source}_bucket"
+    case "ibucket"  => s"${source}_ibucket"
     case "month"    => s"${source}_month"
     case "truncate" => s"${source}_trunc"
   }
@@ -38,6 +45,9 @@ final case class PartitionField(source: String, transform: String, param: Int = 
   def exprFor(c: Column, srcType: DataType): Column = (transform, srcType) match {
     case ("identity", _) => c
     case ("bucket", _)   => pmod(hash(c), lit(param))
+    case ("ibucket", _)  => org.apache.spark.sql.GraftShim.column(
+      graft.functions.IcebergBucket(
+        org.apache.spark.sql.GraftShim.expression(c), param))
     case ("month", _)    => date_format(c, "yyyy-MM")
     case ("truncate", LongType | IntegerType | ShortType | ByteType) =>
       c - pmod(c, lit(param))
@@ -58,6 +68,7 @@ object PartitionField {
     t.name() match {
       case "identity"         => PartitionField(ref, "identity")
       case "bucket"           => PartitionField(ref, "bucket", intArg)
+      case "ibucket"          => PartitionField(ref, "ibucket", intArg)
       case "months" | "month" => PartitionField(ref, "month")
       case "truncate"         => PartitionField(ref, "truncate", intArg)
       case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
@@ -80,6 +91,9 @@ object PartitionField {
           case "bucket" =>
             require(a.length == 2, s"bucket needs (n, col): $s")
             PartitionField(a(1), "bucket", a(0).toInt)
+          case "ibucket" =>
+            require(a.length == 2, s"ibucket needs (n, col): $s")
+            PartitionField(a(1), "ibucket", a(0).toInt)
           case "truncate" =>
             require(a.length == 2, s"truncate needs (width, col): $s")
             PartitionField(a(1), "truncate", a(0).toInt)
@@ -938,7 +952,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val s = snapshot
     newSpec.foreach { pf =>
       s.physicalOf(pf.source) // validate source exists
-      require(Set("identity", "bucket", "month", "truncate").contains(pf.transform),
+      require(Set("identity", "bucket", "ibucket", "month", "truncate").contains(pf.transform),
         s"unknown transform: ${pf.transform}")
     }
     commit(s.version + 1)((rebase, v) => {
@@ -1288,8 +1302,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   /** Type of a partition-derived column as written to dirs/files. */
   private def dirColType(pf: PartitionField, schema: StructType): DataType = pf.transform match {
-    case "month"  => StringType
-    case "bucket" => IntegerType
+    case "month"            => StringType
+    case "bucket" | "ibucket" => IntegerType
     case _        => schema(pf.source).dataType // identity, truncate
   }
 

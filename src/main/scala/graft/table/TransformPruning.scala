@@ -86,7 +86,8 @@ object TransformPruning {
         if (ms.nonEmpty && ms.forall(_.isDefined)) Some(ms.flatten.map(d === _).reduce(_ || _))
         else None
       case f: FnNode if rangeOps(f.name) && f.args.length == 2
-          && pf.transform != "bucket" => // ranges don't survive hashing
+          && pf.transform != "bucket"
+          && pf.transform != "ibucket" => // ranges don't survive hashing
         val cmp = f.name
         f.args match {
           case Seq(a, LitNode(v)) if isSource(a) =>
@@ -120,6 +121,12 @@ object TransformPruning {
       // and Long 5L differently, and the write path hashed the typed
       // column value.
       Some(pmod(hash(lit(v).cast(srcType)), lit(pf.param)))
+    case "ibucket" =>
+      // same rule, Iceberg-exact hash: the cast matters less here (the
+      // Iceberg layout widens every integral to long) but strings vs
+      // numerics still hash differently, so mirror the write path exactly
+      Some(GraftShim.column(graft.functions.IcebergBucket(
+        GraftShim.expression(lit(v).cast(srcType)), pf.param)))
     case _ => None
   }
 
