@@ -336,6 +336,77 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Two-phase quantile-cutoff domain mixing — [[domainMix]]'s own
+    * doc-comment names this as its 100 TB path; here it is a first-class
+    * query whose ORACLE IS the doc-level greedy selection, so the hash
+    * match proves scale-path ≡ exact-path on every round.
+    *
+    * Phase 1 replaces the per-source full-length running-sum window with
+    * a 4096-bin aggregate: bin = first 3 hex digits of md5(doc_id).
+    * Ordering by (bin, rest-of-hash, doc_id) IS ordering by the full
+    * (md5, doc_id) key — same-width hex strings compare digit-wise — so
+    * bins partition the greedy order into contiguous runs. A source's
+    * bins then classify exactly:
+    *   cum_before + bin_chars < cap  → every doc admitted (any doc's
+    *     before-sum ≤ cum_before + bin_chars − its n_chars < cap),
+    *   cum_before ≥ cap              → every doc rejected,
+    *   otherwise                     → the ONE boundary bin per source,
+    * and only boundary-bin docs (≈ source_docs/4096) run the doc-level
+    * window, seeded with the bin-prefix cumulative sum. Phase 2 is a
+    * map-side join against the tiny bin table. At 100 TB the window that
+    * domainMix runs over every doc of the largest source becomes a
+    * 4096-row-per-source metadata aggregate plus a window over a
+    * 1/4096th sliver — no per-source serial scan of the corpus.
+    * (The ≥-cap boundary condition also catches the pathological
+    * zero-char-doc edge the strict-< classification would misplace.) */
+  def domainMixQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = coalesce(expr("try_cast(substring(source, 4, 10) AS int)"), lit(0))
+    val cap = (lit(1000L) + lit(500L) * (srcNum % 4)).cast(LongType)
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cap_chars", cap)
+      .withColumn("h", md5(col("doc_id").cast(StringType)))
+      .withColumn("bin", conv(substring(col("h"), 1, 3), 16, 10).cast(IntegerType))
+    val wBins = Window.partitionBy(col("source")).orderBy(col("bin"))
+    val bins = base.groupBy(col("source"), col("bin"), col("cap_chars"))
+      .agg(sum(col("n_chars")).as("bin_chars"))
+      .withColumn("cum_before",
+        coalesce(sum(col("bin_chars")).over(
+          wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("verdict",
+        when(col("cum_before") >= col("cap_chars"), lit("reject"))
+          .when(col("cum_before") + col("bin_chars") < col("cap_chars"), lit("admit"))
+          .otherwise(lit("boundary")))
+      .select(col("source"), col("bin"), col("cum_before"), col("verdict"))
+    val tagged = base.join(bins, Seq("source", "bin"))
+    val wDocs = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id")) // boundary docs: one bin/source
+    val boundary = tagged.filter(col("verdict") === "boundary")
+      .withColumn("before",
+        col("cum_before") + coalesce(sum(col("n_chars")).over(
+          wDocs.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("selected", col("before") < col("cap_chars"))
+    tagged.filter(col("verdict") =!= "boundary")
+      .withColumn("selected", col("verdict") === "admit")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("selected"))
+      .unionByName(boundary
+        .select(col("doc_id"), col("source"), col("n_chars"), col("selected")))
+      .orderBy("doc_id")
+  }
+
+  private val domainMixQuantileOracle: String =
+    // the DOC-LEVEL greedy (domainMix's law) — deliberately NOT the
+    // bin decomposition: equality proves the two-phase path selects
+    // the identical documents
+    """WITH d AS (SELECT doc_id, source, n_chars,
+      |  1000 + 500 * (COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4) AS cap,
+      |  SUM(n_chars) OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |FROM documents)
+      |SELECT doc_id, source, n_chars, (cum - n_chars < cap) AS selected
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---- BPE tokenizer training ----------------------------------------
 
   /** Initial symbol sequence of a word for BPE: characters + the
@@ -620,6 +691,7 @@ object CorpusOps {
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "domain_mix" -> ((s, d) => domainMix(s, d)),
+    "domain_mix_quantile" -> ((s, d) => domainMixQuantile(s, d)),
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -648,6 +720,7 @@ object CorpusOps {
         |SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n
         |FROM p GROUP BY l, r
         |ORDER BY n DESC, l, r LIMIT 20""".stripMargin,
+    "domain_mix_quantile" -> domainMixQuantileOracle,
     "domain_mix" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  1000 + 500 * (COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4) AS cap,

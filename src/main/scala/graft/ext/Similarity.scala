@@ -1029,7 +1029,186 @@ object Similarity {
        |FROM d ORDER BY vec_id""".stripMargin
   }
 
+  /** PQ top-k serving via asymmetric distance computation (Jégou et al.
+    * 2011, the ADC half of IVF-PQ) — how a billion-vector index actually
+    * answers queries: the CORPUS exists only as m-byte PQ codes (the 32×
+    * compression `pq_encode` produces); each QUERY stays full-precision
+    * and precomputes one lookup table per subspace (its dot against each
+    * of that subspace's nCent centroids), so scoring a candidate is m
+    * table lookups + adds instead of a d-wide float dot.
+    *
+    * Scale shape: corpus encode is a pure map stage; the per-query LUT
+    * (m·nCent doubles) broadcasts with the literal query batch under the
+    * coded corpus (bounded-side BNLJ, the ann_cosine_topk pattern); at
+    * production scale the crossJoin is replaced by the IVF probe join
+    * (`ann_ivf`) with THIS scoring inside each probed cell. Determinism:
+    * codes are first-max argmaxes, LUT entries and the m-term score sum
+    * are sequential IEEE folds in fixed subspace order — bit-identical
+    * in DuckDB; ranking keys on the ROUNDED score (HACKING rule) with
+    * neighbor-id tiebreak. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+                numQueries: Int = 8, k: Int = 5,
+                m: Int = 8, nCent: Int = 4, sub: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val cb = pqCodebook(m, nCent, sub)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // corpus side: m small int codes per row, the vector itself DROPPED
+    // (the point of PQ — candidates are scored from codes alone)
+    val coded = (0 until m).foldLeft(e) { (df, j) =>
+      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      val dots = transform(cents, c => vec_dot(slice(col("e"), j * sub + 1, sub), c))
+      df.withColumn(s"__c$j",
+        (array_position(dots, array_max(dots)) - 1).cast(IntegerType))
+    }.select(col("vec_id").as("neighbor_id") +:
+      (0 until m).map(j => col(s"__c$j")): _*)
+    // query side: full-precision vector → one LUT array per subspace
+    val q = (0 until m).foldLeft(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))) { (df, j) =>
+      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      df.withColumn(s"__l$j",
+        transform(cents, c => vec_dot(slice(col("qe"), j * sub + 1, sub), c)))
+    }.select(col("query_id") +: (0 until m).map(j => col(s"__l$j")): _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__l$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def pqAdcTopKOracle(numQueries: Int = 8, k: Int = 5,
+                              m: Int = 8, nCent: Int = 4, sub: Int = 8): String = {
+    val cb = pqCodebook(m, nCent, sub)
+    def centsLit(j: Int) = cb(j).map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val dcols = (0 until m).map { j =>
+      s"list_transform(${centsLit(j)}, cc -> list_dot_product(e[${j * sub + 1}:${(j + 1) * sub}], cc)) AS d$j"
+    }.mkString(",\n  ")
+    val codes = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_max(d$j)) - 1 AS INT) AS c$j")
+      .mkString(", ")
+    val luts = (0 until m).map { j =>
+      s"list_transform(${centsLit(j)}, cc -> list_dot_product(qe[${j * sub + 1}:${(j + 1) * sub}], cc)) AS l$j"
+    }.mkString(",\n  ")
+    val score = (0 until m).map(j => s"q.l$j[c.c$j + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |d AS (SELECT vec_id, e,
+       |  $dcols
+       |FROM e),
+       |c AS (SELECT vec_id AS neighbor_id, $codes FROM d),
+       |q AS (SELECT vec_id AS query_id,
+       |  $luts
+       |FROM (SELECT vec_id, e AS qe FROM e WHERE vec_id < $numQueries)),
+       |s AS (SELECT q.query_id, c.neighbor_id, ROUND($score, 6) AS adc_score
+       |      FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id)
+       |SELECT query_id, neighbor_id, adc_score, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn FROM s)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** LSH-bucketed near-duplicate embedding PAIRS — the documented 100 TB
+    * path of [[dedupEmbeddingCosine]] made a first-class query: candidate
+    * pairs are vectors whose published-hyperplane signatures differ in
+    * ≤1 bit (home-bucket collision + one-bit multi-probe), verified with
+    * the exact cosine threshold. Each qualifying pair surfaces EXACTLY
+    * once — for a given (a,b) precisely one probe flip matches their
+    * Hamming distance (flip −1 iff distance 0, flip k iff the single
+    * differing bit is k) — so no distinct over vector payloads is needed.
+    *
+    * Approximate by design (banding misses some pairs) but fully
+    * DETERMINISTIC under the published planes, so the pair list
+    * hash-verifies in DuckDB; a recall gate vs the exact O(N²) pair set
+    * over a capped sample runs every execution. At bits=4 a cosine-0.4
+    * pair survives with P(Hamming≤1) = p⁴+4p³(1−p) ≈ 0.53 for per-plane
+    * agreement p = 1 − acos(0.4)/π ≈ 0.63 — floor 0.25 leaves 2×
+    * headroom; real near-dup corpora (cosine ≥ 0.9, p ≈ 0.86, P ≈ 0.89)
+    * band far better, with more bits. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String,
+                        threshold: Double = 0.4, bits: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("sig", lshSignature(col("e"), bits))
+    val probes = e.select(col("vec_id").as("a_id"), col("e").as("ae"),
+        explode(array((lit(-1) +: (0 until bits).map(lit(_))): _*)).as("flip"),
+        col("sig"))
+      .withColumn("bucket",
+        when(col("flip") === -1, col("sig"))
+          .otherwise(col("sig").bitwiseXOR(
+            call_function("shiftleft", lit(1L), col("flip")))))
+      .select(col("a_id"), col("ae"), col("bucket"))
+    val home = e.select(col("vec_id").as("b_id"), col("e").as("be"),
+      col("sig").as("bucket"))
+    probes.join(home, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("ae"), col("be")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def dedupEmbeddingLshOracle(threshold: Double = 0.4,
+                                      bits: Int = 4, dim: Int = 64): String = {
+    // sign-bit signature replay: plane p contributes 2^p when the
+    // literal dot is >= 0; candidates are signature pairs with
+    // bit_count(xor) <= 1 — the exact pair set the probe explosion emits
+    val sig = lshPlanes(bits, dim).zipWithIndex.map { case (row, p) =>
+      s"CASE WHEN list_dot_product(e, ${row.mkString("[", ", ", "]")}) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT vec_id, e, CAST($sig AS BIGINT) AS sig FROM e)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  list_dot_product(a.e, b.e)
+       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |  AND bit_count(xor(a.sig, b.sig)) <= 1
+       |WHERE list_dot_product(a.e, b.e)
+       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Recall gate for [[dedupEmbeddingLsh]]: fraction of exact
+    * cosine≥threshold pairs (over a deterministic capped sample) present
+    * in the banded pair list must clear `floor`. */
+  private def dedupEmbeddingLshGated(spark: SparkSession, dir: String,
+                                     threshold: Double = 0.4, bits: Int = 4,
+                                     sampleCap: Int = 1000,
+                                     floor: Double = 0.25): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = dedupEmbeddingLsh(spark, dir, threshold, bits).localCheckpoint(true)
+    val sample = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(sampleCap)
+    val exact = sample.toDF("a_id", "ae")
+      .crossJoin(sample.toDF("b_id", "be"))
+      .filter(col("a_id") < col("b_id") &&
+        vec_dot(col("ae"), col("be")) /
+          (sqrt(vec_dot(col("ae"), col("ae"))) * sqrt(vec_dot(col("be"), col("be"))))
+          >= threshold)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val total = exact.count()
+    val hit = exact.join(pairs.select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi").count()
+    val recall = if (total == 0) 1.0 else hit.toDouble / total
+    require(recall >= floor,
+      f"embedding-LSH dedup recall $recall%.3f vs exact sample pairs is " +
+        f"below the invariant floor $floor — banding or verify is broken")
+    pairs
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_adc_topk" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLshGated(s, d)),
     "pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "embed_quantize" -> ((s: SparkSession, d: String) => embedQuantize(s, d)),
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -1052,6 +1231,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "pq_adc_topk" -> pqAdcTopKOracle(),
+    "dedup_embedding_lsh" -> dedupEmbeddingLshOracle(),
     "pq_encode" -> pqEncodeOracle(),
     "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
