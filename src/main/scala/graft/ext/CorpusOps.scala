@@ -471,6 +471,49 @@ object CorpusOps {
       .orderBy("w")
   }
 
+  /** Tokenizer FERTILITY evaluation — the metric that decides whether a
+    * trained tokenizer suits a corpus (and each language in it): pieces
+    * per word and chars per piece under the learned BPE merges, weighted
+    * by actual corpus occurrences. High fertility on a language means
+    * its text costs proportionally more sequence length per character —
+    * the standard multilingual-tokenizer audit (mT5/XLM-R papers report
+    * exactly this table).
+    *
+    * Scale shape: the encode table is vocab-sized after [[bpeTrain]]'s
+    * one word-frequency shuffle; the corpus side is one explode joined
+    * against that small table (Catalyst broadcasts it off the reported
+    * stats), then a per-lang partial-combine aggregate — O(langs)
+    * output. Ratios are single IEEE divisions of exact BIGINTs,
+    * rounded at 6. */
+  def bpeFertility(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val (words, _) = bpeTrain(spark, dir, nMerges)
+    val enc = words.select(col("w"),
+      size(col("syms")).cast(IntegerType).as("n_pieces"))
+    documents(spark, dir)
+      .select(col("lang"), explode(toks).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast(LongType).as("n_pieces"),
+        sum(length(col("w"))).cast(LongType).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast(DoubleType) / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast(DoubleType) / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
+  private def bpeFertilityOracle(nMerges: Int = 8): String =
+    s"""${bpeOraclePrefix(nMerges)},
+       |enc AS (SELECT w, CAST(len(s) AS INT) AS n_pieces FROM w$nMerges),
+       |g AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  ROUND(CAST(SUM(n_pieces) AS DOUBLE) / count(*), 6) AS fertility,
+       |  ROUND(CAST(SUM(len(g.w)) AS DOUBLE) / SUM(n_pieces), 6) AS chars_per_piece
+       |FROM g JOIN enc USING (w) GROUP BY lang ORDER BY lang""".stripMargin
+
   private def bpeTrain(spark: SparkSession, dir: String, nMerges: Int)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var words = documents(spark, dir)
@@ -692,6 +735,7 @@ object CorpusOps {
     "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "domain_mix" -> ((s, d) => domainMix(s, d)),
     "domain_mix_quantile" -> ((s, d) => domainMixQuantile(s, d)),
+    "bpe_fertility" -> ((s, d) => bpeFertility(s, d)),
     "dedup_segments" -> ((s, d) => dedupSegments(s, d)),
     "pii_redact" -> ((s, d) => piiRedact(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -721,6 +765,7 @@ object CorpusOps {
         |FROM p GROUP BY l, r
         |ORDER BY n DESC, l, r LIMIT 20""".stripMargin,
     "domain_mix_quantile" -> domainMixQuantileOracle,
+    "bpe_fertility" -> bpeFertilityOracle(),
     "domain_mix" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  1000 + 500 * (COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4) AS cap,

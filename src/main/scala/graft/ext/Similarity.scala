@@ -758,6 +758,60 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Cluster composition audit — the topic-balance check curation
+    * pipelines run after clustering a corpus: per (cluster, label) the
+    * member count, the label's share of its cluster, and the cluster's
+    * label entropy in bits (repeated per row of the cluster). A cluster
+    * with near-zero entropy is a single-topic blob (candidate for
+    * dedup/downsampling); uniform entropy means the clustering isn't
+    * separating labels. Assignment is the published-centroid argmax-dot
+    * map stage ([[kmeansAssign]]'s shape — no shuffle); the audit itself
+    * is one (cluster, label) partial-combine agg, O(k·labels) output at
+    * any corpus size. log2 is libm — shares and entropy round at 6 (the
+    * tfidf ln precedent). */
+  def clusterMix(spark: SparkSession, dir: String,
+                 k: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+    val counts = assignFixed(e, k, dim)
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val wc = Window.partitionBy(col("cluster"))
+    val share = col("n_vecs").cast(DoubleType) / sum(col("n_vecs")).over(wc)
+    counts
+      .withColumn("share", share)
+      // DECIMAL-cast terms: window-sum accumulation order is engine-
+      // dependent and float addition is non-associative (the
+      // embedding_diversity precedent); per-term log2 ulp risk is
+      // absorbed by the 6-dp rounding (the tfidf ln precedent)
+      .withColumn("entropy_bits",
+        sum((-share * log2(share)).cast(DecimalType(30, 15))).over(wc)
+          .cast(DoubleType))
+      .select(col("cluster"), col("label"), col("n_vecs"),
+        round(col("share"), 6).as("share"),
+        round(col("entropy_bits"), 6).as("entropy_bits"))
+      .orderBy("cluster", "label")
+  }
+
+  private def clusterMixOracle(k: Int = 8, dim: Int = 64): String = {
+    val dots = fixedCentroids(k, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, label, [
+       |    $dots] AS ds FROM e),
+       |asn AS (SELECT vec_id, label, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |c AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_vecs FROM asn GROUP BY 1, 2),
+       |s AS (SELECT cluster, label, n_vecs,
+       |        CAST(n_vecs AS DOUBLE) / SUM(n_vecs) OVER (PARTITION BY cluster) AS share
+       |      FROM c)
+       |SELECT cluster, label, n_vecs, ROUND(share, 6) AS share,
+       |  ROUND(CAST(SUM(CAST(-share * log2(share) AS DECIMAL(30,15)))
+       |    OVER (PARTITION BY cluster) AS DOUBLE), 6) AS entropy_bits
+       |FROM s ORDER BY cluster, label""".stripMargin
+  }
+
   /** K-means UPDATE step under the fixed published centroids — the
     * other half of a Lloyd iteration, oracle-hashed: per-cluster
     * per-dimension mean of the assigned vectors (plus the cluster size),
@@ -1223,6 +1277,7 @@ object Similarity {
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "cluster_mix" -> ((s: SparkSession, d: String) => clusterMix(s, d)),
     "kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
     "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrace(s, d)),
     "semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -1240,6 +1295,7 @@ object Similarity {
     "ann_ivf_trained" -> annIvfTrainedOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
+    "cluster_mix" -> clusterMixOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),
     "kmeans_train" -> kmeansTraceOracle(),
     "semantic_dedup" -> semanticDedupOracle(),

@@ -37,6 +37,34 @@ object TextOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** Normalized exact dedup — the canonicalization step real pipelines
+    * run BEFORE hashing (CCNet/RefinedWeb normalize case, punctuation
+    * and whitespace so trivially-reformatted copies collapse): groups on
+    * md5(lowercase → non-alphanumeric runs → single space → trim), so
+    * the shuffle key is a 32-byte digest, never the text. Per group:
+    * min-id keeper, copy count, and how many EXACT-text variants the
+    * normalization united (n_variants > 1 ⟺ this group is invisible to
+    * plain `dedup_exact` — the value-add measured, not assumed).
+    * Patterns stay in the RE2∩Java-regex common subset (the pii_redact
+    * rule) so both engines normalize identically. */
+  private def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .groupBy(md5(col("norm")).as("nk"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_variants"))
+      .orderBy("keep_id")
+
+  private val dedupNormalizedOracle: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  count(DISTINCT text) AS n_variants
+      |FROM (SELECT doc_id, text,
+      |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS nk
+      |      FROM documents)
+      |GROUP BY nk ORDER BY keep_id""".stripMargin
+
   // per-language corpus statistics (exact integer aggregates)
   private def textStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -1267,6 +1295,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
+    "dedup_normalized" -> ((s: SparkSession, d: String) => dedupNormalized(s, d)),
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
@@ -1304,6 +1333,7 @@ object TextOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_normalized" -> dedupNormalizedOracle,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,

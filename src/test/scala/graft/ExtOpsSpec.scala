@@ -31,6 +31,31 @@ class ExtOpsSpec extends AnyFunSuite {
     dir
   }
 
+  test("dedup_normalized unites case/punct/whitespace variants plain exact dedup cannot") {
+    // the fixtures are already canonical (zero normalized merges at any
+    // sf), so the value-adding branch lives here: three re-formattings
+    // of one sentence plus one true exact dup pair and one bystander
+    val dir = java.nio.file.Files.createTempDirectory("norm").toString
+    val docs = Seq(
+      (0L, "The quick Brown-Fox; jumps", "en", "src0", 26L),
+      (1L, "the   quick brown fox JUMPS!!", "en", "src0", 29L),
+      (2L, "the quick brown fox jumps", "en", "src1", 25L),
+      (3L, "an unrelated document", "en", "src0", 21L),
+      (4L, "an unrelated document", "en", "src1", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.TextOps.queries("dedup_normalized")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 3L, 3L), (3L, 2L, 1L)),
+      s"expected {0:(3 copies, 3 exact variants), 3:(2 copies, 1 variant)}, got ${got.toSeq}")
+    // the variant group is INVISIBLE to plain exact dedup — the measured
+    // value-add of normalization, not an assumption
+    val exact = graft.ext.TextOps.queries("dedup_exact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.count(_._2 > 1) == 1 && exact.length == 4,
+      s"plain exact dedup should see only the true dup pair: ${exact.toSeq}")
+  }
+
   test("minhash-LSH finds the planted near-dup pair, not the far pair") {
     val pairs = TextOps.dedupMinhashLsh(spark, plantedDir, threshold = 0.8)
       .as[(Long, Long, Double)].collect().toSeq
