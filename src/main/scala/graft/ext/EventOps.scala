@@ -99,6 +99,93 @@ object EventOps {
   }
 
   // typed metadata out of the JSON props column
+  /** Gap-filling resample with forward fill — the time-series
+    * regularization step monitoring/feature pipelines run before
+    * modeling: per event_type, 15-minute bins over the corpus's global
+    * [min, max] span; empty bins carry the PREVIOUS bin's sum forward
+    * (`filled = true`), leading gaps before a type's first event stay
+    * NULL. All bin math is exact integer microseconds; in-bin sums are
+    * DECIMAL (order-independent); the fill copies already-agreed values,
+    * so the whole frame hash-verifies.
+    *
+    * Scale shape: the global bounds are ONE one-row aggregate broadcast
+    * under the (type × bin) grid (bounded BNLJ, the bm25 corpus-stats
+    * pattern); the grid is O(types · span/15min) rows — metadata-scale
+    * next to the events themselves — and the fill is one window per
+    * type over that grid, never over raw events. */
+  private def eventsResampleFfill(spark: SparkSession, dir: String,
+                                  binUs: Long = 15L * 60 * 1000000): DataFrame = {
+    val e = eventsWithTs(spark, dir)
+      .select(col("event_type"), (col("ts_us") - (col("ts_us") % binUs)).as("bin_us"),
+        col("value"))
+    val bounds = e.agg(min(col("bin_us")).as("lo"), max(col("bin_us")).as("hi"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(binUs))).as("bin_us"))
+    val binned = e.groupBy(col("event_type"), col("bin_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("sum_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(binned, Seq("event_type", "bin_us"), "left")
+      .select(col("bin_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value"),
+        col("n").isNull.as("filled"))
+      .orderBy("bin_us", "event_type")
+  }
+
+  private def eventsResampleFfillOracle(binUs: Long = 15L * 60 * 1000000): String =
+    s"""WITH e AS (SELECT event_type,
+       |  epoch_us(ts) - (epoch_us(ts) % $binUs) AS bin_us, value FROM events),
+       |bounds AS (SELECT min(bin_us) AS lo, max(bin_us) AS hi FROM e),
+       |grid AS (SELECT t.event_type, g.bin_us
+       |         FROM (SELECT DISTINCT event_type FROM e) t
+       |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, $binUs)) AS bin_us
+       |                     FROM bounds) g),
+       |b AS (SELECT event_type, bin_us, count(*) AS n,
+       |        CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+       |      FROM e GROUP BY 1, 2)
+       |SELECT grid.bin_us, grid.event_type,
+       |  COALESCE(b.n, 0) AS n,
+       |  last_value(b.sum_value IGNORE NULLS) OVER (
+       |    PARTITION BY grid.event_type ORDER BY grid.bin_us
+       |    ROWS UNBOUNDED PRECEDING) AS sum_value,
+       |  (b.n IS NULL) AS filled
+       |FROM grid LEFT JOIN b USING (event_type, bin_us)
+       |ORDER BY bin_us, event_type""".stripMargin
+
+  /** Retention cohort matrix — the product-analytics staple: users
+    * cohorted by first-seen day, per (cohort, day-offset) the count of
+    * distinct cohort members active that day. All integer math (epoch-µs
+    * day floors, distinct counts). One shuffle to find first-seen per
+    * user, one keyed join back, one (cohort, offset) agg — each keyed on
+    * user or cohort day, O(days²) output bound at any event volume. */
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = eventsWithTs(spark, dir)
+      .select(col("user_id"), (col("ts_us") - (col("ts_us") % dayUs)).as("day_us"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("day_us")).as("cohort_day_us"))
+    e.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day_us"),
+        ((col("day_us") - col("cohort_day_us")) / dayUs).cast(IntegerType)
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day_us", "day_offset")
+  }
+
+  private val retentionCohortsOracle: String =
+    """WITH e AS (SELECT user_id,
+      |  epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us FROM events),
+      |c AS (SELECT user_id, min(day_us) AS cohort_day_us FROM e GROUP BY user_id)
+      |SELECT c.cohort_day_us,
+      |  CAST((e.day_us - c.cohort_day_us) // 86400000000 AS INT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day_us, day_offset""".stripMargin
+
   private def multimodalJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
@@ -195,6 +282,8 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keyed_latest" -> dedupKeyedLatest,
     "events_hourly_agg" -> eventsHourlyAgg,
+    "events_resample_ffill" -> ((s: SparkSession, d: String) => eventsResampleFfill(s, d)),
+    "retention_cohorts" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
     "sessionize_gaps" -> sessionizeGaps,
     "skew_salted_join" -> skewSaltedJoin,
     "approx_aggs" -> approxAggsGated,
@@ -233,6 +322,8 @@ object EventOps {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_resample_ffill" -> eventsResampleFfillOracle(),
+    "retention_cohorts" -> retentionCohortsOracle,
     "events_hourly_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
         |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value

@@ -186,7 +186,30 @@ object AnalyticsOps {
     both.unionAll(onlyB).orderBy("op")
   }
 
+  /** PIVOT — long-to-wide reshaping with an EXPLICIT pivot-value list
+    * (`pivot(col, values)`): per order priority, order counts by status
+    * as columns. The explicit list is the scale rule — value-discovering
+    * pivot runs a blocking distinct scan and can explode the schema;
+    * pinned values keep the plan one partial-combine aggregate whose
+    * width is known at plan time (and make the oracle's CASE columns
+    * deterministic). */
+  private def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  private val pivotStatusCountsOracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_status_counts" -> (pivotStatusCounts _),
     "set_ops" -> setOps,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
@@ -201,6 +224,7 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pivot_status_counts" -> pivotStatusCountsOracle,
     "window_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

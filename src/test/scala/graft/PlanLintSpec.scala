@@ -44,6 +44,7 @@ class PlanLintSpec extends AnyFunSuite {
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
     "token_budget_select" -> "one-row budget-threshold aggregate broadcast",
     "lang_temperature"  -> "one-row language-mass aggregate broadcast",
+    "events_resample_ffill" -> "one-row global [min,max] bounds aggregate broadcast under the (type x bin) grid",
     "dedup_embedding_cosine" ->
       "deliberately-exact O(N^2) upper-triangle pair join (oracle-bit-exactness is the point); the 100 TB path is ann_lsh_bucketed candidates + this cosine as verify (Similarity.scala:280)"
   )
