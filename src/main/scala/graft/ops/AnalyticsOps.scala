@@ -186,6 +186,70 @@ object AnalyticsOps {
     both.unionAll(onlyB).orderBy("op")
   }
 
+  /** GROUPING SETS — the general form of the rollup/cube family
+    * (arbitrary grouping combinations in ONE pass over the data, one
+    * partial-combine aggregate per set): per-(nation, segment),
+    * per-nation, and per-segment customer stats. `grouping(col)` flags
+    * (0/1) disambiguate a real NULL from an aggregated-out dimension on
+    * both engines — more portable than the engines' differently
+    * bit-ordered grouping_id(). Expressed via SQL (the DataFrame API
+    * has rollup/cube but not arbitrary sets); the dim join is
+    * broadcast. */
+  private def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(30, 2)).as("bal"))
+      .createOrReplaceTempView("gs_cust")
+    spark.sql(
+      """SELECT n_name, c_mktsegment,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+        |  count(*) AS n_cust,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal
+        |FROM gs_cust
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+        |ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private val aggGroupingSetsOracle: String =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+      |  count(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+      |ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Distribution window functions — ntile quartiles, percent_rank and
+    * cume_dist of customers within their market segment by balance.
+    * percent_rank = (rank−1)/(n−1) and cume_dist = rank_peers/n are
+    * exact rational doubles from integer inputs (one IEEE division
+    * each), rounded at 6; the (balance, custkey) order key is unique so
+    * both engines rank identically. One window stage per segment shard
+    * at any scale. */
+  private def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private val windowDistributionOracle: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** PIVOT — long-to-wide reshaping with an EXPLICIT pivot-value list
     * (`pivot(col, values)`): per order priority, order counts by status
     * as columns. The explicit list is the scale rule — value-discovering
@@ -210,6 +274,8 @@ object AnalyticsOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_status_counts" -> (pivotStatusCounts _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "window_distribution" -> (windowDistribution _),
     "set_ops" -> setOps,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
@@ -225,6 +291,8 @@ object AnalyticsOps {
 
   val oracles: Map[String, String] = Map(
     "pivot_status_counts" -> pivotStatusCountsOracle,
+    "agg_grouping_sets" -> aggGroupingSetsOracle,
+    "window_distribution" -> windowDistributionOracle,
     "window_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
