@@ -182,6 +182,27 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!GraftTable.exists(spark, s"$warehouse/db5/cust"))
   }
 
+  test("SQL CREATE TABLE PARTITIONED BY ibucket: spec-exact dirs and point lookup") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.db5.ib (
+        |  k bigint,
+        |  v string
+        |) PARTITIONED BY (ibucket(5, k))""".stripMargin)
+    val t = GraftTable.load(spark, s"$warehouse/db5/ib")
+    assert(t.spec == Seq(PartitionField("k", "ibucket", 5)))
+    (0 until 10).foreach(i =>
+      spark.sql(s"INSERT INTO graft.db5.ib VALUES ($i, 'v$i')"))
+    // on-disk dirs carry the Iceberg-spec-exact bucket for each key
+    val parts = GraftTable.load(spark, s"$warehouse/db5/ib").partitions
+      .select("partition").as[String].collect().toSet
+    assert(parts == (0L until 10L).map(k =>
+      s"k_ibucket=${graft.functions.IcebergMurmur3.bucketLong(k, 5)}").toSet, parts)
+    assert(spark.sql("SELECT v FROM graft.db5.ib WHERE k = 7")
+      .as[String].head() == "v7")
+    spark.sql("DROP TABLE graft.db5.ib")
+  }
+
   test("plain SQL CTAS through the catalog") {
     warehouse
     spark.sql("CREATE TABLE graft.db5.squares AS SELECT id, id * id AS sq FROM range(5)")
