@@ -769,6 +769,35 @@ object TextOps {
     * sets, the same machinery as [[minhashGatedQuery]]); only the XXH64
     * mixer itself stays outside oracle coverage, covered by that gate and
     * the specs. */
+  /** Banded md5-construction MinHash signature of a (doc_id, toks) frame
+    * → (doc_id, band, bh) rows. h1/h2 are the first/second 15 hex digits
+    * of md5(token) as 60-bit ints (one conv each), reduced mod p so the
+    * k-permutation arithmetic (h1m + i·h2m) never leaves 63-bit range on
+    * either engine; band keys are md5 of the comma-joined minima slice —
+    * all bands from ONE pass over the signature rows (posexplode), not a
+    * bands-way union that re-aggregates per branch. ONE implementation
+    * shared by the graded self-join pairs query and the table-backed
+    * incremental index ([[dedupIndexProbe]]) — an index built under a
+    * drifted construction would silently stop colliding with probes. */
+  private def md5BandedSignature(d: DataFrame, k: Int, bands: Int): DataFrame = {
+    val p = 1000000007L
+    val r = k / bands
+    val tok = d.select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val hashed = tok.select(col("doc_id"),
+      (conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % p).as("h1m"),
+      (conv(substring(col("h"), 17, 15), 16, 10).cast(LongType)
+        .bitwiseOR(lit(1L)) % p).as("h2m"))
+    val mins = (0 until k).map(i =>
+      min((col("h1m") + lit(i.toLong) * col("h2m")) % p).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"m$i").cast(StringType)): _*))
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
   private def minhashMd5PairsQuery(spark: SparkSession, dir: String,
                                    k: Int = 64, bands: Int = 8,
                                    threshold: Double = 0.8,
@@ -797,25 +826,7 @@ object TextOps {
       // slower end-to-end), reduced mod p so the k=64 permutation
       // arithmetic (h1m + i·h2m) never leaves 63-bit range on either
       // engine (DuckDB RAISES on BIGINT overflow rather than wrapping)
-      val tok = reps.select(col("doc_id"), explode(col("toks")).as("t"))
-        .withColumn("h", md5(col("t")))
-      val hashed = tok.select(col("doc_id"),
-        (conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % p).as("h1m"),
-        (conv(substring(col("h"), 17, 15), 16, 10).cast(LongType)
-          .bitwiseOR(lit(1L)) % p).as("h2m"))
-      val mins = (0 until k).map(i =>
-        min((col("h1m") + lit(i.toLong) * col("h2m")) % p).as(s"m$i"))
-      val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      // band keys = md5 of the comma-joined slice of r minima — all bands
-      // from ONE pass over the signature rows (posexplode), not a
-      // bands-way union that re-aggregates per branch
-      val bandCols = (0 until bands).map { b =>
-        md5(concat_ws(",",
-          (b * r until (b + 1) * r).map(i => col(s"m$i").cast(StringType)): _*))
-      }
-      val banded = sig.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-        .persist(MEMORY_AND_DISK)
+      val banded = md5BandedSignature(reps, k, bands).persist(MEMORY_AND_DISK)
       // same oversized-bucket star reduction as the production path
       val out = try {
         val sized = banded.join(
@@ -1209,6 +1220,119 @@ object TextOps {
         "pairs — banding or verification is broken")
   }
 
+  /** Table-BACKED incremental near-dup index — the production shape of
+    * ingestion dedup at 100 TB: the LSH index is not a per-job dataframe
+    * but a GOVERNED TABLE (band-partitioned banded signatures + a reps
+    * sidecar table), built once, maintained by plain appends as the
+    * corpus grows, and probed by each incoming batch with an equi-join.
+    * This query runs the whole lifecycle: build the two index tables
+    * from half the corpus, APPEND the other half (the incremental
+    * maintenance step), reload both FROM DISK, then probe with the
+    * incoming batch (source = src0, the dedup_incoming convention) and
+    * exact-verify candidates at Jaccard ≥ 0.9.
+    *
+    * The DuckDB oracle computes the SAME probe directly over raw parquet
+    * with no table layer, so the hash match proves the governed
+    * write → append → reload roundtrip preserves the index bit-exactly
+    * (the corpus_release precedent) on top of the banding law. Scale
+    * shape: index build is the one-pass banded signature (shared
+    * implementation, [[md5BandedSignature]]); a probe touches only the
+    * batch's (band, bh) buckets; verify joins htoks by candidate id. */
+  private[graft] def dedupIndexProbe(spark: SparkSession, dir: String,
+                                     incomingSource: String = "src0",
+                                     k: Int = 64, bands: Int = 8,
+                                     threshold: Double = 0.9): DataFrame = {
+    import graft.table.{GraftTable, PartitionField}
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+    val corpus = docs.filter(col("source") =!= incomingSource)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandsDir = tmp("dedup_index_bands")
+      val repsDir = tmp("dedup_index_reps")
+      val bandsT = GraftTable.create(spark, bandsDir,
+        StructType(Seq(StructField("band", IntegerType),
+          StructField("bh", StringType), StructField("doc_id", LongType))),
+        spec = Seq(PartitionField("band", "identity")))
+      val repsT = GraftTable.create(spark, repsDir,
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("htoks", ArrayType(LongType)))))
+      // incremental maintenance: two appends, split on doc_id % 3
+      Seq(corpus.filter(col("doc_id") % 3 =!= 0),
+          corpus.filter(col("doc_id") % 3 === 0)).foreach { slice =>
+        bandsT.append(md5BandedSignature(slice, k, bands)
+          .select(col("band"), col("bh"), col("doc_id")))
+        repsT.append(slice.select(col("doc_id"), col("htoks")))
+      }
+      // probe against the index loaded FRESH from disk
+      val idx = GraftTable.load(spark, bandsDir).toDF
+        .select(col("band"), col("bh"), col("doc_id").as("corp_id"))
+      val corpToks = GraftTable.load(spark, repsDir).toDF
+        .select(col("doc_id").as("corp_id"), col("htoks").as("ct"))
+      val batch = docs.filter(col("source") === incomingSource)
+      val cand = md5BandedSignature(batch, k, bands)
+        .select(col("doc_id").as("in_id"), col("band"), col("bh"))
+        .join(idx, Seq("band", "bh"))
+        .select(col("in_id"), col("corp_id")).distinct()
+      val inter = graft.functions.TextSignatureFunctions
+        .sorted_intersect_count(col("t"), col("ct"))
+      graft.functions.TextSignatureFunctions.register(spark)
+      cand
+        .join(batch.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
+        .join(corpToks, "corp_id")
+        .withColumn("jac", inter.cast(DoubleType) /
+          (size(col("t")) + size(col("ct")) - inter))
+        .filter(col("jac") >= threshold)
+        .select(col("in_id"), col("corp_id"), round(col("jac"), 4).as("jac"))
+        .orderBy("in_id", "corp_id")
+    } finally corpus.unpersist()
+  }
+
+  private def dedupIndexProbeOracle(incomingSource: String = "src0",
+                                    k: Int = 64, bands: Int = 8,
+                                    threshold: Double = 0.9): String = {
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"MIN((h1m + $i * h2m) % 1000000007) AS m$i").mkString(",\n        ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS bh FROM sig"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH d0 AS (SELECT doc_id, source,
+       |              list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |            FROM documents),
+       |rh AS (SELECT doc_id, source, list_sort(list_distinct(list_transform(toks,
+       |         t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)))) AS htoks
+       |       FROM d0),
+       |tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(toks) AS t FROM d0)),
+       |g AS (SELECT doc_id,
+       |        CAST('0x' || substring(h, 1, 15) AS BIGINT) % 1000000007 AS h1m,
+       |        (CAST('0x' || substring(h, 17, 15) AS BIGINT) | 1) % 1000000007 AS h2m
+       |      FROM tok),
+       |sig AS (SELECT doc_id,
+       |        $mins
+       |      FROM g GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |src AS (SELECT doc_id, source FROM d0),
+       |cand AS (SELECT DISTINCT bi.doc_id AS in_id, bc.doc_id AS corp_id
+       |         FROM banded bi JOIN src si ON si.doc_id = bi.doc_id
+       |         JOIN banded bc ON bi.band = bc.band AND bi.bh = bc.bh
+       |         JOIN src sc ON sc.doc_id = bc.doc_id
+       |         WHERE si.source = '$incomingSource' AND sc.source <> '$incomingSource'),
+       |v AS (SELECT c.in_id, c.corp_id,
+       |        len(list_intersect(ra.htoks, rb.htoks)) AS inter,
+       |        len(ra.htoks) AS an, len(rb.htoks) AS bn
+       |      FROM cand c JOIN rh ra ON ra.doc_id = c.in_id
+       |                  JOIN rh rb ON rb.doc_id = c.corp_id)
+       |SELECT in_id, corp_id,
+       |       ROUND(CAST(inter AS DOUBLE) / (an + bn - inter), 4) AS jac
+       |FROM v WHERE CAST(inter AS DOUBLE) / (an + bn - inter) >= $threshold
+       |ORDER BY in_id, corp_id""".stripMargin
+  }
+
   /** Golden-vector anchor for every xxh64-based bit-level construction
     * (VERDICT r7 item 4): fixed inputs → the exact 64-bit outputs of
     *  - Spark's `xxhash64` on string, empty-string and BIGINT inputs
@@ -1304,6 +1428,7 @@ object TextOps {
     "token_count" -> tokenCount,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incoming" -> ((s: SparkSession, d: String) => dedupIncoming(s, d)),
+    "dedup_index_probe" -> ((s: SparkSession, d: String) => dedupIndexProbe(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashMd5PairsQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashMd5GatedQuery(s, d)),
@@ -1334,6 +1459,7 @@ object TextOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_normalized" -> dedupNormalizedOracle,
+    "dedup_index_probe" -> dedupIndexProbeOracle(),
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
