@@ -1238,56 +1238,89 @@ object TextOps {
     * shape: index build is the one-pass banded signature (shared
     * implementation, [[md5BandedSignature]]); a probe touches only the
     * batch's (band, bh) buckets; verify joins htoks by candidate id. */
+  /** Handle to a persisted dedup index: the band-partitioned banded-
+    * signature table + the reps (token-hash set) sidecar table. */
+  final case class DedupIndex(bandsDir: String, repsDir: String,
+                              k: Int, bands: Int)
+
+  /** (doc_id, ..., toks, htoks) prep shared by index build and probes —
+    * sorted-distinct tokens plus their 60-bit md5 hash set. */
+  private[graft] def md5DocSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", array_sort(array_distinct(tokens)))
+      .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+
+  /** Creates the two empty index tables. */
+  private[graft] def createDedupIndex(spark: SparkSession,
+                                      k: Int = 64, bands: Int = 8): DedupIndex = {
+    import graft.table.{GraftTable, PartitionField}
+    val idx = DedupIndex(tmp("dedup_index_bands"), tmp("dedup_index_reps"), k, bands)
+    GraftTable.create(spark, idx.bandsDir,
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("bh", StringType), StructField("doc_id", LongType))),
+      spec = Seq(PartitionField("band", "identity")))
+    GraftTable.create(spark, idx.repsDir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("htoks", ArrayType(LongType)))))
+    idx
+  }
+
+  /** Incremental maintenance: appends one corpus slice's banded
+    * signatures + rep sets to the index tables (two plain commits). */
+  private[graft] def appendDedupIndex(spark: SparkSession, idx: DedupIndex,
+                                      slice: DataFrame): Unit = {
+    import graft.table.GraftTable
+    GraftTable.load(spark, idx.bandsDir).append(
+      md5BandedSignature(slice, idx.k, idx.bands)
+        .select(col("band"), col("bh"), col("doc_id")))
+    GraftTable.load(spark, idx.repsDir).append(
+      slice.select(col("doc_id"), col("htoks")))
+  }
+
+  /** Probes the index (loaded FRESH from disk) with a batch of
+    * (doc_id, toks, htoks) docs → (in_id, corp_id, jac) pairs at
+    * Jaccard ≥ `threshold`. */
+  private[graft] def probeDedupIndex(spark: SparkSession, idx: DedupIndex,
+                                     batch: DataFrame,
+                                     threshold: Double): DataFrame = {
+    import graft.table.GraftTable
+    graft.functions.TextSignatureFunctions.register(spark)
+    val bandsIdx = GraftTable.load(spark, idx.bandsDir).toDF
+      .select(col("band"), col("bh"), col("doc_id").as("corp_id"))
+    val corpToks = GraftTable.load(spark, idx.repsDir).toDF
+      .select(col("doc_id").as("corp_id"), col("htoks").as("ct"))
+    val cand = md5BandedSignature(batch, idx.k, idx.bands)
+      .select(col("doc_id").as("in_id"), col("band"), col("bh"))
+      .join(bandsIdx, Seq("band", "bh"))
+      .select(col("in_id"), col("corp_id")).distinct()
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("t"), col("ct"))
+    cand
+      .join(batch.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
+      .join(corpToks, "corp_id")
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("t")) + size(col("ct")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("in_id"), col("corp_id"), round(col("jac"), 4).as("jac"))
+      .orderBy("in_id", "corp_id")
+  }
+
   private[graft] def dedupIndexProbe(spark: SparkSession, dir: String,
                                      incomingSource: String = "src0",
                                      k: Int = 64, bands: Int = 8,
                                      threshold: Double = 0.9): DataFrame = {
-    import graft.table.{GraftTable, PartitionField}
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(tokens)).as("toks"))
-      .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+    val docs = md5DocSets(
+      documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
     val corpus = docs.filter(col("source") =!= incomingSource)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bandsDir = tmp("dedup_index_bands")
-      val repsDir = tmp("dedup_index_reps")
-      val bandsT = GraftTable.create(spark, bandsDir,
-        StructType(Seq(StructField("band", IntegerType),
-          StructField("bh", StringType), StructField("doc_id", LongType))),
-        spec = Seq(PartitionField("band", "identity")))
-      val repsT = GraftTable.create(spark, repsDir,
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("htoks", ArrayType(LongType)))))
+      val idx = createDedupIndex(spark, k, bands)
       // incremental maintenance: two appends, split on doc_id % 3
-      Seq(corpus.filter(col("doc_id") % 3 =!= 0),
-          corpus.filter(col("doc_id") % 3 === 0)).foreach { slice =>
-        bandsT.append(md5BandedSignature(slice, k, bands)
-          .select(col("band"), col("bh"), col("doc_id")))
-        repsT.append(slice.select(col("doc_id"), col("htoks")))
-      }
-      // probe against the index loaded FRESH from disk
-      val idx = GraftTable.load(spark, bandsDir).toDF
-        .select(col("band"), col("bh"), col("doc_id").as("corp_id"))
-      val corpToks = GraftTable.load(spark, repsDir).toDF
-        .select(col("doc_id").as("corp_id"), col("htoks").as("ct"))
-      val batch = docs.filter(col("source") === incomingSource)
-      val cand = md5BandedSignature(batch, k, bands)
-        .select(col("doc_id").as("in_id"), col("band"), col("bh"))
-        .join(idx, Seq("band", "bh"))
-        .select(col("in_id"), col("corp_id")).distinct()
-      val inter = graft.functions.TextSignatureFunctions
-        .sorted_intersect_count(col("t"), col("ct"))
-      graft.functions.TextSignatureFunctions.register(spark)
-      cand
-        .join(batch.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
-        .join(corpToks, "corp_id")
-        .withColumn("jac", inter.cast(DoubleType) /
-          (size(col("t")) + size(col("ct")) - inter))
-        .filter(col("jac") >= threshold)
-        .select(col("in_id"), col("corp_id"), round(col("jac"), 4).as("jac"))
-        .orderBy("in_id", "corp_id")
+      appendDedupIndex(spark, idx, corpus.filter(col("doc_id") % 3 =!= 0))
+      appendDedupIndex(spark, idx, corpus.filter(col("doc_id") % 3 === 0))
+      probeDedupIndex(spark, idx,
+        docs.filter(col("source") === incomingSource), threshold)
     } finally corpus.unpersist()
   }
 

@@ -102,6 +102,52 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed ingestion dedup against the table-backed LSH index: probe then admit") {
+    // the production ingest loop: every micro-batch (a) probes the
+    // GOVERNED index tables for near-dups of the existing corpus, and
+    // (b) appends its own signatures so LATER batches dedup against it —
+    // foreachBatch makes both steps per-epoch atomic-enough (each append
+    // is one table commit). Asserts cross-batch visibility: a near-dup
+    // of a batch-1 doc arriving in batch 2 is flagged, a novel doc is
+    // not, and the flagged pairs carry the exact verified Jaccard.
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 79).map(i => s"tok$i") :+ "different").mkString(" ")
+    val novel = (1 to 80).map(i => s"other$i").mkString(" ")
+    val idx = graft.ext.TextOps.createDedupIndex(spark)
+    // seed corpus: one doc
+    graft.ext.TextOps.appendDedupIndex(spark,
+      idx, graft.ext.TextOps.md5DocSets(Seq((100L, base)).toDF("doc_id", "text")))
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the micro-batch frame lives in a CLONED session — register the
+        // native functions and load the index tables through IT, not the
+        // outer test session (same rule as the sink's epoch commits)
+        val s = batch.sparkSession
+        val prepped = graft.ext.TextOps.md5DocSets(batch).localCheckpoint(true)
+        flagged ++= graft.ext.TextOps
+          .probeDedupIndex(s, idx, prepped, threshold = 0.9)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        graft.ext.TextOps.appendDedupIndex(s, idx, prepped)
+        ()
+      }.start()
+    try {
+      mem.addData((1L, base), (2L, novel)) // 1 dups the seed, 2 is new
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((1L, 100L, 1.0)), s"batch1: $flagged")
+      flagged.clear()
+      // batch 2: near-dup of batch-1's doc 1 (cross-batch index growth)
+      mem.addData((3L, nearDup))
+      q.processAllAvailable()
+      // doc 3 is a near-dup of BOTH the seed and doc 1 (same content)
+      assert(flagged.map(p => (p._1, p._2)).toSet == Set((3L, 100L), (3L, 1L)),
+        s"batch2: $flagged")
+      assert(flagged.forall(p => p._3 > 0.9 && p._3 < 1.0), s"jac: $flagged")
+    } finally q.stop()
+  }
+
   test("toStreamDF tails table appends as micro-batches") {
     import org.apache.spark.sql.types._
     val t = graft.table.GraftTable.create(spark, TestSpark.tmpDir("tail"),
