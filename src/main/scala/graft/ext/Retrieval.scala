@@ -552,6 +552,215 @@ object Retrieval {
        |  FROM f WHERE rrf > 0)
        |WHERE rn <= $fuseK ORDER BY query_id, rank""".stripMargin
 
+  // ---- retrieval evaluation (P@k / R@k / MRR / nDCG@k) ---------------
+
+  /** The DCG position gains 1/log2(i+1) for i = 1..k and their prefix
+    * sums (the ideal DCG for j relevant items), computed ONCE driver-side
+    * and embedded as identical literals in both the DataFrame plan and
+    * the DuckDB oracle (the `lshPlanes` published-constants pattern) —
+    * the eval metrics then involve zero cross-engine libm calls. */
+  private def dcgGains(k: Int): (Seq[Double], Seq[Double]) = {
+    val g = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (g, g.scanLeft(0.0)(_ + _).tail)
+  }
+
+  /** Offline retrieval-quality evaluation — the metric pass every
+    * retrieval/RAG pipeline runs after building an index: for each query
+    * vector, rank the corpus by cosine, mark a neighbor relevant when it
+    * shares the query's class `label`, and report Precision@k, Recall@k,
+    * MRR, and nDCG@k per query.
+    *
+    * Scale shape: ONE broadcast-query scored pass feeds rank + all four
+    * metrics (at production scale the ranked list comes from the ANN
+    * index's top-k candidates instead of a corpus scan — the metric
+    * aggregation itself is one query-keyed combine over k rows/query).
+    * Determinism: cosine is the bit-exact sequential fold, so ranks
+    * agree across engines exactly; hit counts and first-relevant ranks
+    * are integers; DCG terms are the k published gain literals quantized
+    * to DECIMAL(30,15) (exact, order-independent sum); IDCG is a literal
+    * prefix-sum lookup. Every division is IEEE-exact on identical
+    * operands, rounded to 6 only for display. */
+  def retrievalEval(spark: SparkSession, dir: String,
+                    numQueries: Int = 8, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (gains, idcgs) = dcgGains(k)
+    val gainArr = array(gains.map(lit): _*)
+    val idcgArr = array(idcgs.map(lit): _*)
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("e"), col("label"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qe"), col("e")).as("sim"),
+        (col("label") === col("qlabel")).cast(IntegerType).as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val zeroD = lit(0).cast(DecimalType(30, 15))
+    val perQ = ranked.groupBy(col("query_id")).agg(
+      sum(col("rel")).cast(LongType).as("n_rel"),
+      sum(when(col("rank") <= k, col("rel")).otherwise(0)).cast(LongType).as("hits"),
+      min(when(col("rel") === 1, col("rank"))).as("frr"),
+      sum(when(col("rank") <= k && col("rel") === 1,
+        element_at(gainArr, col("rank")).cast(DecimalType(30, 15)))
+        .otherwise(zeroD)).as("dcg_d"))
+    perQ.select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("hits").cast(DoubleType) / k, 6).as("p_at_k"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast(DoubleType) / col("n_rel"), 6)).as("r_at_k"),
+        when(col("frr").isNotNull,
+          round(lit(1.0) / col("frr"), 6)).as("mrr"),
+        when(col("n_rel") > 0,
+          round(col("dcg_d").cast(DoubleType)
+            / element_at(idcgArr, least(lit(k), col("n_rel")).cast(IntegerType)), 6))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  private def retrievalEvalOracle(numQueries: Int = 8, k: Int = 10): String = {
+    val (gains, idcgs) = dcgGains(k)
+    val gLit = gains.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val iLit = idcgs.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe, label AS qlabel FROM e
+       |      WHERE vec_id < $numQueries),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, e.e)
+       |           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.e, e.e))) AS sim,
+       |         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+       |       FROM q, e WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id) AS rank FROM sc),
+       |g AS (SELECT query_id,
+       |        CAST(sum(rel) AS BIGINT) AS n_rel,
+       |        CAST(sum(CASE WHEN rank <= $k THEN rel ELSE 0 END) AS BIGINT) AS hits,
+       |        min(CASE WHEN rel = 1 THEN rank END) AS frr,
+       |        sum(CASE WHEN rank <= $k AND rel = 1
+       |              THEN CAST(list_extract($gLit, rank) AS DECIMAL(30,15))
+       |              ELSE CAST(0 AS DECIMAL(30,15)) END) AS dcg_d
+       |      FROM r GROUP BY query_id)
+       |SELECT query_id, n_rel, hits,
+       |  ROUND(CAST(hits AS DOUBLE) / $k, 6) AS p_at_k,
+       |  CASE WHEN n_rel > 0 THEN ROUND(CAST(hits AS DOUBLE) / n_rel, 6) END AS r_at_k,
+       |  CASE WHEN frr IS NOT NULL THEN ROUND(1.0 / frr, 6) END AS mrr,
+       |  CASE WHEN n_rel > 0 THEN ROUND(CAST(dcg_d AS DOUBLE)
+       |    / list_extract($iLit, least($k, n_rel)), 6) END AS ndcg
+       |FROM g ORDER BY query_id""".stripMargin
+  }
+
+  // ---- MMR diverse selection -----------------------------------------
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * classic relevance-vs-redundancy re-ranker used to pick a DIVERSE
+    * top-`sel` from a retrieval candidate pool (RAG context selection,
+    * diverse few-shot example picking, dataset diversification). Per
+    * query: seed with the most relevant candidate, then repeatedly take
+    *
+    *   argmax_c [ λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s) ]
+    *
+    * over the unselected pool.
+    *
+    * Scale shape: the candidate pool is the per-query top-`poolK` from
+    * one broadcast-query scored pass (at production it's the ANN
+    * candidate list), so the iterative phase touches Q·poolK rows, never
+    * the corpus; pool and pairwise-sim frames are localCheckpointed once
+    * and each of the `sel` selection rounds is a bounded broadcast-join
+    * + per-query argmax (a `sel`-round driver loop over METADATA-scale
+    * frames — the corpus is scanned exactly once). Determinism: rel and
+    * sim are bit-exact sequential-fold cosines; λ and 1−λ are the same
+    * two literals on both engines, so every MMR score and therefore the
+    * entire greedy selection sequence is bit-identical — the oracle
+    * replays the rounds as unrolled CTEs (the `bpe_merges` pattern). */
+  def mmrSelect(spark: SparkSession, dir: String, numQueries: Int = 4,
+                poolK: Int = 20, sel: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (lam, oneMinusLam) = (0.7, 0.3)
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scoredAll = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        Similarity.cosine(col("qe"), col("e")).as("rel"), col("e"))
+    val wPool = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id"))
+    val pool = scoredAll.withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= poolK).drop("rn")
+      .localCheckpoint()
+    val pe = pool.select(col("query_id"), col("cand_id"), col("e"))
+    val sims = pe.as("a").join(pe.as("b"), Seq("query_id"))
+      .filter(col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("query_id"), col("a.cand_id").as("a"), col("b.cand_id").as("b"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("sim"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("cand_id"))
+    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id"))
+    var selected = pool
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"), col("rel"),
+        lit(null).cast(DoubleType).as("mmr"))
+    for (step <- 2 to sel) {
+      val selIds = selected.select(col("query_id"), col("cand_id"))
+      val cands = pool.join(selIds, Seq("query_id", "cand_id"), "left_anti")
+      val maxSim = sims
+        .join(selIds.withColumnRenamed("cand_id", "b"), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("a", "cand_id")
+      val pick = cands.join(maxSim, Seq("query_id", "cand_id"))
+        .withColumn("mmr", lit(lam) * col("rel") - lit(oneMinusLam) * col("msim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(step).as("step"), col("rel"),
+          col("mmr"))
+      selected = selected.union(pick)
+    }
+    selected.select(col("query_id"), col("step"), col("cand_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("query_id", "step")
+  }
+
+  private def mmrOracle(numQueries: Int = 4, poolK: Int = 20, sel: Int = 5): String = {
+    val steps = (2 to sel).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""cand$i AS (SELECT p.* FROM pool p WHERE NOT EXISTS (
+         |  SELECT 1 FROM $prev s WHERE s.query_id = p.query_id AND s.cand_id = p.cand_id)),
+         |ms$i AS (SELECT si.query_id, si.a AS cand_id, max(si.sim) AS msim
+         |         FROM sims si JOIN $prev s
+         |           ON s.query_id = si.query_id AND s.cand_id = si.b
+         |         GROUP BY si.query_id, si.a),
+         |sc$i AS (SELECT c.query_id, c.cand_id, c.rel, 0.7 * c.rel - 0.3 * m.msim AS mmr
+         |         FROM cand$i c JOIN ms$i m
+         |           ON m.query_id = c.query_id AND m.cand_id = c.cand_id),
+         |pick$i AS (SELECT query_id, cand_id, $i AS step, rel, mmr FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, cand_id) AS rn FROM sc$i) WHERE rn = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < $numQueries),
+       |sc AS (SELECT q.query_id, e.vec_id AS cand_id,
+       |         list_dot_product(q.qe, e.e)
+       |           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.e, e.e))) AS rel
+       |       FROM q, e WHERE e.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, cand_id, rel FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, cand_id) AS rn FROM sc) WHERE rn <= $poolK),
+       |pe AS (SELECT p.query_id, p.cand_id, e.e FROM pool p
+       |       JOIN e ON e.vec_id = p.cand_id),
+       |sims AS (SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+       |           list_dot_product(a.e, b.e)
+       |             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+       |         FROM pe a JOIN pe b
+       |           ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+       |sel1 AS (SELECT query_id, cand_id, 1 AS step, rel, CAST(NULL AS DOUBLE) AS mmr
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rel DESC, cand_id) AS rn FROM pool) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS INT) AS step, cand_id,
+       |       ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr
+       |FROM sel$sel ORDER BY query_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
@@ -559,7 +768,9 @@ object Retrieval {
     "containment_sketch" -> ((s: SparkSession, d: String) => containmentSketch(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d)),
     "classifier_auc" -> ((s: SparkSession, d: String) => classifierAuc(s, d)),
-    "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d))
+    "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
+    "retrieval_eval" -> ((s: SparkSession, d: String) => retrievalEval(s, d)),
+    "mmr_select" -> ((s: SparkSession, d: String) => mmrSelect(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +780,8 @@ object Retrieval {
     "containment_sketch" -> containmentSketchOracle(),
     "quality_classifier" -> qualityClassifierOracle,
     "classifier_auc" -> classifierAucOracle(),
-    "rrf_fusion" -> rrfOracle()
+    "rrf_fusion" -> rrfOracle(),
+    "retrieval_eval" -> retrievalEvalOracle(),
+    "mmr_select" -> mmrOracle()
   )
 }

@@ -436,6 +436,78 @@ object Sampling {
        |        ELSE 'kept' END = 'kept') AS kept
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance-resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-corpus document by how target-domain-like its hashed
+    * n-gram distribution is, then keep the top-N. The target domain here
+    * is the English slice (`lang = 'en'`); features are word unigrams
+    * hashed into `buckets` buckets (the paper's hashed n-gram trick —
+    * fixed feature width regardless of vocabulary size, which is what
+    * makes the method viable at 100 TB). Per-doc log importance weight:
+    *
+    *   log w(d) = Σ_tokens [ ln p̂_target(b(tok)) − ln p̂_raw(b(tok)) ]
+    *
+    * with add-one-smoothed bucket probabilities.
+    *
+    * Scale shape: one explode → bucket-keyed partial-combine count
+    * produces the ENTIRE model (`buckets` rows — broadcast metadata, the
+    * paper trains on a sample for the same reason); per-doc weights are
+    * a broadcast join + doc-keyed sum (one shuffle at n_tok rows, the
+    * same shape as tf-idf); selection is TakeOrdered top-N — no global
+    * window, no second corpus pass. Determinism: bucket ids are md5
+    * integers (HACKING rule: `conv(md5-prefix,16,10)` ==
+    * `CAST('0x'||…)`) and counts are integers; the only libm is the 2·B
+    * bucket `ln` calls, each quantized to DECIMAL(30,15) immediately
+    * (the `window_distribution` pattern) so the doc-level sum is exact
+    * and order-independent; ranking compares exact DECIMALs. */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 64,
+                  topN: Int = 50, targetLang: String = "en"): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+    val b = tok.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType) % buckets).as("bkt"))
+    val stats = b.groupBy(col("bkt")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum(col("cr")).cast(DoubleType).as("tr"),
+      sum(col("ct")).cast(DoubleType).as("tt"))
+    val lr = stats.crossJoin(broadcast(tot)).select(col("bkt"),
+      (log((col("ct") + 1) / (col("tt") + buckets.toDouble))
+        - log((col("cr") + 1) / (col("tr") + buckets.toDouble)))
+        .cast(DecimalType(30, 15)).as("lr"))
+    val docw = b.join(broadcast(lr), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr")).as("w"))
+      .orderBy(col("w").desc, col("doc_id")).limit(topN)
+    docw
+      .withColumn("rank", row_number().over(Window.orderBy(col("w").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("w").cast(DoubleType), 6).as("log_w"), col("rank"))
+      .orderBy("rank")
+  }
+
+  private def dsirOracle(buckets: Int = 64, topN: Int = 50,
+                         targetLang: String = "en"): String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |        CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % $buckets AS bkt
+       |      FROM tok),
+       |stats AS (SELECT bkt, count(*) AS cr,
+       |            count(*) FILTER (WHERE lang = '$targetLang') AS ct
+       |          FROM b GROUP BY bkt),
+       |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt
+       |        FROM stats),
+       |lr AS (SELECT bkt, CAST(ln((ct + 1) / (tt + $buckets.0))
+       |                      - ln((cr + 1) / (tr + $buckets.0)) AS DECIMAL(30,15)) AS lr
+       |       FROM stats, tot),
+       |docw AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(l.lr) AS w
+       |         FROM b JOIN lr l ON l.bkt = b.bkt GROUP BY b.doc_id)
+       |SELECT doc_id, n_tok, ROUND(CAST(w AS DOUBLE), 6) AS log_w,
+       |       CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rn FROM docw)
+       |WHERE rn <= $topN ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minTok=15 / cap=150 keep all four verdict stages live on the
     // fixtures (19 quality drops, en over-budget by ~36)
@@ -447,7 +519,8 @@ object Sampling {
     "lang_temperature" -> ((s: SparkSession, d: String) => langTemperature(s, d)),
     "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "dedup_canonical" -> ((s: SparkSession, d: String) => dedupCanonical(s, d)),
-    "token_budget_select" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d))
+    "token_budget_select" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
+    "dsir_weights" -> ((s: SparkSession, d: String) => dsirWeights(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +531,7 @@ object Sampling {
     "lang_temperature" -> langTemperatureOracle,
     "weighted_sample" -> weightedSampleOracle(),
     "dedup_canonical" -> dedupCanonicalOracle,
-    "token_budget_select" -> tokenBudgetOracle()
+    "token_budget_select" -> tokenBudgetOracle(),
+    "dsir_weights" -> dsirOracle()
   )
 }

@@ -38,6 +38,11 @@ class PlanLintSpec extends AnyFunSuite {
     "pq_adc_topk"       -> "literal 8-row query batch (with m*nCent-double LUTs) crossJoin(broadcast) against the CODED corpus; production replaces the crossJoin with the IVF probe join",
     "hard_examples"     -> "literal probe batch crossJoin(broadcast) against corpus",
     "rrf_fusion"        -> "literal 8-row query batch crossJoin(broadcast); fusion never touches the corpus at production Q*N",
+    "retrieval_eval"    -> "literal 8-row query batch crossJoin(broadcast); at production the ranked list comes from the ANN index's candidates, not a corpus scan",
+    // mmr_select's identical pool-building crossJoin(broadcast) is NOT
+    // listed: it executes eagerly at localCheckpoint time during build,
+    // so the lintable final plan sees only the checkpointed Q*poolK rows
+    "dsir_weights"      -> "one-row token-total aggregate broadcast under the 64-bucket model",
     "bm25_topk"         -> "one-row corpus-stats aggregate broadcast under every doc row",
     "tfidf_keywords"    -> "one-row corpus-size aggregate broadcast under the tf table",
     "source_kl"         -> "one-row corpus-total aggregate broadcast",

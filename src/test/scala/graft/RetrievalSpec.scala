@@ -201,4 +201,85 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out("en") == 0.5)
     assert(out("all") == 0.5)
   }
+
+  test("retrieval_eval: metric ranges, and hits replay from an " +
+    "independent brute-force top-10 joined to labels") {
+    val rows = ext.Retrieval.retrievalEval(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (nRel, hits) = (r.getAs[Long]("n_rel"), r.getAs[Long]("hits"))
+      assert(hits <= math.min(10L, nRel))
+      assert(r.getAs[Double]("p_at_k") == hits.toDouble / 10)
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert((ndcg == 0.0) == (hits == 0L), "nDCG zero iff no top-k hit")
+      val mrr = r.getAs[Double]("mrr")
+      assert(mrr > 0.0 && mrr <= 1.0)
+      if (hits > 0) assert(mrr >= 1.0 / 10,
+        "a top-10 hit bounds the first relevant rank at 10")
+    }
+    // independent path: brute-force top-10 ranks joined to labels must
+    // reproduce the hit counts exactly
+    val labels = graft.ops.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = ext.Similarity.bruteForceTopK(spark, dir, numQueries = 8, k = 10)
+      .collect()
+    val expectHits = brute.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.count(r =>
+        labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("query_id"))))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") ==
+        expectHits(r.getAs[Long]("query_id")).toLong)
+    }
+  }
+
+  test("mmr_select: dense steps, no repeats, greedy sequence replays " +
+    "by hand from the collected pool, scores non-increasing") {
+    val rows = ext.Retrieval.mmrSelect(spark, dir).collect()
+    assert(rows.length == 20) // 4 queries x 5 steps
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("step")).sorted.toSeq == (1 to 5))
+      val ids = rs.map(_.getAs[Long]("cand_id"))
+      assert(ids.distinct.length == 5, s"query $qid repeats a candidate")
+      val mmrs = rs.sortBy(_.getAs[Int]("step")).drop(1)
+        .map(_.getAs[Double]("mmr"))
+      assert(mmrs.toSeq == mmrs.sorted.reverse.toSeq,
+        s"query $qid: MMR scores must be non-increasing over steps")
+      assert(rs.find(_.getAs[Int]("step") == 1)
+        .get.isNullAt(rs.head.fieldIndex("mmr")),
+        "step 1 is the pure-relevance seed; it has no MMR score")
+    }
+    // hand replay for one query: greedy argmax over the collected pool
+    val e = graft.ops.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val qid = 2L
+    val qe = e(qid)
+    val pool = e.keys.filter(_ != qid).map(id => id -> cos(qe, e(id))).toSeq
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    var sel = List(pool.head._1)
+    for (_ <- 2 to 5) {
+      val pick = pool.filterNot { case (id, _) => sel.contains(id) }
+        .map { case (id, rel) =>
+          val msim = sel.map(s => cos(e(id), e(s))).max
+          (id, 0.7 * rel - 0.3 * msim)
+        }.minBy { case (id, m) => (-m, id) }._1
+      sel = sel :+ pick
+    }
+    val engineSeq = byQ(qid).sortBy(_.getAs[Int]("step"))
+      .map(_.getAs[Long]("cand_id")).toSeq
+    assert(engineSeq == sel, s"greedy replay mismatch: $engineSeq vs $sel")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sampling / split-hygiene ops (`ext.Sampling`) + tf-idf and hard-example
@@ -184,5 +185,55 @@ class SamplingSpec extends AnyFunSuite {
     // maximality: the corpus has more docs than selected (budget binds)
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(rows.length < total)
+  }
+
+  test("dsir_weights: ranks dense and ordered, selection enriches the " +
+    "target domain above the corpus base rate") {
+    val rows = ext.Sampling.dsirWeights(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+    val ws = rows.map(_.getAs[Double]("log_w")).toSeq
+    assert(ws == ws.sorted.reverse, "log_w must be non-increasing by rank")
+    // importance resampling toward lang='en' must actually enrich:
+    // the selected set's en fraction strictly exceeds the corpus's
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = rows.count(r => docs(r.getAs[Long]("doc_id")) == "en").toDouble / 50
+    val baseEn = docs.valuesIterator.count(_ == "en").toDouble / docs.size
+    assert(selEn > baseEn,
+      s"DSIR top-50 en fraction $selEn must beat base rate $baseEn")
+  }
+
+  test("dsir_weights: a doc's weight replays from the bucket model by hand") {
+    // independent replay: recompute bucket log-ratios and one doc's
+    // weight driver-side from raw tokens (same md5 recipe), compare
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bkt(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 64
+    }
+    val all = docs.flatMap { case (_, lang, text) =>
+      text.split(" ", -1).map(t => (bkt(t), lang)) }
+    val cr = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val (tr, tt) = (cr.values.sum.toDouble, ct.values.sum.toDouble)
+    val lr = cr.keys.map { b =>
+      val l = math.log((ct.getOrElse(b, 0L) + 1) / (tt + 64.0)) -
+        math.log((cr(b) + 1) / (tr + 64.0))
+      b -> BigDecimal(l).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    val rows = ext.Sampling.dsirWeights(spark, dir).collect()
+    rows.take(5).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = docs.find(_._1 == id).get._3
+      val expect = text.split(" ", -1).map(t => lr(bkt(t))).sum.toDouble
+      assert(math.abs(r.getAs[Double]("log_w") - expect) < 1e-6,
+        s"doc $id: engine ${r.getAs[Double]("log_w")} vs replay $expect")
+    }
   }
 }
