@@ -404,7 +404,16 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           val keyCols = snap.key.map(k => col(snap.physicalOf(k)))
           withParts.repartitionByRange(keyCols: _*).sortWithinPartitions(keyCols: _*)
         } else if (partCols.nonEmpty) {
-          withParts.repartition(partCols.map(col): _*)
+          // EXPLICIT task count: repartition(cols) alone lets AQE
+          // coalesce the exchange by bytes (a few MB → 2 tasks), which
+          // re-serializes the per-dir parquet writer opens the hash
+          // distribution exists to parallelize (measured 1.6s → 0.8s on
+          // an 80-dir sf0.1 commit at local[32]). Pinning N to the
+          // cluster's parallelism keeps one task per hash BUCKET while
+          // each partition value still lands in exactly one task — file
+          // count is unchanged at any N.
+          withParts.repartition(spark.sparkContext.defaultParallelism,
+            partCols.map(col): _*)
         } else {
           withParts.hint("rebalance")
         }
