@@ -663,15 +663,19 @@ object Retrieval {
     *
     * Scale shape: the candidate pool is the per-query top-`poolK` from
     * one broadcast-query scored pass (at production it's the ANN
-    * candidate list), so the iterative phase touches Q·poolK rows, never
-    * the corpus; pool and pairwise-sim frames are localCheckpointed once
-    * and each of the `sel` selection rounds is a bounded broadcast-join
-    * + per-query argmax (a `sel`-round driver loop over METADATA-scale
-    * frames — the corpus is scanned exactly once). Determinism: rel and
-    * sim are bit-exact sequential-fold cosines; λ and 1−λ are the same
-    * two literals on both engines, so every MMR score and therefore the
-    * entire greedy selection sequence is bit-identical — the oracle
-    * replays the rounds as unrolled CTEs (the `bpe_merges` pattern). */
+    * candidate list) and the pairwise similarities are a bounded
+    * pool-self equi-join — both distributed, the corpus scanned exactly
+    * once. The greedy argmax itself runs DRIVER-SIDE over the collected
+    * Q·poolK candidate rows: MMR is inherently sequential (`sel` data-
+    * dependent rounds), the candidate list is metadata-scale by
+    * construction (bounded by the literal query batch, NOT by corpus
+    * size — the same bounded-collect class as the BPE argmax and the
+    * k·dim centroid aggregates), and replacing `sel` rounds of tiny
+    * shuffles with one in-memory loop is strictly less cluster work.
+    * Determinism: rel and sim are bit-exact sequential-fold cosines
+    * computed distributed; the driver's λ·rel − (1−λ)·msim uses the
+    * identical IEEE doubles, so the greedy sequence is bit-identical to
+    * the oracle's unrolled-CTE replay (the `bpe_merges` pattern). */
   def mmrSelect(spark: SparkSession, dir: String, numQueries: Int = 4,
                 poolK: Int = 20, sel: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -689,33 +693,35 @@ object Retrieval {
       .filter(col("rn") <= poolK).drop("rn")
       .localCheckpoint()
     val pe = pool.select(col("query_id"), col("cand_id"), col("e"))
-    val sims = pe.as("a").join(pe.as("b"), Seq("query_id"))
+    val simRows = pe.as("a").join(pe.as("b"), Seq("query_id"))
       .filter(col("a.cand_id") =!= col("b.cand_id"))
       .select(col("query_id"), col("a.cand_id").as("a"), col("b.cand_id").as("b"),
         Similarity.cosine(col("a.e"), col("b.e")).as("sim"))
-      .localCheckpoint()
-    val wPick = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("cand_id"))
-    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id"))
-    var selected = pool
-      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("step"), col("rel"),
-        lit(null).cast(DoubleType).as("mmr"))
-    for (step <- 2 to sel) {
-      val selIds = selected.select(col("query_id"), col("cand_id"))
-      val cands = pool.join(selIds, Seq("query_id", "cand_id"), "left_anti")
-      val maxSim = sims
-        .join(selIds.withColumnRenamed("cand_id", "b"), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("msim"))
-        .withColumnRenamed("a", "cand_id")
-      val pick = cands.join(maxSim, Seq("query_id", "cand_id"))
-        .withColumn("mmr", lit(lam) * col("rel") - lit(oneMinusLam) * col("msim"))
-        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"), lit(step).as("step"), col("rel"),
-          col("mmr"))
-      selected = selected.union(pick)
+      .collect() // Q·poolK·(poolK−1) rows — bounded by the query batch
+    val sims = simRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val poolRows = pool.select(col("query_id"), col("cand_id"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out = poolRows.map(_._1).distinct.sorted.flatMap { qid =>
+      val cands = poolRows.filter(_._1 == qid)
+        .map { case (_, id, rel) => (id, rel) }
+      val seed = cands.minBy { case (id, rel) => (-rel, id) }
+      var selected = Vector((seed._1, 1, seed._2, Option.empty[Double]))
+      for (step <- 2 to sel) {
+        val chosen = selected.map(_._1).toSet
+        val pick = cands.filterNot { case (id, _) => chosen(id) }
+          .map { case (id, rel) =>
+            val msim = selected.map(s => sims((qid, id, s._1))).max
+            (id, rel, lam * rel - oneMinusLam * msim)
+          }.minBy { case (id, _, m) => (-m, id) }
+        selected :+= ((pick._1, step, pick._2, Some(pick._3)))
+      }
+      selected.map { case (id, step, rel, mmr) => (qid, step, id, rel, mmr) }
     }
-    selected.select(col("query_id"), col("step"), col("cand_id"),
-        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+    import spark.implicits._
+    out.toSeq.toDF("query_id", "step", "cand_id", "rel_raw", "mmr_raw")
+      .select(col("query_id"), col("step"), col("cand_id"),
+        round(col("rel_raw"), 6).as("rel"), round(col("mmr_raw"), 6).as("mmr"))
       .orderBy("query_id", "step")
   }
 
