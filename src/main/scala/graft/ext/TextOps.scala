@@ -1042,6 +1042,84 @@ object TextOps {
       .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fp"))
       .orderBy("doc_id")
 
+  /** POSITIONAL winnowing fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, the MOSS algorithm) — the guarantee [[docFingerprint]]'s
+    * bottom-k sketch lacks: in every window of `k` consecutive w-gram
+    * hashes select the minimum (rightmost on ties), which provably
+    * fingerprints EVERY shared substring of ≥ w + k − 1 tokens while
+    * storing only ~2/(k+1) of the grams. Selection is encoded as one
+    * lexicographic window-min over `hash15 ∥ zeropad(999999 − pos)`
+    * strings: the suffix makes the min both tie-break rightmost and
+    * carry WHICH position was selected through the aggregation — no
+    * separate argmin pass, and plain string `min` is bit-identical on
+    * any engine.
+    *
+    * Scale shape: grams are a map-side posexplode; the window min is a
+    * doc-keyed running window (one shuffle on doc_id, bounded
+    * partitions); dedup of selections is per-doc distinct. Returns one
+    * row per selected fingerprint: (doc_id, fp_pos, fp_hash, n_win). */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+                         w: Int = 3, k: Int = 4): DataFrame = {
+    val grams = documents(spark, dir)
+      .filter(size(tokens) >= w + k - 1) // at least one full window
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(tokens) - w),
+        i => substring(md5(concat_ws(" ", slice(tokens, i + 1, lit(w)))), 1, 15))))
+      .toDF("doc_id", "pos", "h")
+    val sel = concat(col("h"),
+      lpad((lit(999999) - col("pos")).cast(StringType), 6, "0"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wWin = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(W.currentRow, k - 1)
+    val wDoc = W.partitionBy(col("doc_id"))
+    grams
+      .withColumn("sel", min(sel).over(wWin))
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= col("ng") - k) // full windows only
+      .select(col("doc_id"), col("sel"), (col("ng") - (k - 1)).as("n_win"))
+      .distinct()
+      .select(col("doc_id"),
+        (lit(999999) - substring(col("sel"), 16, 6).cast(IntegerType)).as("fp_pos"),
+        substring(col("sel"), 1, 15).as("fp_hash"), col("n_win"))
+  }
+
+  /** Graded winnowing query: per-doc fingerprint-set summary — count,
+    * window count, and a portable md5 digest over the sorted
+    * `pos:hash` strings (the curation_audit digest pattern), so the
+    * oracle hash pins every selected (position, hash) pair without
+    * emitting ~n/2 rows per document. */
+  private def winnowQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(spark, dir)
+      .select(col("doc_id"), col("n_win"),
+        concat(lpad(col("fp_pos").cast(StringType), 6, "0"), lit(":"),
+          col("fp_hash")).as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_win")).cast(LongType).as("n_win"),
+        count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", array_sort(collect_list(col("fp"))))).as("fp_digest"))
+      .orderBy("doc_id")
+
+  private def winnowOracle(w: Int = 3, k: Int = 4): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS pos, len(tk) - ${w - 1} AS ng,
+       |        substring(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15) AS h
+       |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
+       |            FROM d WHERE len(tk) >= ${w + k - 1})),
+       |s AS (SELECT doc_id, pos, ng,
+       |        min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${k - 1} FOLLOWING) AS sel
+       |      FROM g),
+       |f AS (SELECT DISTINCT doc_id, ng, sel FROM s WHERE pos <= ng - $k),
+       |p AS (SELECT doc_id, ng,
+       |        lpad(CAST(999999 - CAST(substring(sel, 16, 6) AS INT) AS VARCHAR), 6, '0')
+       |          || ':' || substring(sel, 1, 15) AS fp
+       |      FROM f)
+       |SELECT doc_id, CAST(max(ng) - ${k - 1} AS BIGINT) AS n_win,
+       |  CAST(count(*) AS BIGINT) AS n_fp,
+       |  md5(array_to_string(list_sort(list(fp)), ',')) AS fp_digest
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified subsample: per language, the k documents
     * with the smallest md5(doc_id) — the standard training-mix op
     * ("cap every language at N docs, reproducibly"). The hash order
@@ -1470,11 +1548,13 @@ object TextOps {
     "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
     "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "doc_fingerprint" -> fingerprintQuery,
+    "winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowQuery(s, d)),
     "xxh64_vectors" -> ((s: SparkSession, d: String) => xxh64VectorsQuery(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "xxh64_vectors" -> xxh64VectorsOracle,
+    "winnow_fingerprint" -> winnowOracle(),
     "simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash" -> simhashMd5PairsOracle(),
     "dedup_minhash_lsh" -> minhashMd5PairsOracle(),

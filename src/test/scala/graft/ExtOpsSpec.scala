@@ -139,6 +139,48 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(fp(0L).toSet.intersect(fp(1L).toSet).size >= fp(0L).size / 2)
   }
 
+  test("winnowing: coverage guarantee (every window selects), rightmost " +
+    "tie-break, and a driver-side replay matches exactly") {
+    val w = 3; val k = 4
+    val rows = TextOps.winnowFingerprints(spark, "/root/testdata/sf0.001", w, k)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("fp_pos"),
+        r.getAs[String]("fp_hash")))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex15(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, fps) =>
+      val toks = docs(id).split(" ", -1)
+      val ng = toks.length - w + 1
+      val positions = fps.map(_._2).sorted
+      // Schleimer et al. coverage law: every full window [j, j+k-1] of
+      // gram positions contains at least one selected fingerprint
+      (0 to ng - k).foreach { j =>
+        assert(positions.exists(p => p >= j && p <= j + k - 1),
+          s"doc $id: window at $j has no fingerprint")
+      }
+      // density: at most one selection per window start
+      assert(fps.length <= ng - k + 1)
+    }
+    // full replay on the 3 largest docs: winnow by hand (min hash per
+    // window, rightmost on ties) and compare the exact (pos, hash) sets
+    byDoc.toSeq.sortBy(-_._2.length).take(3).foreach { case (id, fps) =>
+      val toks = docs(id).split(" ", -1)
+      val hashes = (0 to toks.length - w)
+        .map(i => md5hex15(toks.slice(i, i + w).mkString(" ")))
+      val expect = (0 to hashes.length - k).map { j =>
+        val win = (j until j + k).map(p => (hashes(p), p))
+        win.minBy { case (h, p) => (h, -p) } // rightmost min
+      }.distinct.map { case (h, p) => (p, h) }.toSet
+      assert(fps.map(f => (f._2, f._3)).toSet == expect,
+        s"doc $id: winnowing selection drifted from the published algorithm")
+    }
+  }
+
   test("LSH ANN achieves recall >= 0.4 against brute force on sf0.001") {
     // synthetic embeddings are near-random (top-5 cosine ≈ 0.4), the
     // worst case for sign-LSH — bits=4 trades cost for recall here
