@@ -475,6 +475,81 @@ object Retrieval {
       |FROM r GROUP BY pooled, lang ORDER BY 1""".stripMargin
       .replace("CUT", cut.toString)
 
+  // ---- classifier evaluation: calibration (reliability diagram) ------
+
+  /** Calibration of the quality classifier — the reliability-diagram /
+    * expected-calibration-error pass that belongs next to ROC-AUC: a
+    * filter whose scores rank well (high AUC) can still be badly
+    * calibrated ("0.9" docs that are good only 60% of the time), which
+    * matters whenever the score is used as a THRESHOLD or a sampling
+    * weight rather than a ranking. Scores bin into `bins` equal-width
+    * probability buckets; per bucket: count, mean confidence, empirical
+    * accuracy against the same proxy label as [[classifierAuc]], the
+    * |acc − conf| gap, and the ECE contribution (n/N)·gap — summing
+    * `wgap` over the rows IS the expected calibration error.
+    *
+    * Scale shape: scoring is the classifier's map stage; the binning is
+    * one `bins`-row partial-combine aggregate plus a one-row total
+    * broadcast — no sort, no window, O(bins) output at any corpus size.
+    * Determinism: the margin is IEEE-exact, so only sigmoid's `exp` is
+    * libm — the score is rounded to 6 BEFORE binning and averaging
+    * (identical doubles cross-engine), bin sums quantize the rounded
+    * score to DECIMAL(30,15) (order-independent), and gap/wgap derive
+    * from the already-rounded conf/acc so every reported digit is
+    * reproducible. */
+  def classifierCalibration(spark: SparkSession, dir: String,
+                            cut: Int = 256, bins: Int = 10): DataFrame = {
+    val z = classifierMargin
+    val d = documents(spark, dir)
+      .select(round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("s"),
+        (col("n_chars") >= cut).cast(IntegerType).as("pos"))
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1)).cast(IntegerType))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    val conf = round(col("sum_s").cast(DoubleType) / col("n"), 6)
+    val acc = round(col("n_pos").cast(DoubleType) / col("n"), 6)
+    d.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("s").cast(DecimalType(30, 15))).as("sum_s"),
+        sum(col("pos")).cast(LongType).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        conf.as("conf"), acc.as("acc"),
+        round(abs(acc - conf), 6).as("gap"),
+        round(col("n").cast(DoubleType) / col("n_total")
+          * round(abs(acc - conf), 6), 6).as("wgap"))
+      .orderBy("bin")
+  }
+
+  private def classifierCalibrationOracle(cut: Int = 256, bins: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT doc_id, n_chars,
+       |  CAST(len(w) AS DOUBLE) AS n_tok,
+       |  CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) AS mean_tok_len,
+       |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS symbol_ratio,
+       |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+       |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) / len(w) AS numeric_frac,
+       |  CAST(len(list_filter(w, t -> t IN ('the','be','to','of','and','that','have','with'))) AS DOUBLE) AS stop_count
+       |FROM d),
+       |z AS (SELECT n_chars,
+       |  0.05 * (n_tok - 54.0) + 0.2 * (mean_tok_len - 4.5) + 2.0 * (alpha_frac - 0.9)
+       |  - 10.0 * symbol_ratio - 5.0 * numeric_frac + 0.3 * (stop_count - 5.0) AS z
+       |FROM f),
+       |s AS (SELECT ROUND(1.0 / (1.0 + exp(-z)), 6) AS s,
+       |        CASE WHEN n_chars >= $cut THEN 1 ELSE 0 END AS pos FROM z),
+       |b AS (SELECT least(CAST(floor(s * $bins) AS INT), ${bins - 1}) AS bin, s, pos FROM s),
+       |g AS (SELECT bin, count(*) AS n, sum(CAST(s AS DECIMAL(30,15))) AS sum_s,
+       |        sum(pos) AS n_pos FROM b GROUP BY bin),
+       |t AS (SELECT sum(n) AS n_total FROM g),
+       |r AS (SELECT bin, CAST(n AS BIGINT) AS n,
+       |        ROUND(CAST(sum_s AS DOUBLE) / n, 6) AS conf,
+       |        ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS acc, n_total
+       |      FROM g, t)
+       |SELECT bin, n, conf, acc,
+       |  ROUND(abs(acc - conf), 6) AS gap,
+       |  ROUND(CAST(n AS DOUBLE) / n_total * ROUND(abs(acc - conf), 6), 6) AS wgap
+       |FROM r ORDER BY bin""".stripMargin
+
   // ---- hybrid retrieval fusion (RRF) ---------------------------------
 
   /** Reciprocal-rank fusion (Cormack et al.) of two retrievers over the
@@ -774,6 +849,7 @@ object Retrieval {
     "containment_sketch" -> ((s: SparkSession, d: String) => containmentSketch(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d)),
     "classifier_auc" -> ((s: SparkSession, d: String) => classifierAuc(s, d)),
+    "classifier_calibration" -> ((s: SparkSession, d: String) => classifierCalibration(s, d)),
     "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "retrieval_eval" -> ((s: SparkSession, d: String) => retrievalEval(s, d)),
     "mmr_select" -> ((s: SparkSession, d: String) => mmrSelect(s, d))
@@ -786,6 +862,7 @@ object Retrieval {
     "containment_sketch" -> containmentSketchOracle(),
     "quality_classifier" -> qualityClassifierOracle,
     "classifier_auc" -> classifierAucOracle(),
+    "classifier_calibration" -> classifierCalibrationOracle(),
     "rrf_fusion" -> rrfOracle(),
     "retrieval_eval" -> retrievalEvalOracle(),
     "mmr_select" -> mmrOracle()

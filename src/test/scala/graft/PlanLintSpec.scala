@@ -43,6 +43,7 @@ class PlanLintSpec extends AnyFunSuite {
     // listed: it executes eagerly at localCheckpoint time during build,
     // so the lintable final plan sees only the checkpointed Q*poolK rows
     "dsir_weights"      -> "one-row token-total aggregate broadcast under the 64-bucket model",
+    "classifier_calibration" -> "one-row corpus-count aggregate broadcast under the 10-bin table",
     "bm25_topk"         -> "one-row corpus-stats aggregate broadcast under every doc row",
     "tfidf_keywords"    -> "one-row corpus-size aggregate broadcast under the tf table",
     "source_kl"         -> "one-row corpus-total aggregate broadcast",

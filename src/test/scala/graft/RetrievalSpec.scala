@@ -202,6 +202,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out("all") == 0.5)
   }
 
+  test("classifierCalibration: bins partition the corpus, conf stays in " +
+    "its bin, ECE = 0 on a perfectly calibrated planted fixture") {
+    val rows = ext.Retrieval.classifierCalibration(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "bins must partition the corpus exactly")
+    rows.foreach { r =>
+      val (bin, conf, acc) = (r.getAs[Int]("bin"),
+        r.getAs[Double]("conf"), r.getAs[Double]("acc"))
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= bin / 10.0 - 1e-6 && conf <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean confidence $conf escaped its bucket")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap")
+        - math.abs((acc * 1e6).round / 1e6 - (conf * 1e6).round / 1e6)) < 2e-6)
+    }
+    // planted: saturated-score docs that ARE all positive, and
+    // bottom-score docs that ARE all negative → both bins perfectly
+    // calibrated, ECE ≈ 0
+    val good = ("the and with have that " * 40).trim // huge margin → s≈1
+    val bad = "# 11 22 # 33" // negative margin → s≈0
+    val d2 = aucFixture(Seq(
+      (1L, good, "en", 300L), (2L, good, "en", 290L),
+      (3L, bad, "en", 10L), (4L, bad, "en", 20L)))
+    val cal = ext.Retrieval.classifierCalibration(spark, d2).collect()
+    val ece = cal.map(_.getAs[Double]("wgap")).sum
+    assert(ece < 1e-3, s"perfectly calibrated fixture must have ECE≈0, got $ece")
+  }
+
   test("retrieval_eval: metric ranges, and hits replay from an " +
     "independent brute-force top-10 joined to labels") {
     val rows = ext.Retrieval.retrievalEval(spark, dir).collect()
