@@ -186,6 +186,99 @@ object EventOps {
       |FROM e JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day_us, day_offset""".stripMargin
 
+  /** Fixed-point PageRank over the event-type transition graph — the
+    * graph-centrality member of the analytics family (next to the
+    * min-label connected components in TextOps). Nodes are the distinct
+    * `event_type` values; a directed edge (src → dst, weight = count)
+    * exists for every consecutive event pair within a user's timeline
+    * (ordered by ts, event_id tiebreak). `iters` damped iterations of
+    *
+    *   pr'(v) = (1−d)/N + d · Σ_u pr(u) · w(u,v) / out(u)
+    *
+    * run ENTIRELY in 64-bit fixed-point arithmetic (probabilities scaled
+    * by B = 10¹², d = 0.85 as ×85 div 100): every operation is integer
+    * multiply / integer `div` / integer sum, so the result is
+    * bit-identical on any engine and independent of aggregation order —
+    * the same exactness discipline as the DECIMAL kmeans means, without
+    * decimal-division scale rules. Dangling nodes (no out-edges) leak
+    * their mass, matching the plain formula; all values are positive so
+    * truncating and floor division agree engine-to-engine.
+    *
+    * Scale shape: the edge derivation is the data-scale part — one lag
+    * window per user partition over the events scan, then a
+    * partial-combined (src,dst) count. Each iteration is a join + sum
+    * over the EDGE-TYPE table (|node|² worst case, metadata-scale for
+    * any real event taxonomy), independent of corpus size. Overflow
+    * bound: pr·w·85 ≤ B · w · 85 needs w < 10⁵·N of 2⁶³ — at larger
+    * edge counts drop B one decade per decade of w.
+    *
+    * No reference counterpart (the reference has no graph op); published
+    * algorithm: Page et al. 1999, "The PageRank Citation Ranking". */
+  private def pagerankIter(spark: SparkSession, dir: String,
+                           iters: Int = 3): DataFrame = {
+    val B = 1000000000000L // fixed-point scale: pr 1.0 == 10^12
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = eventsWithTs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    val hops = ev
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("event_type").as("dst"))
+    val edges = hops.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("wgt"))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("wgt")).as("outw"))
+    val edgesOut = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("wgt"), col("outw"))
+      .localCheckpoint(true) // consumed once per iteration — freeze the
+                             // lag-window + double agg instead of re-running it
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+      .crossJoin(broadcast(
+        ev.select(col("event_type")).distinct().agg(count(lit(1)).as("n"))))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("node"), col("n"), expr(s"${B}L div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesOut
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), expr("(pr * wgt) div outw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("n"),
+          (expr(s"(15 * ${B}L) div (100 * n)") +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    pr.select(col("node").as("event_type"), col("pr").as("pr_fp"),
+        round(col("pr").cast(DoubleType) / B, 9).as("pr"))
+      .orderBy(col("pr_fp").desc, col("event_type"))
+  }
+
+  private def pagerankOracle(iters: Int = 3): String = {
+    val B = "1000000000000"
+    val steps = (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum((p.pr * e.wgt) // e.outw) AS BIGINT) AS s
+         |        FROM ed e JOIN $prev p ON p.node = e.src GROUP BY 1),
+         |pr$i AS (SELECT nd.node, nd.n,
+         |          CAST((15 * $B) // (100 * nd.n)
+         |            + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+         |         FROM nodes nd LEFT JOIN c$i c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+       |o AS (SELECT event_type, lag(event_type) OVER (
+       |        PARTITION BY user_id ORDER BY ts_us, event_id) AS src FROM e),
+       |ed0 AS (SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS wgt
+       |        FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+       |od AS (SELECT src, CAST(sum(wgt) AS BIGINT) AS outw FROM ed0 GROUP BY 1),
+       |ed AS (SELECT ed0.src, ed0.dst, ed0.wgt, od.outw FROM ed0 JOIN od USING (src)),
+       |n0 AS (SELECT DISTINCT event_type AS node FROM e),
+       |nodes AS (SELECT node, (SELECT CAST(count(*) AS BIGINT) FROM n0) AS n FROM n0),
+       |pr0 AS (SELECT node, n, CAST($B // n AS BIGINT) AS pr FROM nodes),
+       |$steps
+       |SELECT node AS event_type, pr AS pr_fp,
+       |       ROUND(CAST(pr AS DOUBLE) / $B, 9) AS pr
+       |FROM pr$iters ORDER BY pr_fp DESC, event_type""".stripMargin
+  }
+
   private def multimodalJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
@@ -288,10 +381,12 @@ object EventOps {
     "skew_salted_join" -> skewSaltedJoin,
     "approx_aggs" -> approxAggsGated,
     "funnel_steps" -> funnelSteps,
+    "pagerank_iter" -> ((s: SparkSession, d: String) => pagerankIter(s, d)),
     "multimodal_json" -> multimodalJson
   )
 
   val oracles: Map[String, String] = Map(
+    "pagerank_iter" -> pagerankOracle(),
     "approx_aggs" ->
       """WITH e AS (SELECT event_type, user_id, value FROM events),
         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -508,6 +508,72 @@ object Sampling {
        |FROM (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rn FROM docw)
        |WHERE rn <= $topN ORDER BY rank""".stripMargin
 
+  /** k-anonymity audit over a generalization ladder (Sweeney 2002,
+    * "k-Anonymity: a model for protecting privacy") — the
+    * privacy-governance check a corpus release runs before publishing
+    * per-document metadata: a document is k-anonymous iff at least `k`
+    * docs share its quasi-identifier tuple, and when a level fails the
+    * release generalizes (suppresses the most-identifying QI column)
+    * and re-checks. The QI here is (lang, source, 256-char length
+    * bucket); the ladder is the standard suppression chain
+    * level 0 = (lang, source, bucket) → 1 = (lang, source) →
+    * 2 = (lang) → 3 = (), i.e. exactly a ROLLUP — so the entire lattice
+    * audit is ONE pass over the corpus: rollup group sizes, then a
+    * metadata-scale re-aggregation per level of how many groups and
+    * docs sit below `k`. Output: one row per ladder level with the
+    * group count, sub-k group count, docs at risk, and the re-identify
+    * risk fraction — the table from which the release picks the minimal
+    * generalization with risk 0.
+    *
+    * Scale shape: rollup = one partial-combined aggregation (4× key
+    * expansion map-side, combined before the shuffle); the per-level
+    * summary groups the GROUP rows (bounded by the QI cardinality, not
+    * the corpus). Determinism: counts are integers; the single risk
+    * division is one double op rounded to 6 — IEEE-identical in DuckDB. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5,
+                 bucketChars: Int = 256): DataFrame = {
+    val groups = documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr(s"n_chars div $bucketChars").as("len_bucket"))
+      .rollup(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    groups.groupBy(col("gid"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("docs_at_risk"),
+        sum(col("n")).as("n_docs"))
+      .select(
+        when(col("gid") === 0, 0).when(col("gid") === 1, 1)
+          .when(col("gid") === 3, 2).otherwise(3).as("level"),
+        when(col("gid") === 0, "lang,source,len_bucket")
+          .when(col("gid") === 1, "lang,source")
+          .when(col("gid") === 3, "lang").otherwise("<all>").as("quasi_id"),
+        col("n_groups"), col("n_small_groups"), col("docs_at_risk"),
+        round(col("docs_at_risk").cast(DoubleType) / col("n_docs"), 6)
+          .as("risk_frac"),
+        (col("n_small_groups") === 0).as("k_anonymous"))
+      .orderBy("level")
+  }
+
+  private def kAnonymityOracle(k: Int = 5, bucketChars: Int = 256): String =
+    s"""WITH d AS (SELECT lang, source, n_chars // $bucketChars AS len_bucket
+       |           FROM documents),
+       |g AS (SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n,
+       |        GROUPING(lang, source, len_bucket) AS gid
+       |      FROM d GROUP BY ROLLUP (lang, source, len_bucket)),
+       |lv AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_groups,
+       |         CAST(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       |         CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS docs_at_risk,
+       |         CAST(sum(n) AS BIGINT) AS n_docs
+       |       FROM g GROUP BY gid)
+       |SELECT CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 ELSE 3 END AS level,
+       |  CASE gid WHEN 0 THEN 'lang,source,len_bucket' WHEN 1 THEN 'lang,source'
+       |           WHEN 3 THEN 'lang' ELSE '<all>' END AS quasi_id,
+       |  n_groups, n_small_groups, docs_at_risk,
+       |  ROUND(CAST(docs_at_risk AS DOUBLE) / n_docs, 6) AS risk_frac,
+       |  (n_small_groups = 0) AS k_anonymous
+       |FROM lv ORDER BY level""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minTok=15 / cap=150 keep all four verdict stages live on the
     // fixtures (19 quality drops, en over-budget by ~36)
@@ -520,7 +586,8 @@ object Sampling {
     "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "dedup_canonical" -> ((s: SparkSession, d: String) => dedupCanonical(s, d)),
     "token_budget_select" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
-    "dsir_weights" -> ((s: SparkSession, d: String) => dsirWeights(s, d))
+    "dsir_weights" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
+    "k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -532,6 +599,7 @@ object Sampling {
     "weighted_sample" -> weightedSampleOracle(),
     "dedup_canonical" -> dedupCanonicalOracle,
     "token_budget_select" -> tokenBudgetOracle(),
-    "dsir_weights" -> dsirOracle()
+    "dsir_weights" -> dsirOracle(),
+    "k_anonymity" -> kAnonymityOracle()
   )
 }

@@ -236,4 +236,33 @@ class SamplingSpec extends AnyFunSuite {
         s"doc $id: engine ${r.getAs[Double]("log_w")} vs replay $expect")
     }
   }
+
+  test("k_anonymity: plain-Scala ladder replay; risk is monotone in generalization") {
+    val k = 5
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars") / 256))
+    def level(keyOf: ((String, String, Long)) => Product): (Long, Long, Long) = {
+      val groups = docs.groupBy(keyOf).values.map(_.length.toLong)
+      (groups.size.toLong, groups.count(_ < k).toLong,
+        groups.filter(_ < k).sum)
+    }
+    val want = Seq(
+      level(t => (t._1, t._2, t._3)), level(t => (t._1, t._2)),
+      level(t => Tuple1(t._1)), level(_ => Tuple1(())))
+    val rows = ext.Sampling.kAnonymity(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2, 3))
+    rows.zip(want).foreach { case (r, (ng, nsm, risk)) =>
+      assert(r.getAs[Long]("n_groups") == ng, s"level ${r.getAs[Int]("level")} n_groups")
+      assert(r.getAs[Long]("n_small_groups") == nsm)
+      assert(r.getAs[Long]("docs_at_risk") == risk)
+      assert(r.getAs[Boolean]("k_anonymous") == (nsm == 0))
+    }
+    // suppressing a QI column merges groups, so group sizes only grow:
+    // docs_at_risk must be non-increasing down the ladder, ending at 0
+    val risks = rows.map(_.getAs[Long]("docs_at_risk")).toSeq
+    assert(risks == risks.sorted(Ordering[Long].reverse), s"risk not monotone: $risks")
+    assert(risks.last == 0L, "the fully-suppressed level is always k-anonymous")
+  }
 }
