@@ -365,6 +365,73 @@ object RefOps {
       .orderBy("customer_id")
   }
 
+  /** Z-order layout rewrite as a graded query (the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` maintenance op, spec-deep-covered in
+    * GraftTableSpec): build a fragmented table (two appends), rewrite
+    * with [[GraftTable.rewriteZOrder]] on (p_partkey, p_size), reload
+    * FROM DISK, and return every row with its recomputed Morton
+    * z-value. The oracle recomputes the identical clamp-normalize +
+    * bit-interleave from raw parquet (sign bit via the simhash-oracle
+    * Long.MinValue-term convention), so the hash match proves both the
+    * rewrite-preserves-the-table law and the interleave semantics
+    * bit-for-bit. The in-query gate pins the property the rewrite
+    * exists for at 100 TB: `repartitionByRange(__z)` gives the
+    * rewritten files PAIRWISE DISJOINT z ranges, so min/max file bounds
+    * prune range predicates on EITHER dimension — one sorted layout
+    * serving two predicate columns. */
+  private def zorderRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ZOrderLong.register(spark)
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_brand"))
+    val path = tmp("zorder")
+    val tbl = GraftTable.create(spark, path, p.schema)
+    tbl.append(p.filter(col("p_partkey") % 2 === 0))
+    tbl.append(p.filter(col("p_partkey") % 2 === 1))
+    tbl.rewriteZOrder("p_partkey", "p_size")
+    val re = GraftTable.load(spark, path)
+    val s = re.snapshot
+    assert(s.dataDirs.length == 1,
+      "z-order rewrite must leave one clustered dir")
+    def norm(c: Column): Column =
+      greatest(least(c.cast(LongType), lit(2147483647L)),
+        lit(-2147483648L)) + lit(2147483648L)
+    val z = graft.functions.ZOrderLong.z_order(
+      norm(col("p_partkey")), norm(col("p_size")))
+    // layout gate: per-file [min,max] z ranges must not overlap — the
+    // range partitioner's contract, and exactly what makes file-bounds
+    // pruning work on the clustered table. Metadata-scale collect (one
+    // row per file).
+    val ranges = spark.read.parquet(s"$path/${s.dataDirs.head.path}")
+      .select(input_file_name().as("f"), z.as("z"))
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi0), (lo1, _)) =>
+        assert(hi0 <= lo1,
+          s"z-ordered files overlap: [..,$hi0] vs [$lo1,..] — range layout broken")
+      case _ => ()
+    }
+    re.toDF
+      .select(col("p_partkey"), col("p_size"), col("p_brand"), z.as("z"))
+      .orderBy("z", "p_partkey")
+  }
+
+  private def zorderOracle: String = {
+    def norm(c: String) =
+      s"(GREATEST(LEAST(CAST($c AS BIGINT), 2147483647), -2147483648) + 2147483648)"
+    val aTerms = (0 until 32).map(j => s"(((na >> $j) & 1) << ${2 * j})")
+      .mkString(" + ")
+    val bTerms = (0 until 31).map(j => s"(((nb >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+    s"""WITH p AS (SELECT p_partkey, p_size, p_brand,
+       |  ${norm("p_partkey")} AS na, ${norm("p_size")} AS nb FROM part)
+       |SELECT p_partkey, p_size, p_brand,
+       |  CAST($aTerms + $bTerms
+       |    + CASE WHEN ((nb >> 31) & 1) = 1
+       |        THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS z
+       |FROM p ORDER BY z, p_partkey""".stripMargin
+  }
+
   // row-level CDC changelog: inserts read from their commit's data dirs,
   // delete pre-images recovered by a keyed semi-join against the parent
   // snapshot (an upsert reads as delete(old)+insert(new))
@@ -867,7 +934,8 @@ object RefOps {
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync,
     "refs_wap_rollback" -> refsWapRollback,
-    "maintenance_compact" -> maintenanceCompact
+    "maintenance_compact" -> maintenanceCompact,
+    "zorder_rewrite" -> zorderRewrite
   )
 
   val oracles: Map[String, String] = Map(
@@ -1100,6 +1168,7 @@ object RefOps {
         |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS acctbal
         |  FROM customer)
         |SELECT customer_id, name, acctbal FROM b
-        |WHERE NOT (acctbal < 0.0) ORDER BY customer_id""".stripMargin
+        |WHERE NOT (acctbal < 0.0) ORDER BY customer_id""".stripMargin,
+    "zorder_rewrite" -> zorderOracle
   )
 }
