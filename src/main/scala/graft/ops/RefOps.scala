@@ -365,6 +365,41 @@ object RefOps {
       .orderBy("customer_id")
   }
 
+  /** Orphan-file sweep as a graded query (Iceberg's
+    * `remove_orphan_files`, spec-deep-covered in GraftTableSpec /
+    * CrashRecoverySpec): build a live two-commit table, PLANT the
+    * residue a 100 TB deployment actually accumulates — a fully-written
+    * data dir whose commit never happened (crashed writer) and a stale
+    * `staging/` scratch dir — then sweep with
+    * [[GraftTable.vacuumOrphans]] and reload FROM DISK. The in-query
+    * gate pins the sweep's exact scope: both planted dirs removed, both
+    * referenced commits untouched. The oracle recomputes the logical
+    * table from raw parquet, so the hash match is the law that makes
+    * the sweep schedulable against live tables: vacuum may reclaim
+    * storage but may never change a query result. */
+  private def vacuumOrphansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val path = tmp("vacuum")
+    val tbl = GraftTable.create(spark, path, cust.schema)
+    tbl.append(cust.filter(col("customer_id") % 2 === 0))
+    tbl.append(cust.filter(col("customer_id") % 2 === 1))
+    // residue of a crashed writer: data written, commit never ran
+    cust.limit(50).write.parquet(s"$path/data/orphan-crashed")
+    cust.limit(10).write.parquet(s"$path/staging/orphan-scratch")
+    // negative grace = "everything is old": the planted dirs are seconds
+    // young, and production sweeps use a 3-day grace for exactly that
+    // reason — here the POINT is sweeping them
+    val removed = GraftTable.load(spark, path).vacuumOrphans(olderThanMs = -1000)
+    assert(removed.toSet == Set("data/orphan-crashed", "staging/orphan-scratch"),
+      s"vacuum swept the wrong set: $removed")
+    val re = GraftTable.load(spark, path)
+    assert(re.snapshot.dataDirs.length == 2,
+      "vacuum must leave every snapshot-referenced dir untouched")
+    re.toDF.select(col("customer_id"), col("name"), col("acctbal"))
+      .orderBy("customer_id")
+  }
+
   /** Z-order layout rewrite as a graded query (the Delta/Iceberg
     * `OPTIMIZE ZORDER BY` maintenance op, spec-deep-covered in
     * GraftTableSpec): build a fragmented table (two appends), rewrite
@@ -935,7 +970,8 @@ object RefOps {
     "merge_full_sync" -> mergeFullSync,
     "refs_wap_rollback" -> refsWapRollback,
     "maintenance_compact" -> maintenanceCompact,
-    "zorder_rewrite" -> zorderRewrite
+    "zorder_rewrite" -> zorderRewrite,
+    "vacuum_orphans" -> vacuumOrphansQuery
   )
 
   val oracles: Map[String, String] = Map(
@@ -1169,6 +1205,9 @@ object RefOps {
         |  FROM customer)
         |SELECT customer_id, name, acctbal FROM b
         |WHERE NOT (acctbal < 0.0) ORDER BY customer_id""".stripMargin,
-    "zorder_rewrite" -> zorderOracle
+    "zorder_rewrite" -> zorderOracle,
+    "vacuum_orphans" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY customer_id""".stripMargin
   )
 }
