@@ -292,6 +292,167 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-N adjacent
+    * word pairs whose co-occurrence most exceeds chance —
+    * PMI(a,b) = log₂(P(a,b) / (P(a)P(b))) with P(a,b) = c_ab/N_bi and
+    * P(w) = c_w/N_uni — the corpus-analysis staple behind phrase
+    * detection, tokenizer-merge sanity checks, and boilerplate-phrase
+    * discovery. A minimum pair count (Church & Hanks' frequency floor)
+    * drops the unstable low-count tail BEFORE any join.
+    *
+    * Scale shape: bigram construction is a map-side zip_with; pair and
+    * unigram counts are partial-combine groupBys keyed on the words
+    * themselves; the min-count filter prunes the pair table before its
+    * two unigram joins (vocabulary-sized, keyed — never corpus-sized);
+    * totals ride along as a broadcast 1-row frame; the final top-N is a
+    * distributed TakeOrdered. Determinism: counts are integers; the
+    * ranking key is the EXACT probability ratio (identical float ops on
+    * identical integers — no transcendental in the ordering); log₂
+    * appears only in the displayed 6-dp PMI, the same contract as
+    * [[lmScore]]. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = 5, topN: Int = 100): DataFrame = {
+    val tk = documents(spark, dir).select(toks.as("t"))
+    val bi = tk.where(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uniCounts = tk.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = tk.agg(sum(size(col("t"))).as("n_uni"),
+      sum(size(col("t")) - 1).as("n_bi"))
+    // association spelled out and mirrored in the oracle: identical op
+    // order on identical integer-derived doubles → identical ratio
+    val ratio = (col("c_ab").cast(DoubleType) * col("n_uni").cast(DoubleType)
+        / col("c_a").cast(DoubleType)) *
+      (col("n_uni").cast(DoubleType) / col("c_b").cast(DoubleType)) /
+      col("n_bi").cast(DoubleType)
+    val top = biCounts
+      .join(uniCounts.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"),
+        Seq("w1"))
+      .join(uniCounts.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("r", ratio)
+      .orderBy(col("r").desc, col("w1"), col("w2"))
+      .limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("w1"), col("w2"))))
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"),
+        round(log2(col("r")), 6).as("pmi"))
+      .orderBy("rank")
+  }
+
+  private def pmiOracle(minCount: Int = 5, topN: Int = 100): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |bi AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+       |       FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |       WHERE len(t) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2
+       |       HAVING count(*) >= $minCount),
+       |uni AS (SELECT w, count(*) AS c
+       |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |tot AS (SELECT sum(len(t)) AS n_uni, sum(len(t) - 1) AS n_bi FROM tk),
+       |sc AS (SELECT bc.w1, bc.w2, bc.c_ab,
+       |  (CAST(bc.c_ab AS DOUBLE) * CAST(tot.n_uni AS DOUBLE) / CAST(ua.c AS DOUBLE))
+       |  * (CAST(tot.n_uni AS DOUBLE) / CAST(ub.c AS DOUBLE))
+       |  / CAST(tot.n_bi AS DOUBLE) AS r
+       |  FROM bc JOIN uni ua ON bc.w1 = ua.w JOIN uni ub ON bc.w2 = ub.w
+       |  CROSS JOIN tot)
+       |SELECT CAST(rn AS INT) AS rank, w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       |       ROUND(log2(r), 6) AS pmi
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, w1, w2) AS rn FROM sc)
+       |WHERE rn <= $topN ORDER BY rank""".stripMargin
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023): one
+    * exponentiated-gradient update of the training-mixture weights from
+    * per-domain excess loss. The per-doc loss is the self-trained bigram
+    * LM's bits/token ([[lmScore]] — playing DoReMi's small proxy model);
+    * the reference loss is the corpus-wide mean (standing in for
+    * DoReMi's reference model, documented substitution). Per domain
+    * (`source`): excess_d = max(0, mean_loss_d − ref_loss), then
+    * α_d ∝ exp(η·excess_d) normalized over domains, smoothed with the
+    * uniform mixture u: α ← (1−c)·α_norm + c/k. Domains whose proxy
+    * finds hardest-relative-to-reference get upweighted — the published
+    * recipe for choosing pretraining mixture proportions.
+    *
+    * Scale shape: everything through mean_loss_d is [[lmScore]]'s plan
+    * plus one doc_id-keyed join and one domain-keyed partial-combine
+    * agg; the EG update runs on the k-row domain frame (k = #domains —
+    * metadata scale) with 1-row broadcast totals. Determinism: per-doc
+    * losses are lmScore's exact rounded stats; domain/reference means
+    * are DECIMAL sums (HACKING rule 1); exp is libm so e_d is rounded
+    * to 9 dp BEFORE the (DECIMAL-summed) normalization — every input to
+    * every division is identical cross-engine. */
+  def doremiReweight(spark: SparkSession, dir: String,
+                     eta: Double = 1.0, smooth: Double = 0.01): DataFrame = {
+    val perDoc = lmScore(spark, dir).select(col("doc_id"), col("bits_per_token"))
+      .join(documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val decMean = (c: Column) =>
+      sum(c.cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1))
+    val byDom = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), decMean(col("bits_per_token")).as("mean_loss"))
+    val ref = perDoc.agg(decMean(col("bits_per_token")).as("ref_loss"))
+    val kf = byDom.agg(count(lit(1)).as("k"))
+    val scored = byDom.crossJoin(broadcast(ref)).crossJoin(broadcast(kf))
+      .withColumn("excess", greatest(lit(0.0), col("mean_loss") - col("ref_loss")))
+      .withColumn("e", round(exp(lit(eta) * col("excess")), 9))
+    val tot = scored.agg(
+      sum(col("e").cast(DecimalType(30, 15))).cast(DoubleType).as("sum_e"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("mean_loss"), 6).as("mean_loss"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(1.0 - smooth) * (col("e") / col("sum_e"))
+          + lit(smooth) / col("k"), 9).as("weight"))
+      .orderBy("source")
+  }
+
+  /** The [[lmScore]] oracle's CTE chain as a reusable WITH-prefix ending
+    * at per-doc `pl(doc_id, bits_per_token)`. */
+  private def lmScoreSqlPrefix: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+      |uni AS (SELECT w1, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |pl AS (SELECT bi.doc_id,
+      |  ROUND(CAST(SUM(CAST(-log2((c12 + 1.0) / (c1 + v.v)) AS DECIMAL(30,15))) AS DOUBLE)
+      |        / count(*), 4) AS bits_per_token
+      |FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+      |GROUP BY bi.doc_id)""".stripMargin
+
+  private def doremiOracle(eta: Double = 1.0, smooth: Double = 0.01): String =
+    s"""$lmScoreSqlPrefix,
+       |pd AS (SELECT pl.doc_id, pl.bits_per_token, d.source
+       |       FROM pl JOIN documents d ON pl.doc_id = d.doc_id),
+       |dom AS (SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(CAST(bits_per_token AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean_loss
+       |  FROM pd GROUP BY source),
+       |ref AS (SELECT
+       |  CAST(SUM(CAST(bits_per_token AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS ref_loss
+       |  FROM pd),
+       |kf AS (SELECT count(*) AS k FROM dom),
+       |sc AS (SELECT dom.*, ref.ref_loss, kf.k,
+       |  greatest(0.0, mean_loss - ref_loss) AS excess,
+       |  ROUND(exp($eta * greatest(0.0, mean_loss - ref_loss)), 9) AS e
+       |  FROM dom CROSS JOIN ref CROSS JOIN kf),
+       |tot AS (SELECT CAST(SUM(CAST(e AS DECIMAL(30,15))) AS DOUBLE) AS sum_e FROM sc)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  ROUND(mean_loss, 6) AS mean_loss,
+       |  ROUND(excess, 6) AS excess,
+       |  ROUND(${1.0 - smooth} * (e / sum_e) + $smooth / k, 9) AS weight
+       |FROM sc CROSS JOIN tot ORDER BY source""".stripMargin
+
   /** Token-length histogram in power-of-two buckets — the length profile
     * that drives packing efficiency and truncation policy for a training
     * corpus. One partial-combine aggregation over a map-side bucket
@@ -748,11 +909,15 @@ object CorpusOps {
     "length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "histogram_quantiles" -> ((s, d) => histogramQuantiles(s, d)),
     "lm_perplexity" -> ((s, d) => lmScore(s, d)),
-    "source_kl" -> ((s, d) => sourceKl(s, d))
+    "source_kl" -> ((s, d) => sourceKl(s, d)),
+    "pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
+    "doremi_reweight" -> ((s, d) => doremiReweight(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "exact_substring_spans" -> exactSubstringSpansOracle(),
+    "pmi_collocations" -> pmiOracle(),
+    "doremi_reweight" -> doremiOracle(),
     "bpe_merges" -> bpeMergesOracle(),
     "bpe_encode" -> bpeEncodeOracle(),
     "bpe_pair_counts" ->

@@ -550,6 +550,137 @@ object Retrieval {
        |  ROUND(CAST(n AS DOUBLE) / n_total * ROUND(abs(acc - conf), 6), 6) AS wgap
        |FROM r ORDER BY bin""".stripMargin
 
+  // ---- classifier training: full-batch GD trace -----------------------
+
+  /** Number of trainer features (bias + six margin features). */
+  private val trainDim = 7
+
+  /** Trainer learning rate — exactly representable in binary so the
+    * weight updates stay IEEE-exact on both engines. */
+  private val trainLr = 0.5
+
+  /** The centered, 6-dp-quantized feature columns the trainer fits:
+    * bias first, then the six [[classifierMargin]] features rescaled to
+    * comparable ranges so one learning rate serves every coordinate.
+    * Quantizing each feature to 6 dp up front makes the feature matrix
+    * bit-identical across engines (the raw features are single
+    * divisions of integer counts — identical doubles — so the rounding
+    * agrees), and everything downstream is exact arithmetic. */
+  private def trainFeatures: Seq[Column] = {
+    val nTok = size(toks).cast(DoubleType)
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    Seq(
+      lit(1.0),
+      round((nTok - 54.0) / 100.0, 6),
+      round(DocFeatures.meanTokLen(toks) - 4.5, 6),
+      round(DocFeatures.alphaFrac(toks) - 0.9, 6),
+      round(nHash.cast(DoubleType) / nTok, 6),
+      round(DocFeatures.numericFrac(toks), 6),
+      round((DocFeatures.stopCount(toks).cast(DoubleType) - 5.0) / 10.0, 6))
+  }
+
+  /** Logistic-regression TRAINING of the quality classifier as a fixed
+    * two-iteration full-batch gradient-ascent trace — the step that
+    * closes the classifier lifecycle in-engine: TRAIN (this) → score
+    * ([[qualityClassifier]]) → rank-evaluate ([[classifierAuc]]) →
+    * calibrate ([[classifierCalibration]]). Labels are the same
+    * `n_chars >= cut` proxy the evaluators use, so the whole chain fits
+    * and grades one model family end-to-end.
+    *
+    * Update rule: w ← w + lr · (1/n) Σᵢ (yᵢ − σ̂(w·xᵢ)) xᵢ, from w = 0.
+    * The activation is the Elliott rational sigmoid
+    * σ̂(z) = ½(1 + z/(1+|z|)) (Elliott 1993, the standard
+    * hardware/quantized-training substitute) — division, addition and
+    * |·| only, so unlike exp it is bit-identical across engines and the
+    * whole trace needs NO float tolerance: per-row arithmetic is exact
+    * IEEE on identical operands, and the only reductions are the
+    * per-coordinate gradient sums, DECIMAL(30,15)-quantized
+    * (HACKING rule 1 — partition-order-independent). The margin z folds
+    * left-to-right (w₀x₀ + w₁x₁ + …), the same association the oracle
+    * spells out. Between iterations the 7 weights collect to the driver
+    * (metadata-scale, the same contract as kmeansTrace) and fold into
+    * the next pass as literals.
+    *
+    * Scale shape: one partial-combine aggregation job per iteration over
+    * a map-only feature stage — 7 DECIMAL sums wide, one output row; no
+    * shuffle of doc-level data, no driver loop over rows. At 100 TB each
+    * iteration is a single scan+reduce; iteration count is a constant.
+    * Output: per-iteration per-coordinate gradient and updated weight
+    * (both exact; rounded to 9 dp for display). */
+  def classifierTrain(spark: SparkSession, dir: String,
+                      cut: Int = 256, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val base = documents(spark, dir)
+      .select(trainFeatures.zipWithIndex.map { case (f, i) => f.as(s"x$i") } :+
+        when(col("n_chars") >= cut, lit(1.0)).otherwise(lit(0.0)).as("y"): _*)
+      .localCheckpoint(true)
+    try {
+      var w = Array.fill(trainDim)(0.0)
+      val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
+      for (iter <- 1 to iters) {
+        val z = (0 until trainDim).map(d => lit(w(d)) * col(s"x$d"))
+          .reduceLeft(_ + _) // left-assoc fold, mirrored in the oracle
+        val sig = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+        val resid = col("y") - sig
+        val aggs = (0 until trainDim).map(d =>
+          (sum((resid * col(s"x$d")).cast(DecimalType(30, 15)))
+            .cast(DoubleType) / count(lit(1))).as(s"g$d"))
+        val g = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        (0 until trainDim).foreach { d =>
+          val gd = g.getDouble(d)
+          w = w.updated(d, w(d) + trainLr * gd)
+          trace += ((iter, d, gd, w(d)))
+        }
+      }
+      trace.toSeq.toDF("iter", "d", "grad", "weight")
+        .select(col("iter"), col("d"), round(col("grad"), 9).as("grad"),
+          round(col("weight"), 9).as("weight"))
+        .orderBy("iter", "d")
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(base)
+  }
+
+  /** DuckDB mirror of [[classifierTrain]] — the same two gradient-ascent
+    * iterations replayed in SQL: 6-dp feature quantization, iter-1
+    * residual y − ½ exactly (w = 0 ⇒ z = 0), DECIMAL(30,15) gradient
+    * sums, Elliott sigmoid on the left-assoc margin for iter 2. */
+  private def classifierTrainOracle(cut: Int = 256): String = {
+    val featSql = Seq(
+      "1.0",
+      "ROUND((CAST(len(w) AS DOUBLE) - 54.0) / 100.0, 6)",
+      "ROUND(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) - 4.5, 6)",
+      "ROUND(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) - 0.9, 6)",
+      "ROUND(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w), 6)",
+      "ROUND(CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) / len(w), 6)",
+      "ROUND((CAST(len(list_filter(w, t -> t IN ('the','be','to','of','and','that','have','with'))) AS DOUBLE) - 5.0) / 10.0, 6)")
+    val ds = 0 until trainDim
+    val feats = ds.map(d => s"${featSql(d)} AS x$d").mkString(",\n|  ")
+    def gradSelect(resid: String) = ds.map(d =>
+      s"CAST(SUM(CAST(($resid) * x$d AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS g$d")
+      .mkString(",\n|        ")
+    val w1Cols = ds.map(d => s"$trainLr * g$d AS a$d").mkString(", ")
+    val zExpr = ds.map(d => s"w1.a$d * f.x$d").mkString(" + ")
+    val w2Cols = ds.map(d => s"w1.a$d + $trainLr * g2.g$d AS b$d").mkString(", ")
+    val out = ds.map(d =>
+      s"SELECT 1 AS iter, $d AS d, ROUND(g1.g$d, 9) AS grad, ROUND(w1.a$d, 9) AS weight FROM g1, w1").mkString(" UNION ALL\n|") +
+      " UNION ALL\n|" + ds.map(d =>
+      s"SELECT 2 AS iter, $d AS d, ROUND(g2.g$d, 9) AS grad, ROUND(w2.b$d, 9) AS weight FROM g2, w2").mkString(" UNION ALL\n|")
+    s"""WITH docs AS (SELECT n_chars, text, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT
+       |  $feats,
+       |  CASE WHEN n_chars >= $cut THEN 1.0 ELSE 0.0 END AS y
+       |FROM docs),
+       |g1 AS (SELECT ${gradSelect("y - 0.5")}
+       |       FROM f),
+       |w1 AS (SELECT $w1Cols FROM g1),
+       |r2 AS (SELECT f.*, f.y - 0.5 * (1.0 + z / (1.0 + abs(z))) AS resid FROM (
+       |         SELECT f.*, $zExpr AS z FROM f CROSS JOIN w1) f),
+       |g2 AS (SELECT ${gradSelect("resid")}
+       |       FROM r2),
+       |w2 AS (SELECT $w2Cols FROM w1 CROSS JOIN g2)
+       |$out
+       |ORDER BY iter, d""".stripMargin
+  }
+
   // ---- hybrid retrieval fusion (RRF) ---------------------------------
 
   /** Reciprocal-rank fusion (Cormack et al.) of two retrievers over the
@@ -850,6 +981,7 @@ object Retrieval {
     "quality_classifier" -> ((s: SparkSession, d: String) => qualityClassifier(s, d)),
     "classifier_auc" -> ((s: SparkSession, d: String) => classifierAuc(s, d)),
     "classifier_calibration" -> ((s: SparkSession, d: String) => classifierCalibration(s, d)),
+    "classifier_train" -> ((s: SparkSession, d: String) => classifierTrain(s, d)),
     "rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "retrieval_eval" -> ((s: SparkSession, d: String) => retrievalEval(s, d)),
     "mmr_select" -> ((s: SparkSession, d: String) => mmrSelect(s, d))
@@ -863,6 +995,7 @@ object Retrieval {
     "quality_classifier" -> qualityClassifierOracle,
     "classifier_auc" -> classifierAucOracle(),
     "classifier_calibration" -> classifierCalibrationOracle(),
+    "classifier_train" -> classifierTrainOracle(),
     "rrf_fusion" -> rrfOracle(),
     "retrieval_eval" -> retrievalEvalOracle(),
     "mmr_select" -> mmrOracle()

@@ -242,4 +242,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((30L, 1L, 30L, 30L))) // whole doc duplicated
     assert(out(2L) == ((33L, 1L, 30L, 30L))) // the run, not the affixes
   }
+
+  test("pmiCollocations: a planted always-adjacent rare pair tops the ranking; " +
+    "frequent-word self-pairs score near zero") {
+    // 6 docs of exactly "alpha beta" (the collocation), 20 filler docs of
+    // repeated "x": c_ab(alpha,beta)=6 with c_alpha=c_beta=6 -> high PMI;
+    // (x,x) co-occurs 80 times but x is everywhere -> PMI ~ 0
+    val dir = fixture(
+      (1L to 6L).map(i => (i, "alpha beta", "en")) ++
+        (7L to 26L).map(i => (i, "x x x x x", "en")))
+    val rows = CorpusOps.pmiCollocations(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(rows.forall(_.getAs[Long]("c_ab") >= 5))
+    val top = rows.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == ("alpha", "beta"))
+    val pmiByPair = rows.map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Double]("pmi")).toMap
+    assert(pmiByPair(("alpha", "beta")) > 2.0)
+    assert(math.abs(pmiByPair(("x", "x"))) < 1.0)
+  }
+
+  test("doremiReweight: weights form a smoothed distribution, floor-bounded, " +
+    "monotone in excess loss") {
+    val rows = CorpusOps.doremiReweight(spark, "/root/testdata/sf0.001").collect()
+    val k = rows.length
+    assert(k > 1)
+    val ws = rows.map(_.getAs[Double]("weight"))
+    assert(math.abs(ws.sum - 1.0) < 1e-6, s"weights must sum to 1, got ${ws.sum}")
+    assert(ws.forall(_ >= 0.01 / k - 1e-9), "uniform-smoothing floor violated")
+    // EG update is monotone: sorting by excess must sort by weight
+    val byExcess = rows.sortBy(r => (r.getAs[Double]("excess"), r.getAs[String]("source")))
+    val wSorted = byExcess.map(_.getAs[Double]("weight"))
+    assert(wSorted.zip(wSorted.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
 }

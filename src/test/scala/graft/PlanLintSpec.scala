@@ -48,6 +48,8 @@ class PlanLintSpec extends AnyFunSuite {
     "tfidf_keywords"    -> "one-row corpus-size aggregate broadcast under the tf table",
     "source_kl"         -> "one-row corpus-total aggregate broadcast",
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
+    "pmi_collocations"  -> "one-row bigram/unigram-total aggregate broadcast under the min-count-pruned pair table",
+    "doremi_reweight"   -> "one-row vocabulary-mass + reference-loss + weight-total aggregates broadcast; EG update runs on the k-row domain frame",
     "token_budget_select" -> "one-row budget-threshold aggregate broadcast",
     "lang_temperature"  -> "one-row language-mass aggregate broadcast",
     "events_resample_ffill" -> "one-row global [min,max] bounds aggregate broadcast under the (type x bin) grid",

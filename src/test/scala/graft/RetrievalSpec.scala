@@ -311,4 +311,28 @@ class RetrievalSpec extends AnyFunSuite {
       .map(_.getAs[Long]("cand_id")).toSeq
     assert(engineSeq == sel, s"greedy replay mismatch: $engineSeq vs $sel")
   }
+
+  test("classifierTrain: trace shape, bias gradient = mean residual, and " +
+    "weights accumulate lr-scaled gradients") {
+    val rows = ext.Retrieval.classifierTrain(spark, dir).collect()
+    assert(rows.length == 14) // 2 iterations x 7 coordinates
+    val byKey = rows.map(r => (r.getAs[Int]("iter"), r.getAs[Int]("d")) ->
+      ((r.getAs[Double]("grad"), r.getAs[Double]("weight")))).toMap
+    assert(byKey.keySet == (for (i <- 1 to 2; d <- 0 to 6) yield (i, d)).toSet)
+    // bias coordinate (x0 = 1): iter-1 gradient is exactly mean(y) - 0.5
+    // because w = 0 forces sigma(0) = 1/2 for every row
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count().toDouble
+    val nPos = docs.filter(col("n_chars") >= 256).count().toDouble
+    assert(math.abs(byKey((1, 0))._1 - (nPos / n - 0.5)) < 1e-6,
+      s"bias gradient ${byKey((1, 0))._1} != ${nPos / n - 0.5}")
+    // each weight is the lr-scaled running sum of its gradients
+    (0 to 6).foreach { d =>
+      assert(math.abs(byKey((1, d))._2 - 0.5 * byKey((1, d))._1) < 1e-8)
+      assert(math.abs(byKey((2, d))._2 -
+        (byKey((1, d))._2 + 0.5 * byKey((2, d))._1)) < 1e-8)
+    }
+    // training moved the bias toward the positive-rate prior
+    assert(byKey((2, 0))._2 != 0.0)
+  }
 }
