@@ -453,6 +453,81 @@ object CorpusOps {
        |  ROUND(${1.0 - smooth} * (e / sum_e) + $smooth / k, 9) AS weight
        |FROM sc CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Heaps'-law vocabulary-growth audit: vocabulary size, token mass and
+    * type-token ratio at 10 corpus-prefix checkpoints — the curve that
+    * tells a corpus builder whether more data still buys new vocabulary
+    * (Heaps 1978: V ≈ K·n^β) and catches ingestion anomalies (a flat
+    * segment = duplicated shard; a spike = a new source's domain).
+    * Checkpoints are ingestion-key prefixes (`doc_id ≤ i/10 · max_id`) —
+    * value cuts, not rank cuts, so NO global sort exists anywhere in
+    * the plan (documented substitution: doc_id is the monotone
+    * ingestion key, so value cuts are time cuts).
+    *
+    * Scale shape: one explode; token counts and first-occurrence
+    * buckets are vocabulary-keyed partial-combine groupBys; max_id
+    * rides along as a broadcast 1-row frame; cumulative sums run on the
+    * 10-row checkpoint frame. Determinism: everything is integer until
+    * the final TTR division (checkpoint bucketing is ceil of an exact
+    * double quotient of two sub-2⁵³ longs — identical cross-engine). */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  buckets: Int = 10): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+    val maxId = d.agg(max(col("doc_id")).as("max_id"))
+    val bCol = greatest(lit(1), least(lit(buckets),
+      ceil(col("doc_id").cast(DoubleType) * buckets / col("max_id"))
+        .cast(IntegerType))).as("b")
+    val occ = d.select(col("doc_id"), explode(col("t")).as("w"))
+      .crossJoin(broadcast(maxId))
+      .select(bCol, col("w"))
+    val docsPerB = d.crossJoin(broadcast(maxId)).select(bCol)
+      .groupBy(col("b")).agg(count(lit(1)).as("nd"))
+    val occPerB = occ.groupBy(col("b")).agg(count(lit(1)).as("no"))
+    val newVocabPerB = occ.groupBy(col("w")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    spark.range(1, buckets + 1).select(col("id").cast(IntegerType).as("b"))
+      .join(docsPerB, Seq("b"), "left")
+      .join(occPerB, Seq("b"), "left")
+      .join(newVocabPerB, Seq("b"), "left")
+      .select(col("b"), coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("no"), lit(0L)).as("no"), coalesce(col("nv"), lit(0L)).as("nv"))
+      .select((col("b") * (100 / buckets)).as("pct"),
+        sum(col("nd")).over(w).as("n_docs"),
+        sum(col("no")).over(w).as("n_tokens"),
+        sum(col("nv")).over(w).as("vocab"))
+      .withColumn("ttr", // a prefix before the first doc has no tokens:
+        // TTR is undefined there — NULL, mirrored in the oracle
+        when(col("n_tokens") > 0,
+          round(col("vocab").cast(DoubleType) / col("n_tokens"), 6)))
+      .orderBy("pct")
+  }
+
+  private def vocabGrowthOracle(buckets: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |mx AS (SELECT max(doc_id) AS max_id FROM d),
+       |db AS (SELECT greatest(1, least($buckets,
+       |         CAST(ceil(CAST(doc_id AS DOUBLE) * $buckets / max_id) AS INT))) AS b, t
+       |       FROM d CROSS JOIN mx),
+       |occ AS (SELECT b, unnest(t) AS w FROM db),
+       |dpb AS (SELECT b, count(*) AS nd FROM db GROUP BY b),
+       |opb AS (SELECT b, count(*) AS no FROM occ GROUP BY b),
+       |nvb AS (SELECT b, count(*) AS nv FROM (
+       |          SELECT w, min(b) AS b FROM occ GROUP BY w) GROUP BY b),
+       |g AS (SELECT CAST(i AS INT) AS b, COALESCE(nd, 0) AS nd,
+       |             COALESCE(no, 0) AS no, COALESCE(nv, 0) AS nv
+       |      FROM UNNEST(generate_series(1, $buckets)) AS u(i)
+       |      LEFT JOIN dpb ON dpb.b = i LEFT JOIN opb ON opb.b = i
+       |      LEFT JOIN nvb ON nvb.b = i),
+       |c AS (SELECT b * ${100 / buckets} AS pct,
+       |  CAST(SUM(nd) OVER wc AS BIGINT) AS n_docs,
+       |  CAST(SUM(no) OVER wc AS BIGINT) AS n_tokens,
+       |  CAST(SUM(nv) OVER wc AS BIGINT) AS vocab
+       |FROM g WINDOW wc AS (ORDER BY b ROWS UNBOUNDED PRECEDING))
+       |SELECT pct, n_docs, n_tokens, vocab,
+       |       CASE WHEN n_tokens > 0
+       |            THEN ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) END AS ttr
+       |FROM c ORDER BY pct""".stripMargin
+
   /** Token-length histogram in power-of-two buckets — the length profile
     * that drives packing efficiency and truncation policy for a training
     * corpus. One partial-combine aggregation over a map-side bucket
@@ -911,13 +986,15 @@ object CorpusOps {
     "lm_perplexity" -> ((s, d) => lmScore(s, d)),
     "source_kl" -> ((s, d) => sourceKl(s, d)),
     "pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
-    "doremi_reweight" -> ((s, d) => doremiReweight(s, d))
+    "doremi_reweight" -> ((s, d) => doremiReweight(s, d)),
+    "vocab_growth" -> ((s, d) => vocabGrowth(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "exact_substring_spans" -> exactSubstringSpansOracle(),
     "pmi_collocations" -> pmiOracle(),
     "doremi_reweight" -> doremiOracle(),
+    "vocab_growth" -> vocabGrowthOracle(),
     "bpe_merges" -> bpeMergesOracle(),
     "bpe_encode" -> bpeEncodeOracle(),
     "bpe_pair_counts" ->

@@ -303,6 +303,102 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the CCMatrix /
+    * LASER parallel-corpus construction op): pair sentences from two
+    * collections by RATIO MARGIN rather than raw cosine —
+    * margin(x,y) = cos(x,y) / ((avgNNₖ(x) + avgNNₖ(y)) / 2) — which
+    * cancels the hubness that makes absolute-threshold cosine mining
+    * pick the same promiscuous sentences for everything. Candidates are
+    * each x's top-k targets (the published forward-mining shape); each x
+    * then proposes its best candidate by margin and the global top-N
+    * proposals are reported. The two collections here are the even/odd
+    * `vec_id` halves of the embeddings table (documented synthetic
+    * stand-in for the two languages' encoder outputs).
+    *
+    * Scale shape: the graded query scores the exact all-pairs cosine
+    * matrix ONCE (checkpointed, reused by both kNN passes and the
+    * candidate set) — deliberately exact at test SF, same contract as
+    * [[dedupEmbeddingCosine]]; the 100 TB path feeds the identical
+    * margin/selection stages from ANN candidate lists
+    * ([[annLshBucketed]] / [[annIvf]]) instead of the dense matrix.
+    * Determinism: cosines round to 6 dp (identical doubles — vec_dot is
+    * a left fold, norms are sqrt of exact dots), kNN averages are
+    * DECIMAL sums over rank-windowed rows (HACKING rule 1), the margin
+    * is exact arithmetic on those identical values, and every window /
+    * ordering carries an id tiebreak. */
+  def marginMining(spark: SparkSession, dir: String,
+                   k: Int = 4, topN: Int = 50): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(vec_dot(col("e"), col("e"))))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("e").as("x_e"), col("nrm").as("x_nrm"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("e").as("y_e"), col("nrm").as("y_nrm"))
+    val pairs = a.join(b, col("x_id") =!= col("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(vec_dot(col("x_e"), col("y_e")) / (col("x_nrm") * col("y_nrm")), 6)
+          .as("cos"))
+      .localCheckpoint(true) // scored once, reused by both kNN passes
+    try {
+      val wx = Window.partitionBy(col("x_id")).orderBy(col("cos").desc, col("y_id"))
+      val wy = Window.partitionBy(col("y_id")).orderBy(col("cos").desc, col("x_id"))
+      val decAvg = (c: Column) =>
+        sum(c.cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1))
+      val cand = pairs.withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= k)
+      val knnX = cand.groupBy(col("x_id")).agg(decAvg(col("cos")).as("nn_x"))
+      val knnY = pairs.withColumn("rn", row_number().over(wy))
+        .filter(col("rn") <= k)
+        .groupBy(col("y_id")).agg(decAvg(col("cos")).as("nn_y"))
+      val scored = cand.select(col("x_id"), col("y_id"), col("cos"))
+        .join(knnX, "x_id").join(knnY, "y_id")
+        .withColumn("margin", col("cos") / ((col("nn_x") + col("nn_y")) / lit(2.0)))
+      val best = scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))))
+        .filter(col("rn") === 1)
+      val top = best.orderBy(col("margin").desc, col("x_id")).limit(topN)
+      // materialize the topN-row result before the finally releases the
+      // pair matrix's blocks (same discipline as kmeansTrace's output)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("margin").desc, col("x_id"))))
+        .select(col("rank"), col("x_id"), col("y_id"), col("cos"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(pairs)
+  }
+
+  private def marginMiningOracle(k: Int = 4, topN: Int = 50): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+       |a AS (SELECT vec_id AS x_id, e AS x_e, nrm AS x_nrm FROM n WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS y_id, e AS y_e, nrm AS y_nrm FROM n WHERE vec_id % 2 = 1),
+       |p AS (SELECT x_id, y_id,
+       |        ROUND(list_dot_product(x_e, y_e) / (x_nrm * y_nrm), 6) AS cos
+       |      FROM a JOIN b ON x_id <> y_id),
+       |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rnx
+       |       FROM p),
+       |ry AS (SELECT x_id, y_id, cos,
+       |         row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rny
+       |       FROM p),
+       |kx AS (SELECT x_id, CAST(SUM(CAST(cos AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS nn_x
+       |       FROM rx WHERE rnx <= $k GROUP BY x_id),
+       |ky AS (SELECT y_id, CAST(SUM(CAST(cos AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS nn_y
+       |       FROM ry WHERE rny <= $k GROUP BY y_id),
+       |cand AS (SELECT x_id, y_id, cos FROM rx WHERE rnx <= $k),
+       |sc AS (SELECT c.x_id, c.y_id, c.cos,
+       |         c.cos / ((kx.nn_x + ky.nn_y) / 2.0) AS margin
+       |       FROM cand c JOIN kx ON c.x_id = kx.x_id JOIN ky ON c.y_id = ky.y_id),
+       |best AS (SELECT x_id, y_id, cos, margin FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY x_id
+       |             ORDER BY margin DESC, y_id) AS rn FROM sc) WHERE rn = 1)
+       |SELECT CAST(rnk AS INT) AS rank, x_id, y_id, cos, ROUND(margin, 6) AS margin
+       |FROM (SELECT *, row_number() OVER (ORDER BY margin DESC, x_id) AS rnk FROM best)
+       |WHERE rnk <= $topN ORDER BY rank""".stripMargin
+
   /** Embedding diversity per group — the curation metric behind "is this
     * slice of the corpus semantically varied or one collapsed cluster".
     * For unit vectors the MEAN PAIRWISE COSINE of a group needs no pair
@@ -1274,6 +1370,7 @@ object Similarity {
     "ann_ivf_trained" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annIvfTrained(s, d), 0.25, "trained-IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
+    "margin_mining" -> ((s: SparkSession, d: String) => marginMining(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
@@ -1318,6 +1415,7 @@ object Similarity {
         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "margin_mining" -> marginMiningOracle(),
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -262,6 +262,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(pmiByPair(("x", "x"))) < 1.0)
   }
 
+  test("vocabGrowth: hand-computed prefix curve on a planted corpus, " +
+    "cumulative columns monotone") {
+    // max_id=3 -> doc 1 lands in bucket ceil(10/3)=4, doc 2 in 7, doc 3 in 10
+    val dir = fixture(Seq(
+      (1L, "a b", "en"), (2L, "a c", "en"), (3L, "a b c d", "en")))
+    val rows = CorpusOps.vocabGrowth(spark, dir).collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))))
+      .toMap
+    assert(rows(40) == ((1L, 2L, 2L)))  // doc 1: tokens a b
+    assert(rows(70) == ((2L, 4L, 3L)))  // + doc 2: new type c
+    assert(rows(100) == ((3L, 8L, 4L))) // + doc 3: new type d
+    val ordered = CorpusOps.vocabGrowth(spark, dir).collect()
+    Seq[org.apache.spark.sql.Row => Long](
+      _.getAs[Long]("n_docs"), _.getAs[Long]("n_tokens"), _.getAs[Long]("vocab"))
+      .foreach { f =>
+        val xs = ordered.map(f)
+        assert(xs.zip(xs.tail).forall { case (p, q) => p <= q }, "must be cumulative")
+      }
+  }
+
   test("doremiReweight: weights form a smoothed distribution, floor-bounded, " +
     "monotone in excess loss") {
     val rows = CorpusOps.doremiReweight(spark, "/root/testdata/sf0.001").collect()

@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite {
     "source_kl"         -> "one-row corpus-total aggregate broadcast",
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
     "pmi_collocations"  -> "one-row bigram/unigram-total aggregate broadcast under the min-count-pruned pair table",
+    "vocab_growth"      -> "one-row max-ingestion-key aggregate broadcast under the doc/occurrence frames",
     "doremi_reweight"   -> "one-row vocabulary-mass + reference-loss + weight-total aggregates broadcast; EG update runs on the k-row domain frame",
     "token_budget_select" -> "one-row budget-threshold aggregate broadcast",
     "lang_temperature"  -> "one-row language-mass aggregate broadcast",

@@ -312,6 +312,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(engineSeq == sel, s"greedy replay mismatch: $engineSeq vs $sel")
   }
 
+  test("marginMining: even->odd pairing, dense ranks, margin-desc order, " +
+    "top pair matches a driver-side brute-force replay") {
+    val rows = ext.Similarity.marginMining(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getAs[Long]("x_id") % 2 == 0))
+    assert(rows.forall(r => r.getAs[Long]("y_id") % 2 == 1))
+    val ms = rows.map(_.getAs[Double]("margin")).toSeq
+    assert(ms == ms.sorted.reverse)
+    // x proposes at most once (forward selection)
+    val xs = rows.map(_.getAs[Long]("x_id"))
+    assert(xs.distinct.length == xs.length)
+    // brute-force replay of the rank-1 proposal
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    }
+    val evens = e.keys.filter(_ % 2 == 0).toSeq.sorted
+    val odds = e.keys.filter(_ % 2 == 1).toSeq.sorted
+    def nnAvg(id: Long, others: Seq[Long]): Double = {
+      val top = others.map(o => (cos(e(id), e(o)), o)).sortBy { case (c, o) => (-c, o) }.take(4)
+      top.map(_._1).sum / top.length
+    }
+    val best = (for (x <- evens; y <- odds.map(o => (cos(e(x), e(o)), o))
+           .sortBy { case (c, o) => (-c, o) }.take(4))
+      yield (x, y._2, y._1 / ((nnAvg(x, odds) + nnAvg(y._2, evens)) / 2.0)))
+      .groupBy(_._1).map(_._2.maxBy(t => (t._3, -t._2))).maxBy(t => (t._3, -t._1))
+    assert((rows.head.getAs[Long]("x_id"), rows.head.getAs[Long]("y_id")) ==
+      ((best._1, best._2)),
+      s"rank-1 ${rows.head} != brute-force ${best}")
+  }
+
   test("classifierTrain: trace shape, bias gradient = mean residual, and " +
     "weights accumulate lr-scaled gradients") {
     val rows = ext.Retrieval.classifierTrain(spark, dir).collect()
