@@ -574,6 +574,82 @@ object Sampling {
        |  (n_small_groups = 0) AS k_anonymous
        |FROM lv ORDER BY level""".stripMargin
 
+  /** l-diversity audit (Machanavajjhala et al. 2006, "l-Diversity:
+    * privacy beyond k-anonymity") — the companion check to
+    * [[kAnonymity]]: a k-anonymous release still leaks when every
+    * member of an equivalence class shares the same SENSITIVE value
+    * (the homogeneity attack). Equivalence classes are the
+    * (source, 256-char length bucket) quasi-identifier groups; the
+    * sensitive attribute is `lang` (stand-in mechanics — a real release
+    * audits its actual sensitive column the same way). Both published
+    * instantiations per class: DISTINCT l-diversity (≥ l distinct
+    * sensitive values) and ENTROPY l-diversity (H(class) ≥ ln l, with
+    * ln 3 pinned to the 6-dp literal 1.098612 so the threshold is an
+    * exact constant on both engines). Output: per-source roll-up of
+    * failing classes and docs at risk — the table that decides whether
+    * the release needs further generalization.
+    *
+    * Scale shape: two partial-combine aggregations keyed on the QI (+
+    * sensitive value), one QI-keyed window for the class totals, one
+    * final per-source agg over class rows (bounded by QI cardinality,
+    * not the corpus). Determinism: counts are integers; entropy terms
+    * are identical doubles DECIMAL-summed (HACKING rule 1) and the
+    * class entropy is 6-dp-quantized before the threshold compare. */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3,
+                 bucketChars: Int = 256): DataFrame = {
+    val entropyFloor = 1.098612 // ln(3) to 6 dp, exact literal both sides
+    val sv = documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $bucketChars").as("len_bucket"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("nsv"))
+    val wg = Window.partitionBy(col("source"), col("len_bucket"))
+    val cls = sv
+      .withColumn("n", sum(col("nsv")).over(wg))
+      .withColumn("p", col("nsv").cast(DoubleType) / col("n"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_distinct"),
+        round(sum((-col("p") * log(col("p"))).cast(DecimalType(30, 15)))
+          .cast(DoubleType), 6).as("h"))
+    cls.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_distinct") < l, 1L).otherwise(0L)).as("n_low_distinct"),
+        sum(when(col("h") < entropyFloor, 1L).otherwise(0L)).as("n_low_entropy"),
+        sum(when(col("n_distinct") < l || col("h") < entropyFloor, col("n"))
+          .otherwise(0L)).as("docs_at_risk"),
+        sum(col("n")).as("n_docs"))
+      .select(col("source"), col("n_groups"), col("n_low_distinct"),
+        col("n_low_entropy"), col("docs_at_risk"),
+        round(col("docs_at_risk").cast(DoubleType) / col("n_docs"), 6)
+          .as("risk_frac"),
+        (col("n_low_distinct") === 0 && col("n_low_entropy") === 0)
+          .as("l_diverse"))
+      .orderBy("source")
+  }
+
+  private def lDiversityOracle(l: Int = 3, bucketChars: Int = 256): String =
+    s"""WITH sv AS (SELECT source, n_chars // $bucketChars AS len_bucket, lang,
+       |              count(*) AS nsv
+       |            FROM documents GROUP BY 1, 2, 3),
+       |pn AS (SELECT *, sum(nsv) OVER (PARTITION BY source, len_bucket) AS n
+       |       FROM sv),
+       |cls AS (SELECT source, len_bucket, CAST(max(n) AS BIGINT) AS n,
+       |          CAST(count(*) AS BIGINT) AS n_distinct,
+       |          ROUND(CAST(SUM(CAST(-(CAST(nsv AS DOUBLE) / n)
+       |            * ln(CAST(nsv AS DOUBLE) / n) AS DECIMAL(30,15))) AS DOUBLE), 6) AS h
+       |        FROM pn GROUP BY source, len_bucket),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN n_distinct < $l THEN 1 ELSE 0 END) AS BIGINT) AS n_low_distinct,
+       |  CAST(sum(CASE WHEN h < 1.098612 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
+       |  CAST(sum(CASE WHEN n_distinct < $l OR h < 1.098612 THEN n ELSE 0 END) AS BIGINT)
+       |    AS docs_at_risk,
+       |  CAST(sum(n) AS BIGINT) AS n_docs
+       |FROM cls GROUP BY source)
+       |SELECT source, n_groups, n_low_distinct, n_low_entropy, docs_at_risk,
+       |  ROUND(CAST(docs_at_risk AS DOUBLE) / n_docs, 6) AS risk_frac,
+       |  (n_low_distinct = 0 AND n_low_entropy = 0) AS l_diverse
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minTok=15 / cap=150 keep all four verdict stages live on the
     // fixtures (19 quality drops, en over-budget by ~36)
@@ -587,7 +663,8 @@ object Sampling {
     "dedup_canonical" -> ((s: SparkSession, d: String) => dedupCanonical(s, d)),
     "token_budget_select" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
     "dsir_weights" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
-    "k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d))
+    "k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
+    "l_diversity" -> ((s: SparkSession, d: String) => lDiversity(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +677,7 @@ object Sampling {
     "dedup_canonical" -> dedupCanonicalOracle,
     "token_budget_select" -> tokenBudgetOracle(),
     "dsir_weights" -> dsirOracle(),
-    "k_anonymity" -> kAnonymityOracle()
+    "k_anonymity" -> kAnonymityOracle(),
+    "l_diversity" -> lDiversityOracle()
   )
 }

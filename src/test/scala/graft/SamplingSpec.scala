@@ -265,4 +265,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(risks == risks.sorted(Ordering[Long].reverse), s"risk not monotone: $risks")
     assert(risks.last == 0L, "the fully-suppressed level is always k-anonymous")
   }
+
+  test("l_diversity: plain-Scala per-class replay; distinct-fail implies " +
+    "entropy-fail (H <= ln(n_distinct))") {
+    val l = 3
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars") / 256))
+    val want = docs.groupBy(t => (t._1, t._3)).map { case ((src, _), members) =>
+      val byLang = members.groupBy(_._2).view.mapValues(_.length).toMap
+      val n = members.length.toDouble
+      val h = math.rint(byLang.values.map { c =>
+        -(c / n) * math.log(c / n)
+      }.sum * 1e6) / 1e6
+      (src, byLang.size < l, h < 1.098612, members.length.toLong)
+    }.toSeq.groupBy(_._1).map { case (src, cls) =>
+      src -> ((cls.length.toLong, cls.count(_._2).toLong, cls.count(_._3).toLong,
+        cls.filter(c => c._2 || c._3).map(_._4).sum))
+    }
+    val rows = ext.Sampling.lDiversity(spark, dir).collect()
+    rows.foreach { r =>
+      val (ng, nld, nle, risk) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_groups") == ng)
+      assert(r.getAs[Long]("n_low_distinct") == nld)
+      assert(r.getAs[Long]("n_low_entropy") == nle)
+      assert(r.getAs[Long]("docs_at_risk") == risk)
+      assert(r.getAs[Boolean]("l_diverse") == (nld == 0 && nle == 0))
+      // H <= ln(n_distinct): a class failing distinct-l must fail entropy-l
+      assert(nle >= nld, s"${r.getAs[String]("source")}: entropy check weaker than distinct")
+    }
+  }
 }
