@@ -371,6 +371,110 @@ object Similarity {
     } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(pairs)
   }
 
+  /** Top principal component of the embedding distribution by fixed
+    * two-step POWER ITERATION — the primitive behind embedding
+    * whitening and all-but-the-top postprocessing (Mu & Viswanath 2018:
+    * subtracting the mean and the top PCs measurably improves cosine
+    * retrieval), and the "is this embedding space collapsing onto one
+    * axis" diagnostic next to [[embeddingDiversity]]. Output: per
+    * dimension the corpus mean μ_d and the unit component v_d after two
+    * iterations from the fixed alternating ±1 start, plus (constant
+    * columns) the Rayleigh eigenvalue λ = (1/n)Σ(cxᵢ·v)² and the
+    * variance fraction λ / ((1/n)Σ‖cxᵢ‖²) it explains.
+    *
+    * Scale shape: everything runs in long (vec_id, d, x) format — per
+    * iteration one vec_id-keyed DECIMAL dot reduction and one d-keyed
+    * DECIMAL component reduction, with the 64-value component collected
+    * (metadata scale, kmeansTrace's contract) and folded back as a
+    * broadcast dim table. No d×d covariance matrix is ever
+    * materialized — power iteration IS the 100 TB method for top-k PCs.
+    * Determinism: long-format DECIMAL sums make every reduction
+    * order-independent (no fold-order coupling at all); the only other
+    * float math is products, one division and `sqrt` — IEEE-exact on
+    * identical operands. */
+  def embeddingPca(spark: SparkSession, dir: String,
+                   dim: Int = 64, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val decSum = (c: Column) =>
+      sum(c.cast(DecimalType(30, 15))).cast(DoubleType)
+    val long = embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
+      .localCheckpoint(true)
+    try {
+      val mu = long.groupBy(col("d"))
+        .agg((decSum(col("x")) / count(lit(1))).as("mu"))
+      val cx = long.join(broadcast(mu), "d")
+        .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("cx"))
+        .localCheckpoint(true)
+      try {
+        val n = embeddings(spark, dir).count()
+        var v: IndexedSeq[Double] = (0 until dim).map(d => if (d % 2 == 0) 1.0 else -1.0)
+        for (_ <- 1 to iters) {
+          val vDf = broadcast(v.zipWithIndex.map { case (x, d) => (d, x) }.toDF("d", "v"))
+          val dots = cx.join(vDf, "d").groupBy(col("vec_id"))
+            .agg(decSum(col("cx") * col("v")).as("dot"))
+          val w = cx.join(dots, "vec_id").groupBy(col("d"))
+            .agg(decSum(col("dot") * col("cx")).as("w"))
+          val s = w.agg(decSum(col("w") * col("w")).as("s")).collect()(0).getDouble(0)
+          val wm = w.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          v = (0 until dim).map(d => wm(d) / math.sqrt(s))
+        }
+        val vDf = broadcast(v.zipWithIndex.map { case (x, d) => (d, x) }.toDF("d", "v"))
+        val dots = cx.join(vDf, "d").groupBy(col("vec_id"))
+          .agg(decSum(col("cx") * col("v")).as("dot"))
+        val lam = dots.agg((decSum(col("dot") * col("dot")) / n).as("lam"))
+        val tot = cx.agg((decSum(col("cx") * col("cx")) / n).as("tot"))
+        mu.join(vDf, "d")
+          .crossJoin(broadcast(lam)).crossJoin(broadcast(tot))
+          .select(col("d"), round(col("mu"), 6).as("mu"),
+            round(col("v"), 6).as("pc1"),
+            round(col("lam"), 6).as("lambda"),
+            round(col("lam") / col("tot"), 6).as("var_frac"))
+          .orderBy("d")
+          .localCheckpoint(true)
+      } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(cx)
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(long)
+  }
+
+  /** DuckDB mirror of [[embeddingPca]]: the same two power iterations
+    * replayed in long format with DECIMAL reductions — v1 and v2 are
+    * derived inside the SQL (w/√Σw²), so the oracle recomputes the
+    * whole trajectory from the raw parquet, not from Spark's result. */
+  private def embeddingPcaOracle(dim: Int = 64): String = {
+    val v0 = (0 until dim).map(d => s"($d, ${if (d % 2 == 0) "1.0" else "-1.0"})")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |lg AS (SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS INT) AS d,
+       |         unnest(e) AS x FROM e),
+       |mu AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu
+       |       FROM lg GROUP BY d),
+       |cx AS (SELECT vec_id, lg.d, x - mu AS cx FROM lg JOIN mu ON lg.d = mu.d),
+       |n AS (SELECT count(*) AS n FROM e),
+       |v0 AS (SELECT * FROM (VALUES $v0) t(d, v)),
+       |d1 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |       FROM cx JOIN v0 ON cx.d = v0.d GROUP BY vec_id),
+       |w1 AS (SELECT d, CAST(SUM(CAST(dot * cx AS DECIMAL(30,15))) AS DOUBLE) AS w
+       |       FROM cx JOIN d1 USING (vec_id) GROUP BY d),
+       |s1 AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS s FROM w1),
+       |v1 AS (SELECT d, w / sqrt(s) AS v FROM w1, s1),
+       |d2 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |       FROM cx JOIN v1 ON cx.d = v1.d GROUP BY vec_id),
+       |w2 AS (SELECT d, CAST(SUM(CAST(dot * cx AS DECIMAL(30,15))) AS DOUBLE) AS w
+       |       FROM cx JOIN d2 USING (vec_id) GROUP BY d),
+       |s2 AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS s FROM w2),
+       |v2 AS (SELECT d, w / sqrt(s) AS v FROM w2, s2),
+       |d3 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |       FROM cx JOIN v2 ON cx.d = v2.d GROUP BY vec_id),
+       |lam AS (SELECT CAST(SUM(CAST(dot * dot AS DECIMAL(30,15))) AS DOUBLE) / n.n AS lam
+       |        FROM d3, n GROUP BY n.n),
+       |tot AS (SELECT CAST(SUM(CAST(cx * cx AS DECIMAL(30,15))) AS DOUBLE) / n.n AS tot
+       |        FROM cx, n GROUP BY n.n)
+       |SELECT mu.d, ROUND(mu.mu, 6) AS mu, ROUND(v2.v, 6) AS pc1,
+       |       ROUND(lam.lam, 6) AS lambda, ROUND(lam.lam / tot.tot, 6) AS var_frac
+       |FROM mu JOIN v2 ON mu.d = v2.d CROSS JOIN lam CROSS JOIN tot
+       |ORDER BY mu.d""".stripMargin
+  }
+
   private def marginMiningOracle(k: Int = 4, topN: Int = 50): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
@@ -1371,6 +1475,7 @@ object Similarity {
       withRecallFloor(s, d, annIvfTrained(s, d), 0.25, "trained-IVF ANN")),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "margin_mining" -> ((s: SparkSession, d: String) => marginMining(s, d)),
+    "embedding_pca" -> ((s: SparkSession, d: String) => embeddingPca(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
@@ -1416,6 +1521,7 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "margin_mining" -> marginMiningOracle(),
+    "embedding_pca" -> embeddingPcaOracle(),
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

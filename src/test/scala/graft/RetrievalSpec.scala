@@ -349,6 +349,36 @@ class RetrievalSpec extends AnyFunSuite {
       s"rank-1 ${rows.head} != brute-force ${best}")
   }
 
+  test("embeddingPca: unit component, lambda bounds, and a driver-side " +
+    "two-iteration power replay agrees") {
+    val rows = ext.Similarity.embeddingPca(spark, dir).collect()
+    assert(rows.length == 64)
+    val pc = rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("pc1"))
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 64e-6, "pc1 must be unit")
+    val lam = rows.head.getAs[Double]("lambda")
+    val vf = rows.head.getAs[Double]("var_frac")
+    assert(lam > 0 && vf > 0 && vf <= 1.0)
+    // exact replay of the fixed trajectory
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val n = e.length
+    val dim = 64
+    val mu = (0 until dim).map(d => e.map(_(d)).sum / n)
+    val cx = e.map(v => (0 until dim).map(d => v(d) - mu(d)).toArray)
+    var v = (0 until dim).map(d => if (d % 2 == 0) 1.0 else -1.0).toArray
+    for (_ <- 1 to 2) {
+      val dots = cx.map(x => x.indices.map(d => x(d) * v(d)).sum)
+      val w = (0 until dim).map(d => cx.indices.map(i => dots(i) * cx(i)(d)).sum)
+      val s = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / s).toArray
+    }
+    // driver replay sums in arbitrary-but-fixed order vs the engine's
+    // DECIMAL sums — agree to well inside the display rounding
+    pc.zip(v).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4,
+      s"pc1 component $a vs replay $b") }
+  }
+
   test("classifierTrain: trace shape, bias gradient = mean residual, and " +
     "weights accumulate lr-scaled gradients") {
     val rows = ext.Retrieval.classifierTrain(spark, dir).collect()
