@@ -392,8 +392,14 @@ object Similarity {
     * order-independent (no fold-order coupling at all); the only other
     * float math is products, one division and `sqrt` — IEEE-exact on
     * identical operands. */
-  def embeddingPca(spark: SparkSession, dir: String,
-                   dim: Int = 64, iters: Int = 2): DataFrame = {
+  /** The distributed two-iteration power trajectory behind
+    * [[embeddingPca]] and [[abttCorrect]]: per-dim DECIMAL means, the
+    * fixed ±1 start, two matvec+normalize steps, and the final Rayleigh
+    * statistics. Returns metadata-scale values only (dim-sized arrays +
+    * two scalars); every reduction is a distributed DECIMAL aggregation. */
+  private def powerTrajectory(spark: SparkSession, dir: String,
+                              dim: Int, iters: Int)
+      : (IndexedSeq[Double], IndexedSeq[Double], Double, Double) = {
     import spark.implicits._
     val decSum = (c: Column) =>
       sum(c.cast(DecimalType(30, 15))).cast(DoubleType)
@@ -401,9 +407,12 @@ object Similarity {
       .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
       .localCheckpoint(true)
     try {
-      val mu = long.groupBy(col("d"))
-        .agg((decSum(col("x")) / count(lit(1))).as("mu"))
-      val cx = long.join(broadcast(mu), "d")
+      val muMap = long.groupBy(col("d"))
+        .agg((decSum(col("x")) / count(lit(1))).as("mu")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mu = (0 until dim).map(muMap)
+      val muDf = broadcast(mu.zipWithIndex.map { case (m, d) => (d, m) }.toDF("d", "mu"))
+      val cx = long.join(muDf, "d")
         .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("cx"))
         .localCheckpoint(true)
       try {
@@ -423,24 +432,37 @@ object Similarity {
         val dots = cx.join(vDf, "d").groupBy(col("vec_id"))
           .agg(decSum(col("cx") * col("v")).as("dot"))
         val lam = dots.agg((decSum(col("dot") * col("dot")) / n).as("lam"))
+          .collect()(0).getDouble(0)
         val tot = cx.agg((decSum(col("cx") * col("cx")) / n).as("tot"))
-        mu.join(vDf, "d")
-          .crossJoin(broadcast(lam)).crossJoin(broadcast(tot))
-          .select(col("d"), round(col("mu"), 6).as("mu"),
-            round(col("v"), 6).as("pc1"),
-            round(col("lam"), 6).as("lambda"),
-            round(col("lam") / col("tot"), 6).as("var_frac"))
-          .orderBy("d")
-          .localCheckpoint(true)
+          .collect()(0).getDouble(0)
+        (mu, v, lam, tot)
       } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(cx)
     } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(long)
+  }
+
+  def embeddingPca(spark: SparkSession, dir: String,
+                   dim: Int = 64, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (mu, v, lam, tot) = powerTrajectory(spark, dir, dim, iters)
+    // HALF_UP to 6 dp — the same rounding Spark's round() and DuckDB's
+    // ROUND apply, so driver-side assembly matches the oracle exactly
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until dim).map { d =>
+      (d, r6(mu(d)), r6(v(d)), r6(lam), r6(lam / tot))
+    }.toDF("d", "mu", "pc1", "lambda", "var_frac").orderBy("d")
   }
 
   /** DuckDB mirror of [[embeddingPca]]: the same two power iterations
     * replayed in long format with DECIMAL reductions — v1 and v2 are
     * derived inside the SQL (w/√Σw²), so the oracle recomputes the
     * whole trajectory from the raw parquet, not from Spark's result. */
-  private def embeddingPcaOracle(dim: Int = 64): String = {
+  /** The power-iteration trajectory as a WITH-prefix shared by
+    * [[embeddingPcaOracle]] and [[abttCorrectOracle]]: long format (lg),
+    * per-dim DECIMAL means (mu), centered values (cx), the ±1 start
+    * (v0), two matvec+normalize steps (v1, v2) and the final projections
+    * under v2 (d3). */
+  private def pcaSqlPrefix(dim: Int): String = {
     val v0 = (0 until dim).map(d => s"($d, ${if (d % 2 == 0) "1.0" else "-1.0"})")
       .mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -464,7 +486,11 @@ object Similarity {
        |s2 AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS s FROM w2),
        |v2 AS (SELECT d, w / sqrt(s) AS v FROM w2, s2),
        |d3 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-       |       FROM cx JOIN v2 ON cx.d = v2.d GROUP BY vec_id),
+       |       FROM cx JOIN v2 ON cx.d = v2.d GROUP BY vec_id)""".stripMargin
+  }
+
+  private def embeddingPcaOracle(dim: Int = 64): String =
+    s"""${pcaSqlPrefix(dim)},
        |lam AS (SELECT CAST(SUM(CAST(dot * dot AS DECIMAL(30,15))) AS DOUBLE) / n.n AS lam
        |        FROM d3, n GROUP BY n.n),
        |tot AS (SELECT CAST(SUM(CAST(cx * cx AS DECIMAL(30,15))) AS DOUBLE) / n.n AS tot
@@ -473,7 +499,80 @@ object Similarity {
        |       ROUND(lam.lam, 6) AS lambda, ROUND(lam.lam / tot.tot, 6) AS var_frac
        |FROM mu JOIN v2 ON mu.d = v2.d CROSS JOIN lam CROSS JOIN tot
        |ORDER BY mu.d""".stripMargin
+
+  /** All-but-the-top embedding correction APPLIED to retrieval (Mu &
+    * Viswanath 2018), chained from [[powerTrajectory]] the way
+    * `ann_ivf_trained` chains the Lloyd trace into IVF serving: subtract
+    * the corpus mean and the top principal direction
+    * (x′ = (x−μ) − ((x−μ)·v)·v), then run the brute-force cosine top-k
+    * under the CORRECTED geometry, reporting the raw-space cosine
+    * alongside so the re-ranking effect is visible per pair. Train →
+    * correct → serve hash-verifies as ONE pipeline: the oracle recomputes
+    * μ and v from raw parquet (the shared power-iteration prefix), never
+    * from Spark's output.
+    *
+    * Scale shape: μ and v are dim-sized TRAINED CONSTANTS, folded into
+    * the plan as array literals — the whole correction (center, project
+    * with a per-row vec_dot fold, subtract) is a single map stage with
+    * ZERO corpus shuffle; serving is the literal-query-batch broadcast
+    * topk of [[bruteForceTopK]]. Determinism: the oracle recomputes the
+    * exact same μ/v from raw parquet (the trajectory is DECIMAL-reduced
+    * so its full-precision output is engine-independent), the per-row
+    * projection is a left fold on both engines, and ranking is keyed on
+    * the exact corrected cosine with id tiebreaks. */
+  def abttCorrect(spark: SparkSession, dir: String, dim: Int = 64,
+                  numQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.vec_dot
+    val (mu, v, _, _) = powerTrajectory(spark, dir, dim, iters = 2)
+    val muLit = array(mu.map(lit): _*)
+    val vLit = array(v.map(lit): _*)
+    val vecs = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("x"))
+      .withColumn("xv", zip_with(col("x"), muLit, (a, b) => a - b))
+      .withColumn("dot", vec_dot(col("xv"), vLit))
+      .withColumn("cv", zip_with(col("xv"), vLit, (a, b) => a - col("dot") * b))
+      .select(col("vec_id"), col("xv"), col("cv"))
+    val q = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("xv").as("qx"), col("cv").as("qc"))
+    val scored = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qc"), col("cv")).as("sim_c"),
+        cosine(col("qx"), col("xv")).as("sim_raw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_c").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim_c"), 6).as("sim_corrected"),
+        round(col("sim_raw"), 6).as("sim_raw"))
+      .orderBy("query_id", "rank")
   }
+
+  private def abttCorrectOracle(dim: Int = 64, numQueries: Int = 8,
+                                k: Int = 5): String =
+    s"""${pcaSqlPrefix(dim)},
+       |xvs AS (SELECT vec_id, list(cx ORDER BY d) AS xv FROM cx GROUP BY vec_id),
+       |vl AS (SELECT list(v ORDER BY d) AS vl FROM v2),
+       |dt AS (SELECT vec_id, xv, list_dot_product(xv, vl) AS dot FROM xvs, vl),
+       |corr AS (SELECT cx.vec_id, cx.d, cx.cx - dt.dot * v2.v AS cc
+       |         FROM cx JOIN dt USING (vec_id) JOIN v2 ON cx.d = v2.d),
+       |cvs AS (SELECT vec_id, list(cc ORDER BY d) AS cv FROM corr GROUP BY vec_id),
+       |vecs AS (SELECT dt.vec_id, dt.xv, cvs.cv FROM dt JOIN cvs USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, xv AS qx, cv AS qc
+       |      FROM vecs WHERE vec_id < $numQueries),
+       |sc AS (SELECT q.query_id, vecs.vec_id AS neighbor_id,
+       |         list_dot_product(qc, cv)
+       |           / (sqrt(list_dot_product(qc, qc)) * sqrt(list_dot_product(cv, cv))) AS sim_c,
+       |         list_dot_product(qx, xv)
+       |           / (sqrt(list_dot_product(qx, qx)) * sqrt(list_dot_product(xv, xv))) AS sim_raw
+       |       FROM vecs JOIN q ON vecs.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       |       ROUND(sim_c, 6) AS sim_corrected, ROUND(sim_raw, 6) AS sim_raw
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim_c DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
 
   private def marginMiningOracle(k: Int = 4, topN: Int = 50): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1476,6 +1575,7 @@ object Similarity {
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "margin_mining" -> ((s: SparkSession, d: String) => marginMining(s, d)),
     "embedding_pca" -> ((s: SparkSession, d: String) => embeddingPca(s, d)),
+    "abtt_correct" -> ((s: SparkSession, d: String) => abttCorrect(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
@@ -1522,6 +1622,7 @@ object Similarity {
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "margin_mining" -> marginMiningOracle(),
     "embedding_pca" -> embeddingPcaOracle(),
+    "abtt_correct" -> abttCorrectOracle(),
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

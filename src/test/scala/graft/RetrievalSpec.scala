@@ -379,6 +379,36 @@ class RetrievalSpec extends AnyFunSuite {
       s"pc1 component $a vs replay $b") }
   }
 
+  test("abttCorrect: per-query dense ranks ordered by corrected sim; " +
+    "correction removes the top-PC direction (projection ~ 0)") {
+    val rows = ext.Similarity.abttCorrect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim_corrected")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // the corrected corpus must be orthogonal to the learned direction:
+    // recompute (mu, v) independently via the graded PCA query and check
+    // a corrected vector's projection onto v vanishes
+    val pca = ext.Similarity.embeddingPca(spark, dir).collect()
+      .sortBy(_.getAs[Int]("d"))
+    val mu = pca.map(_.getAs[Double]("mu"))
+    val v = pca.map(_.getAs[Double]("pc1"))
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding")).limit(3).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    e0.foreach { x =>
+      val cx = x.indices.map(d => x(d) - mu(d))
+      val dot = cx.indices.map(d => cx(d) * v(d)).sum
+      val cc = cx.indices.map(d => cx(d) - dot * v(d))
+      val resid = cc.indices.map(d => cc(d) * v(d)).sum
+      // mu/v are 6-dp-rounded outputs, so orthogonality holds to ~1e-4
+      assert(math.abs(resid) < 1e-3, s"projection after correction: $resid")
+    }
+  }
+
   test("classifierTrain: trace shape, bias gradient = mean residual, and " +
     "weights accumulate lr-scaled gradients") {
     val rows = ext.Retrieval.classifierTrain(spark, dir).collect()
