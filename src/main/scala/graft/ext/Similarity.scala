@@ -382,16 +382,17 @@ object Similarity {
     * columns) the Rayleigh eigenvalue λ = (1/n)Σ(cxᵢ·v)² and the
     * variance fraction λ / ((1/n)Σ‖cxᵢ‖²) it explains.
     *
-    * Scale shape: everything runs in long (vec_id, d, x) format — per
-    * iteration one vec_id-keyed DECIMAL dot reduction and one d-keyed
-    * DECIMAL component reduction, with the 64-value component collected
-    * (metadata scale, kmeansTrace's contract) and folded back as a
-    * broadcast dim table. No d×d covariance matrix is ever
-    * materialized — power iteration IS the 100 TB method for top-k PCs.
-    * Determinism: long-format DECIMAL sums make every reduction
-    * order-independent (no fold-order coupling at all); the only other
-    * float math is products, one division and `sqrt` — IEEE-exact on
-    * identical operands. */
+    * Scale shape: centering and the matvec's per-row dot run MAP-SIDE
+    * (zip_with + a codegen'd vec_dot against the literal μ/v), so each
+    * iteration is exactly ONE d-keyed DECIMAL component reduction; the
+    * 64-value component collects at metadata scale (kmeansTrace's
+    * contract) and folds back as a plan literal. No d×d covariance
+    * matrix is ever materialized — power iteration IS the 100 TB method
+    * for top-k PCs. Determinism: per-row dots are left folds (identical
+    * to DuckDB's `list_dot_product`), every distributed reduction is a
+    * DECIMAL sum (order-independent), and the remaining float math is
+    * products, one division and `sqrt` — IEEE-exact on identical
+    * operands. */
   /** The distributed two-iteration power trajectory behind
     * [[embeddingPca]] and [[abttCorrect]]: per-dim DECIMAL means, the
     * fixed ±1 start, two matvec+normalize steps, and the final Rayleigh
@@ -401,43 +402,48 @@ object Similarity {
                               dim: Int, iters: Int)
       : (IndexedSeq[Double], IndexedSeq[Double], Double, Double) = {
     import spark.implicits._
+    import graft.functions.GraftFunctions.vec_dot
+    graft.functions.GraftFunctions.register(spark)
     val decSum = (c: Column) =>
       sum(c.cast(DecimalType(30, 15))).cast(DoubleType)
-    val long = embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
-      .localCheckpoint(true)
-    try {
-      val muMap = long.groupBy(col("d"))
-        .agg((decSum(col("x")) / count(lit(1))).as("mu")).collect()
-        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val mu = (0 until dim).map(muMap)
-      val muDf = broadcast(mu.zipWithIndex.map { case (m, d) => (d, m) }.toDF("d", "mu"))
-      val cx = long.join(muDf, "d")
-        .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("cx"))
-        .localCheckpoint(true)
-      try {
-        val n = embeddings(spark, dir).count()
-        var v: IndexedSeq[Double] = (0 until dim).map(d => if (d % 2 == 0) 1.0 else -1.0)
-        for (_ <- 1 to iters) {
-          val vDf = broadcast(v.zipWithIndex.map { case (x, d) => (d, x) }.toDF("d", "v"))
-          val dots = cx.join(vDf, "d").groupBy(col("vec_id"))
-            .agg(decSum(col("cx") * col("v")).as("dot"))
-          val w = cx.join(dots, "vec_id").groupBy(col("d"))
-            .agg(decSum(col("dot") * col("cx")).as("w"))
-          val s = w.agg(decSum(col("w") * col("w")).as("s")).collect()(0).getDouble(0)
-          val wm = w.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-          v = (0 until dim).map(d => wm(d) / math.sqrt(s))
-        }
-        val vDf = broadcast(v.zipWithIndex.map { case (x, d) => (d, x) }.toDF("d", "v"))
-        val dots = cx.join(vDf, "d").groupBy(col("vec_id"))
-          .agg(decSum(col("cx") * col("v")).as("dot"))
-        val lam = dots.agg((decSum(col("dot") * col("dot")) / n).as("lam"))
-          .collect()(0).getDouble(0)
-        val tot = cx.agg((decSum(col("cx") * col("cx")) / n).as("tot"))
-          .collect()(0).getDouble(0)
-        (mu, v, lam, tot)
-      } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(cx)
-    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(long)
+    val e = embeddings(spark, dir).select(toDouble(col("embedding")).as("x"))
+    // one shuffle: per-dim DECIMAL means (+ n rides along in the counts)
+    val muRows = e.select(posexplode(col("x")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg((decSum(col("x")) / count(lit(1))).as("mu"), count(lit(1)).as("n"))
+      .collect()
+    val n = muRows.head.getLong(2)
+    val muMap = muRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = (0 until dim).map(muMap)
+    val muLit = array(mu.map(lit): _*)
+    // centering + the matvec's dot are MAP-SIDE (per-row zip_with +
+    // vec_dot against the literal μ/v) — each iteration is ONE
+    // d-keyed DECIMAL shuffle, not a dots-shuffle plus a w-shuffle
+    def projected(v: IndexedSeq[Double]): DataFrame = {
+      val vLit = array(v.map(lit): _*)
+      e.withColumn("cx", zip_with(col("x"), muLit, (a, b) => a - b))
+        .withColumn("dot", vec_dot(col("cx"), vLit))
+    }
+    var v: IndexedSeq[Double] = (0 until dim).map(d => if (d % 2 == 0) 1.0 else -1.0)
+    for (_ <- 1 to iters) {
+      val wm = projected(v)
+        .select(col("dot"), posexplode(col("cx")).as(Seq("d", "cxd")))
+        .groupBy(col("d")).agg(decSum(col("dot") * col("cxd")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val w = (0 until dim).map(wm)
+      // ‖w‖² through the same DECIMAL quantization as the oracle —
+      // a trivial local-relation aggregate over the 64 w values
+      val s = w.zipWithIndex.map { case (x, d) => (d, x) }.toDF("d", "w")
+        .agg(decSum(col("w") * col("w"))).collect()(0).getDouble(0)
+      v = w.map(_ / math.sqrt(s))
+    }
+    val fin = projected(v)
+    val lam = fin.agg((decSum(col("dot") * col("dot")) / n).as("lam"))
+      .collect()(0).getDouble(0)
+    val tot = fin.select(posexplode(col("cx")).as(Seq("d", "cxd")))
+      .agg((decSum(col("cxd") * col("cxd")) / n).as("tot"))
+      .collect()(0).getDouble(0)
+    (mu, v, lam, tot)
   }
 
   def embeddingPca(spark: SparkSession, dir: String,
@@ -463,30 +469,30 @@ object Similarity {
     * (v0), two matvec+normalize steps (v1, v2) and the final projections
     * under v2 (d3). */
   private def pcaSqlPrefix(dim: Int): String = {
-    val v0 = (0 until dim).map(d => s"($d, ${if (d % 2 == 0) "1.0" else "-1.0"})")
-      .mkString(", ")
+    val v0l = (0 until dim).map(d => if (d % 2 == 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |lg AS (SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS INT) AS d,
        |         unnest(e) AS x FROM e),
        |mu AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu
        |       FROM lg GROUP BY d),
        |cx AS (SELECT vec_id, lg.d, x - mu AS cx FROM lg JOIN mu ON lg.d = mu.d),
+       |xv AS (SELECT vec_id, list(cx ORDER BY d) AS xv FROM cx GROUP BY vec_id),
        |n AS (SELECT count(*) AS n FROM e),
-       |v0 AS (SELECT * FROM (VALUES $v0) t(d, v)),
-       |d1 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-       |       FROM cx JOIN v0 ON cx.d = v0.d GROUP BY vec_id),
+       |v0l AS (SELECT $v0l AS vl),
+       |d1 AS (SELECT vec_id, xv, list_dot_product(xv, vl) AS dot FROM xv, v0l),
        |w1 AS (SELECT d, CAST(SUM(CAST(dot * cx AS DECIMAL(30,15))) AS DOUBLE) AS w
        |       FROM cx JOIN d1 USING (vec_id) GROUP BY d),
        |s1 AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS s FROM w1),
        |v1 AS (SELECT d, w / sqrt(s) AS v FROM w1, s1),
-       |d2 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-       |       FROM cx JOIN v1 ON cx.d = v1.d GROUP BY vec_id),
+       |v1l AS (SELECT list(v ORDER BY d) AS vl FROM v1),
+       |d2 AS (SELECT vec_id, xv, list_dot_product(xv, vl) AS dot FROM xv, v1l),
        |w2 AS (SELECT d, CAST(SUM(CAST(dot * cx AS DECIMAL(30,15))) AS DOUBLE) AS w
        |       FROM cx JOIN d2 USING (vec_id) GROUP BY d),
        |s2 AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS s FROM w2),
        |v2 AS (SELECT d, w / sqrt(s) AS v FROM w2, s2),
-       |d3 AS (SELECT vec_id, CAST(SUM(CAST(cx * v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-       |       FROM cx JOIN v2 ON cx.d = v2.d GROUP BY vec_id)""".stripMargin
+       |v2l AS (SELECT list(v ORDER BY d) AS vl FROM v2),
+       |d3 AS (SELECT vec_id, xv, list_dot_product(xv, vl) AS dot FROM xv, v2l)""".stripMargin
   }
 
   private def embeddingPcaOracle(dim: Int = 64): String =
@@ -553,13 +559,10 @@ object Similarity {
   private def abttCorrectOracle(dim: Int = 64, numQueries: Int = 8,
                                 k: Int = 5): String =
     s"""${pcaSqlPrefix(dim)},
-       |xvs AS (SELECT vec_id, list(cx ORDER BY d) AS xv FROM cx GROUP BY vec_id),
-       |vl AS (SELECT list(v ORDER BY d) AS vl FROM v2),
-       |dt AS (SELECT vec_id, xv, list_dot_product(xv, vl) AS dot FROM xvs, vl),
-       |corr AS (SELECT cx.vec_id, cx.d, cx.cx - dt.dot * v2.v AS cc
-       |         FROM cx JOIN dt USING (vec_id) JOIN v2 ON cx.d = v2.d),
+       |corr AS (SELECT cx.vec_id, cx.d, cx.cx - d3.dot * v2.v AS cc
+       |         FROM cx JOIN d3 USING (vec_id) JOIN v2 ON cx.d = v2.d),
        |cvs AS (SELECT vec_id, list(cc ORDER BY d) AS cv FROM corr GROUP BY vec_id),
-       |vecs AS (SELECT dt.vec_id, dt.xv, cvs.cv FROM dt JOIN cvs USING (vec_id)),
+       |vecs AS (SELECT d3.vec_id, d3.xv, cvs.cv FROM d3 JOIN cvs USING (vec_id)),
        |q AS (SELECT vec_id AS query_id, xv AS qx, cv AS qc
        |      FROM vecs WHERE vec_id < $numQueries),
        |sc AS (SELECT q.query_id, vecs.vec_id AS neighbor_id,
