@@ -26,7 +26,8 @@ object SparkEntry {
       ext.TemporalJoins.queries ++
       ext.Multimodal.queries ++
       ext.Retrieval.queries ++
-      ext.Sampling.queries
+      ext.Sampling.queries ++
+      ext.StatsOps.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       ext.TemporalJoins.oracles ++
       ext.Multimodal.oracles ++
       ext.Retrieval.oracles ++
-      ext.Sampling.oracles
+      ext.Sampling.oracles ++
+      ext.StatsOps.oracles
 }

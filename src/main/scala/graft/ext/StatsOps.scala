@@ -1,0 +1,309 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables._
+
+/** Corpus-statistics and data-profiling operators: the measurement side
+  * of a training-data pipeline — frequency sketches, power-law fits,
+  * per-epoch training order, entropy quality signals, and ANALYZE-style
+  * column profiles. Everything is codegen'd built-ins (no UDFs), every
+  * aggregation is map-side partial-combined, and every transcendental
+  * follows the HACKING.md libm rule: `ln`/`log2` outputs are rounded to
+  * 6 dp BEFORE any distributed aggregation and all sums run through
+  * DECIMAL(30,15) so the result is partition-order-independent and
+  * bit-comparable with the DuckDB oracle.
+  */
+object StatsOps {
+
+  private val toks: Column = split(col("text"), " ")
+
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 15))).cast(DoubleType)
+
+  /** 60-bit integer from the first 15 hex digits of md5(s) — the
+    * engine-portable hash used across the md5-construction family
+    * (TextOps.md5DigitTokens is the worked precedent). */
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private def md5Long60Sql(expr: String): String =
+    s"CAST('0x' || substring(md5($expr), 1, 15) AS BIGINT)"
+
+  // ---- cms_freq: Count–Min sketch (Cormode & Muthukrishnan 2005) ------
+
+  /** Count–Min frequency sketch over the token stream: `depth` rows of
+    * `width` counters, row j hashing token t to bucket
+    * md5₆₀(t ⧺ "#j") mod width; the point estimate is the MIN over the
+    * depth counters and NEVER underestimates the true count (each
+    * counter ≥ true count since collisions only add). The query builds
+    * the 256-cell counter table, then reports estimate vs exact truth
+    * for the top-`topK` tokens.
+    *
+    * Scale shape: counters aggregate to depth×width = 256 cells through
+    * map-side partial combine — the shuffle carries ≤256 rows per input
+    * partition regardless of corpus size, which is the entire point of
+    * the sketch (a full exact group-by shuffles every distinct token).
+    * The exact-truth side here exists to GRADE the sketch and to pick
+    * the probe set; a production 100 TB run would keep only the counter
+    * pass (one shuffle of sketch-state) and probe ad hoc. Determinism:
+    * counters are exact integer counts under fixed hashes, so estimate
+    * and overcount are integers — no tolerance, plain hash compare. */
+  def cmsFreq(spark: SparkSession, dir: String, depth: Int = 4,
+              width: Int = 64, topK: Int = 20): DataFrame = {
+    val tok = documents(spark, dir).select(explode(toks).as("tok"))
+    def buckets(c: Column): Column = array((0 until depth).map { j =>
+      pmod(md5Long60(concat(c, lit(s"#$j"))), lit(width.toLong))
+    }: _*)
+    val counters = tok
+      .select(posexplode(buckets(col("tok"))).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val truth = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    // top-k via TakeOrdered (distributed); the rank window then runs on
+    // a bounded topK-row relation, not the full vocabulary
+    val top = truth.orderBy(col("true_cnt").desc, col("tok")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("true_cnt").desc, col("tok"))))
+    top
+      .select(col("rank"), col("tok"), col("true_cnt"),
+        posexplode(buckets(col("tok"))).as(Seq("j", "bucket")))
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("rank"), col("tok"), col("true_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("rank"), col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy("rank")
+  }
+
+  private def cmsFreqOracle(depth: Int = 4, width: Int = 64,
+                            topK: Int = 20): String = {
+    def bucketList(expr: String) = (0 until depth)
+      .map(j => s"${md5Long60Sql(s"$expr || '#$j'")} % $width")
+      .mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bl AS (SELECT tok, ${bucketList("tok")} AS bl FROM tok),
+       |cells AS (SELECT CAST(generate_subscripts(bl, 1) - 1 AS INT) AS j,
+       |            unnest(bl) AS bucket FROM bl),
+       |counters AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+       |truth AS (SELECT tok, count(*) AS true_cnt FROM tok GROUP BY 1),
+       |top AS (SELECT tok, true_cnt,
+       |          CAST(row_number() OVER (ORDER BY true_cnt DESC, tok) AS INT) AS rank
+       |        FROM truth ORDER BY true_cnt DESC, tok LIMIT $topK),
+       |probes AS (SELECT rank, tok, true_cnt,
+       |             CAST(generate_subscripts(bl, 1) - 1 AS INT) AS j,
+       |             unnest(bl) AS bucket
+       |           FROM (SELECT rank, tok, true_cnt, ${bucketList("tok")} AS bl FROM top)),
+       |est AS (SELECT rank, tok, true_cnt, min(c) AS cms_est
+       |        FROM probes JOIN counters USING (j, bucket) GROUP BY 1, 2, 3)
+       |SELECT rank, tok, true_cnt, cms_est, cms_est - true_cnt AS overcount
+       |FROM est ORDER BY rank""".stripMargin
+  }
+
+  // ---- zipf_fit: Zipf-law exponent by log–log OLS ---------------------
+
+  /** Zipf-law fit over the top-`topR` token frequencies: OLS of
+    * ln(count) on ln(rank) gives the power-law exponent (slope ≈ −s for
+    * count ∝ rank^(−s)) — the corpus-health check that pairs with
+    * [[CorpusOps.vocabGrowth]]'s Heaps law. Natural-language corpora sit
+    * near slope −1; a corpus of boilerplate or template spam flattens.
+    *
+    * Scale shape: token counts partial-combine map-side; the rank
+    * window runs on a TakeOrdered-bounded topR-row relation, never the
+    * full vocabulary. Determinism: per the HACKING.md libm rule the two
+    * `ln` outputs are rounded to 6 dp BEFORE aggregation, all OLS sums
+    * are DECIMAL, and slope/intercept round at display. */
+  def zipfFit(spark: SparkSession, dir: String, topR: Int = 256): DataFrame = {
+    val truth = documents(spark, dir).select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = truth.orderBy(col("cnt").desc, col("tok")).limit(topR)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+    val pts = ranked.select(
+      round(log(col("rk")), 6).as("x"), round(log(col("cnt")), 6).as("y"))
+    pts.agg(count(lit(1)).as("n"), decSum(col("x")).as("sx"),
+        decSum(col("y")).as("sy"), decSum(col("x") * col("y")).as("sxy"),
+        decSum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast(IntegerType).as("n_pts"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
+
+  private def zipfFitOracle(topR: Int = 256): String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |truth AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+       |ranked AS (SELECT cnt,
+       |             row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+       |           FROM truth ORDER BY cnt DESC, tok LIMIT $topR),
+       |pts AS (SELECT ROUND(ln(rk), 6) AS x, ROUND(ln(cnt), 6) AS y FROM ranked),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+       |        CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+       |        CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+       |        CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx
+       |      FROM pts)
+       |SELECT CAST(n AS INT) AS n_pts,
+       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    AS intercept
+       |FROM s""".stripMargin
+
+  // ---- epoch_shuffle: deterministic per-epoch training order ----------
+
+  /** The global-shuffle primitive of a training pipeline: each epoch
+    * gets its own deterministic pseudorandom permutation of the corpus,
+    * sharded for parallel readers. Doc d in epoch e sorts by
+    * md5(d ⧺ ":" ⧺ e); its shard is that key's 60-bit value mod
+    * `shards` and its position is the rank within the shard.
+    *
+    * Scale shape: key and shard derive map-side; the only movement is
+    * ONE shuffle keyed by (epoch, shard) and a within-shard sort —
+    * exactly how a 100 TB shuffle-and-shard materialization runs, with
+    * shards sized to reader parallelism. No global sort, no driver
+    * state; a new epoch is a new literal, not a new design. Determinism:
+    * md5 keys are engine-portable strings; ties cannot happen (doc_id
+    * is unique per epoch) but doc_id tiebreaks anyway. */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 2,
+                   shards: Int = 16): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"),
+      explode(array((0 until epochs).map(lit): _*)).as("epoch"))
+    val keyed = d.withColumn("k",
+        md5(concat(col("doc_id").cast(StringType), lit(":"),
+          col("epoch").cast(StringType))))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast(LongType),
+          lit(shards.toLong)).cast(IntegerType))
+    keyed.withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  private def epochShuffleOracle(epochs: Int = 2, shards: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, unnest(generate_series(0, ${epochs - 1})) AS epoch
+       |           FROM documents),
+       |k0 AS (SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k
+       |       FROM d),
+       |keyed AS (SELECT doc_id, epoch, k,
+       |            CAST(CAST('0x' || substring(k, 1, 15) AS BIGINT)
+       |                 % $shards AS INT) AS shard
+       |          FROM k0)
+       |SELECT epoch, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) AS INT) AS pos,
+       |  doc_id
+       |FROM keyed ORDER BY epoch, shard, pos""".stripMargin
+
+  // ---- char_entropy: order-0 entropy quality signal -------------------
+
+  /** Per-document order-0 (character-unigram) Shannon entropy — the
+    * compression-flavored quality signal: template spam and repeated
+    * boilerplate score low, natural prose high. Uses the identity
+    * H = log₂(n) − (1/n)·Σ cᵢ·log₂(cᵢ) over character counts cᵢ so the
+    * corpus statistics stay INTEGER until one log per distinct
+    * character.
+    *
+    * Scale shape: (doc, char) counts partial-combine map-side (alphabet
+    * ≪ text length), then one doc-keyed reduce; nothing global.
+    * Determinism: the HACKING.md libm rule — each cᵢ·log₂(cᵢ) term
+    * rounds to 6 dp before the DECIMAL sum, entropy rounds at display. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    cc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_ch"),
+        count(lit(1)).as("n_distinct_ch"),
+        decSum(round(col("c") * log2(col("c")), 6)).as("st"))
+      .select(col("doc_id"), col("n_ch"), col("n_distinct_ch"),
+        round(log2(col("n_ch")) - col("st") / col("n_ch"), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  private def charEntropyOracle: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |            FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ch,
+      |          CAST(count(*) AS BIGINT) AS n_distinct_ch,
+      |          CAST(SUM(CAST(ROUND(c * log2(c), 6) AS DECIMAL(30,15))) AS DOUBLE) AS st
+      |        FROM cc GROUP BY 1)
+      |SELECT doc_id, n_ch, n_distinct_ch,
+      |  ROUND(log2(n_ch) - st / n_ch, 4) AS entropy_bits
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---- profile_stats: ANALYZE-style column profiler -------------------
+
+  /** ANALYZE-TABLE-style per-column profile of `orders`: row count, null
+    * count, exact NDV, and min/max rendered through a type-stable
+    * representation (integers as decimal strings, doubles through
+    * DECIMAL(18,2), timestamps as ISO seconds) so every column's profile
+    * lands in one uniform relation.
+    *
+    * Scale shape: one single-row aggregate PER COLUMN over a
+    * column-pruned parquet scan (union of 6 tiny aggs) — each pass reads
+    * exactly one column's pages and partial-combines map-side. That is
+    * the shape ANALYZE runs at warehouse scale; the exact
+    * count(DISTINCT) here would become a sketched NDV (HLL, already in
+    * [[graft.functions]]'s family) at 100 TB, traded per-column when
+    * exactness stops paying for its shuffle. */
+  def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    def prof(name: String, repr: Column => Column): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(name))).as("n_nulls"),
+          countDistinct(col(name)).as("ndv"),
+          repr(min(col(name))).as("min_repr"),
+          repr(max(col(name))).as("max_repr"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_repr"), col("max_repr"))
+    val asStr = (c: Column) => c.cast(StringType)
+    val asDec2 = (c: Column) => round(c, 2).cast(DecimalType(18, 2)).cast(StringType)
+    val asIso = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    prof("o_orderkey", asStr)
+      .unionAll(prof("o_custkey", asStr))
+      .unionAll(prof("o_orderstatus", asStr))
+      .unionAll(prof("o_totalprice", asDec2))
+      .unionAll(prof("o_orderdate", asIso))
+      .unionAll(prof("o_orderpriority", asStr))
+      .orderBy("col_name")
+  }
+
+  private def profileStatsOracle: String = {
+    def prof(name: String, repr: String => String): String =
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($name) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS ndv,
+         |  ${repr(s"min($name)")} AS min_repr,
+         |  ${repr(s"max($name)")} AS max_repr
+         |FROM orders""".stripMargin
+    val asStr = (e: String) => s"CAST($e AS VARCHAR)"
+    val asDec2 = (e: String) => s"CAST(CAST(ROUND($e, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    val asIso = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+    Seq(prof("o_orderkey", asStr), prof("o_custkey", asStr),
+      prof("o_orderstatus", asStr), prof("o_totalprice", asDec2),
+      prof("o_orderdate", asIso), prof("o_orderpriority", asStr))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---- driver wiring --------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_freq" -> ((s: SparkSession, d: String) => cmsFreq(s, d)),
+    "zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
+    "epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
+    "char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
+    "profile_stats" -> ((s: SparkSession, d: String) => profileStats(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "cms_freq" -> cmsFreqOracle(),
+    "zipf_fit" -> zipfFitOracle(),
+    "epoch_shuffle" -> epochShuffleOracle(),
+    "char_entropy" -> charEntropyOracle,
+    "profile_stats" -> profileStatsOracle)
+}
