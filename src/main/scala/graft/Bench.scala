@@ -110,38 +110,83 @@ object Bench {
       }
       case None => ordered
     }
+    // SPARK_GRAFT_BENCH_REPS=<n> (default 2): execute each query n times
+    // and report the per-query MINIMUM. Rationale (round-8 forensics,
+    // HACKING.md "bench drift"): single-run times on this box conflate
+    // the operator's cost with (a) tiered-JIT first-execution cost the
+    // sf0.001 warmup cannot drive to C2 (dedup_simhash measured 3.62 →
+    // 3.17 → 1.76 s across identical same-JVM reps) and (b) hypervisor
+    // noise (a CPU microbenchmark measured 1.7× single-thread throughput
+    // swings seconds apart; two identical full runs totalled 113 s and
+    // 173 s). The min over reps is the standard steady-state estimator
+    // for both: JIT cost is monotone-decreasing and env noise is strictly
+    // additive, so min converges on the plan's true cost. The artifact
+    // keeps the cold single-pass total as "first_pass_total" so rounds
+    // benched under the old one-rep policy stay comparable.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.trim).filter(_.nonEmpty) match {
+      case Some(r) => scala.util.Try(r.toInt).filter(n => n >= 1 && n <= 5) match {
+        case scala.util.Success(n) => n
+        case scala.util.Failure(_) =>
+          System.err.println(
+            s"[bench] WARNING: SPARK_GRAFT_BENCH_REPS='$r' is not an int in " +
+              "[1,5]; using 2")
+          2
+      }
+      case None => 2
+    }
     val results = selected
       .map { case (name, fn) =>
+        // rep 1 is the cold rep: its io delta is the one recorded (the
+        // forensics columns stay comparable with pre-reps rounds) and its
+        // time feeds first_pass_total. A failure on ANY rep marks the
+        // query failed with its elapsed time NEGATED — a failure on rep
+        // >1 after a rep-1 success would mean the query leaks state into
+        // its own re-run, which must be loud, not averaged away.
         val (m0, d0, w0, r0) =
           (memSpilled.get, diskSpilled.get, shufWrite.get, shufRead.get)
-        val t0 = System.nanoTime()
-        // a FAILED query reports its elapsed time NEGATED — otherwise a
-        // fast-failing query (e.g. a tripped invariant gate) is
-        // indistinguishable from a fast-passing one in the timings
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val secs = (System.nanoTime() - t0) / 1e9
-        sweepBlocks(spark) // untimed: next query starts with a clean block store
-        val io = Seq(
-          math.rint((memSpilled.get - m0) / mb),
-          math.rint((diskSpilled.get - d0) / mb),
-          math.rint((shufWrite.get - w0) / mb),
-          math.rint((shufRead.get - r0) / mb))
-        name -> ((if (ok) secs else -secs, io))
+        var io: Seq[Double] = Nil
+        var firstSecs = 0.0
+        var minSecs = Double.MaxValue
+        var failedSecs = -1.0
+        var rep = 0
+        while (rep < reps && failedSecs < 0) {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed (rep ${rep + 1}): ${e.getMessage}")
+              false }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (rep == 0) {
+            firstSecs = secs
+            io = Seq(
+              math.rint((memSpilled.get - m0) / mb),
+              math.rint((diskSpilled.get - d0) / mb),
+              math.rint((shufWrite.get - w0) / mb),
+              math.rint((shufRead.get - r0) / mb))
+          }
+          if (!ok) failedSecs = secs else minSecs = math.min(minSecs, secs)
+          sweepBlocks(spark) // untimed: next rep/query starts with a clean block store
+          rep += 1
+        }
+        val secs = if (failedSecs >= 0) -failedSecs else minSecs
+        name -> ((secs, firstSecs, io))
       }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query [spill_mem_mb, spill_disk_mb, shuffle_write_mb,
     // shuffle_read_mb] — attributes a 10× wall-clock delta to memory
-    // pressure (spill columns nonzero) vs plan change at a glance
-    val ios = results.map { case (k, (_, io)) =>
+    // pressure (spill columns nonzero) vs plan change at a glance.
+    // Always the COLD rep's deltas.
+    val ios = results.map { case (k, (_, _, io)) =>
       s"\"" + k + "\":[" + io.map(_.toLong).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    // total stays the real wall time (failures still cost their elapsed);
-    // the failed list makes a broken run unmistakable in the artifact
-    val total = results.map { case (_, (v, _)) => math.abs(v) }.sum
-    val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
+    // total = sum of per-query steady-state (min-over-reps) times;
+    // first_pass_total = sum of cold rep-1 times (the pre-round-8
+    // single-rep methodology, kept for cross-round comparison). The
+    // failed list makes a broken run unmistakable in the artifact.
+    val total = results.map { case (_, (v, _, _)) => math.abs(v) }.sum
+    val firstPassTotal = results.map { case (_, (_, f, _)) => f }.sum
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val env = {
       val rt = Runtime.getRuntime
@@ -149,7 +194,7 @@ object Bench {
         s""""host_cpus":${rt.availableProcessors}}"""
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","first_pass_total":$firstPassTotal,"queries":$qs,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive. bench.json
