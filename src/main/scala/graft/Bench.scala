@@ -46,6 +46,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same production extensions as Verify: the harness must bench the
+      // plans a production session gets (view-swapped catalog reads,
+      // metadata-folded aggregates)
+      .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: deterministic ts math
       .config("spark.ui.enabled", "false")

@@ -27,7 +27,8 @@ object SparkEntry {
       ext.Multimodal.queries ++
       ext.Retrieval.queries ++
       ext.Sampling.queries ++
-      ext.StatsOps.queries
+      ext.StatsOps.queries ++
+      ext.FuzzyJoin.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       ext.Multimodal.oracles ++
       ext.Retrieval.oracles ++
       ext.Sampling.oracles ++
-      ext.StatsOps.oracles
+      ext.StatsOps.oracles ++
+      ext.FuzzyJoin.oracles
 }

@@ -14,6 +14,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the documented production install (GraftExtensions Scaladoc):
+      // harness sessions run the same analyzer integration users get —
+      // catalog reads view-swap, bare COUNT/MIN/MAX fold to manifest stats
+      .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -291,6 +291,136 @@ object StatsOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Bradley-Terry preference-strength fit across language slices — the
+    * pairwise-preference model a reward-model data pipeline runs over
+    * human/synthetic comparisons (Bradley & Terry 1952; the MM fixed
+    * point is Zermelo 1929, convergence Hunter 2004). Here every
+    * cross-lang document pair is an implicit comparison judged by a
+    * deterministic quality proxy (type-token ratio), so the fit ranks
+    * languages by how often their documents win quality comparisons.
+    *
+    * Scale shape — the quadratic pair space is never materialized:
+    *  1. histogram: one (lang, score) groupBy (map-side combined);
+    *  2. win counts from ORDER STATISTICS: a window over DISTINCT
+    *     scores (not docs) accumulates per-lang cumulative counts;
+    *     wins_ab = Σ_s h_a(s)·cum_b(<s), ties from the same histogram —
+    *     O(distinct scores), one tiny window;
+    *  3. MM iterations θ'_a = W_a / Σ_b n_ab/(θ_a+θ_b) on the k×k
+    *     matrix — k=|langs| rows collect at metadata scale (the
+    *     kmeansTrace precedent), re-injected as map literals.
+    * Division/addition only (libm-free, HACKING rule 8); every sum that
+    * crosses partitions is DECIMAL(30,15); wins/ties are integer-exact
+    * and W_ab = wins + ties/2 is a sum of exact halves. The oracle
+    * replays the SAME two MM iterations from a naive histogram join. */
+  def preferenceBtFit(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val d0 = documents(spark, dir).select(col("lang"),
+      (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("score"))
+    val langs = d0.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0)).toSeq
+    val histCols = langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"h_$l"))
+    val hist = d0.groupBy(col("score")).agg(histCols.head, histCols.tail: _*)
+    // cumulative strictly-below counts per lang: RANGE cum minus the
+    // current score's own bucket (scores are distinct rows here, so the
+    // window is over |distinct scores| rows — tiny relative to docs)
+    val wCum = Window.orderBy("score")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("score") +:
+      langs.flatMap(l => Seq(col(s"h_$l"),
+        (sum(col(s"h_$l")).over(wCum) - col(s"h_$l")).as(s"below_$l"))): _*)
+    // wins_ab = Σ_s h_a(s) · below_b(s); ties_ab = Σ_s h_a(s) · h_b(s)
+    val pairCols = (for { a <- langs; b <- langs if a != b } yield
+      struct(lit(a).as("la"), lit(b).as("lb"),
+        sum(col(s"h_$a") * col(s"below_$b")).as("wins"),
+        sum(col(s"h_$a") * col(s"h_$b")).as("ties"))).toIndexedSeq
+    val matDf = cum
+      .agg(pairCols.head.as("c0"),
+        pairCols.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*)
+      .select(explode(array(pairCols.indices.map(i => col(s"c$i")): _*)).as("p"))
+      .select(col("p.la"), col("p.lb"), col("p.wins"), col("p.ties"))
+      .withColumn("w_ab", col("wins").cast(DoubleType) + col("ties").cast(DoubleType) / 2.0)
+    val counts = d0.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMap = map(langs.flatMap(l => Seq(lit(l), lit(counts(l).toDouble))): _*)
+    val withN = matDf
+      .withColumn("n_ab", element_at(nMap, col("la")) * element_at(nMap, col("lb")))
+      .localCheckpoint(true) // consumed once per MM iteration
+    // MM fixed point, `iters` rounds from θ = 1, arithmetic-mean
+    // normalized (mean, not geometric: no pow — libm-free)
+    var theta: Map[String, Double] = langs.map(_ -> 1.0).toMap
+    val thetas = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    for (_ <- 1 to iters) {
+      val tMap = map(langs.flatMap(l => Seq(lit(l), lit(theta(l)))): _*)
+      // every quotient is rounded to 9 dp BEFORE its DECIMAL aggregation:
+      // the two engines' double→DECIMAL(30,15) casts can disagree by one
+      // unit in the 15th fractional digit on full-precision quotients
+      // (shortest-string vs exact-expansion conversion; observed once in
+      // this very query) — a 9-dp value's expansion is unambiguous there.
+      // Same discipline as the libm-output rounding rule (HACKING rule 8).
+      val it = withN
+        .withColumn("term", round(col("n_ab") /
+          (element_at(tMap, col("la")) + element_at(tMap, col("lb"))), 9))
+        .groupBy(col("la"))
+        .agg(decSum(col("term")).as("denom"), sum(col("w_ab")).as("w_tot"))
+        .withColumn("t_raw", round(col("w_tot") / col("denom"), 9))
+      // normalization mean through the ENGINE's double→DECIMAL cast (the
+      // oracle's exact construction) — never a driver-side replica of the
+      // cast semantics. k collected rows per iteration: metadata scale.
+      val normed = it
+        .withColumn("mean",
+          sum(col("t_raw").cast(DecimalType(30, 15)))
+            .over(Window.partitionBy(lit(1))).cast(DoubleType) / langs.size)
+        .select(col("la"), round(col("t_raw") / col("mean"), 9).as("t"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      theta = normed
+      thetas += theta
+    }
+    val outCols = (1 to iters).map(i =>
+      element_at(map(langs.flatMap(l => Seq(lit(l), lit(thetas(i - 1)(l)))): _*),
+        col("lang")).as(s"theta_$i"))
+    d0.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(col("lang") +: col("n_docs") +: outCols: _*)
+      .orderBy("lang")
+  }
+
+  private def preferenceBtFitOracle(iters: Int = 2): String = {
+    require(iters == 2, "oracle is unrolled for exactly 2 MM iterations")
+    """WITH d0 AS (SELECT lang,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |      / len(string_split(text,' ')) AS score FROM documents),
+      |hist AS (SELECT lang, score, count(*) AS c FROM d0 GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM d0 GROUP BY 1),
+      |k AS (SELECT count(*) AS k FROM nl),
+      |mat AS (SELECT a.lang AS la, b.lang AS lb,
+      |          SUM(CASE WHEN a.score > b.score THEN a.c * b.c ELSE 0 END) AS wins,
+      |          SUM(CASE WHEN a.score = b.score THEN a.c * b.c ELSE 0 END) AS ties
+      |        FROM hist a JOIN hist b ON a.lang <> b.lang GROUP BY 1, 2),
+      |m AS (SELECT la, lb,
+      |        CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0 AS w_ab,
+      |        (SELECT n FROM nl WHERE lang = la) * (SELECT n FROM nl WHERE lang = lb) AS n_ab
+      |      FROM mat),
+      |i1 AS (SELECT la,
+      |         CAST(SUM(CAST(round(n_ab / (1.0 + 1.0), 9) AS DECIMAL(30,15))) AS DOUBLE) AS denom,
+      |         SUM(w_ab) AS w_tot
+      |       FROM m GROUP BY la),
+      |r1 AS (SELECT la, round(w_tot / denom, 9) AS t_raw FROM i1),
+      |m1 AS (SELECT CAST(SUM(CAST(t_raw AS DECIMAL(30,15))) AS DOUBLE)
+      |               / (SELECT k FROM k) AS mean FROM r1),
+      |t1 AS (SELECT la, round(t_raw / (SELECT mean FROM m1), 9) AS t FROM r1),
+      |i2 AS (SELECT m.la,
+      |         CAST(SUM(CAST(round(n_ab / (ta.t + tb.t), 9) AS DECIMAL(30,15))) AS DOUBLE) AS denom,
+      |         SUM(w_ab) AS w_tot
+      |       FROM m JOIN t1 ta ON ta.la = m.la JOIN t1 tb ON tb.la = m.lb
+      |       GROUP BY m.la),
+      |r2 AS (SELECT la, round(w_tot / denom, 9) AS t_raw FROM i2),
+      |m2 AS (SELECT CAST(SUM(CAST(t_raw AS DECIMAL(30,15))) AS DOUBLE)
+      |               / (SELECT k FROM k) AS mean FROM r2),
+      |t2 AS (SELECT la, round(t_raw / (SELECT mean FROM m2), 9) AS t FROM r2)
+      |SELECT nl.lang, CAST(nl.n AS BIGINT) AS n_docs,
+      |       t1.t AS theta_1, t2.t AS theta_2
+      |FROM nl JOIN t1 ON t1.la = nl.lang JOIN t2 ON t2.la = nl.lang
+      |ORDER BY nl.lang""".stripMargin
+  }
+
   // ---- driver wiring --------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,12 +428,14 @@ object StatsOps {
     "zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
     "epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
-    "profile_stats" -> ((s: SparkSession, d: String) => profileStats(s, d)))
+    "profile_stats" -> ((s: SparkSession, d: String) => profileStats(s, d)),
+    "preference_bt_fit" -> ((s: SparkSession, d: String) => preferenceBtFit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "cms_freq" -> cmsFreqOracle(),
     "zipf_fit" -> zipfFitOracle(),
     "epoch_shuffle" -> epochShuffleOracle(),
     "char_entropy" -> charEntropyOracle,
-    "profile_stats" -> profileStatsOracle)
+    "profile_stats" -> profileStatsOracle,
+    "preference_bt_fit" -> preferenceBtFitOracle())
 }

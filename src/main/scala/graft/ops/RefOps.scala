@@ -738,6 +738,65 @@ object RefOps {
       .orderBy("o_orderkey")
   }
 
+  // Metadata-only aggregate serving: a bare COUNT(*)/MIN/MAX over a graft
+  // catalog table folds to the snapshot's dir row counts + bounds
+  // sidecars (the ResolveGraftTables count-fold rule) — at 100 TB
+  // `SELECT count(*), min(ts), max(ts)` answers from O(dirs) driver
+  // metadata reads without opening ONE data file, the role Iceberg's
+  // manifest stats + Spark's aggregate pushdown play. The query proves
+  // both directions of the rule's soundness condition: (1) on a clean
+  // table the optimized plan is metadata-only (asserted: every leaf is a
+  // LocalRelation — no scan survives), (2) once a rowDelta leaves PENDING
+  // equality deletes the fold would over-count, so the rule must DECLINE
+  // and the scan path returns the post-delete truth (asserted: a real
+  // relation is back in the plan). Hash-verifying both rows proves the
+  // folded numbers equal the scan's numbers exactly.
+  private def statsAggFold(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("saf_wh")
+    val cat = s"graftsaf${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val o = orders(spark, dir).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val t = GraftTable.create(spark, s"$wh/db/ords", o.schema,
+      key = Seq("o_orderkey"), statsKeys = Seq("o_orderkey", "o_orderdate"))
+    // two appends: the fold must combine MULTIPLE dirs' counts/bounds
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 =!= 0))
+    val aggSql =
+      s"""SELECT count(*) AS cnt, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+         |FROM $cat.db.ords""".stripMargin
+    def isMetadataOnly(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // the fold is an analyzer extension — plan-shape assertions only bind
+    // in sessions built with GraftSparkSessionExtensions (the documented
+    // production install; Verify/Bench use it). In a plain session both
+    // phases scan and the VALUES are identical, so the oracle holds on
+    // either path — the assertions are the extension-path proof.
+    val ruleInstalled = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[graft.catalog.ResolveGraftTables])
+    val clean = spark.sql(aggSql)
+    assert(!ruleInstalled || isMetadataOnly(clean),
+      "clean-table COUNT/MIN/MAX must fold to manifest stats (no scan in the plan)")
+    // MoR: equality-delete + re-insert the same keys with a shifted date.
+    // The pending delete files make dir row counts an over-count, so the
+    // fold is unsound until the next compaction folds the deletes in.
+    t.upgradeFormat(2)
+    val hit = o.filter(col("o_orderkey") % 10 === 1)
+    t.rowDelta(
+      hit.select(col("o_orderkey")),
+      hit.select(col("o_orderkey"),
+        lit(java.time.LocalDateTime.parse("2005-06-01T00:00:00")).as("o_orderdate"),
+        col("o_totalprice")),
+      Seq("o_orderkey"))
+    val mor = spark.sql(aggSql)
+    assert(!ruleInstalled || !isMetadataOnly(mor),
+      "pending equality deletes must disable the metadata fold (scan required)")
+    clean.select(lit("p1_clean").as("phase"), col("cnt"), col("mn"), col("mx"))
+      .unionAll(mor.select(lit("p2_mor_deletes").as("phase"), col("cnt"), col("mn"), col("mx")))
+      .orderBy("phase")
+  }
+
   // Bounds dir skipping: RANGE predicates on a NON-layout column check the
   // per-dir [min,max] sidecars (captured by the write job's Observation —
   // zero extra passes) and read only intersecting data dirs — the role
@@ -962,6 +1021,7 @@ object RefOps {
     "sql_insert" -> sqlInsert,
     "bloom_pruned_scan" -> bloomPrunedScan,
     "bounds_pruned_scan" -> boundsPrunedScan,
+    "stats_agg_fold" -> statsAggFold,
     "spec_evolution" -> specEvolution,
     "time_travel" -> timeTravel,
     "changelog_read" -> changelogRead,
@@ -1137,6 +1197,16 @@ object RefOps {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "stats_agg_fold" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 10 = 1 THEN TIMESTAMP '2005-06-01' ELSE o_orderdate END AS o_orderdate
+        |        FROM base)
+        |SELECT 'p1_clean' AS phase, count(*) AS cnt,
+        |       min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM base
+        |UNION ALL
+        |SELECT 'p2_mor_deletes', count(*), min(o_orderdate), max(o_orderdate) FROM upd
+        |ORDER BY phase""".stripMargin,
     "spec_evolution" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
