@@ -964,7 +964,100 @@ object CorpusOps {
        |  COALESCE(a.max_span, 0) AS max_span
        |FROM d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** T5-style span-corruption example construction (Raffel et al. 2020
+    * §3.1.4): the masking pass that turns a clean corpus into denoising
+    * (input, target) training pairs — ~15% of tokens hidden in short
+    * spans, each span replaced by one sentinel in the input and emitted
+    * after the same sentinel in the target.
+    *
+    * Noise is DETERMINISTIC: position p of doc d starts a raw span when
+    * the first 15 md5(d:p) hex digits % 20 == 0 (5% starts × mean length
+    * 3 ≈ 15% coverage), with length 2 + (second 15 hex digits) % 3 ∈
+    * {2,3,4} — two independent digit blocks, no integer division (`/` is
+    * FLOAT division on integers in BOTH engines, and a 60-bit hash
+    * exceeds double precision). A position is masked iff
+    * one of its 4 predecessors (offset o ∈ 0..3) starts a span longer
+    * than o — a PURE MAP re-derivation per position, no start-explode
+    * join at any scale. Overlapping raw spans merge into maximal runs
+    * (lag + running sum of run starts, one per-doc window); sentinel ids
+    * number the merged runs. The whole construction — hash, mask
+    * algebra, run merge, ordered reassembly — replays verbatim in the
+    * DuckDB oracle. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    def hAt(pos: Column, off: Int): Column =
+      conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":"),
+        pos.cast(StringType))), 1 + off, 15), 16, 10).cast(LongType)
+    def startsAt(pos: Column): Column = pos >= 0 && hAt(pos, 0) % 20 === 0
+    def lenAt(pos: Column): Column = lit(2) + hAt(pos, 15) % 3
+    val pos = documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .withColumn("masked", (0 to 3).map(o =>
+        startsAt(col("pos") - o) && lenAt(col("pos") - o) > o).reduce(_ || _))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = pos
+      .withColumn("run_start",
+        col("masked") && !coalesce(lag(col("masked"), 1).over(wDoc), lit(false)))
+      .withColumn("span_id",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(wDoc) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("span_id").cast(StringType), lit(">"))
+    val pieces = spans
+      .withColumn("in_piece",
+        when(col("run_start"), sentinel)
+          .when(!col("masked"), col("token")))
+      .withColumn("tg_piece",
+        when(col("run_start"), concat(sentinel, lit(" "), col("token")))
+          .when(col("masked"), col("token")))
+    def joined(piece: String): Column = array_join(transform(
+      array_sort(collect_list(when(col(piece).isNotNull,
+        struct(col("pos"), col(piece).as("p"))))),
+      x => x.getField("p")), " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(joined("in_piece").as("input_text"),
+        joined("tg_piece").as("target_text"),
+        sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private def spanCorruptionOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+      |         generate_subscripts(string_split(text,' '), 1) - 1 AS pos
+      |       FROM documents),
+      |m AS (SELECT doc_id, pos, token,
+      |    (pos >= 0 AND CAST('0x' || substring(md5(doc_id || ':' || CAST(pos AS VARCHAR)),1,15) AS BIGINT) % 20 = 0
+      |       AND 2 + CAST('0x' || substring(md5(doc_id || ':' || CAST(pos AS VARCHAR)),16,15) AS BIGINT) % 3 > 0)
+      | OR (pos >= 1 AND CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-1 AS VARCHAR)),1,15) AS BIGINT) % 20 = 0
+      |       AND 2 + CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-1 AS VARCHAR)),16,15) AS BIGINT) % 3 > 1)
+      | OR (pos >= 2 AND CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-2 AS VARCHAR)),1,15) AS BIGINT) % 20 = 0
+      |       AND 2 + CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-2 AS VARCHAR)),16,15) AS BIGINT) % 3 > 2)
+      | OR (pos >= 3 AND CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-3 AS VARCHAR)),1,15) AS BIGINT) % 20 = 0
+      |       AND 2 + CAST('0x' || substring(md5(doc_id || ':' || CAST(pos-3 AS VARCHAR)),16,15) AS BIGINT) % 3 > 3)
+      |    AS masked
+      |  FROM tok),
+      |r AS (SELECT doc_id, pos, token, masked,
+      |        masked AND NOT COALESCE(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS run_start
+      |      FROM m),
+      |s AS (SELECT doc_id, pos, token, masked, run_start,
+      |        SUM(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+      |          (PARTITION BY doc_id ORDER BY pos) - 1 AS span_id
+      |      FROM r),
+      |p AS (SELECT doc_id, pos, masked, run_start,
+      |        CASE WHEN run_start THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+      |             WHEN NOT masked THEN token END AS in_piece,
+      |        CASE WHEN run_start THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '> ' || token
+      |             WHEN masked THEN token END AS tg_piece
+      |      FROM s)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(in_piece, ' ' ORDER BY pos) FILTER (WHERE in_piece IS NOT NULL), '') AS input_text,
+      |  COALESCE(string_agg(tg_piece, ' ' ORDER BY pos) FILTER (WHERE tg_piece IS NOT NULL), '') AS target_text,
+      |  CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  count(*) AS n_tokens
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_corruption" -> ((s, d) => spanCorruption(s, d)),
     "exact_substring_spans" -> ((s, d) => exactSubstringSpans(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -991,6 +1084,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "span_corruption" -> spanCorruptionOracle,
     "exact_substring_spans" -> exactSubstringSpansOracle(),
     "pmi_collocations" -> pmiOracle(),
     "doremi_reweight" -> doremiOracle(),

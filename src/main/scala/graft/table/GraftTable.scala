@@ -426,6 +426,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // commit's files — the same information, no listener round-trip).
     val needObs = snap.bloomKeys.nonEmpty || snap.statsKeys.nonEmpty
     val obs = org.apache.spark.sql.Observation()
+    // total rows as summed by the pstats sidecar sweep (partitioned
+    // writes) — reused below so the no-Observation path never pays a
+    // second, driver-serial footer pass over the same files
+    var pstatsRows: Option[Long] = None
     // per-commit key blooms and column bounds ride the SAME write job as
     // extra observed metrics — stats with zero additional passes
     val bloomMetrics = snap.bloomKeys.map { k =>
@@ -451,13 +455,34 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       dup.write.mode("errorifexists")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partCols.map(c => s"__dir_$c"): _*).parquet(s"$dir/$sub")
+      // per-leaf [files, rows, bytes] sidecar, captured ONCE from the
+      // just-written (page-hot) footers in one distributed job: the
+      // #partitions metadata table then answers with ZERO data-file I/O
+      // (the role Iceberg's per-manifest partition summaries play) —
+      // O(files) footer reads belong at write time, amortized over every
+      // later metadata query, not repeated per query. Best-effort like
+      // the bloom/bounds sidecars: a missing file only means the
+      // metadata query falls back to its footer walk for this dir.
+      try {
+        val leaves = partitionLeaves(
+          fs.makeQualified(new Path(s"$dir/$sub")), partCols.size)
+        val stats = org.apache.spark.sql.GraftShim.footerStats(spark, leaves)
+        val o = mapper.createObjectNode()
+        stats.foreach { case (disp, nf, nr, nb) =>
+          val c = o.putObject(disp); c.put("f", nf); c.put("r", nr); c.put("b", nb)
+        }
+        val uuid = sub.substring(sub.lastIndexOf('/') + 1)
+        val os = fs.create(new Path(logDir, s"pstats/$uuid.json"), true)
+        try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+        pstatsRows = Some(stats.map(_._3).sum)
+      } catch { case _: Exception => } // sidecars are best-effort
     } else {
       observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
     val rowsRaw =
       if (needObs) try obs.get("rows").asInstanceOf[Long] catch { case _: Throwable =>
-        footerRowCount(s"$dir/$sub") } // listener hiccup: footers still know
-      else footerRowCount(s"$dir/$sub")
+        pstatsRows.getOrElse(footerRowCount(s"$dir/$sub")) } // listener hiccup: footers still know
+      else pstatsRows.getOrElse(footerRowCount(s"$dir/$sub"))
     // -1 means "count unknown", which commit gates must NOT conflate with
     // "zero rows": dropping a dir that has real files because a transient
     // FS error broke the count would be silent data loss. Distinguish by
@@ -2253,7 +2278,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // never touched (uuid membership, not age).
     val liveUuids = referenced.map(p => p.substring(p.lastIndexOf('/') + 1))
     val sidecars = Seq(("blooms", (n: String) => n.takeWhile(_ != '_')),
-      ("stats", (n: String) => n.stripSuffix(".json")))
+      ("stats", (n: String) => n.stripSuffix(".json")),
+      ("pstats", (n: String) => n.stripSuffix(".json")))
     val sweptSidecars = sidecars.flatMap { case (sub, uuidOf) =>
       val rp = new Path(logDir, sub)
       if (!f.exists(rp)) Seq.empty
@@ -2410,34 +2436,70 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * read at any scale. Spec evolution: each dir reports under the spec
     * it was written with (the partition string carries the field names,
     * so mixed specs stay distinguishable). */
+  /** (display, qualified-path) of each partition leaf dir under one data
+    * dir: the k=v walk, `depth` levels deep, stripping the `__dir_`
+    * storage prefix from each component. Driver-side O(leaf dirs)
+    * listings only. */
+  private def partitionLeaves(root: Path, depth: Int): Seq[(String, String)] = {
+    val f = fs
+    if (depth == 0) Seq(("", root.toString))
+    else {
+      var frontier: Seq[(Path, String)] = Seq((root, ""))
+      (1 to depth).foreach { _ =>
+        frontier = frontier.flatMap { case (p, disp) =>
+          f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
+            val n = st.getPath.getName.stripPrefix("__dir_")
+            (st.getPath, if (disp.isEmpty) n else s"$disp/$n")
+          }
+        }
+      }
+      frontier.map { case (leaf, disp) => (disp, leaf.toString) }
+    }
+  }
+
+  /** Per-leaf [files, rows, bytes] recorded at COMMIT time by writeData
+    * (`_graft_log/pstats/<uuid>.json`) — None for dirs committed before
+    * the sidecar existed (or whose sidecar write failed), which fall
+    * back to the footer walk. */
+  private def pstatsOf(d: DataDir): Option[Seq[(String, Long, Long, Long)]] = {
+    val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+    try {
+      val in = fs.open(new Path(logDir, s"pstats/$uuid.json"))
+      val node = try mapper.readTree(in) finally in.close()
+      val it = node.fields()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      while (it.hasNext) {
+        val e = it.next(); val v = e.getValue
+        buf += ((e.getKey, v.get("f").asLong, v.get("r").asLong, v.get("b").asLong))
+      }
+      Some(buf.toSeq)
+    } catch { case _: Exception => None }
+  }
+
   def partitions: DataFrame = {
     import spark.implicits._
     val s = snapshot
     val f = fs
-    // driver side: only the k=v leaf WALK (O(partition dirs) listings);
-    // the per-leaf footer reads run as ONE distributed Spark job — a
-    // 100 TB table has far too many leaves for driver-serial footer I/O
-    val leaves: Seq[(String, String)] = s.dataDirs.flatMap { d =>
+    // Dirs whose commit recorded a pstats sidecar serve METADATA-ONLY
+    // (the role Iceberg's per-manifest partition summaries play — at
+    // 100 TB re-reading data-file footers per metadata query is absurd);
+    // pre-sidecar dirs fall back to the footer walk: the k=v leaf WALK
+    // stays driver-side (O(partition dirs) listings), the per-leaf
+    // footer reads run as ONE distributed Spark job.
+    val sidecars = s.dataDirs.map(d => d -> pstatsOf(d))
+    val fromSidecars = sidecars.flatMap(_._2.getOrElse(Seq.empty))
+    val legacy = sidecars.collect { case (d, None) => d }
+    val leaves: Seq[(String, String)] = legacy.flatMap { d =>
       val spec = s.specAt(d.version)
       // qualified like every executor-bound path: a relative table dir
       // would resolve against the task working directory in footerStats
       val root = f.makeQualified(new Path(s"$dir/${d.path}"))
-      if (spec.isEmpty) Seq(("", root.toString))
-      else {
-        // accumulate the partition display string (strip __dir_ storage prefix)
-        var frontier: Seq[(Path, String)] = Seq((root, ""))
-        spec.foreach { _ =>
-          frontier = frontier.flatMap { case (p, disp) =>
-            f.listStatus(p).toSeq.filter(_.isDirectory).map { st =>
-              val n = st.getPath.getName.stripPrefix("__dir_")
-              (st.getPath, if (disp.isEmpty) n else s"$disp/$n")
-            }
-          }
-        }
-        frontier.map { case (leaf, disp) => (disp, leaf.toString) }
-      }
+      partitionLeaves(root, spec.size)
     }
-    org.apache.spark.sql.GraftShim.footerStats(spark, leaves)
+    val walked =
+      if (leaves.isEmpty) Seq.empty
+      else org.apache.spark.sql.GraftShim.footerStats(spark, leaves)
+    (fromSidecars ++ walked)
       .groupBy(_._1).map { case (part, rs) =>
         (part, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
       }.toSeq.sortBy(_._1)
