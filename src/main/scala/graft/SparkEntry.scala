@@ -28,7 +28,8 @@ object SparkEntry {
       ext.Retrieval.queries ++
       ext.Sampling.queries ++
       ext.StatsOps.queries ++
-      ext.FuzzyJoin.queries
+      ext.FuzzyJoin.queries ++
+      streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++
@@ -42,5 +43,6 @@ object SparkEntry {
       ext.Retrieval.oracles ++
       ext.Sampling.oracles ++
       ext.StatsOps.oracles ++
-      ext.FuzzyJoin.oracles
+      ext.FuzzyJoin.oracles ++
+      streaming.StreamOps.oracles
 }
