@@ -650,7 +650,79 @@ object Sampling {
        |  (n_low_distinct = 0 AND n_low_entropy = 0) AS l_diverse
        |FROM a ORDER BY source""".stripMargin
 
+  /** Contrastive training triplets (anchor, positive, negative) — the
+    * pair-construction pass of embedding-model training (SimCSE/DPR
+    * family): positive = another member of the anchor's exact-dup group
+    * (identical distinct-token set, the [[dedupCanonical]] digest),
+    * negative = a deterministically hash-picked non-member.
+    *
+    * Negative selection must be reproducible AND uniform-ish: every doc
+    * gets a dense rank by doc_id (one window); the candidate negative
+    * rank is (rank(anchor) + 1 + md5(anchor) % (N-2)) mod N — a fixed
+    * pseudo-random stride around the rank ring — resolved back to a doc
+    * by an equi-join on rank. The rare candidate that lands inside the
+    * anchor's own dup group is FILTERED (both engines replay the same
+    * filter) rather than re-probed: re-probing loops are unbounded and
+    * the loss of a few triplets is immaterial to training. Scale note:
+    * the global rank is one sort (epoch_shuffle's construction); at
+    * 100 TB the ring would key on a hash instead — rank keeps the oracle
+    * exact here and the join shapes are identical. */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val base = documents(spark, dir)
+      .withColumn("set_key", md5(concat_ws("", array_sort(array_distinct(t)))))
+      .select(col("doc_id"), col("set_key"))
+    val ranked = base
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))) - 1)
+      .localCheckpoint(true) // consumed three times below (anchors + 2 joins)
+    val n = ranked.count()
+    val gw = Window.partitionBy(col("set_key"))
+    // positive: the smallest OTHER member of the anchor's dup group
+    val anchors = ranked
+      .withColumn("n_members", count(lit(1)).over(gw))
+      .withColumn("gmin", min(col("doc_id")).over(gw))
+      .withColumn("gmin2", min(when(col("doc_id") =!= col("gmin"), col("doc_id"))).over(gw))
+      .filter(col("n_members") >= 2)
+      .withColumn("pos_id", when(col("doc_id") === col("gmin"), col("gmin2"))
+        .otherwise(col("gmin")))
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val cand = anchors
+      .withColumn("neg_rn", (col("rn") + lit(1L) + h % (n - 2)) % n)
+    cand
+      .join(ranked.select(col("rn").as("neg_rn"), col("doc_id").as("neg_id"),
+        col("set_key").as("neg_key")), "neg_rn")
+      .filter(col("neg_key") =!= col("set_key"))
+      .select(col("doc_id").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("n_members").as("group_size"))
+      .orderBy("anchor_id")
+  }
+
+  private val contrastiveTripletsOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), chr(1))) AS set_key
+      |  FROM documents),
+      |r AS (SELECT doc_id, set_key,
+      |        row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM d),
+      |nn AS (SELECT count(*) AS n FROM r),
+      |a0 AS (SELECT *, count(*) OVER (PARTITION BY set_key) AS n_members,
+      |         min(doc_id) OVER (PARTITION BY set_key) AS gmin FROM r),
+      |a AS (SELECT *, min(CASE WHEN doc_id <> gmin THEN doc_id END)
+      |        OVER (PARTITION BY set_key) AS gmin2 FROM a0),
+      |an AS (SELECT doc_id, set_key, rn, n_members,
+      |         CASE WHEN doc_id = gmin THEN gmin2 ELSE gmin END AS pos_id
+      |       FROM a WHERE n_members >= 2),
+      |c AS (SELECT an.*, (rn + 1 + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |                     % ((SELECT n FROM nn) - 2)) % (SELECT n FROM nn) AS neg_rn
+      |      FROM an)
+      |SELECT c.doc_id AS anchor_id, c.pos_id, r2.doc_id AS neg_id,
+      |       CAST(c.n_members AS BIGINT) AS group_size
+      |FROM c JOIN r r2 ON r2.rn = c.neg_rn
+      |WHERE r2.set_key <> c.set_key
+      |ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contrastive_triplets" -> ((s, d) => contrastiveTriplets(s, d)),
     // minTok=15 / cap=150 keep all four verdict stages live on the
     // fixtures (19 quality drops, en over-budget by ~36)
     "curation_audit" -> ((s: SparkSession, d: String) =>
@@ -668,6 +740,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "contrastive_triplets" -> contrastiveTripletsOracle,
     "curation_audit" -> curationAuditOracle(minTok = 15, perLangCap = 150),
     "corpus_release" -> corpusReleaseOracle,
     "corpus_datasheet" -> corpusDatasheetOracle,
