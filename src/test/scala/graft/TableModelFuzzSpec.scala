@@ -113,4 +113,104 @@ class TableModelFuzzSpec extends AnyFunSuite {
   test("random DML sequences agree with the driver-side model (seed 2)") {
     runSeed(0xB0B5EED, 22)
   }
+
+  /** Same idea with SCHEMA EVOLUTION in the op mix: add / drop / re-add
+    * (tombstone: no value resurrection) / rename race against appends and
+    * MoR upserts. The model carries a dynamic extra-column set; a dropped
+    * column's values must never come back under a re-added name. */
+  private def runSchemaSeed(seed: Long, nOps: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(seed)
+    val dir = TestSpark.tmpDir(s"fuzzsc_$seed")
+    val baseSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, dir, baseSchema, key = Seq("id"))
+    t.upgradeFormat(2)
+    var cols: Vector[String] = Vector.empty // live extra columns, in order
+    var model: Map[Long, (Double, Map[String, Option[Long]])] = Map.empty
+    var nextId = 0L
+    var colSeq = 0
+
+    def mkDf(rows: Seq[(Long, Double, Map[String, Option[Long]])]) = {
+      val schema = StructType(baseSchema.fields.toSeq ++
+        cols.map(c => StructField(c, LongType)))
+      val data = rows.map { case (id, v, ex) =>
+        org.apache.spark.sql.Row.fromSeq(
+          // Seq(id, v) alone would numerically WIDEN the Long id to
+          // Double (Scala unifies Seq(1L, 2.5) to Seq[Double])
+          Seq[Any](id, v) ++ cols.map(c => ex.getOrElse(c, None).orNull))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    }
+    def check(tag: String): Unit = {
+      val live = GraftTable.load(spark, dir)
+      val got = live.toDF.collect().map { r =>
+        val ex = cols.map(c =>
+          c -> (if (r.isNullAt(r.fieldIndex(c))) None
+                else Some(r.getLong(r.fieldIndex(c))))).toMap
+        r.getLong(r.fieldIndex("id")) -> (r.getDouble(r.fieldIndex("v")), ex)
+      }.toMap
+      val want = model.map { case (id, (v, ex)) =>
+        id -> (v, cols.map(c => c -> ex.getOrElse(c, None)).toMap) }
+      assert(got === want, s"seed=$seed $tag: table diverged from model")
+    }
+
+    (1 to nOps).foreach { i =>
+      rnd.nextInt(7) match {
+        case 0 | 1 => // append with the CURRENT schema
+          val rows = (0 until 1 + rnd.nextInt(10)).map { _ =>
+            nextId += 1
+            (nextId, rnd.nextInt(100) / 4.0,
+              cols.map(c => c -> (if (rnd.nextBoolean()) Some(rnd.nextLong(50)) else None)).toMap)
+          }
+          t.append(mkDf(rows))
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+        case 2 => // MoR upsert under the current schema
+          val keys = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6))
+          if (keys.nonEmpty) {
+            val rows = keys.map(k => (k, rnd.nextInt(100) / 4.0,
+              cols.map(c => c -> (if (rnd.nextBoolean()) Some(rnd.nextLong(50)) else None)).toMap))
+            t.rowDelta(keys.toDF("id"), mkDf(rows), Seq("id"))
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          }
+        case 3 => // add a fresh OR previously-dropped column name
+          val name = if (rnd.nextBoolean() || colSeq == 0) {
+            colSeq += 1; s"c$colSeq"
+          } else s"c${1 + rnd.nextInt(colSeq)}"
+          if (!cols.contains(name)) {
+            t.addColumn(name, LongType)
+            cols :+= name
+            // tombstone law: re-added name starts all-NULL everywhere
+            model = model.map { case (k, (v, ex)) => k -> (v, ex - name) }
+          }
+        case 4 => // drop a live extra column
+          if (cols.nonEmpty) {
+            val c = cols(rnd.nextInt(cols.size))
+            t.dropColumn(c)
+            cols = cols.filterNot(_ == c)
+          }
+        case 5 => // rename a live extra column (values follow the rename)
+          if (cols.nonEmpty) {
+            colSeq += 1
+            val from = cols(rnd.nextInt(cols.size)); val to = s"r$colSeq"
+            t.renameColumn(from, to)
+            cols = cols.map(c => if (c == from) to else c)
+            model = model.map { case (k, (v, ex)) =>
+              k -> (v, ex.get(from).fold(ex - from)(x => ex - from + (to -> x))) }
+          }
+        case 6 => // CoW delete
+          val cut = rnd.nextInt(25) / 4.0
+          t.delete(col("v") < cut)
+          model = model.filter { case (_, (v, _)) => !(v < cut) }
+      }
+      if (i % 6 == 0 || i == nOps) check(s"op=$i")
+    }
+  }
+
+  test("schema evolution races DML: table agrees with the model (seed 3)") {
+    runSchemaSeed(0xCAFE7, 26)
+  }
+  test("schema evolution races DML: table agrees with the model (seed 4)") {
+    runSchemaSeed(0xD00DAD, 26)
+  }
 }
