@@ -910,15 +910,22 @@ object Similarity {
       var cents = fixedCentroids(k, dim)
       var out: DataFrame = null
       for (iter <- 1 to iters) {
-        val centsDf = broadcast(cents.zipWithIndex
-          .map { case (c, i) => (i, c) }.toDF("cluster", "c"))
-        val assigned = e.crossJoin(centsDf)
-          .withColumn("d2", vec_dot(col("e"), col("e"))
-            - lit(2.0) * vec_dot(col("e"), col("c"))
-            + vec_dot(col("c"), col("c")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))))
-          .filter(col("rn") === 1)
+        // assignment is a PURE MAP stage: the k centroids are driver-side
+        // literals, so the k distances are k expressions and the argmin is
+        // array_position of the array minimum (first index on ties ==
+        // lowest cluster, the same order the old window argmin used). The
+        // previous crossJoin + per-vec_id window shuffled k·N rows by
+        // vec_id twice per iteration; now the (cluster, d)-keyed mean agg
+        // is the ONLY shuffle an iteration has.
+        val d2s = cents.map { c =>
+          val cLit = typedLit(c)
+          vec_dot(col("e"), col("e")) -
+            lit(2.0) * vec_dot(col("e"), cLit) + vec_dot(cLit, cLit)
+        }
+        val assigned = e
+          .withColumn("d2s", array(d2s: _*))
+          .withColumn("cluster",
+            (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
           .select(col("vec_id"), col("e"), col("cluster"))
         val means = assigned
           .select(col("cluster"), posexplode(col("e")).as(Seq("d", "x")))
