@@ -259,6 +259,71 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark winner) — the production upgrade of
+    * [[lmScore]]'s Laplace smoothing: absolute discount D=0.75 on seen
+    * bigrams, with the discounted mass re-spent on the CONTINUATION
+    * distribution (how many distinct contexts a word follows, not how
+    * often it occurs — "Francisco" is frequent but only ever follows
+    * "San", so its continuation probability is tiny):
+    * `P(w|v) = max(c(v,w)−D, 0)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w)`,
+    * `P_cont(w) = N1+(·w)/N1+(··)`.
+    *
+    * Scale shape: all four statistics (bigram counts, context marginals,
+    * forward/reverse distinct-continuation counts) fold out of ONE
+    * bigram count table with n-gram-keyed aggs; scoring re-joins doc
+    * bigrams to that table — same shuffle skeleton as [[lmScore]], no
+    * new shapes. log2 outputs are 6-dp-rounded BEFORE the DECIMAL mean
+    * (HACKING libm rule). Docs with <2 tokens are unscored. */
+  def kneserNeyScore(spark: SparkSession, dir: String, discount: Double = 0.75): DataFrame = {
+    val tk = documents(spark, dir).select(col("doc_id"), toks.as("t"))
+    val bi = tk.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // all four statistics + scoring read it
+    // context marginal c(v·) and forward type count N1+(v·)
+    val ctx = biCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("cctx"), count(lit(1)).as("n1f"))
+    // continuation: N1+(·w) and the global N1+(··)
+    val rev = biCounts.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val tot = biCounts.agg(count(lit(1)).as("n1tot"))
+    val d = lit(discount)
+    bi.join(biCounts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(rev, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        greatest(col("c12") - d, lit(0.0)) / col("cctx") +
+          d * col("n1f") / col("cctx") * (col("n1r") / col("n1tot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(round(-log2(col("p")), 6)
+            .cast(DecimalType(30, 15))).cast(DoubleType) / count(lit(1)), 4)
+          .as("kn_bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  private def kneserNeyOracle(discount: Double = 0.75): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |       FROM tk, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+       |ctx AS (SELECT w1, SUM(c12) AS cctx, count(*) AS n1f FROM bc GROUP BY 1),
+       |rev AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY 1),
+       |tot AS (SELECT count(*) AS n1tot FROM bc),
+       |sc AS (SELECT bi.doc_id,
+       |         greatest(bc.c12 - $discount, 0.0) / ctx.cctx
+       |           + $discount * ctx.n1f / ctx.cctx * (rev.n1r / (SELECT n1tot FROM tot)) AS p
+       |       FROM bi JOIN bc USING (w1, w2) JOIN ctx USING (w1) JOIN rev USING (w2))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ROUND(CAST(SUM(CAST(ROUND(-log2(p), 6) AS DECIMAL(30,15))) AS DOUBLE)
+       |          / count(*), 4) AS kn_bits_per_token
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-source distribution drift: KL divergence (bits) of each
     * source's unigram distribution from the corpus-wide distribution —
     * the monitoring signal that catches a source going off-domain (or a
@@ -1058,6 +1123,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "span_corruption" -> ((s, d) => spanCorruption(s, d)),
+    "lm_kneser_ney" -> ((s, d) => kneserNeyScore(s, d)),
     "exact_substring_spans" -> ((s, d) => exactSubstringSpans(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -1085,6 +1151,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "span_corruption" -> spanCorruptionOracle,
+    "lm_kneser_ney" -> kneserNeyOracle(),
     "exact_substring_spans" -> exactSubstringSpansOracle(),
     "pmi_collocations" -> pmiOracle(),
     "doremi_reweight" -> doremiOracle(),

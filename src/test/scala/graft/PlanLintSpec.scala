@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite {
     "tfidf_keywords"    -> "one-row corpus-size aggregate broadcast under the tf table",
     "source_kl"         -> "one-row corpus-total aggregate broadcast",
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
+    "lm_kneser_ney"     -> "one-row continuation-total (N1+(..)) aggregate broadcast",
     "pmi_collocations"  -> "one-row bigram/unigram-total aggregate broadcast under the min-count-pruned pair table",
     "vocab_growth"      -> "one-row max-ingestion-key aggregate broadcast under the doc/occurrence frames",
     "doremi_reweight"   -> "one-row vocabulary-mass + reference-loss + weight-total aggregates broadcast; EG update runs on the k-row domain frame",
