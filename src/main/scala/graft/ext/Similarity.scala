@@ -800,6 +800,63 @@ object Similarity {
        |FROM a ORDER BY vec_id""".stripMargin
   }
 
+  /** Simplified silhouette of the fixed-centroid clustering (Rousseeuw
+    * 1987's silhouette with the standard centroid-distance
+    * simplification — O(N·k) instead of the all-pairs O(N²)): per row,
+    * a = distance to its own centroid, b = distance to the nearest
+    * OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; per-cluster mean s is
+    * the cluster-quality report a training-data pipeline reads before
+    * trusting cluster-based curation (SemDeDup buckets, domain mixes).
+    *
+    * The published ±1 centroids all share norm² = dim, so the argmax-dot
+    * assignment ([[kmeansAssign]]'s rule) IS the argmin-distance
+    * assignment, and a = min distance: one array_sort of the k distances
+    * yields a and b. Pure map stage + one k-row agg; sqrt is IEEE-exact
+    * (HACKING float-parity rule), distances are clamped at 0 before sqrt
+    * (float cancellation can dip ~−1e-13, and DuckDB ERRORS on sqrt of a
+    * negative where Spark would return NaN). */
+  def clusterSilhouette(spark: SparkSession, dir: String,
+                        k: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.vec_dot
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val withD2 = assignFixed(e, k, dim)
+      .withColumn("xx", vec_dot(col("e"), col("e")))
+      .withColumn("d2s", sort_array(transform(col("__dots"),
+        dt => greatest(col("xx") - lit(2.0) * dt + lit(dim.toDouble), lit(0.0)))))
+      .withColumn("a", sqrt(element_at(col("d2s"), 1)))
+      .withColumn("b", sqrt(element_at(col("d2s"), 2)))
+      .withColumn("s", round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+    withD2.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("s").cast(DecimalType(30, 15))).cast(DoubleType)
+          / count(lit(1)), 4).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
+
+  private def clusterSilhouetteOracle(k: Int = 8, dim: Int = 64): String = {
+    val dots = fixedCentroids(k, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM e),
+       |d AS (SELECT vec_id,
+       |        CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster,
+       |        list_sort(list_transform(ds,
+       |          x -> greatest(list_dot_product(e, e) - 2.0 * x + $dim.0, 0.0))) AS d2s
+       |      FROM a),
+       |s AS (SELECT cluster,
+       |        ROUND((sqrt(d2s[2]) - sqrt(d2s[1]))
+       |                / greatest(sqrt(d2s[1]), sqrt(d2s[2])), 6) AS s
+       |      FROM d)
+       |SELECT cluster, count(*) AS n_vecs,
+       |  ROUND(CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE) / count(*), 4)
+       |    AS mean_silhouette
+       |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means — the TRAINING loop behind IVF/SemDeDup
     * quantizers, hand-rolled on DataFrames so the scale shape is
     * explicit: per iteration, (1) assignment is a map-side
@@ -1589,6 +1646,7 @@ object Similarity {
     "jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)),
     "embedding_diversity" -> ((s: SparkSession, d: String) => embeddingDiversity(s, d)),
     "kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "cluster_silhouette" -> ((s: SparkSession, d: String) => clusterSilhouette(s, d)),
     "cluster_mix" -> ((s: SparkSession, d: String) => clusterMix(s, d)),
     "kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
     "kmeans_train" -> ((s: SparkSession, d: String) => kmeansTrace(s, d)),
@@ -1607,6 +1665,7 @@ object Similarity {
     "ann_ivf_trained" -> annIvfTrainedOracle(),
     "jl_project" -> jlProjectOracle(),
     "kmeans_assign" -> kmeansAssignOracle(),
+    "cluster_silhouette" -> clusterSilhouetteOracle(),
     "cluster_mix" -> clusterMixOracle(),
     "kmeans_update" -> kmeansUpdateOracle(),
     "kmeans_train" -> kmeansTraceOracle(),
