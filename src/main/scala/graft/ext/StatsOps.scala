@@ -291,6 +291,65 @@ object StatsOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Word dispersion across sources — Gries' deviation of proportions
+    * (DP, Gries 2008), the corpus-linguistics answer to "is this word
+    * used EVERYWHERE or only by one source?": for word w,
+    * `DP(w) = ½ · Σ_s |share of w's occurrences in s − s's share of the
+    * corpus|` ∈ [0, 1); near 0 = spread exactly like the corpus, near
+    * 1 = concentrated in one source. A curation pipeline reads high-DP
+    * frequent words as domain markers (or scraper artifacts) before
+    * trusting frequency-based vocab/quality decisions.
+    *
+    * Scale shape: one (source, token) count agg (map-side combined),
+    * one k-row source-mass agg broadcast onto it, one token-keyed
+    * reduce for the |·| sum. Every ratio is exact division; the DP sum
+    * crosses partitions as DECIMAL over 9-dp-pinned terms (the
+    * double→DECIMAL 15th-digit rule). Top-`n` by DP then token. */
+  def wordDispersion(spark: SparkSession, dir: String, n: Int = 50,
+                     minCount: Int = 30): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("source"), explode(toks).as("token"))
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds token totals, source masses, DP terms
+    val tokTot = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val srcMass = st.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+      .crossJoin(broadcast(st.agg(sum(col("c")).as("call"))))
+      .select(col("source"), (col("cs").cast(DoubleType) / col("call")).as("p_s"))
+    // |s_i − p_i| needs a row per (token, source) INCLUDING sources where
+    // the word never occurs (s_i = 0 there): that residual mass equals
+    // Σ_{s: c=0} p_s = 1 − Σ_{s: c>0} p_s, folded in without the explode
+    val terms = st.join(broadcast(srcMass), "source")
+      .join(tokTot, "token")
+      .withColumn("s_i", col("c").cast(DoubleType) / col("ct"))
+      .groupBy(col("token"), col("ct"))
+      .agg(
+        sum(round(abs(col("s_i") - col("p_s")), 9).cast(DecimalType(30, 15)))
+          .cast(DoubleType).as("present_sum"),
+        sum(round(col("p_s"), 9).cast(DecimalType(30, 15)))
+          .cast(DoubleType).as("present_mass"))
+      .withColumn("dp", round((col("present_sum") + (lit(1.0) - col("present_mass"))) / 2.0, 6))
+    terms.filter(col("ct") >= minCount)
+      .select(col("token"), col("ct").as("n_occurrences"), col("dp"))
+      .orderBy(col("dp").desc, col("token"))
+      .limit(n)
+  }
+
+  private def wordDispersionOracle(n: Int = 50, minCount: Int = 30): String =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT token, SUM(c) AS ct FROM st GROUP BY 1),
+       |sm AS (SELECT source, CAST(SUM(c) AS DOUBLE) / (SELECT SUM(c) FROM st) AS p_s
+       |       FROM st GROUP BY 1),
+       |terms AS (SELECT st.token, tt.ct,
+       |    CAST(SUM(CAST(ROUND(abs(CAST(st.c AS DOUBLE) / tt.ct - sm.p_s), 9) AS DECIMAL(30,15))) AS DOUBLE) AS present_sum,
+       |    CAST(SUM(CAST(ROUND(sm.p_s, 9) AS DECIMAL(30,15))) AS DOUBLE) AS present_mass
+       |  FROM st JOIN sm USING (source) JOIN tt USING (token)
+       |  GROUP BY 1, 2)
+       |SELECT token, CAST(ct AS BIGINT) AS n_occurrences,
+       |  ROUND((present_sum + (1.0 - present_mass)) / 2.0, 6) AS dp
+       |FROM terms WHERE ct >= $minCount
+       |ORDER BY dp DESC, token LIMIT $n""".stripMargin
+
   /** Bradley-Terry preference-strength fit across language slices — the
     * pairwise-preference model a reward-model data pipeline runs over
     * human/synthetic comparisons (Bradley & Terry 1952; the MM fixed
@@ -429,7 +488,8 @@ object StatsOps {
     "epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
     "profile_stats" -> ((s: SparkSession, d: String) => profileStats(s, d)),
-    "preference_bt_fit" -> ((s: SparkSession, d: String) => preferenceBtFit(s, d)))
+    "preference_bt_fit" -> ((s: SparkSession, d: String) => preferenceBtFit(s, d)),
+    "word_dispersion" -> ((s: SparkSession, d: String) => wordDispersion(s, d)))
 
   val oracles: Map[String, String] = Map(
     "cms_freq" -> cmsFreqOracle(),
@@ -437,5 +497,6 @@ object StatsOps {
     "epoch_shuffle" -> epochShuffleOracle(),
     "char_entropy" -> charEntropyOracle,
     "profile_stats" -> profileStatsOracle,
-    "preference_bt_fit" -> preferenceBtFitOracle())
+    "preference_bt_fit" -> preferenceBtFitOracle(),
+    "word_dispersion" -> wordDispersionOracle())
 }

@@ -50,6 +50,7 @@ class PlanLintSpec extends AnyFunSuite {
     "source_kl"         -> "one-row corpus-total aggregate broadcast",
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
     "lm_kneser_ney"     -> "one-row continuation-total (N1+(..)) aggregate broadcast",
+    "word_dispersion"   -> "one-row corpus-token-total aggregate broadcast under the source-mass frame",
     "pmi_collocations"  -> "one-row bigram/unigram-total aggregate broadcast under the min-count-pruned pair table",
     "vocab_growth"      -> "one-row max-ingestion-key aggregate broadcast under the doc/occurrence frames",
     "doremi_reweight"   -> "one-row vocabulary-mass + reference-loss + weight-total aggregates broadcast; EG update runs on the k-row domain frame",
