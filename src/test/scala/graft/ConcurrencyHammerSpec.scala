@@ -46,6 +46,52 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
     throw new AssertionError(s"$what lost $n straight OCC races", last)
   }
 
+  test("streaming sink races a batch appender: exactly-once epochs, no lost commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = TestSpark.tmpDir("gt-stream-race")
+    val cat = s"graftsr${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val idv = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    GraftTable.create(spark, s"$wh/db/race", idv)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("race-cp").toString)
+      .outputMode("append")
+      .toTable(s"$cat.db.race")
+    val rounds = 4
+    try {
+      (0 until rounds).foreach { r =>
+        // the batch appender commits WHILE the sink's epoch is in flight
+        val batch = Future {
+          retrying(s"batch append r$r") {
+            GraftTable.load(spark, s"$wh/db/race")
+              .append((0 until 5).map(i => (1000L * (r + 1) + i, s"b$r"))
+                .toDF("id", "v"))
+          }
+        }
+        mem.addData((0 until 10).map(i => (100000L + 10L * r + i, s"s$r")): _*)
+        q.processAllAvailable()
+        Await.result(batch, 120.seconds)
+      }
+      // stop, reload fresh: every stream row exactly once (the epoch
+      // ledger must absorb OCC rebases without re-applying an epoch),
+      // every batch commit intact
+      q.stop(); q.awaitTermination()
+      val rows = GraftTable.load(spark, s"$wh/db/race").toDF
+        .select(col("id"), col("v")).as[(Long, String)].collect().toSeq
+      assert(rows.size === rows.map(_._1).distinct.size, "duplicate ids: an epoch re-applied")
+      val streamRows = rows.filter(_._1 >= 100000L)
+      val batchRows = rows.filter(_._1 < 100000L)
+      assert(streamRows.size === rounds * 10,
+        s"stream rows lost or duplicated: ${streamRows.size}")
+      assert(batchRows.size === rounds * 5,
+        s"batch commits lost under the racing sink: ${batchRows.size}")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("append x rowDelta-upsert x compact hammer: no lost updates, no torn upserts") {
     val dir = TestSpark.tmpDir("gt-hammer")
     val t0 = GraftTable.create(spark, dir, schema, key = Seq("k"))
