@@ -136,6 +136,7 @@ object FuzzyJoin {
         |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM enc a JOIN enc b ON a.doc_id < b.doc_id
         |WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2
+        |  AND length(a.s) >= 3 AND length(b.s) >= 3
         |ORDER BY a_id, b_id""".stripMargin
   )
 }
