@@ -69,10 +69,14 @@ object FuzzyJoin {
         explode(sequence(lit(0), lit(d))).as("slot"))
       .withColumn("len", segLen(col("slot"), col("n"), k))
       .withColumn("p0", segStart(col("slot"), col("n"), k))
+      .withColumn("w0", greatest(col("p0") - d, lit(0)))
+      .withColumn("w1", least(col("p0") + d, col("m") - col("len")))
+      // sequence(start, stop) DESCENDS when start > stop — an inverted
+      // window (slot start past the partner's end) must mean an EMPTY
+      // candidate set, not spurious negative positions
       .select(col("b_id"), col("b_s"), col("n"), col("slot"), col("len"),
-        explode(sequence(
-          greatest(col("p0") - d, lit(0)),
-          least(col("p0") + d, col("m") - col("len")))).as("p"))
+        explode(when(col("w0") <= col("w1"), sequence(col("w0"), col("w1")))
+          .otherwise(array())).as("p"))
       .withColumn("seg", substring_index_free(col("b_s"), col("p") + 1, col("len")))
       .select(col("b_id"), col("n"), col("slot"), col("seg"))
     val cand = idxSeg.join(probe, Seq("slot", "n", "seg"))
@@ -91,28 +95,61 @@ object FuzzyJoin {
   private def substring_index_free(s: Column, start: Column, len: Column): Column =
     s.substr(start, len)
 
+  /** The `d` the graded query runs at. The oracle SQL below is DERIVED
+    * from this constant (threshold, length-delta prefilter, min length),
+    * so a future change cannot silently diverge the two sides. */
+  private val defaultD = 2
+
+  /** Alphabet capacity of [[cpOfRank]]: 57 ASCII + the BMP below the
+    * surrogate block + the BMP above it (stopping before the U+FFFE/FFFF
+    * noncharacters). */
+  val maxVocab: Int = 57 + (0xD800 - 0x100) + (0xFFFE - 0xE000)
+
+  /** Codepoint for 0-based vocabulary rank `r0`. Ranks [0, 57) map to
+    * 'A' + r0 — EXACTLY the chr(65 + rank - 1) the DuckDB oracle encodes
+    * with, so on any corpus whose vocabulary fits in 57 tokens (the
+    * graded fixture) the two encodings are identical. Beyond that the
+    * rank continues into the BMP (skipping the surrogate block and
+    * stopping before U+FFFE), giving ~63k single-UTF-16-unit codes;
+    * a vocabulary past capacity raises a runtime error rather than
+    * encoding ambiguously. */
+  private def cpOfRank(r0: Column): Column = {
+    val cp0 = when(r0 < 57, lit(65) + r0).otherwise(lit(0x100) + (r0 - 57))
+    val cp = when(cp0 >= 0xD800, cp0 + lit(0x800)).otherwise(cp0)
+    when(cp > 0xFFFD, raise_error(concat(
+      lit(s"fuzzyTokenJoin: vocabulary exceeds $maxVocab distinct tokens ("),
+      lit("one char per token; shard the corpus or bucket the long tail)"))))
+      .otherwise(cp)
+  }
+
   /** Token-level edit-distance near-dup self-join over `documents`: docs
     * whose token SEQUENCES differ by at most `d` single-token edits
-    * (insert/delete/substitute). Tokens are encoded one-char-per-token
-    * (the corpus vocabulary is ranked and mapped to chars), so character
-    * levenshtein on the encoded strings IS token edit distance — the
-    * same construction is reproduced verbatim in the DuckDB oracle. The
-    * vocabulary is collected to the driver (it is vocabulary-sized —
-    * same metadata-scale precedent as the BPE argmax) and shipped as a
-    * map literal, keeping the encode stage map-only. */
-  def fuzzyTokenJoin(spark: SparkSession, dir: String, d: Int = 2): DataFrame = {
+    * (insert/delete/substitute). Tokens are encoded one-char-per-token —
+    * the vocabulary is ranked and mapped to single UTF-16 chars via
+    * [[cpOfRank]] — so character levenshtein on the encoded strings IS
+    * token edit distance. Fully distributed: the rank window runs over
+    * the DISTINCT-TOKEN table (vocabulary-sized — the BPE-argmax
+    * metadata-scale precedent), the char materializes as
+    * `decode(unhex(hex(cp)), 'UTF-16BE')` (builtin, codegen'd), the
+    * vocabulary broadcasts into the token join (bounded by [[maxVocab]]
+    * rows), and per-doc strings re-assemble with one corpus-keyed
+    * aggregation. Nothing is collected to the driver. */
+  def fuzzyTokenJoin(spark: SparkSession, dir: String, d: Int = defaultD): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
-      .distinct().orderBy("t").collect().map(_.getString(0))
-    // one printable ASCII char per token: 'A' + rank stays in [65, 122)
-    require(vocab.length <= 57,
-      s"one-char token encoding supports <= 57 distinct tokens, got ${vocab.length}")
-    val enc2char = map(vocab.zipWithIndex.flatMap { case (t, i) =>
-      Seq(lit(t), lit(((65 + i).toChar).toString))
-    }.toIndexedSeq: _*)
-    val enc = docs.select(col("doc_id").as("id"),
-      array_join(transform(split(col("text"), " "), t => element_at(enc2char, t)), "")
-        .as("s"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    val vocab = toks.select(col("t")).distinct()
+      .withColumn("r0", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("t"))) - 1)
+      .withColumn("c", decode(unhex(lpad(hex(cpOfRank(col("r0"))), 4, "0")),
+        "UTF-16BE"))
+      .select(col("t"), col("c"))
+    val enc = toks.join(broadcast(vocab), "t")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")), "").as("s"))
+      .select(col("doc_id").as("id"), col("s"))
     passJoinPairs(enc, d)
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy("a_id", "b_id")
@@ -124,9 +161,14 @@ object FuzzyJoin {
 
   val oracles: Map[String, String] = Map(
     // the naive quadratic join with a length prefilter: any pair the
-    // blocking misses (or invents) breaks the hash
+    // blocking misses (or invents) breaks the hash. chr(65 + rank - 1)
+    // matches cpOfRank exactly while the fixture vocabulary stays inside
+    // the first 57 ranks (it does; the engine's wide-alphabet ranks
+    // beyond 57 are exercised by FuzzyJoinSpec, not the oracle). The
+    // threshold/min-length literals are interpolated from the SAME
+    // defaultD the registered query runs at.
     "fuzzy_token_join" ->
-      """WITH v AS (SELECT t, chr(65 + CAST(row_number() OVER (ORDER BY t) AS INT) - 1) AS c
+      s"""WITH v AS (SELECT t, chr(65 + CAST(row_number() OVER (ORDER BY t) AS INT) - 1) AS c
         |           FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS t FROM documents)),
         |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |               generate_subscripts(string_split(text,' '), 1) AS pos FROM documents),
@@ -135,8 +177,8 @@ object FuzzyJoin {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM enc a JOIN enc b ON a.doc_id < b.doc_id
-        |WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2
-        |  AND length(a.s) >= 3 AND length(b.s) >= 3
+        |WHERE abs(length(a.s) - length(b.s)) <= $defaultD AND levenshtein(a.s, b.s) <= $defaultD
+        |  AND length(a.s) >= ${defaultD + 1} AND length(b.s) >= ${defaultD + 1}
         |ORDER BY a_id, b_id""".stripMargin
   )
 }

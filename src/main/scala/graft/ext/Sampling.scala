@@ -670,12 +670,16 @@ object Sampling {
   def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val base = documents(spark, dir)
-      .withColumn("set_key", md5(concat_ws("", array_sort(array_distinct(t)))))
+      .withColumn("set_key", md5(concat_ws("\u0001", array_sort(array_distinct(t)))))
       .select(col("doc_id"), col("set_key"))
     val ranked = base
       .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))) - 1)
       .localCheckpoint(true) // consumed three times below (anchors + 2 joins)
     val n = ranked.count()
+    // the stride is h % (n-2): at n <= 2 Spark's modulo-by-zero yields
+    // null (triplets silently vanish) while DuckDB's % 0 errors — make
+    // the degenerate corpus loud and identical on both engines
+    require(n >= 3, s"contrastiveTriplets needs >= 3 documents, got $n")
     val gw = Window.partitionBy(col("set_key"))
     // positive: the smallest OTHER member of the anchor's dup group
     val anchors = ranked

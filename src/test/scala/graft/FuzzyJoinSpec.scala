@@ -92,4 +92,68 @@ class FuzzyJoinSpec extends AnyFunSuite {
   test("strings shorter than d+1 chars are excluded, not crashed on") {
     assert(pairs(Seq("AB", "AC", "ABCD"), 2) === Set.empty)
   }
+
+  // ---- doc-level operator: wide-alphabet token encode -------------------
+
+  /** Exact token-sequence Levenshtein, driver-side — the truth the
+    * one-char-per-token encode must reproduce. A codepoint collision in
+    * the encode (two tokens → one char) or a broken rank mapping shows
+    * up as an extra/shifted pair against this. */
+  private def tokLev(a: Array[String], b: Array[String]): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  /** Runs fuzzyTokenJoin over a synthetic corpus and compares to the
+    * exact token-Levenshtein join. */
+  private def checkTokenJoin(all: IndexedSeq[Array[String]]): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    all.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = FuzzyJoin.fuzzyTokenJoin(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- all.indices; j <- all.indices if i < j
+      dist = tokLev(all(i), all(j)) if dist <= 2
+    } yield (i.toLong, j.toLong, dist.toLong)).toSet
+    assert(got === want)
+  }
+
+  test("fuzzyTokenJoin: vocabulary crossing the 57-rank ASCII->BMP boundary stays injective") {
+    val rnd = new scala.util.Random(0xB0DA57L)
+    // 12 base docs x 6 disjoint tokens = 72-token vocabulary: ranks span
+    // both sides of the cpOfRank piecewise boundary
+    val base = (0 until 12).map(i =>
+      (0 until 6).map(j => f"w${i * 6 + j}%03d").toArray)
+    val mutated = base.zipWithIndex.collect { case (t, i) if i % 2 == 0 =>
+      val t2 = t.clone(); t2(rnd.nextInt(6)) = s"m$i"; t2 }
+    checkTokenJoin(base ++ mutated)
+  }
+
+  test("fuzzyTokenJoin: >1k-token vocabulary (the lifted 57-token cap) matches exact token edit distance") {
+    val rnd = new scala.util.Random(0x9A11AD5L)
+    // 120 base docs x 10 disjoint tokens = 1200-token vocabulary, plus
+    // planted 1- and 2-token-edit near-dups (each mutation introduces a
+    // FRESH token, growing the vocabulary further)
+    val base = (0 until 120).map(i =>
+      (0 until 10).map(j => f"tok${i * 10 + j}%04d").toArray)
+    val mutated = base.zipWithIndex.collect { case (t, i) if i % 3 == 0 =>
+      val t2 = t.clone()
+      (0 until 1 + (i / 3) % 2).foreach(e => t2(rnd.nextInt(10)) = s"mut${i}_$e")
+      t2
+    }
+    val all = base ++ mutated
+    assert(all.flatten.distinct.size > 1000, "fixture must exceed 1k distinct tokens")
+    checkTokenJoin(all)
+  }
 }
