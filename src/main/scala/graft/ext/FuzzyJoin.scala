@@ -127,29 +127,27 @@ object FuzzyJoin {
     * (insert/delete/substitute). Tokens are encoded one-char-per-token —
     * the vocabulary is ranked and mapped to single UTF-16 chars via
     * [[cpOfRank]] — so character levenshtein on the encoded strings IS
-    * token edit distance. Fully distributed: the rank window runs over
-    * the DISTINCT-TOKEN table (vocabulary-sized — the BPE-argmax
-    * metadata-scale precedent), the char materializes as
-    * `decode(unhex(hex(cp)), 'UTF-16BE')` (builtin, codegen'd), the
-    * vocabulary broadcasts into the token join (bounded by [[maxVocab]]
-    * rows), and per-doc strings re-assemble with one corpus-keyed
-    * aggregation. Nothing is collected to the driver. */
+    * token edit distance. Fully distributed AND map-only on the corpus:
+    * the rank window runs over the DISTINCT-TOKEN table (vocabulary-
+    * sized — the BPE-argmax metadata-scale precedent), the char
+    * materializes as `decode(unhex(hex(cp)), 'UTF-16BE')` (builtin,
+    * codegen'd), and the whole vocabulary folds into ONE broadcast map
+    * row (bounded by [[maxVocab]] entries) that substitutes tokens
+    * in-place — no per-token shuffle, no doc re-assembly aggregation,
+    * nothing collected to the driver. */
   def fuzzyTokenJoin(spark: SparkSession, dir: String, d: Int = defaultD): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-    val vocab = toks.select(col("t")).distinct()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t")).distinct()
       .withColumn("r0", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("t"))) - 1)
       .withColumn("c", decode(unhex(lpad(hex(cpOfRank(col("r0"))), 4, "0")),
         "UTF-16BE"))
-      .select(col("t"), col("c"))
-    val enc = toks.join(broadcast(vocab), "t")
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")), "").as("s"))
-      .select(col("doc_id").as("id"), col("s"))
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(struct(col("t"), col("c")))).as("vmap"))
+    val enc = docs.crossJoin(broadcast(vmap))
+      .select(col("doc_id").as("id"),
+        array_join(transform(split(col("text"), " "),
+          t => element_at(col("vmap"), t)), "").as("s"))
     passJoinPairs(enc, d)
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy("a_id", "b_id")

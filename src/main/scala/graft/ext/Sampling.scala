@@ -370,11 +370,18 @@ object Sampling {
     * Determinism: quality is the exact per-row ttr ratio, the running
     * total is an INTEGER prefix sum over a total order (ttr DESC,
     * doc_id) — bit-exact on both engines, no float accumulation.
-    * Scale shape: the demo ranks with one global window (fine at
-    * sf-test scale); the production upgrade is the same two-phase
-    * quantile-cutoff as [[CorpusOps.domainMix]]: estimate the quality
-    * cutoff whose prefix fits the budget, map-side filter, exact-adjust
-    * only the boundary stratum. */
+    *
+    * Scale shape (the [[graft.ext.DistRank]] decomposition, graduated
+    * here the way domain_mix graduated to `domain_mix_quantile`): the
+    * corpus range-repartitions on the FULL greedy key (ttr DESC, doc_id
+    * — a total order, so a million-doc ttr tie splits across partitions
+    * by doc_id instead of stalling one window), rank and running token
+    * sum compute per partition, and broadcast per-partition (row, token)
+    * prefix offsets lift them to the global values. The offsets table is
+    * one row per shuffle partition — metadata scale. The ORACLE is the
+    * doc-level single-window greedy itself, unchanged: the hash match
+    * proves the distributed decomposition selects identical docs with
+    * identical ranks and running sums at any parallelism. */
   def tokenBudgetSelect(spark: SparkSession, dir: String,
                         budgetFrac: Double = 0.3): DataFrame = {
     val t = split(col("text"), " ")
@@ -382,11 +389,25 @@ object Sampling {
       .select(col("doc_id"), size(t).as("n_tok"),
         (size(array_distinct(t)).cast(DoubleType) / size(t)).as("ttr"))
     val budget = d.agg(floor(sum(col("n_tok")) * budgetFrac).cast(LongType).as("budget"))
-    val w = Window.orderBy(col("ttr").desc, col("doc_id"))
-    d.crossJoin(broadcast(budget))
-      .withColumn("sel_rank", row_number().over(w))
-      .withColumn("cum_tokens", sum(col("n_tok").cast(LongType)).over(
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = d.repartitionByRange(nParts, col("ttr").desc, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("ttr").desc, col("doc_id"))
+    val local = parted
+      .withColumn("__lrn", row_number().over(w).cast(LongType))
+      .withColumn("__lcum", sum(col("n_tok").cast(LongType)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("n_tok").cast(LongType)).as("__tok"))
+      .withColumn("__roff", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__toff", coalesce(sum(col("__tok")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__roff"), col("__toff"))
+    local.join(broadcast(offs), "__pid")
+      .crossJoin(broadcast(budget))
+      .withColumn("sel_rank", (col("__roff") + col("__lrn")).cast(IntegerType))
+      .withColumn("cum_tokens", col("__toff") + col("__lcum"))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
         col("sel_rank"), col("cum_tokens"), col("budget"))
@@ -664,16 +685,17 @@ object Sampling {
     * anchor's own dup group is FILTERED (both engines replay the same
     * filter) rather than re-probed: re-probing loops are unbounded and
     * the loss of a few triplets is immaterial to training. Scale note:
-    * the global rank is one sort (epoch_shuffle's construction); at
-    * 100 TB the ring would key on a hash instead — rank keeps the oracle
-    * exact here and the join shapes are identical. */
+    * the rank ring is built with the [[graft.ext.DistRank]]
+    * decomposition — range-repartition on doc_id, per-partition
+    * row_number, broadcast offsets — so no single window ever holds the
+    * corpus; the emitted ranks are value-identical to the global
+    * row_number the oracle replays. */
   def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val base = documents(spark, dir)
       .withColumn("set_key", md5(concat_ws("\u0001", array_sort(array_distinct(t)))))
       .select(col("doc_id"), col("set_key"))
-    val ranked = base
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))) - 1)
+    val ranked = DistRank.withGlobalRank(base, "rn", col("doc_id"))
       .localCheckpoint(true) // consumed three times below (anchors + 2 joins)
     val n = ranked.count()
     // the stride is h % (n-2): at n <= 2 Spark's modulo-by-zero yields
