@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Commit the round's measurement artifacts (bench/correctness/leakcheck
+# records). Invoked by graft.Bench as the last act of every full-surface
+# run, and safe to run by hand. Only ever touches the named artifact
+# files — never source — and exits 0 when there is nothing to commit.
+set -u
+cd "$(dirname "$0")/.."
+
+FILES=()
+for f in bench.json bench_full.json BENCH_r*.json CORRECTNESS_r*.json \
+         LEAKCHECK.json COPYCHECK.json SCALING.md; do
+  # glob may be literal when nothing matches
+  [ -e "$f" ] || continue
+  # dirty (tracked + modified) or untracked
+  if ! git diff --quiet -- "$f" 2>/dev/null \
+     || [ -n "$(git ls-files --others --exclude-standard -- "$f")" ]; then
+    FILES+=("$f")
+  fi
+done
+
+if [ ${#FILES[@]} -eq 0 ]; then
+  echo "no artifact changes to commit"
+  exit 0
+fi
+
+git add -- "${FILES[@]}" || exit 0
+if git diff --cached --quiet; then
+  echo "no artifact changes staged"
+  exit 0
+fi
+git commit -q -m "Record measurement artifacts: ${FILES[*]}" || exit 0
+echo "committed: ${FILES[*]}"
