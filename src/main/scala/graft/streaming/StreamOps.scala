@@ -321,13 +321,100 @@ object StreamOps {
     out
   }
 
+  /** A single sentinel event `marginHours` past the corpus' max event
+    * time, schema-aligned with whatever physical `ts` encoding the
+    * fixture generation uses. Written as ONE plain parquet file into
+    * `fixtureDir` (so a mixed symlink+file listing stays flat — no
+    * directory the source's partition discovery could misread). */
+  private def writeSentinel(spark: SparkSession, ev: DataFrame,
+                            fixtureDir: java.nio.file.Path,
+                            sentinelUs: Long): Unit = {
+    // tz-free NTZ literal: build the wall-clock string from UTC epoch
+    // micros in JVM code (a TimestampType->NTZ cast would shift by the
+    // session timezone)
+    val ntz = java.time.LocalDateTime.ofEpochSecond(sentinelUs / 1000000L,
+      ((sentinelUs % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    val one = spark.range(1).select(ev.schema.fields.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", LongType) => lit(sentinelUs * 1000L).as("ts") // int64 ns fixture
+        case ("ts", TimestampNTZType) =>
+          lit(ntz.toString.replace('T', ' ')).cast(TimestampNTZType).as("ts")
+        case ("ts", _) => lit(java.time.Instant.ofEpochSecond(
+          sentinelUs / 1000000L, (sentinelUs % 1000000L) * 1000L)).as("ts")
+        case ("event_type", _) => lit("__sentinel").as("event_type")
+        case (n, dt) => lit(null).cast(dt).as(n)
+      }
+    }.toIndexedSeq: _*)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sentinel_w")
+    one.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = new java.io.File(scratch.toString).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel write produced no parquet part"))
+    java.nio.file.Files.copy(part.toPath,
+      fixtureDir.resolve("zz_sentinel.parquet"))
+  }
+
+  /** The APPEND-MODE graded streaming query — the production output shape
+    * (finalized windows only, emitted once, state evicted by the
+    * watermark), made gradable by a SENTINEL event: one `__sentinel` row
+    * 4 hours past the corpus' max event time joins the streamed fixture
+    * (the real events parquet is symlinked, never copied), so the final
+    * watermark (sentinel − 2h) passes every REAL window's end and append
+    * mode emits them all. The sentinel's own window never finalizes (its
+    * end is always past its own watermark) and is filtered besides, so
+    * the emitted rows equal the batch aggregation over the real events —
+    * the SAME DuckDB oracle as `stream_hourly_agg` grades them. Complete
+    * mode proved the streaming runtime computes the batch answer;
+    * this proves the append-mode emission machinery — watermark
+    * advancement, window finalization, state eviction — releases exactly
+    * the finalized set. */
+  def streamHourlyAggAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.Tables.events(spark, dir)
+    val maxUs = ev.agg(max(graft.ops.Tables.tsUsExpr(ev)).as("m")).head().getLong(0)
+    val sentinelUs = maxUs + 4L * 3600L * 1000000L
+    val fixtureDir = java.nio.file.Files.createTempDirectory("graft_sappend")
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    val link = fixtureDir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(link, src)
+    catch { case _: Throwable => // FS without symlink support: fall back to a copy
+      java.nio.file.Files.copy(src, link) }
+    writeSentinel(spark, ev, fixtureDir, sentinelUs)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(fixtureDir.toString)
+    val name = s"graft_sappend_${java.util.UUID.randomUUID().toString.take(8)}"
+    // NO post-agg filter on event_type: a predicate on a grouping column
+    // pushes below the aggregation AND the EventTimeWatermark node, which
+    // would delete the sentinel at the scan — before its event time ever
+    // advances the watermark (observed: the last 3 hours never emitted).
+    // Exclusion of the sentinel's own window is guaranteed by append-mode
+    // semantics instead: its end is always > the final watermark
+    // (sentinel − 2h < floor(sentinel,1h) + 1h), so it never finalizes.
+    val q = hourlyAgg(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val out = spark.table(name).orderBy("hour_start_us", "event_type")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private val hourlyAggOracle: String =
+    // identical SQL to the batch events_hourly_agg oracle — stream ≡ batch
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
+      |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_hourly_agg" -> ((s: SparkSession, d: String) => streamHourlyAggQuery(s, d)))
+    "stream_hourly_agg" -> ((s: SparkSession, d: String) => streamHourlyAggQuery(s, d)),
+    "stream_hourly_append" -> ((s: SparkSession, d: String) => streamHourlyAggAppendQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
-    // identical SQL to the batch events_hourly_agg oracle — stream ≡ batch
-    "stream_hourly_agg" ->
-      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
-        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin)
+    "stream_hourly_agg" -> hourlyAggOracle,
+    // append-mode emission with the sentinel-advanced watermark must
+    // release exactly the batch aggregation — same oracle by design
+    "stream_hourly_append" -> hourlyAggOracle)
 }

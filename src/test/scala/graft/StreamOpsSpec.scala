@@ -28,6 +28,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append mode with a sentinel: every real window finalizes, state " +
+    "holds ONLY the sentinel's own never-finalized window") {
+    import java.time.LocalDateTime
+    // 5 hours x 2 types of real events, plus one __sentinel 8h past the
+    // start: final watermark = sentinel - 2h = 6h > every real window end
+    val base = LocalDateTime.of(2024, 1, 1, 0, 0)
+    val real = for { h <- 0 until 5; k <- 0 until 3 } yield
+      (base.plusHours(h.toLong).plusMinutes(k * 7L), s"t${k % 2}", 1.0 + k)
+    val rows = real :+ ((base.plusHours(8), "__sentinel", 0.0))
+    val dir = TestSpark.tmpDir("sappend_state")
+    rows.toDF("ts", "event_type", "value").coalesce(1)
+      .write.parquet(s"$dir/events.parquet")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val q = StreamOps.hourlyAgg(
+      spark.readStream.schema(batch.schema).parquet(s"$dir/events.parquet"))
+      .writeStream.format("memory").queryName("sappend_state")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val got = spark.table("sappend_state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamOps.hourlyAgg(batch) // same exprs, batch plan
+      .filter(col("event_type") =!= "__sentinel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want, "append emission must equal the batch agg over real events")
+    assert(got.size === 10, "5 hours x 2 types must all have finalized")
+    // watermark-bounded state: after the flush batch, the store holds
+    // exactly the windows the watermark has NOT passed — the sentinel's
+    // own (1 window x 1 type). Unbounded state would show ~11 rows here.
+    val st = q.lastProgress.stateOperators
+    assert(st.nonEmpty && st.head.numRowsTotal === 1,
+      s"state must hold only the sentinel window, got ${st.map(_.numRowsTotal).mkString(",")}")
+  }
+
   test("runningUserAgg accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
