@@ -213,4 +213,179 @@ class TableModelFuzzSpec extends AnyFunSuite {
   test("schema evolution races DML: table agrees with the model (seed 4)") {
     runSchemaSeed(0xD00DAD, 26)
   }
+
+  /** Same idea with the TIME-TRAVEL / GOVERNANCE surface in the op mix:
+    * tags, branches (create / fast-forward / drop), WAP stage→audit→
+    * publish-or-abort, rollback, rollback+cherry-pick, partition-spec
+    * evolution, compaction and snapshot expiry race ordinary DML against
+    * the driver-side model. Invariants a hand-written spec never
+    * composes: a ref must keep replaying the EXACT historical state it
+    * pins (even after compaction rewrote the layout and expiry erased
+    * its neighbors), rollback must restore a past model verbatim,
+    * cherry-pick must graft exactly one append's rows onto the rolled-
+    * back state, and aborted WAP stages must leave no trace. */
+  private def runRefSeed(seed: Long, nOps: Int): Unit = {
+    import graft.table.PartitionField
+    val rnd = new scala.util.Random(seed)
+    val dir = TestSpark.tmpDir(s"fuzzref_$seed")
+    val t = GraftTable.create(spark, dir, toDf(Seq.empty).schema, key = Seq("id"))
+    t.upgradeFormat(2)
+    var model: Model = Map.empty
+    var nextId = 0L
+    var refSeq = 0
+    // version -> (model, spec in force) after that commit
+    val history = scala.collection.mutable.LinkedHashMap.empty[Int, (Model, Seq[PartitionField])]
+    // append-op rows by commit version (cherry-pick replays these)
+    val appends = scala.collection.mutable.Map.empty[Int, Seq[(Long, (String, Double))]]
+    val refs = scala.collection.mutable.Map.empty[String, (String, Int)] // name -> (type, version)
+    def live = GraftTable.load(spark, dir)
+    def snap(): Int = {
+      val l = live; history(l.snapshot.version) = (model, l.spec)
+      l.snapshot.version
+    }
+    def expired: Set[Int] =
+      live.allSnapshots.filter(_.op == "expired").map(_.version).toSet
+    def freshRows(n: Int): Seq[(Long, (String, Double))] =
+      (0 until n).map { _ =>
+        nextId += 1
+        nextId -> (s"n${rnd.nextInt(5)}", rnd.nextInt(1000) / 10.0)
+      }
+    // coverage counters: a seed that never reaches an op class is a
+    // hollow fuzz — assert the mix actually exercised the surface
+    val hit = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    snap() // v0: empty table
+
+    (1 to nOps).foreach { i =>
+      rnd.nextInt(12) match {
+        case 0 | 1 => // append new keys
+          val rows = freshRows(1 + rnd.nextInt(20))
+          t.append(toDf(rows))
+          model ++= rows
+          appends(snap()) = rows
+        case 2 => // rowDelta upsert
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6))
+          val fresh = freshRows(rnd.nextInt(3))
+          val keys = existing ++ fresh.map(_._1)
+          if (keys.nonEmpty) {
+            val rows = existing.map(k =>
+              k -> (s"u${rnd.nextInt(5)}", rnd.nextInt(1000) / 10.0)) ++ fresh
+            t.rowDelta(keys.toDF("id"), toDf(rows), Seq("id"))
+            model ++= rows
+            snap()
+          }
+        case 3 => // CoW delete by value predicate
+          val cut = rnd.nextInt(100) / 1.0
+          t.delete(col("v") < cut)
+          model = model.filter { case (_, (_, v)) => !(v < cut) }
+          snap()
+        case 4 => // WAP: stage -> audit -> publish or abort
+          val rows = freshRows(1 + rnd.nextInt(10))
+          val id = t.stageAppend(toDf(rows))
+          // AUDIT: staged rows visible through stagedDF, invisible to reads
+          assert(t.stagedDF(id).count() === rows.size.toLong,
+            s"seed=$seed op=$i: staged row count diverged")
+          assert(readBack(live) === model,
+            s"seed=$seed op=$i: staged rows leaked into reads before publish")
+          if (rnd.nextBoolean()) {
+            t.publishStaged(id)
+            hit("publish") += 1
+            model ++= rows
+            appends(snap()) = rows // published WAP commits as an append
+          } else {
+            hit("abort") += 1
+            t.abortStaged(id)
+            assert(!t.stagedIds.contains(id),
+              s"seed=$seed op=$i: aborted stage still listed")
+          }
+        case 5 => // create a tag or branch at a random live version
+          val candidates = history.keys.filterNot(expired).toSeq
+          if (candidates.nonEmpty) {
+            val v = candidates(rnd.nextInt(candidates.size))
+            refSeq += 1
+            val (name, tpe) =
+              if (rnd.nextBoolean()) (s"tag$refSeq", "tag") else (s"br$refSeq", "branch")
+            if (tpe == "tag") t.createTag(name, v) else t.createBranch(name, v)
+            refs(name) = (tpe, v); hit(tpe) += 1
+          }
+        case 6 => // move a branch (fast-forward) or drop a ref
+          val branches = refs.collect { case (n, ("branch", _)) => n }.toSeq
+          if (branches.nonEmpty && rnd.nextBoolean()) {
+            val n = branches(rnd.nextInt(branches.size))
+            t.fastForward(n)
+            refs(n) = ("branch", live.snapshot.version); hit("ff") += 1
+          } else if (refs.nonEmpty) {
+            val n = refs.keys.toSeq(rnd.nextInt(refs.size))
+            t.dropRef(n)
+            refs -= n
+          }
+        case 7 => // rollback to a random live historical version
+          val candidates = history.keys.filterNot(expired).toSeq
+          if (candidates.nonEmpty) {
+            val v = candidates(rnd.nextInt(candidates.size))
+            t.rollbackTo(v)
+            model = history(v)._1
+            snap(); hit("rollback") += 1
+          }
+        case 8 => // rollback + cherry-pick: graft one past append back on
+          val ex = expired
+          val picks = appends.keys.filterNot(ex).toSeq.sorted
+          val compatible = for {
+            va <- picks
+            v0 <- history.keys.filterNot(ex)
+            if v0 < va && history(v0)._2 == history(va)._2 // same spec epoch
+          } yield (va, v0)
+          if (compatible.nonEmpty) {
+            val (va, v0) = compatible(rnd.nextInt(compatible.size))
+            t.rollbackTo(v0)
+            model = history(v0)._1
+            snap()
+            t.cherryPick(va)
+            model ++= appends(va) // append keys were fresh at va: disjoint from model(v0)
+            snap(); hit("cherry") += 1
+          }
+        case 9 => // maintenance: compaction (logical no-op, but a commit)
+          t.compact(); snap(); hit("compact") += 1
+        case 10 => // maintenance: snapshot expiry (in-place markers)
+          t.expireSnapshots(keepLast = 5); hit("expire") += 1
+        case 11 => // partition-spec evolution (metadata-only commit)
+          t.updateSpec(rnd.nextInt(3) match {
+            case 0 => Seq(PartitionField("nm", "identity"))
+            case 1 => Seq(PartitionField("id", "bucket", 4))
+            case _ => Seq.empty
+          })
+          snap(); hit("spec") += 1
+      }
+      if (i % 5 == 0 || i == nOps) {
+        assert(readBack(live) === model, s"seed=$seed op=$i: table diverged from model")
+        assert(live.refs.map(r => r.name -> ((r.refType, r.version))).toMap === refs.toMap,
+          s"seed=$seed op=$i: refs metadata diverged")
+      }
+    }
+    // ref probes: every live ref must replay the exact model state it
+    // pins — expiry must have spared every pinned version
+    refs.foreach { case (name, (_, v)) =>
+      assert(!expired(v), s"seed=$seed: expiry erased ref-pinned v$v")
+      val got = live.asOfRef(name).select("id", "nm", "v").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(got === history(v)._1, s"seed=$seed: ref $name diverged from history(v$v)")
+    }
+    val needed = Seq("publish", "abort", "tag", "branch", "ff", "rollback",
+      "cherry", "compact", "expire", "spec")
+    val missed = needed.filterNot(hit(_) > 0)
+    assert(missed.isEmpty,
+      s"seed=$seed never exercised: ${missed.mkString(", ")} (hits: $hit) — reroll the seed or raise nOps")
+    // sampled time travel, as in the DML fuzz: expired must THROW, live must match
+    val ex = expired
+    rnd.shuffle(history.toSeq).take(6).foreach { case (v, (m, _)) =>
+      if (ex(v)) assertThrows[Exception](readAsOf(dir, v))
+      else assert(readAsOf(dir, v) === m, s"seed=$seed asOf($v) diverged from history")
+    }
+  }
+
+  test("refs/WAP/rollback/cherry-pick/spec-evolution race DML: table agrees with the model (seed 5)") {
+    runRefSeed(0x5EED5, 70)
+  }
+  test("refs/WAP/rollback/cherry-pick/spec-evolution race DML: table agrees with the model (seed 6)") {
+    runRefSeed(0xFACADE, 70)
+  }
 }
