@@ -1121,7 +1121,55 @@ object CorpusOps {
       |  count(*) AS n_tokens
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "FIM") — the
+    * document rewrite that teaches a causal LM to infill: split the
+    * token sequence at two pivots into (prefix, middle, suffix) and emit
+    * the PSM reordering `prefix <SUF> suffix <MID> middle`, applied to
+    * half the corpus (the paper's mixed-objective recipe; untouched docs
+    * pass through). Pivots are md5-derived from SEPARATE digit blocks
+    * (HACKING: never divide one hash — blocks 1-15 and 17-31 are
+    * independent), so the transform is deterministic, content-free, and
+    * cross-engine replayable. The digest of the reordered token stream
+    * rides the oracle, pinning the exact slice arithmetic. Pure map
+    * stage — no shuffle at any scale. */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks)
+    val h = md5(col("doc_id").cast(StringType))
+    val a = (conv(substring(h, 1, 15), 16, 10).cast(LongType) % (n + 1)).cast(IntegerType)
+    val b = (conv(substring(h, 17, 15), 16, 10).cast(LongType) % (n + 1)).cast(IntegerType)
+    val p1 = least(a, b); val p2 = greatest(a, b)
+    val applied = pmod(col("doc_id"), lit(2)) === 0
+    val psm = concat(
+      slice(toks, lit(1), p1), array(lit("<SUF>")),
+      slice(toks, p2 + 1, n - p2), array(lit("<MID>")),
+      slice(toks, p1 + 1, p2 - p1))
+    documents(spark, dir)
+      .select(col("doc_id"), n.as("n_tok"), p1.as("p1"), p2.as("p2"),
+        applied.as("applied"),
+        md5(concat_ws(" ", when(applied, psm).otherwise(toks))).as("fim_digest"))
+      .orderBy("doc_id")
+  }
+
+  private val fimTransformOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+      |    len(string_split(text, ' ')) AS n,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ha,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 15) AS BIGINT) AS hb
+      |  FROM documents),
+      |p AS (SELECT doc_id, l, CAST(n AS INT) AS n_tok,
+      |        CAST(least(ha % (n + 1), hb % (n + 1)) AS INT) AS p1,
+      |        CAST(greatest(ha % (n + 1), hb % (n + 1)) AS INT) AS p2,
+      |        (doc_id % 2 = 0) AS applied
+      |      FROM d)
+      |SELECT doc_id, n_tok, p1, p2, applied,
+      |  md5(array_to_string(
+      |    CASE WHEN applied
+      |      THEN l[1:p1] || ['<SUF>'] || l[(p2+1):n_tok] || ['<MID>'] || l[(p1+1):p2]
+      |      ELSE l END, ' ')) AS fim_digest
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fim_transform" -> ((s, d) => fimTransform(s, d)),
     "span_corruption" -> ((s, d) => spanCorruption(s, d)),
     "lm_kneser_ney" -> ((s, d) => kneserNeyScore(s, d)),
     "exact_substring_spans" -> ((s, d) => exactSubstringSpans(s, d)),
@@ -1150,6 +1198,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "fim_transform" -> fimTransformOracle,
     "span_corruption" -> spanCorruptionOracle,
     "lm_kneser_ney" -> kneserNeyOracle(),
     "exact_substring_spans" -> exactSubstringSpansOracle(),

@@ -747,7 +747,65 @@ object Sampling {
       |WHERE r2.set_key <> c.set_key
       |ORDER BY anchor_id""".stripMargin
 
+  /** DPO/RLHF preference-PAIR construction (Rafailov et al. 2023's input
+    * shape): within each group (language here; prompt-id in a production
+    * preference set) pair the k best-scored documents with the k worst,
+    * best-vs-worst by rank, emitting (chosen, rejected, margin) training
+    * rows. Complements [[StatsOps.preferenceBtFit]]: BT FITS a reward
+    * from given pairs; this CONSTRUCTS the pairs from a score.
+    *
+    * Determinism: score is the exact per-row ttr ratio; top order
+    * (score DESC, doc_id) and bottom order are exact reverses, so with
+    * group size ≥ 2k the chosen/rejected sets are provably disjoint.
+    * Scale shape: two rank windows partitioned by the group key (no
+    * global window) and one (group, rank) equi-join on the 2k-row
+    * survivors; at 100 TB per-group top-k upgrades to the same
+    * quantile-cutoff trick as the budget selectors, margins unchanged. */
+  def dpoPairs(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val t = split(col("text"), " ")
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (size(array_distinct(t)).cast(DoubleType) / size(t)).as("score"))
+    val wTop = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val wBot = Window.partitionBy(col("lang")).orderBy(col("score").asc, col("doc_id").desc)
+    val ranked = d
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("top_rank", row_number().over(wTop))
+      .withColumn("bot_rank", row_number().over(wBot))
+      .filter(col("n_lang") >= 2 * k)
+    val chosen = ranked.filter(col("top_rank") <= k)
+      .select(col("lang"), col("top_rank").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("score").as("cs"))
+    val rejected = ranked.filter(col("bot_rank") <= k)
+      .select(col("lang"), col("bot_rank").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("score").as("rs"))
+    chosen.join(rejected, Seq("lang", "pair_rank"))
+      .select(col("lang"), col("pair_rank"), col("chosen_id"), col("rejected_id"),
+        round(col("cs"), 6).as("chosen_score"),
+        round(col("rs"), 6).as("rejected_score"),
+        round(col("cs") - col("rs"), 6).as("margin"))
+      .orderBy("lang", "pair_rank")
+  }
+
+  private def dpoPairsOracle(k: Int = 8): String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS score
+       |  FROM documents),
+       |r AS (SELECT *, count(*) OVER (PARTITION BY lang) AS n_lang,
+       |        row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS top_rank,
+       |        row_number() OVER (PARTITION BY lang ORDER BY score ASC, doc_id DESC) AS bot_rank
+       |      FROM d)
+       |SELECT c.lang, CAST(c.top_rank AS INT) AS pair_rank,
+       |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+       |  ROUND(c.score, 6) AS chosen_score, ROUND(j.score, 6) AS rejected_score,
+       |  ROUND(c.score - j.score, 6) AS margin
+       |FROM r c JOIN r j ON j.lang = c.lang AND j.bot_rank = c.top_rank
+       |WHERE c.n_lang >= ${2 * k} AND c.top_rank <= $k
+       |ORDER BY c.lang, pair_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpo_pairs" -> ((s, d) => dpoPairs(s, d)),
     "contrastive_triplets" -> ((s, d) => contrastiveTriplets(s, d)),
     // minTok=15 / cap=150 keep all four verdict stages live on the
     // fixtures (19 quality drops, en over-budget by ~36)
@@ -766,6 +824,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "dpo_pairs" -> dpoPairsOracle(),
     "contrastive_triplets" -> contrastiveTripletsOracle,
     "curation_audit" -> curationAuditOracle(minTok = 15, perLangCap = 150),
     "corpus_release" -> corpusReleaseOracle,

@@ -296,4 +296,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     val wSorted = byExcess.map(_.getAs[Double]("weight"))
     assert(wSorted.zip(wSorted.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
+
+  test("fimTransform: pivot arithmetic replays by hand; unapplied docs keep " +
+    "their original digest; PSM is a permutation plus the two sentinels") {
+    val dir = fixture(Seq(
+      (2L, "a b c d e f g h", "en"),   // doc_id even: FIM applied
+      (3L, "p q r s t", "en"),         // odd: passthrough
+      (4L, "x y z", "en")))
+    val out = CorpusOps.fimTransform(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getString(5)))).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def pivots(docId: Long, n: Int): (Int, Int) = {
+      val h = md5hex(docId.toString)
+      val a = (java.lang.Long.parseLong(h.substring(0, 15), 16) % (n + 1)).toInt
+      val b = (java.lang.Long.parseLong(h.substring(16, 31), 16) % (n + 1)).toInt
+      (math.min(a, b), math.max(a, b))
+    }
+    Seq((2L, "a b c d e f g h"), (4L, "x y z")).foreach { case (id, text) =>
+      val tk = text.split(" ")
+      val (p1, p2) = pivots(id, tk.length)
+      val (n, g1, g2, applied, digest) = out(id)
+      assert((n, g1, g2, applied) === ((tk.length, p1, p2, true)), s"doc $id pivots")
+      val psm = (tk.take(p1) ++ Array("<SUF>") ++ tk.drop(p2) ++
+        Array("<MID>") ++ tk.slice(p1, p2)).mkString(" ")
+      assert(digest === md5hex(psm), s"doc $id digest diverged from hand PSM")
+      assert(psm.split(" ").filterNot(Set("<SUF>", "<MID>")).sorted
+        === tk.sorted, s"doc $id: PSM lost or duplicated a token")
+    }
+    val (_, _, _, applied3, digest3) = out(3L)
+    assert(!applied3 && digest3 === md5hex("p q r s t"),
+      "unapplied doc must keep its original token-stream digest")
+  }
 }

@@ -187,6 +187,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.length < total)
   }
 
+  test("dpo_pairs: k disjoint best-vs-worst pairs per qualifying lang, " +
+    "margins non-negative and rank-monotone") {
+    val k = 8
+    val rows = ext.Sampling.dpoPairs(spark, dir, k).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, ps) =>
+      assert(ps.length === k, s"$lang: expected $k pairs")
+      assert(ps.map(_.getInt(1)).sorted === (1 to k).toArray, s"$lang: ranks not dense")
+      val chosen = ps.map(_.getLong(2)).toSet
+      val rejected = ps.map(_.getLong(3)).toSet
+      assert(chosen.intersect(rejected).isEmpty, s"$lang: chosen/rejected overlap")
+      ps.foreach { r =>
+        assert(r.getDouble(6) >= 0.0, s"$lang: negative margin (rejected beat chosen)")
+        // margin rounds the EXACT difference; the displayed scores round
+        // individually — they can disagree by one 6-dp ulp
+        assert(math.abs(r.getDouble(4) - r.getDouble(5) - r.getDouble(6)) < 1.1e-6)
+      }
+      // rank 1 pairs the best with the worst: margins shrink with rank
+      val byRank = ps.sortBy(_.getInt(1)).map(_.getDouble(6))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"$lang: margin not monotone in rank")
+    }
+  }
+
   test("dsir_weights: ranks dense and ordered, selection enriches the " +
     "target domain above the corpus base rate") {
     val rows = ext.Sampling.dsirWeights(spark, dir).collect()
