@@ -270,4 +270,70 @@ class ConcurrencyHammerSpec extends AnyFunSuite {
     val got = GraftTable.load(spark, dir).toDF.as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "w1", 2L -> "w2"), s"got $got")
   }
+
+  test("WAP stage/publish racing appends and tags: published rows land exactly " +
+    "once, aborted stages leave no trace, no orphans afterwards") {
+    val dir = TestSpark.tmpDir("gt-wap-hammer")
+    val t0 = GraftTable.create(spark, dir, schema, key = Seq("k"))
+    t0.append(spark.range(1, 6).select(col("id").as("k"), lit("seed").as("v")))
+    t0.upgradeFormat(2)
+    val rounds = 4
+
+    // WAP writer: stage every round, publish even rounds, abort odd ones.
+    // stage writes data + a marker with NO commit; publish is a metadata
+    // commit and must fold through OCC rebase over the racing appender.
+    val wapper = Future {
+      (0 until rounds).map { r =>
+        val t = GraftTable.load(spark, dir)
+        val id = t.stageAppend(Seq((2000L + r, s"w$r")).toDF("k", "v"))
+        assert(t.stagedDF(id).count() == 1L, s"stage r$r: audit saw wrong rows")
+        if (r % 2 == 0) { retrying(s"publish r$r")(GraftTable.load(spark, dir).publishStaged(id)); true }
+        else { GraftTable.load(spark, dir).abortStaged(id); false }
+      }
+    }
+    val appender = Future {
+      (0 until rounds).foreach { r =>
+        retrying(s"append r$r") {
+          GraftTable.load(spark, dir).append(Seq((3000L + r, s"a$r")).toDF("k", "v"))
+        }
+      }
+    }
+    // metadata racer: tags pin whatever version is current when they fire
+    val tagger = Future {
+      (0 until rounds).map { r =>
+        val live = GraftTable.load(spark, dir)
+        val v = live.currentVersion
+        live.createTag(s"hammer_t$r", v)
+        (s"hammer_t$r", v)
+      }
+    }
+
+    val published = Await.result(wapper, 300.seconds)
+    Await.result(appender, 300.seconds)
+    val tags = Await.result(tagger, 300.seconds)
+
+    val fin = GraftTable.load(spark, dir)
+    val byKey = fin.toDF.as[(Long, String)].collect().toMap
+    (0 until rounds).foreach { r =>
+      if (published(r))
+        assert(byKey.get(2000L + r).contains(s"w$r"), s"published stage r$r lost")
+      else
+        assert(!byKey.contains(2000L + r), s"aborted stage r$r leaked into reads")
+      assert(byKey.get(3000L + r).contains(s"a$r"), s"append r$r lost")
+    }
+    assert(byKey.size == 5 + rounds + published.count(identity),
+      s"row count drifted: ${byKey.size}")
+    // every stage was consumed (published or aborted): no markers remain,
+    // and a zero-grace orphan sweep right after the race finds NOTHING —
+    // aborts removed their dirs, publishes are referenced, nothing leaks
+    assert(fin.stagedIds.isEmpty, s"unconsumed stages: ${fin.stagedIds}")
+    val swept = fin.vacuumOrphans(olderThanMs = -1000)
+    assert(swept.isEmpty, s"race leaked orphans: $swept")
+    assert(GraftTable.load(spark, dir).toDF.as[(Long, String)].collect().toMap == byKey,
+      "vacuum after the race changed query results")
+    // tags pin real versions and replay cleanly (content probe on one)
+    tags.foreach { case (name, v) => assert(fin.refOf(name).version == v) }
+    val (n0, v0) = tags.head
+    assert(fin.asOfRef(n0).count() >= 5, s"tag $n0 at v$v0 lost the seed rows")
+  }
 }
