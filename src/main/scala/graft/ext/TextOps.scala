@@ -1550,6 +1550,135 @@ object TextOps {
       .map { case (n, v) => s"('$n', CAST($v AS BIGINT))" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(name, value) ORDER BY name")
 
+
+  /** MinHash-LSH CALIBRATION table — the measurement you read before
+    * choosing (k, b, r) for a 100 TB dedup run: over a deterministic
+    * md5-ordered sample of `cap` set-collapsed reps, every pair reports
+    * the k-minima Jaccard ESTIMATE (matching-minima fraction), the EXACT
+    * Jaccard, and whether any of the b bands collides; bucketed by exact
+    * Jaccard (decile), the aggregate shows estimator bias and the
+    * empirical banding s-curve next to the closed-form 1-(1-j^r)^b.
+    *
+    * Same md5 double-hash construction as the graded `dedup_minhash_lsh`
+    * pipeline, so the calibration measures the production signatures.
+    * The theory column is libm-free: j^r and (1-x)^b expand to explicit
+    * multiplication chains (IEEE-exact cross-engine, unlike pow), and
+    * every averaged value is rounded to 9dp before DECIMAL aggregation
+    * (HACKING: double->DECIMAL(30,15) casts can wobble the 15th digit on
+    * full-precision quotients). Scale shape: the sample is a TakeOrdered
+    * cap (no global sort), everything after is O(cap^2) — CONSTANT in
+    * corpus size, like the embedding-cosine verify precedent. */
+  private def minhashCalibrationQuery(spark: SparkSession, dir: String,
+                                      k: Int = 64, bands: Int = 8,
+                                      cap: Int = 400): DataFrame = {
+    graft.functions.TextSignatureFunctions.register(spark)
+    val p = 1000000007L
+    val r = k / bands
+    val sample = documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("set_key", md5(concat_ws("\u0001", col("toks"))))
+      .groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id")).limit(cap)
+      .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+      .localCheckpoint(true) // cap rows; consumed by sig build + both pair sides
+    val tok = sample.select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val hashed = tok.select(col("doc_id"),
+      (conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % p).as("h1m"),
+      (conv(substring(col("h"), 17, 15), 16, 10).cast(LongType)
+        .bitwiseOR(lit(1L)) % p).as("h2m"))
+    val mins = (0 until k).map(i =>
+      min((col("h1m") + lit(i.toLong) * col("h2m")) % p).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .join(sample.select(col("doc_id"), col("htoks")), "doc_id")
+    def side(pre: String) = sig.select(
+      col("doc_id").as(s"${pre}id") +: col("htoks").as(s"${pre}h") +:
+        (0 until k).map(i => col(s"m$i").as(s"$pre$i")): _*)
+    val inter = graft.functions.TextSignatureFunctions
+      .sorted_intersect_count(col("ah"), col("bh"))
+    val est = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      .cast(DoubleType) / k
+    val bandHit = (0 until bands).map { b =>
+      when((b * r until (b + 1) * r).map(i => col(s"a$i") === col(s"b$i"))
+        .reduce(_ && _), 1).otherwise(0)
+    }.reduce(_ + _) > 0
+    val pairs = side("a").crossJoin(side("b"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("ah")) + size(col("bh")) - inter))
+      .withColumn("est", est)
+      .withColumn("hit", bandHit)
+    val jr = (1 to r).map(_ => col("jac")).reduce(_ * _) // jac^r, no libm
+    val miss1 = lit(1.0) - jr
+    val theory = lit(1.0) - (1 to bands).map(_ => miss1).reduce(_ * _)
+    pairs
+      .withColumn("bucket", floor(col("jac") * 10).cast(IntegerType))
+      .withColumn("err9", round(abs(col("est") - col("jac")), 9))
+      .withColumn("th9", round(theory, 9))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("err9").cast(DecimalType(30, 15))) / count(lit(1)))
+          .cast(DoubleType), 6).as("mean_abs_err"),
+        round(sum(when(col("hit"), 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)), 6).as("band_hit_rate"),
+        round((sum(col("th9").cast(DecimalType(30, 15))) / count(lit(1)))
+          .cast(DoubleType), 6).as("theory_hit_rate"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[minhashCalibrationQuery]]: same sample cap, md5
+    * double-hash minima, matching-minima estimate, band conjunctions,
+    * multiplication-chain s-curve, 9dp-then-DECIMAL means. */
+  private def minhashCalibrationOracle(k: Int = 64, bands: Int = 8,
+                                       cap: Int = 400): String = {
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"MIN((h1m + $i * h2m) % 1000000007) AS m$i").mkString(",\n        ")
+    val estTerms = (0 until k).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bandTerms = (0 until bands).map { b =>
+      val conj = (b * r until (b + 1) * r).map(i => s"a.m$i = b.m$i").mkString(" AND ")
+      s"CASE WHEN $conj THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    val jr = (1 to r).map(_ => "jac").mkString(" * ")
+    val missChain = (1 to bands).map(_ => s"(1.0 - ($jr))").mkString(" * ")
+    s"""WITH d0 AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |            FROM documents),
+       |reps AS (SELECT MIN(doc_id) AS doc_id, ANY_VALUE(toks) AS toks
+       |         FROM d0 GROUP BY md5(array_to_string(toks, chr(1)))),
+       |samp AS (SELECT doc_id, toks,
+       |           list_sort(list_distinct(list_transform(toks,
+       |             t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)))) AS htoks
+       |         FROM reps ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $cap),
+       |tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(toks) AS t FROM samp)),
+       |g AS (SELECT doc_id,
+       |        CAST('0x' || substring(h, 1, 15) AS BIGINT) % 1000000007 AS h1m,
+       |        (CAST('0x' || substring(h, 17, 15) AS BIGINT) | 1) % 1000000007 AS h2m
+       |      FROM tok),
+       |sig AS (SELECT doc_id,
+       |        $mins
+       |      FROM g GROUP BY doc_id),
+       |sh AS (SELECT sig.*, samp.htoks FROM sig JOIN samp USING (doc_id)),
+       |pr AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
+       |         CAST(len(list_intersect(a.htoks, b.htoks)) AS DOUBLE)
+       |           / (len(a.htoks) + len(b.htoks) - len(list_intersect(a.htoks, b.htoks))) AS jac,
+       |         CAST($estTerms AS DOUBLE) / $k AS est,
+       |         ($bandTerms) > 0 AS hit
+       |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |e AS (SELECT CAST(floor(jac * 10) AS INT) AS bucket,
+       |        ROUND(abs(est - jac), 9) AS err9,
+       |        ROUND(1.0 - ($missChain), 9) AS th9, hit
+       |      FROM pr)
+       |SELECT bucket, count(*) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(err9 AS DECIMAL(30,15))) / count(*) AS DOUBLE), 6) AS mean_abs_err,
+       |  ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS band_hit_rate,
+       |  ROUND(CAST(SUM(CAST(th9 AS DECIMAL(30,15))) / count(*) AS DOUBLE), 6) AS theory_hit_rate
+       |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "dedup_exact" -> dedupExact,
@@ -1568,6 +1697,7 @@ object TextOps {
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashMd5GatedQuery(s, d)),
     "simhash_md5" -> ((s: SparkSession, d: String) => simhashMd5Query(s, d)),
     "minhash_md5" -> ((s: SparkSession, d: String) => minhashMd5Query(s, d)),
+    "minhash_calibration" -> ((s: SparkSession, d: String) => minhashCalibrationQuery(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)),
     "heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "doc_fingerprint" -> fingerprintQuery,
@@ -1584,6 +1714,7 @@ object TextOps {
     "gopher_rules" -> gopherRulesOracle,
     "heavy_hitters" -> heavyHittersOracle(),
     "minhash_md5" -> minhashMd5Oracle,
+    "minhash_calibration" -> minhashCalibrationOracle(),
     "sample_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

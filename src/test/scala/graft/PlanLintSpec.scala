@@ -59,7 +59,9 @@ class PlanLintSpec extends AnyFunSuite {
     "lang_temperature"  -> "one-row language-mass aggregate broadcast",
     "events_resample_ffill" -> "one-row global [min,max] bounds aggregate broadcast under the (type x bin) grid",
     "dedup_embedding_cosine" ->
-      "deliberately-exact O(N^2) upper-triangle pair join (oracle-bit-exactness is the point); the 100 TB path is ann_lsh_bucketed candidates + this cosine as verify (Similarity.scala:280)"
+      "deliberately-exact O(N^2) upper-triangle pair join (oracle-bit-exactness is the point); the 100 TB path is ann_lsh_bucketed candidates + this cosine as verify (Similarity.scala:280)",
+    "minhash_calibration" ->
+      "400-row md5-ordered sample crossJoin — O(cap^2) CONSTANT in corpus size; the point is measuring the estimator on all sample pairs"
   )
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin exactly where allowlisted") {
