@@ -1168,6 +1168,63 @@ object CorpusOps {
       |      ELSE l END, ' ')) AS fim_digest
       |FROM p ORDER BY doc_id""".stripMargin
 
+
+  /** CCNet's head/middle/tail perplexity split (Wenzek et al. 2020) —
+    * the quality partition that decided what went into most public
+    * pretraining corpora: per language, rank documents by LM
+    * bits-per-token (ascending: fluent text scores low) and cut the
+    * ranking into thirds; "head" feeds training, "tail" is usually
+    * dropped. Scoring reuses [[lmScore]]'s graded bigram-Laplace model
+    * verbatim; ranking keys on the 4-dp-rounded bits (the precision the
+    * `lm_perplexity` gate already proves identical cross-engine) with a
+    * doc_id tiebreak, so the partition is bit-deterministic. Scale
+    * shape: one rank window per language partition over (doc, bits)
+    * rows — never raw text — plus the lmScore shuffles it inherits;
+    * thirds come from the same window's count, no second pass. */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bits_per_token").asc, col("doc_id"))
+    scored
+      .withColumn("ppl_rank", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("part",
+        when(col("ppl_rank") * 3 <= col("n_lang"), "head")
+          .when(col("ppl_rank") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        col("ppl_rank"), col("part"))
+      .orderBy("doc_id")
+  }
+
+  private val pplFilterOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+      |uni AS (SELECT w1, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT bi.doc_id,
+      |    ROUND(CAST(SUM(CAST(-log2((c12 + 1.0) / (c1 + v.v)) AS DECIMAL(30,15))) AS DOUBLE)
+      |          / count(*), 4) AS bits_per_token
+      |  FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+      |  GROUP BY bi.doc_id),
+      |r AS (SELECT s.doc_id, d.lang, s.bits_per_token,
+      |        row_number() OVER (PARTITION BY d.lang
+      |          ORDER BY s.bits_per_token ASC, s.doc_id) AS ppl_rank,
+      |        count(*) OVER (PARTITION BY d.lang) AS n_lang
+      |      FROM scored s JOIN documents d USING (doc_id))
+      |SELECT doc_id, lang, bits_per_token, CAST(ppl_rank AS INT) AS ppl_rank,
+      |  CASE WHEN ppl_rank * 3 <= n_lang THEN 'head'
+      |       WHEN ppl_rank * 3 <= n_lang * 2 THEN 'middle'
+      |       ELSE 'tail' END AS part
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fim_transform" -> ((s, d) => fimTransform(s, d)),
     "span_corruption" -> ((s, d) => spanCorruption(s, d)),
@@ -1191,6 +1248,7 @@ object CorpusOps {
     "length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "histogram_quantiles" -> ((s, d) => histogramQuantiles(s, d)),
     "lm_perplexity" -> ((s, d) => lmScore(s, d)),
+    "ppl_filter" -> ((s, d) => pplFilter(s, d)),
     "source_kl" -> ((s, d) => sourceKl(s, d)),
     "pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "doremi_reweight" -> ((s, d) => doremiReweight(s, d)),
@@ -1328,6 +1386,7 @@ object CorpusOps {
         |        WHERE cm.cum >= cm.total * qq.q AND (cm.cum - cm.n) < cm.total * qq.q)
         |SELECT lang, q, ROUND(bin * 50 + (target - (cum - n)) / n * 50, 4) AS est
         |FROM hit WHERE rn = 1 ORDER BY lang, q""".stripMargin,
+    "ppl_filter" -> pplFilterOracle,
     "lm_perplexity" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (

@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite {
     "tfidf_keywords"    -> "one-row corpus-size aggregate broadcast under the tf table",
     "source_kl"         -> "one-row corpus-total aggregate broadcast",
     "lm_perplexity"     -> "one-row vocabulary-mass aggregate broadcast",
+    "ppl_filter"        -> "one-row vocabulary-mass aggregate broadcast (inherits lmScore's scoring plan)",
     "lm_kneser_ney"     -> "one-row continuation-total (N1+(..)) aggregate broadcast",
     "word_dispersion"   -> "one-row corpus-token-total aggregate broadcast under the source-mass frame",
     "pmi_collocations"  -> "one-row bigram/unigram-total aggregate broadcast under the min-count-pruned pair table",
