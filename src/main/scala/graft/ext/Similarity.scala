@@ -1626,6 +1626,118 @@ object Similarity {
     pairs
   }
 
+
+  /** IVF nprobe RECALL/COST sweep — the serving-knob table a 100 TB ANN
+    * deployment is tuned from: for each nprobe in the sweep, the mean
+    * recall@k of the IVF candidate set against the exact brute-force
+    * top-k, next to the mean fraction of the corpus the probes scan.
+    * Recall needs no per-nprobe candidate join: a true neighbor is
+    * recalled at nprobe p iff the CENTROID RANK of its home bucket in
+    * the query's centroid ordering is <= p, so one (query, bf-neighbor,
+    * crank) frame answers every p. Scan cost likewise folds from the
+    * (query, cluster, crank, bucket_size) frame — both metadata-scale
+    * (Q x k and Q x nClusters rows). Runs under the PUBLISHED fixed
+    * quantizer (the `ann_ivf` oracle model), so DuckDB replays the whole
+    * sweep; per-query recalls and scan fractions are exact rational
+    * doubles, averaged 9dp-round-then-DECIMAL. */
+  def ivfNprobeSweep(spark: SparkSession, dir: String,
+                     numQueries: Int = 8, k: Int = 5, nClusters: Int = 16,
+                     probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val assigned = assignFixed(e, nClusters, dim)
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("__dots").as("qdots"))
+    val cranks = queries
+      .select(col("query_id"), posexplode(col("qdots")).as(Seq("cluster", "cdot")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("cluster"))))
+      .select(col("query_id"), col("cluster"), col("crank"))
+    // exact brute-force top-k, each true neighbor tagged with its home
+    // bucket's centroid rank for this query
+    val bf = assigned.select(col("vec_id"), col("e"), col("cluster"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qe"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        cosine(col("qe"), col("e")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .join(cranks, Seq("query_id", "cluster"))
+    val pLit = explode(array(probes.map(lit): _*)).as("n_probe")
+    val recall = bf.select(col("query_id"), col("crank"), pLit)
+      .groupBy(col("query_id"), col("n_probe"))
+      .agg((sum(when(col("crank") <= col("n_probe"), 1).otherwise(0))
+        .cast(DoubleType) / k).as("recall_q"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    val scan = cranks
+      .join(assigned.groupBy(col("cluster")).agg(count(lit(1)).as("bn")), "cluster")
+      .select(col("query_id"), col("crank"), col("bn"), pLit)
+      .groupBy(col("query_id"), col("n_probe"))
+      .agg(sum(when(col("crank") <= col("n_probe"), col("bn")).otherwise(0L)).as("scanned"))
+      .crossJoin(broadcast(total))
+      .withColumn("scan_frac_q", col("scanned").cast(DoubleType) / col("n_total"))
+    recall.join(scan, Seq("query_id", "n_probe"))
+      .withColumn("r9", round(col("recall_q"), 9))
+      .withColumn("s9", round(col("scan_frac_q"), 9))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round((sum(col("r9").cast(DecimalType(30, 15))) / count(lit(1)))
+          .cast(DoubleType), 6).as("mean_recall"),
+        round((sum(col("s9").cast(DecimalType(30, 15))) / count(lit(1)))
+          .cast(DoubleType), 6).as("mean_scan_frac"))
+      .orderBy("n_probe")
+  }
+
+  /** DuckDB mirror of [[ivfNprobeSweep]]: fixed-centroid dots, argmax
+    * home buckets, per-query centroid ranks, brute-force top-k join,
+    * crank-threshold recall and bucket-size scan cost per nprobe. */
+  private def ivfNprobeSweepOracle(numQueries: Int = 8, k: Int = 5,
+                                   nClusters: Int = 16, dim: Int = 64,
+                                   probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): String = {
+    val dots = fixedCentroids(nClusters, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    val plist = probes.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM e),
+       |asn AS (SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |qd AS (SELECT vec_id AS query_id, e AS qe,
+       |         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cluster, unnest(ds) AS cdot
+       |       FROM a WHERE vec_id < $numQueries),
+       |cr AS (SELECT query_id, cluster, crank FROM (
+       |         SELECT query_id, cluster,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cluster) AS crank
+       |         FROM qd)),
+       |bf0 AS (SELECT q.query_id, asn.vec_id, asn.cluster,
+       |          list_dot_product(q.qe, asn.e)
+       |            / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(asn.e, asn.e))) AS sim
+       |        FROM (SELECT DISTINCT query_id, qe FROM qd) q, asn
+       |        WHERE asn.vec_id <> q.query_id),
+       |bf AS (SELECT query_id, vec_id, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+       |         FROM bf0) WHERE rn <= $k),
+       |cov AS (SELECT bf.query_id, cr.crank FROM bf JOIN cr USING (query_id, cluster)),
+       |rec AS (SELECT query_id, p.n_probe,
+       |          CAST(SUM(CASE WHEN crank <= p.n_probe THEN 1 ELSE 0 END) AS DOUBLE) / $k AS recall_q
+       |        FROM cov, UNNEST($plist) p(n_probe) GROUP BY query_id, p.n_probe),
+       |bsz AS (SELECT cluster, count(*) AS bn FROM asn GROUP BY cluster),
+       |tot AS (SELECT count(*) AS n_total FROM e),
+       |scn AS (SELECT query_id, p.n_probe,
+       |          CAST(SUM(CASE WHEN crank <= p.n_probe THEN bn ELSE 0 END) AS DOUBLE)
+       |            / (SELECT n_total FROM tot) AS scan_frac_q
+       |        FROM cr JOIN bsz USING (cluster), UNNEST($plist) p(n_probe)
+       |        GROUP BY query_id, p.n_probe)
+       |SELECT r.n_probe, count(*) AS n_queries,
+       |  ROUND(CAST(SUM(CAST(ROUND(recall_q, 9) AS DECIMAL(30,15))) / count(*) AS DOUBLE), 6) AS mean_recall,
+       |  ROUND(CAST(SUM(CAST(ROUND(scan_frac_q, 9) AS DECIMAL(30,15))) / count(*) AS DOUBLE), 6) AS mean_scan_frac
+       |FROM rec r JOIN scn s ON r.query_id = s.query_id AND r.n_probe = s.n_probe
+       |GROUP BY r.n_probe ORDER BY r.n_probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_adc_topk" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLshGated(s, d)),
@@ -1634,6 +1746,7 @@ object Similarity {
     "ann_cosine_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "ann_lsh_bucketed" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d, annLshBucketed(s, d), 0.4, "LSH ANN")),
+    "ivf_nprobe_sweep" -> ((s: SparkSession, d: String) => ivfNprobeSweep(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) =>
       withRecallFloor(s, d,
         annIvf(s, d, quantizer = Some(fixedCentroids(16, 64))), 0.25, "IVF ANN")),
@@ -1661,6 +1774,7 @@ object Similarity {
     "pq_encode" -> pqEncodeOracle(),
     "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_bucketed" -> annLshOracle(),
+    "ivf_nprobe_sweep" -> ivfNprobeSweepOracle(),
     "ann_ivf" -> annIvfOracle(),
     "ann_ivf_trained" -> annIvfTrainedOracle(),
     "jl_project" -> jlProjectOracle(),

@@ -35,6 +35,7 @@ class PlanLintSpec extends AnyFunSuite {
     * global aggregate, or an explicit sample cap). */
   private val bnljAllowed: Map[String, String] = Map(
     "ann_cosine_topk"   -> "literal 8-row query batch crossJoin(broadcast) against corpus",
+    "ivf_nprobe_sweep"  -> "8-row query batch crossJoin(broadcast) for the exact-recall reference; the sweep itself is Q x nClusters metadata rows",
     "abtt_correct"      -> "literal 8-row query batch crossJoin(broadcast) against the ABTT-corrected corpus",
     "pq_adc_topk"       -> "literal 8-row query batch (with m*nCent-double LUTs) crossJoin(broadcast) against the CODED corpus; production replaces the crossJoin with the IVF probe join",
     "hard_examples"     -> "literal probe batch crossJoin(broadcast) against corpus",
