@@ -2220,7 +2220,14 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Discards a staged append (audit failed): files + marker removed. */
   def abortStaged(id: String): Unit = {
     val (sub, _, _) = readStaged(id)
-    fs.delete(new Path(dir, sub), true)
+    // crashed-publish window: publishStaged commits FIRST, then consumes
+    // the marker — a crash between the two leaves a marker pointing at a
+    // dir the table now references. Aborting that marker must consume it
+    // WITHOUT touching the data: deleting the dir would corrupt every
+    // snapshot (current or time-travelable) that references it.
+    val referenced = allSnapshots.exists(s =>
+      s.op != "expired" && s.dataDirs.exists(_.path == sub))
+    if (!referenced) fs.delete(new Path(dir, sub), true)
     fs.delete(stagedPath(id), false)
   }
 

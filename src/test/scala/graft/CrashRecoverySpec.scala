@@ -78,4 +78,35 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(removed.exists(_.contains("dead-writer-uuid")))
     assert(t.toDF.count() == 1)
   }
+
+  test("crashed-publish window: abortStaged on an already-published marker " +
+    "consumes the marker without deleting referenced data") {
+    val dir = TestSpark.tmpDir("crash-wap")
+    val t = GraftTable.create(spark, dir, schema, key = Seq("id"))
+    t.append(Seq((1L, "seed")).toDF("id", "v"))
+    val id = t.stageAppend(Seq((2L, "staged")).toDF("id", "v"))
+    val marker = java.nio.file.Paths.get(dir, "_graft_log", "staged", s"$id.json")
+    val markerBytes = java.nio.file.Files.readAllBytes(marker)
+    t.publishStaged(id)
+    val before = GraftTable.load(spark, dir).toDF
+      .as[(Long, String)].collect().toMap
+    assert(before == Map(1L -> "seed", 2L -> "staged"))
+    // the crash window: publish committed, the marker delete never ran
+    java.nio.file.Files.write(marker, markerBytes)
+    // an operator (or a sweeper) aborting the apparently-pending stage
+    // must consume the marker but MUST NOT touch the published data
+    GraftTable.load(spark, dir).abortStaged(id)
+    val after = GraftTable.load(spark, dir)
+    assert(after.toDF.as[(Long, String)].collect().toMap == before,
+      "abort after a crashed publish deleted referenced data")
+    assert(after.stagedIds.isEmpty, "the stale marker must still be consumed")
+    // a genuinely-unpublished stage still aborts WITH its data removed
+    val id2 = t.stageAppend(Seq((3L, "never")).toDF("id", "v"))
+    GraftTable.load(spark, dir).abortStaged(id2)
+    assert(GraftTable.load(spark, dir).toDF.as[(Long, String)]
+      .collect().toMap == before)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "data", id2)),
+      "an unpublished abort must remove its data dir")
+  }
 }
