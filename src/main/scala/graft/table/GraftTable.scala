@@ -2016,17 +2016,21 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       val p = new Path(logDir, f"v$v%05d.json")
       if (f.exists(p)) {
         val s = snapshotAt(v)
-        (s.dataDirs.map(_.path) ++ s.deletes.map(_.path))
+        val toDelete = (s.dataDirs.map(_.path) ++ s.deletes.map(_.path))
           .filterNot(live.contains)
-          .foreach(rel => f.delete(new Path(dir, rel), true))
-        // replace the entry with an expired marker (write tmp + rename —
-        // readers only ever see valid JSON)
+        // MARKER FIRST, data delete second (write tmp + rename — readers
+        // only ever see valid JSON). A crash between the two leaves
+        // unreferenced dirs that vacuumOrphans sweeps and readers that
+        // see the clean "expired" error; the old delete-first order left
+        // a readable snapshot referencing deleted files — time travel
+        // failed with file-not-found instead of "expired".
         val marker = s.copy(op = "expired", dataDirs = Seq.empty, deletes = Seq.empty)
         val tmp = new Path(logDir, f"v$v%05d.json.tmp")
         val os = f.create(tmp, true)
         try os.write(writeSnapshot(marker).getBytes("UTF-8")) finally os.close()
         f.delete(p, false)
         f.rename(tmp, p)
+        toDelete.foreach(rel => f.delete(new Path(dir, rel), true))
       }
     }
     this

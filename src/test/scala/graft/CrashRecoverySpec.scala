@@ -109,4 +109,49 @@ class CrashRecoverySpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "data", id2)),
       "an unpublished abort must remove its data dir")
   }
+
+  test("crashed-expiry window: marker lands before the data delete, so the " +
+    "residue is a vacuumable orphan, never a broken time-travel read") {
+    val dir = TestSpark.tmpDir("crash-expire")
+    val t = GraftTable.create(spark, dir, schema, key = Seq("id"))
+    t.append(Seq((1L, "v1")).toDF("id", "v"))
+    // CoW delete rewrites the dir: v1's original dir is now referenced
+    // ONLY by v1 — the dir expiry will actually reclaim
+    t.delete(col("id") === 1L)
+    t.append(Seq((3L, "v3")).toDF("id", "v"))
+    val pre = GraftTable.load(spark, dir)
+    assert(pre.asOf(1).count() == 1)
+    val kept = Seq(2, 3).flatMap(v => pre.snapshotAt(v).dataDirs.map(_.path)).toSet
+    val v1Dirs = pre.snapshotAt(1).dataDirs.map(_.path).filterNot(kept)
+    assert(v1Dirs.nonEmpty, "fixture must give v1 a uniquely-referenced dir")
+    // stash the dirs expiry will delete, then expire
+    val stash = java.nio.file.Files.createTempDirectory("stash")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { src =>
+        val dst = to.resolve(from.relativize(src))
+        if (java.nio.file.Files.isDirectory(src)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    v1Dirs.foreach { rel =>
+      copyTree(java.nio.file.Paths.get(dir, rel), stash.resolve(rel.replace('/', '_')))
+    }
+    t.expireSnapshots(keepLast = 2)
+    // reconstruct the crash-after-marker state: marker written, dirs intact
+    v1Dirs.foreach { rel =>
+      copyTree(stash.resolve(rel.replace('/', '_')), java.nio.file.Paths.get(dir, rel))
+    }
+    val live = GraftTable.load(spark, dir)
+    // reader outcome in the window: the CLEAN expired error, not ENOENT
+    assertThrows[Exception](live.asOf(1).count())
+    // the residue is an unreferenced dir: vacuum sweeps exactly it and
+    // query results never change
+    val before = live.toDF.as[(Long, String)].collect().toMap
+    val swept = live.vacuumOrphans(olderThanMs = -1000)
+    assert(v1Dirs.forall(d => swept.contains(d)),
+      s"vacuum missed crash residue: swept=$swept expected=$v1Dirs")
+    assert(GraftTable.load(spark, dir).toDF.as[(Long, String)]
+      .collect().toMap == before)
+  }
 }
