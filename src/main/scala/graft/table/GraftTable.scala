@@ -208,6 +208,23 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
 
   private def fs: FileSystem = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic replace of `dst` with fully-written `tmp`. FileSystem.rename
+    * cannot overwrite, so the naive delete-then-rename leaves a crash
+    * window where `dst` is MISSING (a vanished log entry or ref);
+    * FileContext.rename(OVERWRITE) replaces in one step on every Hadoop
+    * filesystem that supports it, falling back to delete+rename only
+    * where it does not. */
+  private def replaceAtomic(tmp: Path, dst: Path): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        val f = fs; f.delete(dst, false); f.rename(tmp, dst)
+    }
+  }
+
   /** Max total delete-key rows that may be broadcast when applying
     * equality deletes; above this (or when counts are unknown) the
     * anti-join falls back to the planner's shuffle strategy. */
@@ -2028,8 +2045,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         val tmp = new Path(logDir, f"v$v%05d.json.tmp")
         val os = f.create(tmp, true)
         try os.write(writeSnapshot(marker).getBytes("UTF-8")) finally os.close()
-        f.delete(p, false)
-        f.rename(tmp, p)
+        replaceAtomic(tmp, p) // a log entry must never be observably missing
         toDelete.foreach(rel => f.delete(new Path(dir, rel), true))
       }
     }
@@ -2073,12 +2089,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     require(snapshotAt(version).op != "expired",
       s"cannot point a ref at expired snapshot v$version")
     val tmp = new Path(refsDir, s"$name.json.tmp")
-    val f = fs
-    val os = f.create(tmp, true)
+    val os = fs.create(tmp, true)
     try os.write(s"""{"name":"$name","type":"branch","version":$version}"""
       .getBytes("UTF-8")) finally os.close()
-    f.delete(refPath(name), false)
-    f.rename(tmp, refPath(name))
+    replaceAtomic(tmp, refPath(name)) // the ref must never be observably missing
     this
   }
 
