@@ -989,6 +989,61 @@ object RefOps {
     t.toDF.orderBy("customer_id")
   }
 
+
+  /** Corpus RELEASE DELTA — "what changed between data release v1 and
+    * v2", the governance diff every dataset card cites: build release 1
+    * from two thirds of the corpus, evolve it to release 2 with one MoR
+    * upsert (new docs + edited texts) and one delete, then DIFF the two
+    * snapshot versions by content hash via time travel on the SAME
+    * table. The oracle recomputes the delta declaratively from raw
+    * parquet (the same mod-arithmetic edit spec), so the hash match is
+    * the law that the table's time-travel diff equals the release's
+    * declared edits — through the upsert's equality deletes, the CoW
+    * delete's rewrite, and two asOf reads. Scale shape: the diff is one
+    * doc_id-keyed full-outer join of two (doc_id, md5) projections —
+    * the shuffle never carries text. */
+  private def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"), col("lang"))
+    val path = tmp("corpusdelta")
+    val tbl = GraftTable.create(spark, path, docs.schema, key = Seq("doc_id"))
+    tbl.upgradeFormat(2)
+    tbl.append(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)) // release 1
+    val v1 = GraftTable.load(spark, path).snapshot.version
+    // release 2: add the held-out third, edit every doc_id % 5 == 0
+    val upserts = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]"))))
+    tbl.rowDelta(upserts.select(col("doc_id")), upserts, Seq("doc_id"))
+    tbl.delete(pmod(col("doc_id"), lit(7)) === 3) // retracted docs
+    val re = GraftTable.load(spark, path)
+    val a = re.asOf(v1).select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = re.toDF.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusDeltaOracle: String =
+    // the DECLARATIVE edit spec, straight from raw parquet — no table
+    // layer: v1 = ids % 3 != 0 with original text; v2 = everything except
+    // ids % 7 == 3, texts of ids % 5 == 0 edited
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+      |st AS (SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 3 THEN 'removed'
+      |       WHEN doc_id % 3 = 0 AND doc_id % 7 <> 3 THEN 'added'
+      |       WHEN doc_id % 3 <> 0 AND doc_id % 7 <> 3 AND doc_id % 5 = 0 THEN 'modified'
+      |  END AS status FROM d)
+      |SELECT doc_id, lang, status FROM st WHERE status IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_json_infer" -> scanJsonInfer,
     "scan_filter_project" -> scanFilterProject,
@@ -1025,6 +1080,7 @@ object RefOps {
     "spec_evolution" -> specEvolution,
     "time_travel" -> timeTravel,
     "changelog_read" -> changelogRead,
+    "corpus_delta" -> corpusDelta,
     "incremental_rollup" -> incrementalRollup,
     "incremental_read" -> incrementalRead,
     "merge_full_sync" -> mergeFullSync,
@@ -1151,6 +1207,7 @@ object RefOps {
         |  UNION ALL
         |  SELECT c_custkey + 4000000, c_name || '-i', c_acctbal FROM customer WHERE c_custkey % 100 = 0
         |) ORDER BY customer_id""".stripMargin,
+    "corpus_delta" -> corpusDeltaOracle,
     "changelog_read" ->
       """SELECT customer_id, name, _change_type, _commit_version FROM (
         |  SELECT c_custkey AS customer_id, c_name AS name,
