@@ -172,14 +172,60 @@ object Multimodal {
        |FROM rs ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+
+  /** Cross-document FRAME DEDUP — the duplicate-segment detector of a
+    * video pipeline (shared intros/outros/watermark cards appear
+    * verbatim across many assets; dropping them before training is the
+    * video analogue of boilerplate removal): frames from the SAME
+    * partition-batched decode+resize pipeline as `multimodal_frames`,
+    * grouped by their frame signature, keeping groups seen in 2+
+    * documents with a min-doc representative. The signature here is the
+    * md5 of the stub-resized bytes; a real pipeline swaps in a
+    * perceptual hash from the decoder and every stage after the
+    * signature is unchanged. Scale shape: the only shuffle is keyed on
+    * the 16-byte signature — frames' bytes never move past the map
+    * side. */
+  private def multimodalFrameDedup(spark: SparkSession, dir: String,
+                                   nFrames: Int = 4, w: Int = 8, h: Int = 4): DataFrame =
+    sampleFrames(spark, payloads(spark, dir), nFrames, w, h).toDF()
+      .select(col("doc_id"), md5(col("frame_bytes")).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("frame_md5")
+
+  private def multimodalFrameDedupOracle(nFrames: Int = 4, w: Int = 8, h: Int = 4): String = {
+    val whSz = w * h
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+       |           FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+       |sz AS (SELECT doc_id, text, len, greatest(1, len // $nFrames) AS sz FROM d),
+       |fr AS (SELECT doc_id,
+       |         substring(text, CAST(f * sz + 1 AS INT), CAST(sz AS INT)) AS chunk
+       |       FROM sz, unnest(generate_series(0, ${nFrames - 1})) u(f)
+       |       WHERE f * sz < len),
+       |rs AS (SELECT doc_id,
+       |         md5(substring(repeat(chunk, CAST(ceil($whSz.0 / len(chunk)) AS INT)),
+       |                       1, $whSz)) AS frame_md5
+       |       FROM fr)
+       |SELECT frame_md5, count(*) AS n_frames,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS rep_doc
+       |FROM rs GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY frame_md5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
-    "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d))
+    "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d)),
+    "multimodal_frame_dedup" -> ((s: SparkSession, d: String) => multimodalFrameDedup(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "multimodal_frames" -> multimodalFramesOracle(),
+    "multimodal_frame_dedup" -> multimodalFrameDedupOracle(),
     "multimodal_binary" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex, source
