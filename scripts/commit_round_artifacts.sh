@@ -24,9 +24,13 @@ if [ ${#FILES[@]} -eq 0 ]; then
 fi
 
 git add -- "${FILES[@]}" || exit 0
-if git diff --cached --quiet; then
+if git diff --cached --quiet -- "${FILES[@]}"; then
   echo "no artifact changes staged"
   exit 0
 fi
-git commit -q -m "Record measurement artifacts: ${FILES[*]}" || exit 0
+# commit with an EXPLICIT pathspec: this script runs automatically at the
+# end of every full bench run, and a bare `git commit` would silently
+# sweep up anything the user had previously staged under the artifact
+# message. With the pathspec, pre-staged unrelated files stay staged.
+git commit -q -m "Record measurement artifacts: ${FILES[*]}" -- "${FILES[@]}" || exit 0
 echo "committed: ${FILES[*]}"

@@ -14,6 +14,16 @@ object Bench {
   private val shufWrite = new java.util.concurrent.atomic.AtomicLong
   private val shufRead = new java.util.concurrent.atomic.AtomicLong
   private val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+  // GC wall-millis charged to tasks + the max single-task execution
+  // memory peak: the two columns that close the r9 attribution hole —
+  // cpu_s can inflate on UNCHANGED code when the JVM is thrashing
+  // (heavy_hitters measured 14× cpu_s on identical plans), and without a
+  // GC/memory column "cpu_s flat ⇒ contention" cannot close such a case.
+  // gc_s high beside a wall spike = memory/GC pressure; gc_s flat AND
+  // cpu_s flat = hypervisor contention; cpu_s up with gc_s flat = a real
+  // plan/code change (or frequency scaling — check env).
+  private val gcMillis = new java.util.concurrent.atomic.AtomicLong
+  private val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
 
   private final class MetricsListener extends SparkListener {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -24,6 +34,8 @@ object Bench {
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         cpuNanos.addAndGet(m.executorCpuTime)
+        gcMillis.addAndGet(m.jvmGCTime)
+        peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max)
       }
     }
   }
@@ -41,6 +53,12 @@ object Bench {
     val txt = try scala.sys.process.Process(
       Seq("git", "show", "HEAD:bench_full.json"), new java.io.File(".")).!!
     catch { case _: Throwable => return Map.empty }
+    // PARSER INVARIANT, pinned to the json builder in main() below: the
+    // "queries" object must stay FLAT (name:number pairs, no nested
+    // braces) and numerically-valued — this regex/indexOf('}') scan
+    // depends on it. New per-query structures (rep lists, io columns)
+    // must go in SEPARATE top-level keys, never inside "queries"; a shape
+    // change here silently disables adaptive reps rather than failing.
     // the record's times are only a reference for a run at the SAME
     // scale factor — a local sf0.001 iteration must not re-run queries
     // because they look "slow" next to an sf0.1 record (or vice versa)
@@ -181,7 +199,8 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(n => n >= 0 && n <= 5).getOrElse(2)
     case class QRes(secs: Double, firstSecs: Double, io: Seq[Double],
-                    cpuS: Double, extraReps: Int)
+                    cpuS: Double, gcS: Double, peakMb: Long,
+                    repSecs: Seq[Double], extraReps: Int)
     val results = selected
       .map { case (name, fn) =>
         // rep 1 is the cold rep: its io delta is the one recorded (the
@@ -196,9 +215,12 @@ object Bench {
         var firstSecs = 0.0
         var minSecs = Double.MaxValue
         var minCpuS = 0.0
+        var minGcS = 0.0
+        var minPeakMb = 0L
         var failedSecs = -1.0
         var rep = 0
         var extrasUsed = 0
+        val repSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
         def isOutlier: Boolean = committed.get(name)
           .exists(c => minSecs > 2 * c && minSecs - c > 0.3)
         while (failedSecs < 0 &&
@@ -209,6 +231,8 @@ object Bench {
               s"committed ${f"${committed(name)}%.2f"}s; extra rep $extrasUsed")
           }
           val c0 = cpuNanos.get
+          val g0 = gcMillis.get
+          peakTaskMem.set(0L) // per-rep max gauge (listener-async like io)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
@@ -216,6 +240,8 @@ object Bench {
               false }
           val secs = (System.nanoTime() - t0) / 1e9
           val cpuS = (cpuNanos.get - c0) / 1e9
+          val gcS = (gcMillis.get - g0) / 1e3
+          val peakMb = peakTaskMem.get / (1024L * 1024L)
           if (rep == 0) {
             firstSecs = secs
             io = Seq(
@@ -224,13 +250,17 @@ object Bench {
               math.rint((shufWrite.get - w0) / mb),
               math.rint((shufRead.get - r0) / mb))
           }
+          if (ok) repSecs += secs
           if (!ok) failedSecs = secs
-          else if (secs < minSecs) { minSecs = secs; minCpuS = cpuS }
+          else if (secs < minSecs) {
+            minSecs = secs; minCpuS = cpuS; minGcS = gcS; minPeakMb = peakMb
+          }
           sweepBlocks(spark) // untimed: next rep/query starts with a clean block store
           rep += 1
         }
         val secs = if (failedSecs >= 0) -failedSecs else minSecs
-        name -> QRes(secs, firstSecs, io, minCpuS, extrasUsed)
+        name -> QRes(secs, firstSecs, io, minCpuS, minGcS, minPeakMb,
+          repSecs.toSeq, extrasUsed)
       }
     val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.secs }
       .mkString("{", ",", "}")
@@ -250,6 +280,35 @@ object Bench {
     val cpus_ = results.map { case (k, r) =>
       s"\"" + k + "\":" + math.rint(r.cpuS * 1000) / 1000 }
       .mkString("{", ",", "}")
+    // per-query task GC seconds + max single-task execution-memory peak
+    // (MB), both of the MIN rep — the attribution columns for cpu_s
+    // inflation on unchanged code (see the listener comment): gc_s high
+    // = memory/GC pressure, gc_s flat + cpu_s flat = contention.
+    val gcs = results.map { case (k, r) =>
+      s"\"" + k + "\":" + math.rint(r.gcS * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val peaks = results.map { case (k, r) =>
+      s"\"" + k + "\":" + r.peakMb }
+      .mkString("{", ",", "}")
+    // ALL successful rep wall times, in execution order (cold first,
+    // adaptive extras last). Makes the methodology's one-sidedness
+    // auditable: the fixed-rep min is min(rep_s[0..reps-1]), the
+    // published adaptive min is min(all) — both recoverable from the
+    // artifact, so the downward-only ratchet of adaptive re-runs is
+    // visible rather than silent.
+    val repsJson = results.map { case (k, r) =>
+      s"\"" + k + "\":[" +
+        r.repSecs.map(s => math.rint(s * 1000) / 1000).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    // queries anomalously BELOW the committed record (min < half the
+    // committed time by >0.3s): flagged for the same reason slow
+    // outliers are — a record that can only ratchet downward needs its
+    // suspicious fast runs visible too.
+    val below = results.collect { case (k, r)
+        if r.secs > 0 && committed.get(k).exists(c =>
+          r.secs * 2 < c && c - r.secs > 0.3) =>
+      s"\"" + k + "\":" + math.rint(r.secs * 1000) / 1000 }
+      .mkString("{", ",", "}")
     // queries that earned adaptive extra reps (and how many): nonempty
     // here means the 2-rep minimum was still >2x the committed record
     val extras = results.collect { case (k, r) if r.extraReps > 0 =>
@@ -268,8 +327,11 @@ object Bench {
       s"""{"threads":"$cpus","heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
         s""""host_cpus":${rt.availableProcessors}}"""
     }
+    // NOTE: the "queries" object must stay flat name:number — the
+    // committedRecord parser above depends on it (new per-query columns
+    // go in their own top-level keys, like rep_s/gc_s below)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"first_pass_total":$firstPassTotal,"queries":$qs,"cpu_s":$cpus_,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"below_committed":$below,"first_pass_total":$firstPassTotal,"queries":$qs,"rep_s":$repsJson,"cpu_s":$cpus_,"gc_s":$gcs,"peak_mem_mb":$peaks,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive. bench.json

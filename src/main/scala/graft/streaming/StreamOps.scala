@@ -346,13 +346,28 @@ object StreamOps {
       }
     }.toIndexedSeq: _*)
     val scratch = java.nio.file.Files.createTempDirectory("graft_sentinel_w")
-    one.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = new java.io.File(scratch.toString).listFiles()
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(sys.error("sentinel write produced no parquet part"))
-    java.nio.file.Files.copy(part.toPath,
-      fixtureDir.resolve("zz_sentinel.parquet"))
+    try {
+      one.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel write produced no parquet part"))
+      java.nio.file.Files.copy(part.toPath,
+        fixtureDir.resolve("zz_sentinel.parquet"))
+    } finally deleteRecursively(scratch) // scratch copy served its purpose
   }
+
+  /** Best-effort recursive delete of a query-scoped temp dir — Verify and
+    * Bench invoke these queries hundreds of times per session, and a
+    * leaked fixture copy per invocation accumulates into real disk. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq
+          .foreach(deleteRecursively)
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: Exception => () }
 
   /** The APPEND-MODE graded streaming query — the production output shape
     * (finalized windows only, emitted once, state evicted by the
@@ -379,6 +394,7 @@ object StreamOps {
     catch { case _: Throwable => // FS without symlink support: fall back to a copy
       java.nio.file.Files.copy(src, link) }
     writeSentinel(spark, ev, fixtureDir, sentinelUs)
+    try {
     val stream = spark.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(fixtureDir.toString)
@@ -400,6 +416,9 @@ object StreamOps {
       .localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
+    // fixture dir (symlink/copy + sentinel part) is only read while the
+    // AvailableNow drain runs; the checkpointed result no longer needs it
+    } finally deleteRecursively(fixtureDir)
   }
 
   private val hourlyAggOracle: String =

@@ -213,14 +213,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * window where `dst` is MISSING (a vanished log entry or ref);
     * FileContext.rename(OVERWRITE) replaces in one step on every Hadoop
     * filesystem that supports it, falling back to delete+rename only
-    * where it does not. */
+    * where it does not. A filesystem with NO AbstractFileSystem binding
+    * (getFileContext throws UnsupportedFileSystemException, an
+    * IOException) must also fall through — the crash window is better
+    * than setRef/expireSnapshots hard-failing on such stores. */
   private def replaceAtomic(tmp: Path, dst: Path): Unit = {
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dst.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException =>
+      case _: UnsupportedOperationException
+           | _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         val f = fs; f.delete(dst, false); f.rename(tmp, dst)
     }
   }
