@@ -148,9 +148,21 @@ object FuzzyJoin {
       .select(col("doc_id").as("id"),
         array_join(transform(split(col("text"), " "),
           t => element_at(col("vmap"), t)), "").as("s"))
-    passJoinPairs(enc, d)
-      .select(col("a_id"), col("b_id"), col("dist"))
-      .orderBy("a_id", "b_id")
+      // encoded ONCE: passJoinPairs references the frame four times
+      // (index side, probe side, two verify joins) and each reference
+      // would otherwise re-run the corpus scan + vocabulary
+      // distinct/rank/broadcast encode — the measured r9 cost of the
+      // wide-alphabet change. One encoded row per doc, so the
+      // checkpoint is corpus-sized but narrow (id + packed string).
+      .localCheckpoint(true)
+    try {
+      passJoinPairs(enc, d)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy("a_id", "b_id")
+        // materialize the pair list before releasing the encode blocks
+        // (the marginMining discipline)
+        .localCheckpoint(true)
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(enc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
