@@ -216,16 +216,130 @@ object Multimodal {
        |ORDER BY frame_md5""".stripMargin
   }
 
+  /** 32-bit AVERAGE-HASH perceptual frame signature (the aHash family:
+    * threshold each cell of a small luma grid at the grid's mean): bit i
+    * is set iff `luma_i · n > Σ luma` — the strict division-free form of
+    * "above average". Integer arithmetic only, so DuckDB replays it
+    * bit-for-bit. The property the signature exists for: a UNIFORM
+    * brightness shift (+c on every cell, the simplest re-encode
+    * perturbation) leaves the code unchanged, because
+    * `(l+c)·n > Σl + c·n  ⇔  l·n > Σl` — near-identical re-encodes
+    * collide where a byte hash (md5) scatters them. `shift` models that
+    * re-encode: `aHash32(bytes, 1)` is the hash of the same frame
+    * brightened by one luma step. */
+  def aHash32(bytes: Array[Byte], shift: Int): Long = {
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (bytes(i) & 0xFF).toLong; i += 1 }
+    // the shift cancels in the comparison (see above) but is applied
+    // anyway so the function really hashes the shifted frame
+    sum += shift.toLong * n
+    var code = 0L
+    i = 0
+    while (i < n) {
+      if (((bytes(i) & 0xFF).toLong + shift) * n > sum) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  /** Cross-document frame dedup under the PERCEPTUAL signature — the
+    * upgrade [[multimodalFrameDedup]]'s doc promises: the md5-of-bytes
+    * signature is swapped for the 32-bit average-hash of the stub-decoded
+    * 8×4 luma grid ([[aHash32]]), and every stage after the signature is
+    * unchanged. To prove the property that motivates the swap, the query
+    * PLANTS re-encoded duplicates: every `everyK`-th document re-enters
+    * (as `doc_id + reOffset`) with all frame lumas shifted +1 — a
+    * different byte stream (md5 would scatter it) whose aHash collides
+    * with the original by construction, so each planted document's frames
+    * must surface inside their original's signature group
+    * (`has_reencode = 1`). Scale shape identical to the md5 variant: the
+    * signature is computed in the partition-batched decoder, and the only
+    * shuffle is keyed on the 8-byte code — frame bytes never move. */
+  private def multimodalFrameDedupPhash(spark: SparkSession, dir: String,
+                                        nFrames: Int = 4, w: Int = 8, h: Int = 4,
+                                        everyK: Int = 10,
+                                        reOffset: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    sampleFrames(spark, payloads(spark, dir), nFrames, w, h)
+      .mapPartitions { it =>
+        // the perceptual hash is decoder-stage work: computed here, in the
+        // same per-partition batch as the (stub) decode+resize
+        it.flatMap { f =>
+          val base = (f.doc_id, aHash32(f.frame_bytes, 0))
+          if (f.doc_id % everyK == 0)
+            Iterator(base, (f.doc_id + reOffset, aHash32(f.frame_bytes, 1)))
+          else Iterator.single(base)
+        }
+      }
+      .toDF("doc_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"),
+        max(when(col("doc_id") >= reOffset, 1).otherwise(0)).as("has_reencode"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("ahash")
+  }
+
+  /** DuckDB mirror of [[multimodalFrameDedupPhash]]: the same frame
+    * slicing/cycle-pad resize as the other frame oracles, lumas as
+    * `ord()` over the ASCII payload (byte == codepoint, pinned by
+    * FixtureSchemaSpec), the planted re-encode as luma+1 rows, and the
+    * aHash as integer compare-and-shift arithmetic (`SUM` of bit values
+    * cast back from HUGEINT, HACKING rule 2). */
+  private def multimodalFrameDedupPhashOracle(nFrames: Int = 4, w: Int = 8, h: Int = 4,
+                                              everyK: Int = 10,
+                                              reOffset: Long = 10000000L): String = {
+    val whSz = w * h
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+       |           FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+       |sz AS (SELECT doc_id, text, len, greatest(1, len // $nFrames) AS sz FROM d),
+       |fr AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |         substring(text, CAST(f * sz + 1 AS INT), CAST(sz AS INT)) AS chunk
+       |       FROM sz, unnest(generate_series(0, ${nFrames - 1})) u(f)
+       |       WHERE f * sz < len),
+       |rs AS (SELECT doc_id, frame_idx,
+       |         substring(repeat(chunk, CAST(ceil($whSz.0 / len(chunk)) AS INT)),
+       |                   1, $whSz) AS resized
+       |       FROM fr),
+       |fx AS (SELECT doc_id, frame_idx, resized, 0 AS shift FROM rs
+       |       UNION ALL
+       |       SELECT doc_id + $reOffset, frame_idx, resized, 1 FROM rs
+       |       WHERE doc_id % $everyK = 0),
+       |lum AS (SELECT doc_id, frame_idx, CAST(i AS INT) AS i,
+       |          ord(substring(resized, CAST(i AS INT), 1)) + shift AS l
+       |        FROM fx, unnest(generate_series(1, $whSz)) u(i)),
+       |t AS (SELECT doc_id, frame_idx, CAST(SUM(l) AS BIGINT) AS tot
+       |      FROM lum GROUP BY doc_id, frame_idx),
+       |ah AS (SELECT l.doc_id,
+       |         CAST(SUM(CASE WHEN l.l * $whSz > t.tot
+       |                       THEN (CAST(1 AS BIGINT) << (l.i - 1)) ELSE 0 END)
+       |              AS BIGINT) AS ahash
+       |       FROM lum l JOIN t ON l.doc_id = t.doc_id AND l.frame_idx = t.frame_idx
+       |       GROUP BY l.doc_id, l.frame_idx)
+       |SELECT ahash, count(*) AS n_frames,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS rep_doc,
+       |  MAX(CASE WHEN doc_id >= $reOffset THEN 1 ELSE 0 END) AS has_reencode
+       |FROM ah GROUP BY ahash HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY ahash""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d)),
-    "multimodal_frame_dedup" -> ((s: SparkSession, d: String) => multimodalFrameDedup(s, d))
+    "multimodal_frame_dedup" -> ((s: SparkSession, d: String) => multimodalFrameDedup(s, d)),
+    "multimodal_frame_dedup_phash" ->
+      ((s: SparkSession, d: String) => multimodalFrameDedupPhash(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "multimodal_frames" -> multimodalFramesOracle(),
     "multimodal_frame_dedup" -> multimodalFrameDedupOracle(),
+    "multimodal_frame_dedup_phash" -> multimodalFrameDedupPhashOracle(),
     "multimodal_binary" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex, source

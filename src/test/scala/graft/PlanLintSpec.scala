@@ -57,7 +57,10 @@ class PlanLintSpec extends AnyFunSuite {
     "vocab_growth"      -> "one-row max-ingestion-key aggregate broadcast under the doc/occurrence frames",
     "doremi_reweight"   -> "one-row vocabulary-mass + reference-loss + weight-total aggregates broadcast; EG update runs on the k-row domain frame",
     "token_budget_select" -> "one-row budget-threshold aggregate broadcast",
-    "fuzzy_token_join"  -> "one-row vocabulary-map aggregate (bounded by maxVocab entries) broadcast under the encode stage",
+    // fuzzy_token_join's one-row vocabulary-map crossJoin(broadcast) is
+    // NOT listed: the encode stage executes eagerly at localCheckpoint
+    // time (computed once, reused four ways), so the lintable final plan
+    // sees only the checkpointed encoded rows — the mmr_select precedent
     "lang_temperature"  -> "one-row language-mass aggregate broadcast",
     "events_resample_ffill" -> "one-row global [min,max] bounds aggregate broadcast under the (type x bin) grid",
     "dedup_embedding_cosine" ->
