@@ -489,79 +489,93 @@ object GraftBucketedScan {
     val chained = groups.foldLeft(inner: PartitionReaderFactory) {
       case (wrapped, (delKeys, delFiles)) =>
         val physKeys = delKeys.map(physFor)
-        // legacy delete files (rowCount -1) fall back to a footer-metadata
-        // count — unknown size is a fallback, never an error
-        val counts = delFiles.map(d =>
-          if (d.rowCount >= 0) d.rowCount
-          else spark.read.parquet(s"$tableDir/${d.path}").count())
         // key positions by LOGICAL name (the widened schema may carry
         // non-physical metadata columns like `_file`)
         val keyIdx = delKeys.map(k =>
           widened.fieldNames.indexWhere(_.equalsIgnoreCase(k))).toArray
         val keyTypes = keyIdx.map(i => widened.fields(i).dataType)
-        val merged = delFiles.map { d =>
-          spark.read.parquet(s"$tableDir/${d.path}")
-            .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
-        }.reduce(_ unionAll _)
-          .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
-        val delsF: () => Map[Seq[Any], Int] =
-          if (counts.sum <= maxRows) {
-            val conv = keyTypes.map(
-              org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
-            val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
-              val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
-              k -> r.getInt(conv.length)
-            }.toMap
-            () => dels
-          } else {
-            // distributed merge: keys never touch the driver. The scratch
-            // dir is content-addressed by the group's delete-file set, so
-            // repeated scans of the same snapshot reuse both the file and
-            // the executor cache (vacuum sweeps the scratch dir with the
-            // other log sidecars).
-            val tag = java.util.UUID.nameUUIDFromBytes(
-              delFiles.map(d => s"${d.path}@${d.version}").mkString("|")
-                .getBytes("UTF-8")).toString
-            val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
-            val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
-              // write-then-rename: two sessions racing on the same snapshot
-              // must never overwrite a scratch dir a concurrent reader is
-              // consuming. Both write identical content (the tag is the
-              // delete-file set), so the rename loser just deletes its copy.
-              val attempt = s"${scratch}_w${java.util.UUID.randomUUID().toString.take(8)}"
-              merged.write.mode("overwrite").parquet(attempt)
-              if (!fs.rename(new Path(attempt), new Path(scratch)))
-                fs.delete(new Path(attempt), true)
-              else {
-                // Hadoop rename into an EXISTING dir relocates the source
-                // inside it and still returns true — if a racing winner got
-                // there first, our copy is now nested junk; remove it (the
-                // top-level listing below filters isFile, so reads were
-                // never at risk, but the duplicate keys are real bytes)
-                val nested = new Path(scratch, new Path(attempt).getName)
-                if (fs.exists(nested)) fs.delete(nested, true)
-              }
-            }
-            // loud, retryable failure if a pathological rename race left no
-            // committed copy — an empty listing here would silently DROP the
-            // pending deletes from the scan
-            require(fs.exists(new Path(scratch, "_SUCCESS")),
-              s"scratch delete-merge not committed at $scratch; rerun the scan")
-            val files = fs.listStatus(new Path(scratch))
-              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-              .map(f => (f.getPath.toString, f.getLen)).toSeq
-            val scratchSchema = StructType(
-              keyTypes.zip(physKeys).map { case (dt, n) => StructField(n, dt, nullable = true) } :+
-                StructField("__v", IntegerType, nullable = false))
-            val readFunc = GraftShim.parquetFileReader(spark, scratchSchema, scratchSchema, Nil)
-            val kt = keyTypes
-            () => GraftScratchDeletes.load(scratch, files, readFunc, kt)
-          }
+        val delsF = deleteKeyMap(tableDir, delFiles, physKeys, keyTypes, maxRows)
         new GraftDeleteFilteringReaderFactory(wrapped, keyIdx, keyTypes, delsF)
     }
     if (missing.isEmpty) chained
     else new GraftProjectingReaderFactory(chained, required)
+  }
+
+  /** Folds one key group's delete files into a lazy
+    * `(key → newest delete version)` map — the loader shared by the
+    * drop-filter (MoR scans) and keep-filter (changelog pre-image)
+    * wrappers. Two size regimes (see [[deleteAware]]): small sets are
+    * driver-collected and shipped inline; larger sets are merged by a
+    * DISTRIBUTED write to a content-addressed scratch parquet and loaded
+    * once per executor JVM ([[GraftScratchDeletes]]). */
+  private[catalog] def deleteKeyMap(tableDir: String,
+      delFiles: Seq[graft.table.DeleteFile], physKeys: Seq[String],
+      keyTypes: Array[DataType], maxRows: Long): () => Map[Seq[Any], Int] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit, max => fmax}
+    // legacy delete files (rowCount -1) fall back to a footer-metadata
+    // count — unknown size is a fallback, never an error
+    val counts = delFiles.map(d =>
+      if (d.rowCount >= 0) d.rowCount
+      else spark.read.parquet(s"$tableDir/${d.path}").count())
+    val merged = delFiles.map { d =>
+      spark.read.parquet(s"$tableDir/${d.path}")
+        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
+    }.reduce(_ unionAll _)
+      .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
+    if (counts.sum <= maxRows) {
+      val conv = keyTypes.map(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+      val dels: Map[Seq[Any], Int] = merged.collect().map { r =>
+        val k: Seq[Any] = conv.indices.map(i => conv(i)(r.get(i)))
+        k -> r.getInt(conv.length)
+      }.toMap
+      () => dels
+    } else {
+      // distributed merge: keys never touch the driver. The scratch
+      // dir is content-addressed by the group's delete-file set, so
+      // repeated scans of the same snapshot reuse both the file and
+      // the executor cache (vacuum sweeps the scratch dir with the
+      // other log sidecars).
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        delFiles.map(d => s"${d.path}@${d.version}").mkString("|")
+          .getBytes("UTF-8")).toString
+      val scratch = s"$tableDir/_graft_log/scratch/del_$tag"
+      val fs = new Path(scratch).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
+        // write-then-rename: two sessions racing on the same snapshot
+        // must never overwrite a scratch dir a concurrent reader is
+        // consuming. Both write identical content (the tag is the
+        // delete-file set), so the rename loser just deletes its copy.
+        val attempt = s"${scratch}_w${java.util.UUID.randomUUID().toString.take(8)}"
+        merged.write.mode("overwrite").parquet(attempt)
+        if (!fs.rename(new Path(attempt), new Path(scratch)))
+          fs.delete(new Path(attempt), true)
+        else {
+          // Hadoop rename into an EXISTING dir relocates the source
+          // inside it and still returns true — if a racing winner got
+          // there first, our copy is now nested junk; remove it (the
+          // top-level listing below filters isFile, so reads were
+          // never at risk, but the duplicate keys are real bytes)
+          val nested = new Path(scratch, new Path(attempt).getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
+      }
+      // loud, retryable failure if a pathological rename race left no
+      // committed copy — an empty listing here would silently DROP the
+      // pending deletes from the scan
+      require(fs.exists(new Path(scratch, "_SUCCESS")),
+        s"scratch delete-merge not committed at $scratch; rerun the scan")
+      val files = fs.listStatus(new Path(scratch))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.toString, f.getLen)).toSeq
+      val scratchSchema = StructType(
+        keyTypes.zip(physKeys).map { case (dt, n) => StructField(n, dt, nullable = true) } :+
+          StructField("__v", IntegerType, nullable = false))
+      val readFunc = GraftShim.parquetFileReader(spark, scratchSchema, scratchSchema, Nil)
+      val kt = keyTypes
+      () => GraftScratchDeletes.load(scratch, files, readFunc, kt)
+    }
   }
 
   /** Recursive `.parquet` listing of one committed data dir, one

@@ -1,0 +1,258 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.table.{GraftTable, Snapshot}
+
+/** Streaming CDC tail over a graft table — `spark.readStream
+  * .format("graft").option("changesFrom", v).load(dir)` (Iceberg's
+  * changelog streaming read / Delta's CDF stream): each micro-batch
+  * delivers exactly [[GraftTable.changesBetween]]'s rows for the batch's
+  * `(start, end]` snapshot range — inserts tagged `_change_type =
+  * 'insert'`, delete PRE-IMAGES tagged `'delete'`, both stamped with
+  * `_commit_version` — so an incremental-MV consumer applies +row/−row
+  * deltas continuously instead of re-running the batch diff.
+  *
+  * Offsets are snapshot versions (the [[GraftMicroBatchStream]]
+  * contract): batch boundaries align with table commits, checkpoint
+  * restarts resume at an exact snapshot, and a batch's content is a
+  * deterministic function of its range (replayability). Unlike the
+  * append stream, a rowdelta's delete files are not a crossing error —
+  * they ARE the stream: each delete file at version v plans a scan of
+  * the PARENT snapshot's live rows filtered to the delete's key set (an
+  * inverted reader-side key filter over the shared delete-map loader),
+  * so pre-image recovery scales with the parent scan and the size-gated
+  * key map, never a quadratic diff. Overwrite/rewrite commits remain
+  * un-expressible as row changes and raise, mirroring `changesBetween`.
+  *
+  * The output schema is pinned at stream start (`pinned`): columns added
+  * by later commits project as typed NULLs for pre-images and are absent
+  * from the stream's rows entirely — the consumer restarts the stream to
+  * pick up DDL, the standard CDC-consumer contract. */
+final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
+    fromV: Int, capV: Option[Int], maxVersionsPerBatch: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def spark: SparkSession = SparkSession.active
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def initialOffset(): Offset = GraftOffset(fromV)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(capV.getOrElse(table.currentVersion))
+
+  /** Admission control: at most `maxVersionsPerBatch` commits per
+    * micro-batch (bounded catch-up instead of one giant backlog batch);
+    * an explicit `changesTo` option caps the whole stream. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val cur = availableNowCap.getOrElse(
+      capV.fold(table.currentVersion)(c => math.min(c, table.currentVersion)))
+    GraftOffset(maxVersionsPerBatch.fold(cur)(m => math.min(cur, from + m)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(capV.fold(table.currentVersion)(c => math.min(c, table.currentVersion)))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    GraftOffset(m.get("version").asInt())
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // per-planned-batch reader factories, one per commit-kind group; the
+  // dispatch factory routes each partition to its group by id (the same
+  // plan-then-serve volatile handoff as GraftMicroBatchStream)
+  @volatile private var plannedFactories: Array[PartitionReaderFactory] = Array.empty
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val to = end.asInstanceOf[GraftOffset].version
+    if (to <= from) { plannedFactories = Array.empty; return Array.empty }
+    val endSnap = table.snapshotAt(to)
+    // default-closed expressibility check, the changesBetween contract:
+    // overwrite/rewrite/rollback/expired (and unknown future ops) cannot
+    // be represented as insert/delete rows — raise instead of diverging
+    (from + 1 to to).foreach { v =>
+      val op = table.snapshotAt(v).op
+      require(GraftTable.AppendSafeOps.contains(op),
+        s"changelog stream crosses a non-changelog-expressible '$op' commit " +
+          s"at v$v; restart the stream from v$v")
+    }
+    val dataSchema = pinned.schema
+    val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+
+    // INSERTS: each data dir committed in range, read RAW (rows deleted
+    // by a later commit still insert first — the CDC ordering), stamped
+    // with its own commit version
+    endSnap.dataDirs.filter(d => d.version > from && d.version <= to).foreach { d =>
+      val inner = GraftBucketedScan.readerFactory(pinned, dataSchema,
+        Array.empty[org.apache.spark.sql.sources.Filter])
+      val fid = factories.length
+      factories += new GraftChangeStampFactory(inner,
+        srcIdx = dataSchema.indices.toArray,
+        srcTypes = dataSchema.fields.map(_.dataType),
+        insert = true, version = d.version)
+      GraftBucketedScan.filePartitions(table.dir, d)
+        .foreach(p => parts += GraftChangelogPartition(p, fid))
+    }
+
+    // DELETES: each delete file committed in range plans the PARENT
+    // snapshot's live rows (the shared delete-aware reader) filtered to
+    // the delete's key set — the pre-image, stamped 'delete'
+    endSnap.deletes.filter(d => d.version > from && d.version <= to).foreach { d =>
+      val parent = table.snapshotAt(d.version - 1)
+      require(parent.op != "expired",
+        s"cannot recover delete pre-images for v${d.version}: parent " +
+          s"snapshot v${d.version - 1} has been expired")
+      val positional = d.keys == GraftTable.PosDeleteKeys
+      // pinned columns aligned to the parent by PHYSICAL identity
+      // (renames are metadata-only); columns added after the parent have
+      // no parent field and stamp as typed NULLs (srcIdx -1)
+      val aligned: Array[Option[String]] = dataSchema.fields.map { f =>
+        val phys = pinned.physicalOf(f.name)
+        parent.fields.find(_.physical == phys).map(_.logical)
+      }
+      def keyField(k: String): StructField =
+        if (!positional) {
+          val phys = pinned.physicalOf(k)
+          val pf = parent.fields.find(_.physical == phys).getOrElse(
+            throw new IllegalStateException(
+              s"delete key '$k' of v${d.version} has no column in parent " +
+                s"snapshot v${parent.version}"))
+          StructField(pf.logical, parent.schema(pf.logical).dataType)
+        } else if (k == GraftMetaCols.FILE) StructField(k, StringType)
+        else StructField(k, LongType)
+      // the scanned schema: parent-named pinned columns plus any key
+      // columns not already among them (metadata keys are stamped by the
+      // reader; data keys read like any column)
+      val baseFields = aligned.zip(dataSchema.fields).collect {
+        case (Some(pName), f) => StructField(pName, f.dataType)
+      }
+      val keyFields = d.keys.map(keyField)
+        .filterNot(kf => baseFields.exists(_.name.equalsIgnoreCase(kf.name)))
+      val scanned = StructType(baseFields ++ keyFields)
+      // live rows as of the parent: the shared delete-aware chain applies
+      // every delete pending AT the parent, version-guarded per dir
+      val live = GraftBucketedScan.deleteAware(table.dir, parent, scanned,
+        Array.empty[org.apache.spark.sql.sources.Filter])
+      // keep ONLY rows named by THIS delete file's keys
+      val keyIdx = d.keys.map(k => scanned.fieldNames.indexWhere(_.equalsIgnoreCase(
+        if (positional) k else keyField(k).name))).toArray
+      val keyTypes = keyIdx.map(i => scanned.fields(i).dataType)
+      val physKeys = d.keys.map(k =>
+        if (positional) k else pinned.physicalOf(k))
+      val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      val keysF = GraftBucketedScan.deleteKeyMap(
+        table.dir, Seq(d), physKeys, keyTypes, maxRows)
+      val kept = new GraftKeepKeysReaderFactory(live, keyIdx, keyTypes, keysF)
+      // project back to the pinned column order (added-later → NULL)
+      val srcIdx = aligned.map {
+        case Some(pName) => scanned.fieldNames.indexWhere(_.equalsIgnoreCase(pName))
+        case None => -1
+      }
+      val fid = factories.length
+      factories += new GraftChangeStampFactory(kept, srcIdx,
+        srcTypes = dataSchema.fields.map(_.dataType),
+        insert = false, version = d.version)
+      parent.dataDirs.foreach(dd =>
+        GraftBucketedScan.filePartitions(table.dir, dd)
+          .foreach(p => parts += GraftChangelogPartition(p, fid)))
+    }
+    plannedFactories = factories.toArray
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangeDispatchFactory(plannedFactories)
+}
+
+/** A changelog batch partition: the wrapped file partition plus the id
+  * of the commit-group factory that knows how to read and stamp it. */
+final case class GraftChangelogPartition(inner: InputPartition, factoryId: Int)
+    extends InputPartition
+
+/** Routes each changelog partition to its commit group's reader chain —
+  * UNWRAPPING first, so the inner delete-filter wrappers still see the
+  * `GraftFilePartition` dir version their guards key on. */
+private[catalog] final class GraftChangeDispatchFactory(
+    factories: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftChangelogPartition(inner, id) => factories(id).createReader(inner)
+      case other => throw new IllegalStateException(
+        s"unexpected partition ${other.getClass.getName} in changelog scan")
+    }
+}
+
+/** Keeps ONLY rows whose key tuple appears in the delete-key map — the
+  * inverse of [[GraftDeleteFilteringReaderFactory]], selecting a delete
+  * file's pre-images out of the parent snapshot's live rows. */
+private[catalog] final class GraftKeepKeysReaderFactory(
+    inner: PartitionReaderFactory, keyIdx: Array[Int],
+    keyTypes: Array[DataType],
+    keysF: () => Map[Seq[Any], Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val keys = keysF()
+    val r = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val k: Seq[Any] = (0 until keyIdx.length).map(i => row.get(keyIdx(i), keyTypes(i)))
+          if (keys.contains(k)) { cur = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** Projects inner rows to the pinned column order (srcIdx, −1 → NULL)
+  * and appends the two changelog metadata columns: `_change_type`
+  * ('insert' | 'delete') and `_commit_version`. */
+private[catalog] final class GraftChangeStampFactory(
+    inner: PartitionReaderFactory, srcIdx: Array[Int],
+    srcTypes: Array[DataType], insert: Boolean, version: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    val tag = UTF8String.fromString(if (insert) "insert" else "delete")
+    new PartitionReader[InternalRow] {
+      private val out = new GenericInternalRow(srcIdx.length + 2)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = {
+        val row = r.get()
+        var i = 0
+        while (i < srcIdx.length) {
+          val s = srcIdx(i)
+          out.update(i,
+            if (s < 0 || row.isNullAt(s)) null else row.get(s, srcTypes(i)))
+          i += 1
+        }
+        out.update(srcIdx.length, tag)
+        out.update(srcIdx.length + 1, version)
+        out
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+}

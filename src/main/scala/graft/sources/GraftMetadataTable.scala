@@ -65,7 +65,7 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
   override def name(): String = s"graft.`$dir#changes($from,$toV]`"
   override def schema(): StructType = frame.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -79,6 +79,19 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
             override def schema: StructType = df.schema
             override def buildScan(): RDD[Row] = df.rdd
           }.asInstanceOf[T]
+        // `spark.readStream.format("graft").option("changesFrom", v)` —
+        // the CDC TAIL: the same changelog rows as micro-batches whose
+        // offsets are snapshot versions. An explicit changesTo caps the
+        // stream; without it the tail follows new commits. The schema is
+        // pinned at stream start (the stream class documents the DDL
+        // contract).
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          val t = GraftTable.load(SparkSession.active, dir)
+          new graft.catalog.GraftChangelogMicroBatchStream(t,
+            t.snapshotAt(to.getOrElse(t.currentVersion)), from, to,
+            Option(options.get("maxVersionsPerBatch")).map(_.trim.toInt))
+        }
       }
     }
 }

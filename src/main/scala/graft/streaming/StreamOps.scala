@@ -427,13 +427,78 @@ object StreamOps {
       |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
 
+  /** GRADED streaming CDC tail — the loop-closer between the changelog
+    * read and the streaming runtime
+    * ([[graft.catalog.GraftChangelogMicroBatchStream]]), the shape an
+    * incremental-MV consumer actually runs: a keyed MoR table takes three
+    * commits (full load, incremental append, upsert), then
+    * `readStream.format("graft").option("changesFrom", 0)` tails it with
+    * `maxVersionsPerBatch = 1` — THREE commit-aligned micro-batches, so
+    * the insert/delete/pre-image rows really cross the micro-batch
+    * planner, offset log, and sink, not one degenerate catch-up batch —
+    * into a memory sink under Trigger.AvailableNow.
+    *
+    * The DuckDB oracle reconstructs the full changelog declaratively from
+    * raw parquet, so the hash match proves source planning, pre-image
+    * recovery (live-at-parent semi-filter), version stamping, and the
+    * streaming runtime agree with the batch `changelog_read` law end to
+    * end. State is bounded by construction: the tail holds no aggregation
+    * state, only the source offset. */
+  def streamCdcTailQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.GraftTable
+    import graft.ops.Tables
+    val cust = Tables.customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"))
+    val t = GraftTable.create(spark, Tables.tmp("cdc_tail"), cust.schema,
+      key = Seq("customer_id"), formatVersion = 2)
+    t.append(cust.filter(col("customer_id") % 3 =!= 0))             // v1: full load
+    t.append(cust.filter(col("customer_id") % 3 === 0))             // v2: incremental
+    val hit = cust.filter(col("customer_id") % 10 === 0)
+    t.rowDelta(hit.select(col("customer_id")),                      // v3: upsert
+      hit.select(col("customer_id"), concat(col("name"), lit("-v2")).as("name")),
+      Seq("customer_id"))
+    val name = s"graft_cdct_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft")
+      .option("changesFrom", 0)
+      .option("maxVersionsPerBatch", 1) // one commit per micro-batch
+      .load(t.dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val out = spark.table(name)
+      .orderBy("_commit_version", "_change_type", "customer_id")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private val streamCdcTailOracle: String =
+    """SELECT customer_id, name, _change_type, _commit_version FROM (
+      |  SELECT c_custkey AS customer_id, c_name AS name,
+      |         'insert' AS _change_type, CAST(1 AS INT) AS _commit_version
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, 'insert', CAST(2 AS INT)
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, 'delete', CAST(3 AS INT)
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '-v2', 'insert', CAST(3 AS INT)
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |) ORDER BY _commit_version, _change_type, customer_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_agg" -> ((s: SparkSession, d: String) => streamHourlyAggQuery(s, d)),
-    "stream_hourly_append" -> ((s: SparkSession, d: String) => streamHourlyAggAppendQuery(s, d)))
+    "stream_hourly_append" -> ((s: SparkSession, d: String) => streamHourlyAggAppendQuery(s, d)),
+    "stream_cdc_tail" -> ((s: SparkSession, d: String) => streamCdcTailQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" -> hourlyAggOracle,
     // append-mode emission with the sentinel-advanced watermark must
     // release exactly the batch aggregation — same oracle by design
-    "stream_hourly_append" -> hourlyAggOracle)
+    "stream_hourly_append" -> hourlyAggOracle,
+    "stream_cdc_tail" -> streamCdcTailOracle)
 }

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.GraftTable
+
+/** Streaming CDC tail ([[graft.catalog.GraftChangelogMicroBatchStream]]):
+  * `readStream.format("graft").option("changesFrom", v)` must deliver
+  * exactly [[GraftTable.changesBetween]]'s rows, split on commit-aligned
+  * micro-batch boundaries — the batch-parity law, plus the stream-only
+  * contracts (checkpoint resume, admission control, fail-loud on
+  * inexpressible commits). */
+class CdcStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  /** Drains the CDC tail with Trigger.AvailableNow into a memory sink and
+    * returns the collected rows (detached via localCheckpoint). */
+  private def drain(dir: String, from: Int, extra: Map[String, String] = Map.empty,
+                    checkpoint: Option[String] = None): DataFrame = {
+    val name = s"cdc_${java.util.UUID.randomUUID().toString.take(8)}"
+    var r = spark.readStream.format("graft").option("changesFrom", from)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    var w = r.load(dir).writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, String, String, Int)] =
+    df.select($"id", $"v", $"_change_type", $"_commit_version")
+      .orderBy("_commit_version", "_change_type", "id", "v")
+      .as[(Long, String, String, Int)].collect().toSeq
+
+  test("batch parity: the drained tail equals changesBetween, including upsert pre-images") {
+    val t = GraftTable.create(spark, tmp("cdc_tail"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))             // v1
+    t.append(Seq((4L, "d")).toDF("id", "v"))                                    // v2
+    t.rowDelta(Seq(2L).toDF("id"), Seq((2L, "b2")).toDF("id", "v"), Seq("id")) // v3
+    t.rowDelta(Seq(2L, 4L).toDF("id"),
+      Seq((2L, "b3"), (5L, "e")).toDF("id", "v"), Seq("id"))                    // v4
+    val streamed = drain(t.dir, 0)
+    assert(canon(streamed) == canon(t.changesBetween(0, 4)))
+    // the v4 pre-image of id=2 must be b2 (the v3 value, not the v1 one):
+    // live-at-parent means earlier deletes apply before pre-image capture
+    assert(canon(streamed).contains((2L, "b2", "delete", 4)))
+    assert(canon(streamed).contains((2L, "b", "delete", 3)))
+  }
+
+  test("maxVersionsPerBatch=1: commit-aligned batches, each exactly that version's changes") {
+    val t = GraftTable.create(spark, tmp("cdc_adm"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                         // v1
+    t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // v2
+    t.append(Seq((3L, "c")).toDF("id", "v"))                                    // v3
+    val streamed = drain(t.dir, 0, Map("maxVersionsPerBatch" -> "1"))
+    assert(canon(streamed) == canon(t.changesBetween(0, 3)))
+    // every commit version appears — no batch boundary dropped rows
+    assert(streamed.select("_commit_version").distinct().count() == 3)
+  }
+
+  test("changesFrom resumes mid-history; checkpoint restart delivers only new commits") {
+    val t = GraftTable.create(spark, tmp("cdc_resume"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a")).toDF("id", "v"))                                    // v1
+    t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // v2
+    assert(canon(drain(t.dir, 1)) == canon(t.changesBetween(1, 2)))
+    // checkpointed run into a durable (parquet) sink, then new commits,
+    // then restart from the SAME checkpoint: the second drain must
+    // deliver exactly the new range (the memory sink cannot recover a
+    // checkpoint, so the durable-sink shape is also what this pins)
+    val cp = tmp("cdc_cp")
+    val out = tmp("cdc_sink")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").option("changesFrom", 0).load(t.dir)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == t.changesBetween(0, 2).count())
+    t.append(Seq((9L, "z")).toDF("id", "v"))                                    // v3
+    run()
+    val afterRestart = spark.read.parquet(out)
+    // the sink accumulates: total = first drain + only v3's single insert
+    assert(afterRestart.count() == t.changesBetween(0, 2).count() + 1)
+    assert(canon(afterRestart.filter($"_commit_version" === 3)) ==
+      Seq((9L, "z", "insert", 3)))
+  }
+
+  test("position-delete pre-images stream with full row content") {
+    val t = GraftTable.create(spark, tmp("cdc_pos"), schema, formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v1
+    t.deleteWherePositional(col("id") % 2 === 1)                   // v2: kills 1, 3
+    val streamed = drain(t.dir, 0)
+    assert(canon(streamed) == canon(t.changesBetween(0, 2)))
+    assert(canon(streamed).filter(_._3 == "delete") ==
+      Seq((1L, "a", "delete", 2), (3L, "c", "delete", 2)))
+  }
+
+  test("schema evolution: a column added after the parent stamps NULL pre-images") {
+    val t = GraftTable.create(spark, tmp("cdc_ddl"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                          // v1
+    t.addColumn("w", StringType)                                                 // v2
+    t.rowDelta(Seq(1L).toDF("id"),
+      Seq((1L, "a2", "w1")).toDF("id", "v", "w"), Seq("id"))                     // v3
+    val streamed = drain(t.dir, 0)
+    assert(canon(streamed) == canon(t.changesBetween(0, 3)))
+    val del = streamed.filter($"_change_type" === "delete")
+      .select($"id", $"v", $"w").as[(Long, String, Option[String])].collect().toSeq
+    assert(del == Seq((1L, "a", None)), "pre-image of a pre-DDL row must NULL the added column")
+  }
+
+  test("crossing an overwrite commit fails loudly (at plan or run time)") {
+    val t = GraftTable.create(spark, tmp("cdc_ovr"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))     // v1
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))  // v2
+    // the failure may surface at schema resolution (the changelog table
+    // builds its batch frame, whose range already crosses the overwrite)
+    // or — for an overwrite committed mid-stream — from the micro-batch
+    // planner; both paths carry the same message
+    val e = intercept[Exception] { drain(t.dir, 0) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("overwrite")), s"unexpected: $e")
+  }
+
+  test("an overwrite committed MID-STREAM fails the running query, not just planning") {
+    val t = GraftTable.create(spark, tmp("cdc_ovr2"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))     // v1
+    // stream starts legal (range (0,1]), then the table overwrites; the
+    // stream object itself must refuse to cross v2 on its next batch
+    val stream = new graft.catalog.GraftChangelogMicroBatchStream(
+      t, t.snapshot, 0, None)
+    val p1 = stream.planInputPartitions(
+      graft.catalog.GraftOffset(0), graft.catalog.GraftOffset(1))
+    assert(p1.nonEmpty)
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))  // v2
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(
+        graft.catalog.GraftOffset(1), graft.catalog.GraftOffset(2))
+    }
+    assert(e.getMessage.contains("overwrite"))
+  }
+
+  test("changesTo caps the stream: later commits are not delivered") {
+    val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
+    t.append(Seq((2L, "b")).toDF("id", "v"))  // v2
+    t.append(Seq((3L, "c")).toDF("id", "v"))  // v3
+    val streamed = drain(t.dir, 0, Map("changesTo" -> "2"))
+    assert(canon(streamed) == canon(t.changesBetween(0, 2)))
+  }
+}
