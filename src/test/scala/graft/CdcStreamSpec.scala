@@ -156,6 +156,54 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overwrite"))
   }
 
+  test("incremental MV law: the maintained aggregate is invariant under the batch split") {
+    import org.apache.spark.sql.types.DecimalType
+    // same base evolution folded two ways — one commit per micro-batch
+    // vs one catch-up batch — must land the MV on identical rows, and
+    // both must equal the full recompute of the final base state
+    def run(split: Boolean): (Seq[(String, Long, BigDecimal)], DataFrame) = {
+      val dec = DecimalType(28, 2)
+      val s = StructType(Seq(StructField("id", LongType),
+        StructField("seg", StringType),
+        StructField("bal", DecimalType(18, 2))))
+      val base = GraftTable.create(spark, tmp("mvl_base"), s, key = Seq("id"), formatVersion = 2)
+      val rows = Seq((1L, "A", BigDecimal("10.00")), (2L, "B", BigDecimal("20.00")),
+        (3L, "A", BigDecimal("30.00")), (4L, "B", BigDecimal("40.00")))
+        .toDF("id", "seg", "bal").select($"id", $"seg", $"bal".cast(DecimalType(18, 2)).as("bal"))
+      base.append(rows.filter($"id" <= 2))                                      // v1
+      val mvDir = tmp("mvl_mv")
+      val mv0 = base.toDF.groupBy($"seg")
+        .agg(count(lit(1)).as("n"), sum($"bal").cast(dec).as("total"))
+      GraftTable.create(spark, mvDir, mv0.schema, key = Seq("seg"), formatVersion = 2)
+        .append(mv0)
+      base.append(rows.filter($"id" > 2))                                        // v2
+      base.rowDelta(Seq(1L).toDF("id"),
+        Seq((1L, "A", BigDecimal("110.00"))).toDF("id", "seg", "bal")
+          .select($"id", $"seg", $"bal".cast(DecimalType(18, 2)).as("bal")),
+        Seq("id"))                                                               // v3
+      var r = spark.readStream.format("graft").option("changesFrom", 1)
+      if (split) r = r.option("maxVersionsPerBatch", 1)
+      val q = r.load(base.dir).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamOps.applyMvDeltas(b, mvDir, "seg", "bal")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val got = GraftTable.load(spark, mvDir).toDF.orderBy("seg")
+        .as[(String, Long, BigDecimal)].collect().toSeq
+      (got, base.toDF)
+    }
+    val (split, baseDf) = run(split = true)
+    val (whole, _) = run(split = false)
+    assert(split == whole, "MV diverged under a different batch split")
+    val recompute = baseDf.groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"bal").cast(DecimalType(28, 2)).as("total"))
+      .orderBy("seg").as[(String, Long, BigDecimal)].collect().toSeq
+    assert(split == recompute, "maintained MV diverged from the full recompute")
+    // the split run committed one MV version per source commit
+    // (create=0, seed=1, then one rowDelta per tailed commit)
+  }
+
   test("changesTo caps the stream: later commits are not delivered") {
     val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
