@@ -168,12 +168,70 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
       factories += new GraftChangeStampFactory(kept, srcIdx,
         srcTypes = dataSchema.fields.map(_.dataType),
         insert = false, version = d.version)
-      parent.dataDirs.foreach(dd =>
-        GraftBucketedScan.filePartitions(table.dir, dd)
-          .foreach(p => parts += GraftChangelogPartition(p, fid)))
+      preImagePartitions(parent, d, keyField(d.keys.head).name)
+        .foreach(p => parts += GraftChangelogPartition(p, fid))
     }
     plannedFactories = factories.toArray
     parts.toArray
+  }
+
+  /** The parent's file partitions that can possibly hold this delete's
+    * pre-images — the planning-side prune that keeps a 100 TB CDC tail's
+    * upsert cost proportional to the TOUCHED data, not the table:
+    *
+    *  - POSITION deletes name their victim files outright: only parquet
+    *    files whose path appears in the delete's `_file` column plan
+    *    (exact, no sidecars needed; gated by the logged row count).
+    *  - EQUALITY deletes prune whole parent dirs through the table's
+    *    bloom + bounds sidecars ([[GraftTable.dirsPossiblyMatching]]) on
+    *    the FIRST key column: small key sets probe as an IN-list (bloom
+    *    + range), larger ones as a [min, max] band (range only) computed
+    *    by one tiny agg over the delete parquet.
+    *
+    * Pruning is an optimization, NEVER a correctness dependency: any
+    * failure (no sidecars, null keys, unliteralizable types, IO) falls
+    * back to planning every parent dir. */
+  private def preImagePartitions(parent: Snapshot, d: graft.table.DeleteFile,
+                                 parentKeyName: String): Seq[InputPartition] = {
+    import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
+    def all: Seq[InputPartition] =
+      parent.dataDirs.flatMap(dd => GraftBucketedScan.filePartitions(table.dir, dd))
+    val maxRows = spark.conf.getOption("graft.delete.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    try {
+      if (d.keys == GraftTable.PosDeleteKeys) {
+        if (d.rowCount < 0 || d.rowCount > maxRows) return all
+        val victims: Set[String] = spark.read.parquet(s"${table.dir}/${d.path}")
+          .select(col(GraftMetaCols.FILE)).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (victims.contains(null)) return all
+        parent.dataDirs.flatMap(dd =>
+          GraftBucketedScan.filePartitions(table.dir, dd).filter {
+            case p: GraftFilePartition => p.files.exists(f => victims.contains(f._1))
+            case _ => true
+          })
+      } else {
+        // only pay the key-stats job when a sidecar can actually prune
+        val prunable = parent.statsKeys.exists(_.equalsIgnoreCase(parentKeyName)) ||
+          parent.bloomKeys.exists(_.equalsIgnoreCase(parentKeyName))
+        if (!prunable) return all
+        val phys = pinned.physicalOf(d.keys.head)
+        val pred =
+          if (d.rowCount >= 0 && d.rowCount <= 1000) {
+            val values = spark.read.parquet(s"${table.dir}/${d.path}")
+              .select(col(phys)).distinct().collect().map(_.get(0))
+            if (values.isEmpty || values.contains(null)) return all
+            col(parentKeyName).isin(values.toIndexedSeq: _*)
+          } else {
+            val r = spark.read.parquet(s"${table.dir}/${d.path}")
+              .agg(fmin(col(phys)), fmax(col(phys))).collect().head
+            if (r.isNullAt(0) || r.isNullAt(1)) return all
+            col(parentKeyName) >= lit(r.get(0)) && col(parentKeyName) <= lit(r.get(1))
+          }
+        table.dirsPossiblyMatching(parent, pred)
+          .flatMap(dd => GraftBucketedScan.filePartitions(table.dir, dd))
+      }
+    } catch { case scala.util.control.NonFatal(_) => all }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1182,6 +1182,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * sidecar / missing column entry / uncomparable literal ⇒ keep (the
     * skip is an optimization, never a correctness dependency). O(dirs)
     * driver metadata work. */
+  /** Data dirs of `s` that can possibly hold rows matching `pred`, per
+    * the bloom + bounds sidecars — always a SOUND superset (missing or
+    * unreadable sidecars, struct schemas, or underivable predicates keep
+    * every dir). The dir-skipping core of [[scan]] exposed for other
+    * planners (the changelog stream prunes delete pre-image scans with
+    * it); O(dirs) driver metadata reads, never row data. */
+  private[graft] def dirsPossiblyMatching(s: Snapshot, pred: Column): Seq[DataDir] =
+    rangeLiveDirs(s, bloomLiveDirs(s, pred), pred)
+
   private def rangeLiveDirs(s: Snapshot, dirs: Seq[DataDir], pred: Column): Seq[DataDir] = {
     if (s.statsKeys.isEmpty || dirs.isEmpty) return dirs
     // struct-field predicates (s.x) are indistinguishable from qualified

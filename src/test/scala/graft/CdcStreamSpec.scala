@@ -204,6 +204,47 @@ class CdcStreamSpec extends AnyFunSuite {
     // (create=0, seed=1, then one rowDelta per tailed commit)
   }
 
+  test("pre-image planning prunes untouched parent dirs (stats sidecar) and names exact files (positional)") {
+    import graft.catalog.{GraftChangelogPartition, GraftOffset}
+    // equality deletes: two disjoint-range dirs, stats sidecar on id;
+    // an upsert touching only dir B's range must not plan dir A's files
+    val t = GraftTable.create(spark, tmp("cdc_prune"), schema, key = Seq("id"), formatVersion = 2)
+    t.setStatsKeys(Seq("id"))                                              // v1
+    t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))            // v2: dir A
+    t.append((100L to 110L).map(i => (i, s"b$i")).toDF("id", "v"))         // v3: dir B
+    t.rowDelta(Seq(105L).toDF("id"),
+      Seq((105L, "b105x")).toDF("id", "v"), Seq("id"))                     // v4: upsert in B
+    val dirA = t.snapshotAt(2).dataDirs.head.path
+    val dirB = t.snapshotAt(3).dataDirs.filter(_.version == 3).head.path
+    val stream = new graft.catalog.GraftChangelogMicroBatchStream(t, t.snapshot, 0, None)
+    val parts = stream.planInputPartitions(GraftOffset(3), GraftOffset(4))
+      .collect { case GraftChangelogPartition(p: graft.catalog.GraftFilePartition, fid) =>
+        (fid, p.files.map(_._1).toSeq) }
+    // factory 0 = v4's insert dir; factory 1 = the delete's pre-image scan
+    val preFiles = parts.filter(_._1 == 1).flatMap(_._2)
+    assert(preFiles.nonEmpty, "the delete must plan pre-image partitions")
+    assert(!preFiles.exists(_.contains(dirA)),
+      s"pre-image scan planned untouched dir A ($dirA) despite the stats sidecar")
+    assert(preFiles.forall(_.contains(dirB)), "pre-images must come from dir B")
+    // and the pruned plan still delivers the exact changelog
+    assert(canon(drain(t.dir, 0)) == canon(t.changesBetween(0, 4)))
+
+    // position deletes: the delete names its victim files outright
+    val p = GraftTable.create(spark, tmp("cdc_prune_pos"), schema, formatVersion = 2)
+    p.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))            // v1: dir A
+    p.append((100L to 110L).map(i => (i, s"b$i")).toDF("id", "v"))         // v2: dir B
+    p.deleteWherePositional(col("id") === 105L)                             // v3
+    val pDirA = p.snapshotAt(1).dataDirs.head.path
+    val pStream = new graft.catalog.GraftChangelogMicroBatchStream(p, p.snapshot, 0, None)
+    val pParts = pStream.planInputPartitions(GraftOffset(2), GraftOffset(3))
+      .collect { case GraftChangelogPartition(fp: graft.catalog.GraftFilePartition, fid) =>
+        (fid, fp.files.map(_._1).toSeq) }
+    val pPre = pParts.filter(_._1 == 0).flatMap(_._2) // v3 commits no data dir: factory 0 is the delete
+    assert(pPre.nonEmpty && !pPre.exists(_.contains(pDirA)),
+      "positional pre-image scan must plan only the victim files")
+    assert(canon(drain(p.dir, 0)) == canon(p.changesBetween(0, 3)))
+  }
+
   test("changesTo caps the stream: later commits are not delivered") {
     val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
