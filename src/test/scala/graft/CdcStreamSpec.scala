@@ -245,6 +245,74 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(canon(drain(p.dir, 0)) == canon(p.changesBetween(0, 3)))
   }
 
+  test("fuzz: random commit histories — the drained tail equals changesBetween under any batch split") {
+    // seeded randomized law check over mixed histories: appends, keyed
+    // MoR upserts, position deletes, and metadata DDL (add/rename/drop)
+    // interleave; the streamed changelog must equal the batch diff under
+    // whatever admission split the trial draws. This is the CDC twin of
+    // the table-model fuzz — it exercises parent alignment by physical
+    // identity (renames), NULL stamping (adds), pinned-schema projection
+    // (drops), and multi-delete batches the handwritten cases don't.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5) {
+      val t = GraftTable.create(spark, tmp(s"cdc_fuzz$trial"),
+        StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+          StructField("w", StringType))),
+        key = Seq("id"), formatVersion = 2)
+      var maxId = 0L
+      var cols = Vector("v", "w") // mutable view of the non-key columns
+      def someRows(n: Int): DataFrame = {
+        val rows = (1 to n).map { _ => maxId += 1; maxId }
+        val base = rows.toDF("id")
+        cols.foldLeft(base)((d, c) => d.withColumn(c,
+          concat(lit(s"$c-"), col("id"))))
+      }
+      t.append(someRows(8)) // v1: never-empty base
+      val nOps = 4 + rnd.nextInt(4)
+      (1 to nOps).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => t.append(someRows(1 + rnd.nextInt(5)))
+          case 2 => // keyed upsert of a random live slice
+            val m = 2 + rnd.nextInt(3)
+            val hit = (1L to maxId).filter(_ % m == 0)
+            if (hit.nonEmpty) {
+              val upd = cols.foldLeft(hit.toDF("id"))((d, c) =>
+                d.withColumn(c, concat(lit(s"$c+"), col("id"))))
+              t.rowDelta(hit.toDF("id"), upd, Seq("id"))
+            }
+          case 3 => // position delete of a random residue class
+            val m = 3 + rnd.nextInt(3)
+            t.deleteWherePositional(col("id") % m === (m - 1))
+          case 4 => // rename a non-key column (physical identity must hold)
+            val i = rnd.nextInt(cols.length)
+            val nn = s"${cols(i)}r${rnd.nextInt(100)}"
+            t.renameColumn(cols(i), nn)
+            cols = cols.updated(i, nn)
+          case 5 =>
+            if (cols.length > 1 && rnd.nextBoolean()) { // drop one
+              val i = rnd.nextInt(cols.length)
+              t.dropColumn(cols(i)); cols = cols.patch(i, Nil, 1)
+            } else { // add one (typed NULLs for pre-DDL rows)
+              val nn = s"x${rnd.nextInt(100)}"
+              if (!cols.contains(nn)) { t.addColumn(nn, StringType); cols = cols :+ nn }
+            }
+        }
+      }
+      val split = rnd.nextInt(3) match {
+        case 0 => Map("maxVersionsPerBatch" -> "1")
+        case 1 => Map("maxVersionsPerBatch" -> "2")
+        case _ => Map.empty[String, String]
+      }
+      val streamed = drain(t.dir, 0, split)
+      val batch = t.changesBetween(0, t.currentVersion)
+      val key = ("id" +: cols.sorted :+ "_change_type" :+ "_commit_version").map(col)
+      val s = streamed.select(key: _*).orderBy(key: _*).collect().toSeq
+      val b = batch.select(key: _*).orderBy(key: _*).collect().toSeq
+      assert(s == b, s"trial $trial (split=$split, ${t.currentVersion} commits): " +
+        s"streamed ${s.length} rows vs batch ${b.length}")
+    }
+  }
+
   test("changesTo caps the stream: later commits are not delivered") {
     val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
