@@ -537,8 +537,9 @@ object StreamOps {
       .option("maxVersionsPerBatch", 1)
       .load(base.dir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyMvDeltas(batch, mvDir, "seg", "bal")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMvDeltas(batch, mvDir, "seg", "bal", "mv-maintainer", batchId)
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -558,23 +559,32 @@ object StreamOps {
     * exactly associative, so the maintained MV is invariant under the
     * batch SPLIT (one catch-up batch ≡ one batch per commit — pinned by
     * CdcStreamSpec). Deltas shuffle by the group key only; the MV join
-    * touches the (tiny) MV table, never the base table. */
+    * touches the (tiny) MV table, never the base table.
+    *
+    * EXACTLY-ONCE under micro-batch replay: the upsert commits through
+    * the MV table's [[graft.table.Snapshot.streamEpochs]] ledger keyed by
+    * `(consumerId, batchId)` — a post-crash Spark retry of a committed
+    * batch recomputes its (now stale) fold and the commit no-ops, so
+    * deltas can never double-apply. Returns whether the batch committed
+    * (false = ledger says it already had). Requires the streaming query
+    * to be CHECKPOINTED with a `consumerId` stable across restarts, the
+    * standard transactional-foreachBatch contract. */
   def applyMvDeltas(batch: DataFrame, mvDir: String,
-                    groupCol: String, valueCol: String): Unit = {
+                    groupCol: String, valueCol: String,
+                    consumerId: String, batchId: Long): Boolean = {
     import graft.table.GraftTable
     val dec = DecimalType(28, 2)
+    val mv = GraftTable.load(batch.sparkSession, mvDir)
     val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
     val deltas = batch.groupBy(col(groupCol)).agg(
       sum(sign).cast(LongType).as("dn"),
       sum(col(valueCol) * sign).cast(dec).as("dtotal"))
-    val mv = GraftTable.load(batch.sparkSession, mvDir)
     val next = deltas.join(mv.toDF, Seq(groupCol), "left_outer")
       .select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) + col("dtotal"))
           .cast(dec).as("total"))
-    mv.rowDelta(next.select(col(groupCol)), next, Seq(groupCol))
-    ()
+    mv.streamEpochUpsert(next, Seq(groupCol), consumerId, batchId)
   }
 
   private val streamIncrementalMvOracle: String =

@@ -161,7 +161,7 @@ class CdcStreamSpec extends AnyFunSuite {
     // same base evolution folded two ways — one commit per micro-batch
     // vs one catch-up batch — must land the MV on identical rows, and
     // both must equal the full recompute of the final base state
-    def run(split: Boolean): (Seq[(String, Long, BigDecimal)], DataFrame) = {
+    def run(split: Boolean): (Seq[(String, Long, BigDecimal)], GraftTable, String) = {
       val dec = DecimalType(28, 2)
       val s = StructType(Seq(StructField("id", LongType),
         StructField("seg", StringType),
@@ -184,24 +184,32 @@ class CdcStreamSpec extends AnyFunSuite {
       var r = spark.readStream.format("graft").option("changesFrom", 1)
       if (split) r = r.option("maxVersionsPerBatch", 1)
       val q = r.load(base.dir).writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.streaming.StreamOps.applyMvDeltas(b, mvDir, "seg", "bal")
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.streaming.StreamOps.applyMvDeltas(b, mvDir, "seg", "bal", "mv-law", batchId)
+          ()
         }
         .trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
       val got = GraftTable.load(spark, mvDir).toDF.orderBy("seg")
         .as[(String, Long, BigDecimal)].collect().toSeq
-      (got, base.toDF)
+      (got, base, mvDir)
     }
-    val (split, baseDf) = run(split = true)
-    val (whole, _) = run(split = false)
+    val (split, base, mvDir) = run(split = true)
+    val (whole, _, _) = run(split = false)
     assert(split == whole, "MV diverged under a different batch split")
-    val recompute = baseDf.groupBy($"seg")
+    val recompute = base.toDF.groupBy($"seg")
       .agg(count(lit(1)).as("n"), sum($"bal").cast(DecimalType(28, 2)).as("total"))
       .orderBy("seg").as[(String, Long, BigDecimal)].collect().toSeq
     assert(split == recompute, "maintained MV diverged from the full recompute")
-    // the split run committed one MV version per source commit
-    // (create=0, seed=1, then one rowDelta per tailed commit)
+    // EXACTLY-ONCE: a post-crash replay of an already-committed batch
+    // (same consumerId + batchId, recomputed stale fold) must no-op via
+    // the MV table's epoch ledger — deltas can never double-apply
+    val applied = graft.streaming.StreamOps.applyMvDeltas(
+      base.changesBetween(1, 2), mvDir, "seg", "bal", "mv-law", 0L)
+    assert(!applied, "replayed batch must be rejected by the epoch ledger")
+    val after = GraftTable.load(spark, mvDir).toDF.orderBy("seg")
+      .as[(String, Long, BigDecimal)].collect().toSeq
+    assert(after == split, "replay mutated the MV — exactly-once broken")
   }
 
   test("pre-image planning prunes untouched parent dirs (stats sidecar) and names exact files (positional)") {
