@@ -39,6 +39,11 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  // 0/negative admission would make latestOffset return <= start forever:
+  // the stream silently stalls delivering nothing — fail at construction
+  require(maxVersionsPerBatch.forall(_ > 0),
+    s"maxVersionsPerBatch must be positive (got ${maxVersionsPerBatch.get})")
+
   private def spark: SparkSession = SparkSession.active
 
   @volatile private var availableNowCap: Option[Int] = None
@@ -81,15 +86,9 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) { plannedFactories = Array.empty; return Array.empty }
     val endSnap = table.snapshotAt(to)
-    // default-closed expressibility check, the changesBetween contract:
-    // overwrite/rewrite/rollback/expired (and unknown future ops) cannot
-    // be represented as insert/delete rows — raise instead of diverging
-    (from + 1 to to).foreach { v =>
-      val op = table.snapshotAt(v).op
-      require(GraftTable.AppendSafeOps.contains(op),
-        s"changelog stream crosses a non-changelog-expressible '$op' commit " +
-          s"at v$v; restart the stream from v$v")
-    }
+    // default-closed expressibility check — ONE implementation shared
+    // with the batch changesBetween, so the two CDC paths cannot drift
+    table.requireChangelogExpressible(from, to)
     val dataSchema = pinned.schema
     val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
@@ -190,7 +189,12 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     *
     * Pruning is an optimization, NEVER a correctness dependency: any
     * failure (no sidecars, null keys, unliteralizable types, IO) falls
-    * back to planning every parent dir. */
+    * back to planning every parent dir.
+    *
+    * Cost note: the delete parquet is read here AND by the keep-filter's
+    * key-map load — two tiny driver-blocking jobs over one small file,
+    * once per delete commit over the stream's lifetime (version ranges
+    * partition batches), gated off entirely when no sidecar can prune. */
   private def preImagePartitions(parent: Snapshot, d: graft.table.DeleteFile,
                                  parentKeyName: String): Seq[InputPartition] = {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}

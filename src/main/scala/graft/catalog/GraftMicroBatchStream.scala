@@ -41,6 +41,11 @@ final class GraftMicroBatchStream(table: GraftTable, required: StructType,
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  // 0/negative admission would make latestOffset return <= start forever:
+  // the stream silently stalls delivering nothing — fail at construction
+  require(maxVersionsPerBatch.forall(_ > 0),
+    s"maxVersionsPerBatch must be positive (got ${maxVersionsPerBatch.get})")
+
   private def spark: SparkSession = SparkSession.active
 
   // Trigger.AvailableNow: pin the end of the run at prepare time — the

@@ -445,14 +445,16 @@ object Similarity {
     val ann = marginMiningAnn(spark, dir).localCheckpoint(true)
     val exact = marginMining(spark, dir)
       .select(col("x_id"), col("y_id")).localCheckpoint(true)
-    val total = exact.count()
-    val hits = ann.select(col("x_id"), col("y_id"))
-      .join(exact, Seq("x_id", "y_id"), "left_semi").count()
-    val recall = if (total == 0) 1.0 else hits.toDouble / total
-    require(recall >= floor,
-      f"ANN margin mining recovers $recall%.3f of the exact top-N pairs, " +
-        f"below the invariant floor $floor — the candidate machinery is broken")
-    ann
+    try {
+      val total = exact.count()
+      val hits = ann.select(col("x_id"), col("y_id"))
+        .join(exact, Seq("x_id", "y_id"), "left_semi").count()
+      val recall = if (total == 0) 1.0 else hits.toDouble / total
+      require(recall >= floor,
+        f"ANN margin mining recovers $recall%.3f of the exact top-N pairs, " +
+          f"below the invariant floor $floor — the candidate machinery is broken")
+      ann
+    } finally org.apache.spark.sql.GraftShim.dropCheckpointBlocks(exact)
   }
 
   /** Top principal component of the embedding distribution by fixed

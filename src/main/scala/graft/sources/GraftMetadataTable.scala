@@ -88,8 +88,12 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
           val t = GraftTable.load(SparkSession.active, dir)
+          // pin the STAMPED schema to the analysis-pinned toV, never a
+          // re-resolved currentVersion: a DDL commit landing between
+          // analysis and start() would otherwise widen the stream's rows
+          // past the schema Spark analyzed (the class invariant above)
           new graft.catalog.GraftChangelogMicroBatchStream(t,
-            t.snapshotAt(to.getOrElse(t.currentVersion)), from, to,
+            t.snapshotAt(toV), from, to,
             Option(options.get("maxVersionsPerBatch")).map(_.trim.toInt))
         }
       }

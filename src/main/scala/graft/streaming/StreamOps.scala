@@ -363,9 +363,13 @@ object StreamOps {
     try {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.isDirectory(p,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.list(p).iterator().asScala.toSeq
-          .foreach(deleteRecursively)
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        // Files.list holds an open DirectoryStream — close it or every
+        // cleanup leaks one directory fd until GC (hundreds per session)
+        val s = java.nio.file.Files.list(p)
+        val children = try s.iterator().asScala.toSeq finally s.close()
+        children.foreach(deleteRecursively)
+      }
       java.nio.file.Files.deleteIfExists(p)
     } catch { case _: Exception => () }
 
@@ -579,10 +583,16 @@ object StreamOps {
     val deltas = batch.groupBy(col(groupCol)).agg(
       sum(sign).cast(LongType).as("dn"),
       sum(col(valueCol) * sign).cast(dec).as("dtotal"))
+    // coalesce BOTH fold inputs: an all-NULL value group sums to NULL,
+    // and NULL + total would store a NULL that the next fold resets to
+    // zero — silently destroying the accumulated total (a NULL value
+    // contributes 0 to the sum but still counts, the recompute's SUM
+    // semantics)
     val next = deltas.join(mv.toDF, Seq(groupCol), "left_outer")
       .select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
-        (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) + col("dtotal"))
+        (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) +
+          coalesce(col("dtotal"), lit(BigDecimal(0)).cast(dec)))
           .cast(dec).as("total"))
     mv.streamEpochUpsert(next, Seq(groupCol), consumerId, batchId)
   }

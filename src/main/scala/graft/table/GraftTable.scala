@@ -1538,20 +1538,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * raise, mirroring [[appendsBetween]]. */
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     val s = snapshotAt(toVersion)
-    // ops whose row-level effect a changelog CAN carry: appends/rowdeltas
-    // (their dirs + delete files are read below), plus commits that touch
-    // no rows at all (cherry-picked appends included). Everything else —
-    // overwrite/rewrite/rollback/expiry — removes or re-stamps rows in
-    // ways an insert/delete stream cannot express; crossing one silently
-    // diverges a CDC consumer, so it raises instead (the shared
-    // AppendSafeOps whitelist: unknown future ops fail safe).
-    val expressible = GraftTable.AppendSafeOps
-    (fromVersion + 1 to toVersion).foreach { v =>
-      val op = snapshotAt(v).op
-      require(expressible.contains(op),
-        s"changelog read crosses a non-changelog-expressible '$op' commit " +
-          s"at v$v; start from v$v instead")
-    }
+    requireChangelogExpressible(fromVersion, toVersion)
     val physSchema = StructType(s.schema.fields.map(f =>
       StructField(s.physicalOf(f.name), f.dataType, nullable = true)))
     val logical: DataFrame => DataFrame = df =>
@@ -1605,13 +1592,41 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           if (d.rowCount >= 0 && d.rowCount <= deleteBroadcastMaxRows)
             broadcast(keyDf)
           else keyDf
-        pre.join(keySide, d.keys.toSeq, "left_semi")
+        // NULL-SAFE key match: the reader-side delete filter and the view
+        // path's anti-join both treat NULL keys as equal (<=>, the
+        // Iceberg equality-delete contract), so the pre-image join must
+        // too — a plain equi-join would silently drop the pre-image of a
+        // NULL-keyed row the delete really kills (keyed tables assert
+        // keys non-null at write, but rowDelta key sets on nullable
+        // non-key columns are legal)
+        val keyCond = d.keys.map(k => pre(k) <=> keyDf(k)).reduce(_ && _)
+        pre.join(keySide, keyCond, "left_semi")
           .drop((if (positional) d.keys else Nil): _*)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(d.version))
       }
     (inserts ++ deletes).foldLeft(empty)(_ unionByName _)
   }
+
+  /** Raises unless every commit in `(fromVersion, toVersion]` is
+    * expressible as insert/delete changelog rows. Ops whose row-level
+    * effect a changelog CAN carry: appends/rowdeltas (dirs + delete
+    * files), plus commits that touch no rows at all (cherry-picked
+    * appends included). Everything else — overwrite/rewrite/rollback/
+    * expiry — removes or re-stamps rows in ways an insert/delete stream
+    * cannot express; crossing one silently diverges a CDC consumer, so
+    * it raises instead (the shared AppendSafeOps whitelist: unknown
+    * future ops fail safe). ONE implementation shared by the batch
+    * [[changesBetween]] and the streaming CDC tail
+    * ([[graft.catalog.GraftChangelogMicroBatchStream]]) so the two
+    * paths cannot drift. */
+  private[graft] def requireChangelogExpressible(fromVersion: Int, toVersion: Int): Unit =
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val op = snapshotAt(v).op
+      require(GraftTable.AppendSafeOps.contains(op),
+        s"changelog read crosses a non-changelog-expressible '$op' commit " +
+          s"at v$v; start from v$v instead")
+    }
 
   /** The current snapshot rendered as self-contained Spark SQL over
     * `parquet.`path`` relations — what [[graft.catalog.GraftCatalog]]

@@ -176,7 +176,14 @@ class CdcStreamSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum($"bal").cast(dec).as("total"))
       GraftTable.create(spark, mvDir, mv0.schema, key = Seq("seg"), formatVersion = 2)
         .append(mv0)
-      base.append(rows.filter($"id" > 2))                                        // v2
+      // v2's group-A slice is ONE all-NULL-balance row: its delta sums to
+      // NULL, which must fold as 0 (count it, add nothing — the
+      // recompute's SUM semantics) instead of nulling group A's
+      // accumulated total for every later batch to reset — regression
+      // cover for the NULL-delta fold bug
+      base.append(rows.filter($"id" === 4).unionByName(
+        Seq((9L, "A")).toDF("id", "seg")
+          .withColumn("bal", lit(null).cast(DecimalType(18, 2)))))               // v2
       base.rowDelta(Seq(1L).toDF("id"),
         Seq((1L, "A", BigDecimal("110.00"))).toDF("id", "seg", "bal")
           .select($"id", $"seg", $"bal".cast(DecimalType(18, 2)).as("bal")),
@@ -319,6 +326,47 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(s == b, s"trial $trial (split=$split, ${t.currentVersion} commits): " +
         s"streamed ${s.length} rows vs batch ${b.length}")
     }
+  }
+
+  test("NULL delete keys: pre-images match the reader's null-safe semantics in BOTH paths") {
+    // rowDelta key sets on nullable non-key columns are legal; the
+    // reader-side delete filter and the view path treat NULL keys as
+    // EQUAL (<=>, the Iceberg equality-delete contract) — the changelog
+    // pre-image join and the stream keep-filter must agree, or a CDC
+    // consumer silently misses the NULL-keyed row's deletion
+    val t = GraftTable.create(spark, tmp("cdc_nullkey"),
+      StructType(Seq(StructField("id", LongType), StructField("tag", StringType))),
+      formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("id", "tag"))                                                     // v1
+    t.rowDelta(
+      Seq(null.asInstanceOf[String], "c").toDF("tag"),
+      Seq((9L, "z")).toDF("id", "tag"), Seq("tag"))                           // v2
+    // live state agrees with the reader: rows 2 (NULL tag) and 3 died
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 9L))
+    val batch = t.changesBetween(0, 2)
+    val deletes = batch.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(deletes == Seq(2L, 3L),
+      "the NULL-keyed pre-image must appear in the batch changelog")
+    val streamed = drain(t.dir, 0)
+    assert(canon2(streamed) == canon2(batch), "stream/batch parity with NULL keys")
+  }
+
+  private def canon2(df: DataFrame): Seq[(Long, Option[String], String, Int)] =
+    df.select($"id", $"tag", $"_change_type", $"_commit_version")
+      .orderBy("_commit_version", "_change_type", "id")
+      .as[(Long, Option[String], String, Int)].collect().toSeq
+
+  test("maxVersionsPerBatch <= 0 fails loudly instead of silently stalling") {
+    val t = GraftTable.create(spark, tmp("cdc_zero"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      drain(t.dir, 0, Map("maxVersionsPerBatch" -> "0"))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("maxVersionsPerBatch")), s"unexpected: $e")
   }
 
   test("changesTo caps the stream: later commits are not delivered") {
