@@ -35,7 +35,8 @@ import graft.table.{GraftTable, Snapshot}
   * from the stream's rows entirely — the consumer restarts the stream to
   * pick up DDL, the standard CDC-consumer contract. */
 final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
-    fromV: Int, capV: Option[Int], maxVersionsPerBatch: Option[Int] = None)
+    fromV: Int, capV: Option[Int], maxVersionsPerBatch: Option[Int] = None,
+    skipRewriteCommits: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -85,18 +86,43 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) { plannedFactories = Array.empty; return Array.empty }
-    val endSnap = table.snapshotAt(to)
-    // default-closed expressibility check — ONE implementation shared
-    // with the batch changesBetween, so the two CDC paths cannot drift
-    table.requireChangelogExpressible(from, to)
+    // expressibility: default-closed, ONE implementation shared with the
+    // batch changesBetween so the two CDC paths cannot drift. With
+    // skipRewriteCommits, `rewrite` commits are additionally admitted and
+    // contribute NOTHING: a rewrite is row-preserving BY CONSTRUCTION
+    // (zorder/small-file maintenance refuses pending deletes and
+    // re-clusters exactly the live rows), so a long-running tail survives
+    // continuous layout maintenance instead of restarting at every
+    // rewrite. compact() on a MoR backlog commits an `overwrite` — NOT
+    // distinguishable from a destructive replace — and still raises.
+    if (skipRewriteCommits)
+      (from + 1 to to).foreach { v =>
+        val op = table.snapshotAt(v).op
+        require(op == "rewrite" || GraftTable.AppendSafeOps.contains(op),
+          s"changelog read crosses a non-changelog-expressible '$op' commit " +
+            s"at v$v; start from v$v instead")
+      }
+    else table.requireChangelogExpressible(from, to)
     val dataSchema = pinned.schema
     val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // commit-addressed planning: version v's changes come from
+    // snapshotAt(v) — for append-safe histories this equals filtering the
+    // end snapshot (nothing removes dirs/deletes), and under
+    // skipRewriteCommits it keeps serving dirs a later rewrite replaced
+    // (their rows were genuinely inserted at v; the rewrite re-stamped
+    // the same rows into new dirs, which are skipped)
+    val byVersion: Seq[(Seq[graft.table.DataDir], Seq[graft.table.DeleteFile])] =
+      (from + 1 to to).map { v =>
+        val sv = table.snapshotAt(v)
+        if (skipRewriteCommits && sv.op == "rewrite") (Nil, Nil)
+        else (sv.dataDirs.filter(_.version == v), sv.deletes.filter(_.version == v))
+      }
 
     // INSERTS: each data dir committed in range, read RAW (rows deleted
     // by a later commit still insert first — the CDC ordering), stamped
     // with its own commit version
-    endSnap.dataDirs.filter(d => d.version > from && d.version <= to).foreach { d =>
+    byVersion.flatMap(_._1).foreach { d =>
       val inner = GraftBucketedScan.readerFactory(pinned, dataSchema,
         Array.empty[org.apache.spark.sql.sources.Filter])
       val fid = factories.length
@@ -111,7 +137,7 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     // DELETES: each delete file committed in range plans the PARENT
     // snapshot's live rows (the shared delete-aware reader) filtered to
     // the delete's key set — the pre-image, stamped 'delete'
-    endSnap.deletes.filter(d => d.version > from && d.version <= to).foreach { d =>
+    byVersion.flatMap(_._2).foreach { d =>
       val parent = table.snapshotAt(d.version - 1)
       require(parent.op != "expired",
         s"cannot recover delete pre-images for v${d.version}: parent " +

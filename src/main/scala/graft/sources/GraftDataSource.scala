@@ -66,7 +66,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     * changelog table over `(v, w]` (w defaults to the current version). */
   private def changelogOf(opts: CaseInsensitiveStringMap, dir: String): GraftChangelogTable =
     new GraftChangelogTable(dir, opts.get("changesFrom").trim.toInt,
-      Option(opts.get("changesTo")).map(_.trim.toInt))
+      Option(opts.get("changesTo")).map(_.trim.toInt),
+      skipRewriteCommits = opts.getBoolean("skipRewriteCommits", false))
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val (dir, meta) = metaOf(pathOf(options))

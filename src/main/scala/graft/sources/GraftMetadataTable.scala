@@ -48,7 +48,8 @@ final class GraftMetadataTable(dir: String, meta: String)
   * spark_changelog / table_changes role). Delegates to
   * [[GraftTable.changesBetween]]: inserts from the range's data dirs,
   * delete pre-images via keyed semi-join, non-expressible commits raise. */
-final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
+final class GraftChangelogTable(dir: String, from: Int, to: Option[Int],
+                                skipRewriteCommits: Boolean = false)
     extends Table with SupportsRead {
 
   // the open end pins ONCE at table construction: re-resolving
@@ -63,15 +64,28 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
     GraftTable.load(SparkSession.active, dir).changesBetween(from, toV)
 
   override def name(): String = s"graft.`$dir#changes($from,$toV]`"
-  override def schema(): StructType = frame.schema
+  // with skipRewriteCommits (a STREAM-only option) the schema must
+  // resolve without changesBetween's expressibility walk — the range is
+  // allowed to cross rewrites there, and the schema is structural anyway
+  override def schema(): StructType =
+    if (!skipRewriteCommits) frame.schema
+    else StructType(
+      GraftTable.load(SparkSession.active, dir).snapshotAt(toV).schema.fields ++
+        Seq(org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
-        private val df = frame
-        override def readSchema(): StructType = df.schema
+        // LAZY: a pure streaming query must never build the batch frame —
+        // under skipRewriteCommits the range may legally cross a rewrite,
+        // which changesBetween (the batch path) refuses
+        private lazy val df = frame
+        override def readSchema(): StructType = GraftChangelogTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
@@ -94,7 +108,8 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int])
           // past the schema Spark analyzed (the class invariant above)
           new graft.catalog.GraftChangelogMicroBatchStream(t,
             t.snapshotAt(toV), from, to,
-            Option(options.get("maxVersionsPerBatch")).map(_.trim.toInt))
+            Option(options.get("maxVersionsPerBatch")).map(_.trim.toInt),
+            skipRewriteCommits = skipRewriteCommits)
         }
       }
     }

@@ -369,6 +369,32 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("maxVersionsPerBatch")), s"unexpected: $e")
   }
 
+  test("skipRewriteCommits: the tail survives layout maintenance and skips its no-op commit") {
+    // a long-running CDC tail must not restart at every small-file
+    // compaction: `rewrite` commits are row-preserving by construction,
+    // so with the option they are admitted and contribute nothing
+    val t = GraftTable.create(spark, tmp("cdc_rw"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                         // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))                                     // v2
+    t.rewriteSmallDirs()                                                         // v3: rewrite
+    assert(t.snapshotAt(3).op == "rewrite", "fixture must really commit a rewrite")
+    t.append(Seq((4L, "d")).toDF("id", "v"))                                     // v4
+    t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id"))  // v5
+    // without the option: loud failure at the rewrite
+    val e = intercept[Exception] { drain(t.dir, 0) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("rewrite")), s"unexpected: $e")
+    // with it: the full logical changelog, the rewrite contributing no rows
+    val streamed = drain(t.dir, 0, Map("skipRewriteCommits" -> "true"))
+    val expected = canon(t.changesBetween(0, 2)) ++ canon(t.changesBetween(3, 5))
+    assert(canon(streamed) == expected.sortBy(r => (r._4, r._3, r._1)))
+    assert(!canon(streamed).exists(_._4 == 3), "the rewrite commit must contribute nothing")
+    // pre-images taken against a post-rewrite parent still carry the
+    // correct row content (the rewrite preserved rows)
+    assert(canon(streamed).contains((1L, "a", "delete", 5)))
+  }
+
   test("changesTo caps the stream: later commits are not delivered") {
     val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
