@@ -1425,9 +1425,14 @@ object TextOps {
     } finally corpus.unpersist()
   }
 
-  private def dedupIndexProbeOracle(incomingSource: String = "src0",
-                                    k: Int = 64, bands: Int = 8,
-                                    threshold: Double = 0.9): String = {
+  /** The shared DuckDB CTE prefix reproducing [[md5BandedSignature]]:
+    * `d0` (sorted-distinct tokens + any extra projected columns), `rh`
+    * (60-bit md5 token-hash sets), and `banded` ((doc_id, band, bh)
+    * banded MinHash signatures) — ONE implementation under every oracle
+    * that replays the production banding (`dedup_index_probe`,
+    * `stream_ingest_dedup`), so the SQL twin cannot drift from itself. */
+  private[graft] def md5BandedSqlCtes(k: Int = 64, bands: Int = 8,
+                                      extraCols: String = ""): String = {
     val r = k / bands
     val mins = (0 until k).map(i =>
       s"MIN((h1m + $i * h2m) % 1000000007) AS m$i").mkString(",\n        ")
@@ -1435,10 +1440,10 @@ object TextOps {
       val slice = (b * r until (b + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slice) AS bh FROM sig"
     }.mkString("\n       UNION ALL ")
-    s"""WITH d0 AS (SELECT doc_id, source,
+    s"""d0 AS (SELECT doc_id, $extraCols
        |              list_sort(list_distinct(string_split(text, ' '))) AS toks
        |            FROM documents),
-       |rh AS (SELECT doc_id, source, list_sort(list_distinct(list_transform(toks,
+       |rh AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,
        |         t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)))) AS htoks
        |       FROM d0),
        |tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(toks) AS t FROM d0)),
@@ -1449,7 +1454,13 @@ object TextOps {
        |sig AS (SELECT doc_id,
        |        $mins
        |      FROM g GROUP BY doc_id),
-       |banded AS ($bandSelects),
+       |banded AS ($bandSelects)""".stripMargin
+  }
+
+  private def dedupIndexProbeOracle(incomingSource: String = "src0",
+                                    k: Int = 64, bands: Int = 8,
+                                    threshold: Double = 0.9): String = {
+    s"""WITH ${md5BandedSqlCtes(k, bands, extraCols = "source,")},
        |src AS (SELECT doc_id, source FROM d0),
        |cand AS (SELECT DISTINCT bi.doc_id AS in_id, bc.doc_id AS corp_id
        |         FROM banded bi JOIN src si ON si.doc_id = bi.doc_id

@@ -395,6 +395,24 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(canon(streamed).contains((1L, "a", "delete", 5)))
   }
 
+  test("stream_ingest_dedup: stage-0 docs all admit; later stages reject against the grown index") {
+    val dir = "/root/testdata/sf0.001"
+    val admitted = graft.streaming.StreamOps.streamIngestDedupQuery(spark, dir)
+      .select($"doc_id", $"arrived_at").as[(Long, Int)].collect().toSeq
+    val total = graft.ops.Tables.documents(spark, dir).count()
+    assert(admitted.nonEmpty && admitted.length < total,
+      "the staged ingestion must reject SOME near-dups on the dup-saturated fixture")
+    assert(admitted.map(_._1).distinct.length == admitted.length)
+    // the first batch probes an EMPTY index: every stage-0 doc admits
+    val stage0Total = graft.ops.Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0).count()
+    assert(admitted.count(_._2 == 0) == stage0Total,
+      "stage-0 docs must all admit (the index is empty when they arrive)")
+    // later stages really lost docs to the index
+    assert(admitted.count(_._2 != 0) <
+      total - stage0Total, "stages 1-2 must reject at least one near-dup")
+  }
+
   test("changesTo caps the stream: later commits are not delivered") {
     val t = GraftTable.create(spark, tmp("cdc_cap"), schema)
     t.append(Seq((1L, "a")).toDF("id", "v"))  // v1
