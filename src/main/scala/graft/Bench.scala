@@ -91,6 +91,38 @@ object Bench {
     catch { case _: Throwable => }
   }
 
+  /** Blocks until the listener bus has delivered every queued event (the
+    * ADVICE r10 fix): the per-rep cpu/gc/peak counters are fed by async
+    * task-end events, so without a drain a straggler event from rep N
+    * bleeds into rep N+1's columns — the exact slack the attribution
+    * forensics cannot afford. `listenerBus` is private[spark]; reflection
+    * reaches the public-bytecode accessor, and any failure degrades to
+    * the old approximate-boundary behavior rather than breaking a run. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(5000L))
+      ()
+    } catch { case _: Throwable => () }
+
+  /** (steal, softirq) jiffies from /proc/stat's aggregate cpu line — the
+    * OS-level hypervisor-contention probe the r10 verdict asked for: CPU
+    * stolen by the host inflates task cpu_s on UNCHANGED code with gc_s
+    * flat, the one signature the gc/peak columns misclassify as "real
+    * work regression". None on non-Linux / unreadable proc. */
+  private def procSteal(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        (if (f.length > 8) f(8).toLong else 0L,
+          if (f.length > 7) f(7).toLong else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -199,7 +231,7 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(n => n >= 0 && n <= 5).getOrElse(2)
     case class QRes(secs: Double, firstSecs: Double, io: Seq[Double],
-                    cpuS: Double, gcS: Double, peakMb: Long,
+                    cpuS: Double, gcS: Double, peakMb: Long, stealS: Double,
                     repSecs: Seq[Double], extraReps: Int)
     val results = selected
       .map { case (name, fn) =>
@@ -209,6 +241,7 @@ object Bench {
         // query failed with its elapsed time NEGATED — a failure on rep
         // >1 after a rep-1 success would mean the query leaks state into
         // its own re-run, which must be loud, not averaged away.
+        drainListenerBus(spark) // previous query's stragglers stay theirs
         val (m0, d0, w0, r0) =
           (memSpilled.get, diskSpilled.get, shufWrite.get, shufRead.get)
         var io: Seq[Double] = Nil
@@ -217,6 +250,7 @@ object Bench {
         var minCpuS = 0.0
         var minGcS = 0.0
         var minPeakMb = 0L
+        var minStealS = -1.0 // -1 = /proc/stat unreadable
         var failedSecs = -1.0
         var rep = 0
         var extrasUsed = 0
@@ -232,16 +266,27 @@ object Bench {
           }
           val c0 = cpuNanos.get
           val g0 = gcMillis.get
-          peakTaskMem.set(0L) // per-rep max gauge (listener-async like io)
+          peakTaskMem.set(0L) // per-rep max gauge; bus drained above/below
+          val steal0 = procSteal()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name failed (rep ${rep + 1}): ${e.getMessage}")
               false }
           val secs = (System.nanoTime() - t0) / 1e9
+          // deliver this rep's task-end events before snapshotting — the
+          // counters below must not miss stragglers (nor donate them to
+          // the next rep)
+          drainListenerBus(spark)
           val cpuS = (cpuNanos.get - c0) / 1e9
           val gcS = (gcMillis.get - g0) / 1e3
           val peakMb = peakTaskMem.get / (1024L * 1024L)
+          // steal+softirq jiffies stolen DURING this rep, as seconds
+          // (USER_HZ=100) summed across all host CPUs
+          val stealS = (steal0, procSteal()) match {
+            case (Some((s0, i0)), Some((s1, i1))) => ((s1 - s0) + (i1 - i0)) / 100.0
+            case _ => -1.0
+          }
           if (rep == 0) {
             firstSecs = secs
             io = Seq(
@@ -254,12 +299,13 @@ object Bench {
           if (!ok) failedSecs = secs
           else if (secs < minSecs) {
             minSecs = secs; minCpuS = cpuS; minGcS = gcS; minPeakMb = peakMb
+            minStealS = stealS
           }
           sweepBlocks(spark) // untimed: next rep/query starts with a clean block store
           rep += 1
         }
         val secs = if (failedSecs >= 0) -failedSecs else minSecs
-        name -> QRes(secs, firstSecs, io, minCpuS, minGcS, minPeakMb,
+        name -> QRes(secs, firstSecs, io, minCpuS, minGcS, minPeakMb, minStealS,
           repSecs.toSeq, extrasUsed)
       }
     val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.secs }
@@ -314,6 +360,21 @@ object Bench {
     val extras = results.collect { case (k, r) if r.extraReps > 0 =>
       s"\"" + k + "\":" + r.extraReps }
       .mkString("{", ",", "}")
+    // per-query (steal+softirq) seconds of the MIN rep, whole host —
+    // nonzero beside an inflated wall/cpu_s with flat gc_s is the
+    // hypervisor-contention verdict the r10 attribution table lacked
+    // (-1 = probe unavailable)
+    val steals = results.map { case (k, r) =>
+      s"\"" + k + "\":" + math.rint(r.stealS * 100) / 100 }
+      .mkString("{", ",", "}")
+    // the committed record's per-query time, folded INTO the artifact so
+    // every record self-reports its drift ratio (VERDICT r10 item 7) —
+    // no more git archaeology to separate code regressions from session
+    // noise. Only queries present in both runs appear.
+    val committedCol = results.collect {
+      case (k, _) if committed.contains(k) =>
+        s"\"" + k + "\":" + math.rint(committed(k) * 1000) / 1000 }
+      .mkString("{", ",", "}")
     // total = sum of per-query steady-state (min-over-reps) times;
     // first_pass_total = sum of cold rep-1 times (the pre-round-8
     // single-rep methodology, kept for cross-round comparison). The
@@ -327,11 +388,34 @@ object Bench {
       s"""{"threads":"$cpus","heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
         s""""host_cpus":${rt.availableProcessors}}"""
     }
+    // FRESH-JVM replay (VERDICT r10 item 1): any query whose adaptive min
+    // is still >=3x its committed same-binary record gets ONE re-run in a
+    // fresh child JVM at session end — fresh-JVM-fast closes the case as
+    // session state (JIT/heap/allocator), fresh-JVM-slow-too says the
+    // machine (or, on changed code, the plan) really is pricing the work
+    // that way right now. The parent session is STOPPED first so the
+    // child doesn't contend with 32 idle-but-resident executor threads.
+    val freshCandidates = results.collect {
+      case (k, r) if r.secs > 0 && committed.get(k).exists(c =>
+        r.secs >= 3 * c && r.secs - c > 0.3) => k
+    }
+    val freshCap = sys.env.get("SPARK_GRAFT_BENCH_FRESHJVM").map(_.trim)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(n => n >= 0 && n <= 20).getOrElse(8)
+    val toReplay = freshCandidates.take(freshCap)
+    if (freshCandidates.size > toReplay.size)
+      System.err.println(s"[bench] fresh-JVM replay capped at $freshCap of " +
+        s"${freshCandidates.size} outliers (SPARK_GRAFT_BENCH_FRESHJVM raises)")
+    if (toReplay.nonEmpty) spark.stop() // free the heap/threads for the child
+    val freshJvm = toReplay.flatMap { q =>
+      BenchOne.replay(q, sfDir, cpus).map(s => s"\"" + q + "\":" +
+        math.rint(s * 1000) / 1000)
+    }.mkString("{", ",", "}")
     // NOTE: the "queries" object must stay flat name:number — the
     // committedRecord parser above depends on it (new per-query columns
     // go in their own top-level keys, like rep_s/gc_s below)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"below_committed":$below,"first_pass_total":$firstPassTotal,"queries":$qs,"rep_s":$repsJson,"cpu_s":$cpus_,"gc_s":$gcs,"peak_mem_mb":$peaks,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"below_committed":$below,"fresh_jvm_s":$freshJvm,"committed_s":$committedCol,"first_pass_total":$firstPassTotal,"queries":$qs,"rep_s":$repsJson,"cpu_s":$cpus_,"gc_s":$gcs,"peak_mem_mb":$peaks,"steal_s":$steals,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive. bench.json

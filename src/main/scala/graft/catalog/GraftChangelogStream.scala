@@ -54,7 +54,12 @@ final class GraftChangelogMicroBatchStream(table: GraftTable, pinned: Snapshot,
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(capV.getOrElse(table.currentVersion))
+    // clamp like the non-AvailableNow path below: a `changesTo` past the
+    // table's current version must cap at what exists, or latestOffset
+    // admits uncommitted versions and planInputPartitions crashes on
+    // snapshotAt of a version that was never written
+    availableNowCap = Some(
+      math.min(capV.getOrElse(table.currentVersion), table.currentVersion))
 
   /** Admission control: at most `maxVersionsPerBatch` commits per
     * micro-batch (bounded catch-up instead of one giant backlog batch);

@@ -56,9 +56,16 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int],
   // currentVersion per schema()/scan call would let a concurrent commit
   // land between analysis and execution, returning change rows the
   // analyzed range never asked for (and rebuilt the changesBetween plan
-  // on every schema() call)
-  private val toV: Int = to.getOrElse(
-    GraftTable.load(SparkSession.active, dir).currentVersion)
+  // on every schema() call). changesTo is a CAP, not an exact demand:
+  // a value past the current version clamps to what exists — without
+  // the clamp, schema pinning reads a snapshot that was never written
+  // and analysis crashes (the stream's own latestOffset keeps honoring
+  // the raw cap, so a continuous tail still follows future commits up
+  // to it)
+  private val toV: Int = {
+    val cur = GraftTable.load(SparkSession.active, dir).currentVersion
+    to.fold(cur)(w => math.min(w, cur))
+  }
 
   private def frame: DataFrame =
     GraftTable.load(SparkSession.active, dir).changesBetween(from, toV)

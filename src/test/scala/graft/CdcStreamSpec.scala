@@ -72,6 +72,21 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(streamed.select("_commit_version").distinct().count() == 3)
   }
 
+  test("changesTo past the current version clamps instead of planning nonexistent snapshots") {
+    val t = GraftTable.create(spark, tmp("cdc_clamp"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                         // v1
+    t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // v2
+    // AvailableNow + a cap far past currentVersion: before the clamp this
+    // crashed at analysis (schema pin read v99's snapshot file) and, had
+    // it analyzed, latestOffset would have admitted uncommitted versions
+    val streamed = drain(t.dir, 0,
+      Map("changesTo" -> "99", "maxVersionsPerBatch" -> "1"))
+    assert(canon(streamed) == canon(t.changesBetween(0, 2)))
+    // the batch read clamps the same way
+    assert(canon(spark.read.format("graft").option("changesFrom", 0)
+      .option("changesTo", 99).load(t.dir)) == canon(t.changesBetween(0, 2)))
+  }
+
   test("changesFrom resumes mid-history; checkpoint restart delivers only new commits") {
     val t = GraftTable.create(spark, tmp("cdc_resume"), schema, key = Seq("id"), formatVersion = 2)
     t.append(Seq((1L, "a")).toDF("id", "v"))                                    // v1
