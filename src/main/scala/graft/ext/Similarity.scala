@@ -884,7 +884,7 @@ object Similarity {
     if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
   }
 
-  private[ext] def fixedCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
+  private[graft] def fixedCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
     (0 until k).map(c => (0 until dim).map(d => centroidSign(c, d, dim)))
 
   /** Adds `cluster` (nearest fixed centroid by max dot product) and
@@ -1956,9 +1956,164 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN index MAINTENANCE UNDER CHURN — the vector-store lifecycle wall
+    * [[annIndexProbe]] stops short of: a real 100 TB deployment doesn't
+    * just append vectors, it DELETES them (GDPR erasure, corpus
+    * re-filtering) and UPDATES them (re-embedding after a model refresh),
+    * and the index must serve the post-churn state without a rebuild.
+    * This query runs the full maintenance cycle on the governed
+    * assignments table:
+    *
+    *   1. create the identity-partitioned assignments table + the FROZEN
+    *      published quantizer table; build the index (every writer
+    *      assigns under the STORED model read back off disk);
+    *   2. `upgradeFormat(2)` and DELETE a vector cohort as a
+    *      merge-on-read equality rowDelta keyed on `vec_id` — no data
+    *      rewrite, the precedent is `sql_mor_dml`;
+    *   3. UPSERT a second cohort: re-embedded vectors (deterministic
+    *      `reverse(e)` stand-in for a model refresh) re-assign under the
+    *      stored quantizer — possibly landing in a DIFFERENT cluster
+    *      partition — and replace their old rows in one atomic rowDelta
+    *      commit (equality delete on the old key + append of the new
+    *      assignment);
+    *   4. probe the merge-on-read state, then run the COMPACTION pass
+    *      (`compact()` materializes live rows and retires the delete
+    *      files) and probe the compacted state — the query `require`s
+    *      the two answers identical and that no deleted vector surfaces,
+    *      then returns the post-compaction probe.
+    *
+    * The DuckDB oracle applies the same churn arithmetically (filter the
+    * deleted cohort, `list_reverse` the updated one) and runs the plain
+    * IVF probe — a hash match proves deleted vectors never surface,
+    * updated vectors surface with their NEW similarity, and compaction
+    * preserves the answer bit-exactly. */
+  private[ext] def annIndexChurn(spark: SparkSession, dir: String,
+                                 numQueries: Int = 8, k: Int = 5,
+                                 nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    import graft.table.{GraftTable, PartitionField}
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    val e = embeddings(spark, dir)
+      .select(col("vec_id").cast(LongType).as("vec_id"),
+        toDouble(col("embedding")).as("e"))
+    val asgDir = tmp("ann_churn_asg")
+    val centDir = tmp("ann_churn_cent")
+    GraftTable.create(spark, asgDir, StructType(Seq(
+        StructField("cluster", IntegerType), StructField("vec_id", LongType),
+        StructField("e", ArrayType(DoubleType)))),
+      spec = Seq(PartitionField("cluster", "identity")))
+    GraftTable.create(spark, centDir, StructType(Seq(
+        StructField("cluster", IntegerType),
+        StructField("centroid", ArrayType(DoubleType)))))
+    import spark.implicits._
+    GraftTable.load(spark, centDir).append(
+      fixedCentroids(nClusters, dim).zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+        .select(col("cluster").cast(IntegerType),
+          col("centroid").cast(ArrayType(DoubleType))))
+    // the stored quantizer back off disk (metadata-scale collect); BOTH
+    // the writers' assignment and the readers' probe use this literal —
+    // train once, freeze, everyone serves under the same stored model
+    val stored = GraftTable.load(spark, centDir).toDF
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1))
+    require(stored.length == nClusters,
+      s"stored quantizer has ${stored.length} centroids, expected $nClusters")
+    val centLit = array(stored.toIndexedSeq.map(c =>
+      array(c.map(lit): _*)): _*)
+    def assign(df: DataFrame): DataFrame = df
+      .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+      .select(col("cluster"), col("vec_id"), col("e"))
+    GraftTable.load(spark, asgDir).append(assign(e))
+    GraftTable.load(spark, asgDir).upgradeFormat(2)
+    // CHURN 1 — DELETE cohort (erasure): pure MoR equality delete, no
+    // data rewrite; query vectors (< numQueries) are never churned
+    val deleted = col("vec_id") >= numQueries && col("vec_id") % 7 === 3
+    GraftTable.load(spark, asgDir).rowDelta(
+      e.filter(deleted).select("vec_id"),
+      assign(e).limit(0), Seq("vec_id"))
+    // CHURN 2 — UPSERT cohort (re-embedding): new vector, new assignment
+    // under the stored quantizer, one atomic delete+append commit
+    val updated = e
+      .filter(col("vec_id") >= numQueries && col("vec_id") % 11 === 5 && !deleted)
+      .select(col("vec_id"), reverse(col("e")).as("e"))
+    GraftTable.load(spark, asgDir).rowDelta(
+      updated.select("vec_id"), assign(updated), Seq("vec_id"))
+    def probe(idx: DataFrame): DataFrame = {
+      val qProbes = idx.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
+        .select(col("query_id"), col("qe"),
+          posexplode(col("__dots")).as(Seq("pcluster", "cdot")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("pcluster"))))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
+      val scored = qProbes
+        .join(idx.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qe"), col("e")).as("sim"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    }
+    // probe the MoR state, compact, probe again: the answers must be
+    // IDENTICAL (compaction is a physical rewrite, never a semantic one)
+    val mor = probe(GraftTable.load(spark, asgDir).toDF)
+    GraftTable.load(spark, asgDir).compact()
+    val compacted = probe(GraftTable.load(spark, asgDir).toDF)
+    val drift = mor.exceptAll(compacted).count() + compacted.exceptAll(mor).count()
+    require(drift == 0,
+      s"compaction changed the probe answer ($drift differing rows)")
+    val ghost = compacted.join(e.filter(deleted)
+        .select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+      .count()
+    require(ghost == 0, s"$ghost deleted vectors surfaced in the probe")
+    compacted.orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[annIndexChurn]]: the churn applied as plain
+    * arithmetic (deleted cohort filtered, updated cohort `list_reverse`d)
+    * followed by the standard IVF probe — no table layer, so the hash
+    * match grades the MoR delete/upsert/compaction lifecycle. */
+  private def annIndexChurnOracle(numQueries: Int = 8, k: Int = 5,
+                                  nClusters: Int = 16, nProbe: Int = 4,
+                                  dim: Int = 64): String = {
+    val dots = fixedCentroids(nClusters, dim)
+      .map(c => s"list_dot_product(e, ${c.mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+       |churn AS (SELECT vec_id,
+       |    CASE WHEN vec_id >= $numQueries AND vec_id % 11 = 5 THEN list_reverse(e0)
+       |         ELSE e0 END AS e
+       |  FROM raw WHERE NOT (vec_id >= $numQueries AND vec_id % 7 = 3)),
+       |a AS (SELECT vec_id, e, [
+       |    $dots] AS ds FROM churn),
+       |asn AS (SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) - 1 AS INT) AS cluster FROM a),
+       |qd AS (SELECT vec_id AS query_id, e AS qe,
+       |         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cluster, unnest(ds) AS cdot
+       |       FROM a WHERE vec_id < $numQueries),
+       |qp AS (SELECT query_id, qe, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cluster) AS crank
+       |         FROM qd) WHERE crank <= $nProbe),
+       |sc AS (SELECT qp.query_id, asn.vec_id AS neighbor_id,
+       |         list_dot_product(qp.qe, asn.e)
+       |           / (sqrt(list_dot_product(qp.qe, qp.qe)) * sqrt(list_dot_product(asn.e, asn.e))) AS sim
+       |       FROM qp JOIN asn USING (cluster) WHERE asn.vec_id <> qp.query_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_adc_topk" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "ann_index_probe" -> ((s: SparkSession, d: String) => annIndexProbe(s, d)),
+    "ann_index_churn" -> ((s: SparkSession, d: String) => annIndexChurn(s, d)),
     "margin_mining_ann" -> ((s: SparkSession, d: String) => marginMiningAnnGated(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLshGated(s, d)),
     "pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
@@ -2028,6 +2183,8 @@ object Similarity {
     // the ann_ivf oracle IS the no-table-layer computation the governed
     // index must reproduce bit-exactly after write → append → reload
     "ann_index_probe" -> annIvfOracle(),
+    // churned corpus, no table layer — grades the MoR delete/upsert/compact
+    "ann_index_churn" -> annIndexChurnOracle(),
     "embedding_pca" -> embeddingPcaOracle(),
     "abtt_correct" -> abttCorrectOracle(),
     "dedup_embedding_cosine" ->

@@ -25,6 +25,58 @@ class AnnIndexMarginSpec extends AnyFunSuite {
     viaTable.zip(direct).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("ann_index_churn: MoR delete/upsert + compaction ≡ direct serve over the churned corpus") {
+    import graft.functions.GraftFunctions.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val viaTable = ext.Similarity.queries("ann_index_churn")(spark, dir).collect()
+    val (numQueries, k, nClusters, nProbe, dim) = (8, 5, 16, 4, 64)
+    // the lifecycle law: build → MoR equality-delete → MoR upsert →
+    // compact → reload → probe must equal the probe over a corpus with
+    // the churn applied as plain arithmetic (no table layer anywhere)
+    val raw = graft.ops.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e0"))
+    val churned = raw
+      .filter(!(col("vec_id") >= numQueries && col("vec_id") % 7 === 3))
+      .select(col("vec_id"),
+        when(col("vec_id") >= numQueries && col("vec_id") % 11 === 5,
+          reverse(col("e0"))).otherwise(col("e0")).as("e"))
+    val centLit = array(ext.Similarity.fixedCentroids(nClusters, dim)
+      .map(c => array(c.map(lit): _*)): _*)
+    val assigned = churned
+      .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+    val qProbes = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        posexplode(col("__dots")).as(Seq("pcluster", "cdot")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("pcluster"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
+    val direct = qProbes
+      .join(assigned.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ext.Similarity.cosine(col("qe"), col("e")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank").collect()
+    assert(viaTable.length == direct.length && viaTable.nonEmpty)
+    viaTable.zip(direct).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    // the churn is non-vacuous at this SF: deleted ids never surface and
+    // the answer actually moved vs the un-churned index's probe
+    assert(viaTable.forall(r =>
+      !(r.getLong(1) >= numQueries && r.getLong(1) % 7 == 3)),
+      "a deleted vector surfaced as a neighbor")
+    val preChurn = ext.Similarity.queries("ann_index_probe")(spark, dir).collect()
+    assert(viaTable.toSeq != preChurn.toSeq,
+      "churn changed nothing — vacuous fixture")
+  }
+
   test("margin_mining_ann: candidate rule respected and gate passes") {
     val out = ext.Similarity.queries("margin_mining_ann")(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 50)
