@@ -105,7 +105,12 @@ object Bench {
       bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
         .invoke(bus, java.lang.Long.valueOf(5000L))
       ()
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable =>
+      // a silent fall-through here reverts to rep-bleed with no trace —
+      // the artifact would LOOK drained (ADVICE r11); one loud line
+      System.err.println(s"[bench] listener-bus drain failed " +
+        s"(${t.getClass.getSimpleName}); per-rep counters may bleed")
+    }
 
   /** (steal, softirq) jiffies from /proc/stat's aggregate cpu line — the
     * OS-level hypervisor-contention probe the r10 verdict asked for: CPU
@@ -115,12 +120,14 @@ object Bench {
   private def procSteal(): Option[(Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu ")).map { l =>
-        val f = l.trim.split("\\s+")
-        // cpu user nice system idle iowait irq softirq steal ...
-        (if (f.length > 8) f(8).toLong else 0L,
-          if (f.length > 7) f(7).toLong else 0L)
-      } finally src.close()
+      // cpu user nice system idle iowait irq softirq steal ...
+      // a kernel without the steal column must read as PROBE UNAVAILABLE
+      // (None → -1 in the artifact), not as "zero contention" (ADVICE r11)
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+"))
+        .filter(_.length > 8)
+        .map(f => (f(8).toLong, f(7).toLong))
+      finally src.close()
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
@@ -360,9 +367,11 @@ object Bench {
     val extras = results.collect { case (k, r) if r.extraReps > 0 =>
       s"\"" + k + "\":" + r.extraReps }
       .mkString("{", ",", "}")
-    // per-query (steal+softirq) seconds of the MIN rep, whole host —
-    // nonzero beside an inflated wall/cpu_s with flat gc_s is the
-    // hypervisor-contention verdict the r10 attribution table lacked
+    // per-query (steal+softirq) seconds of the MIN rep, WHOLE HOST and
+    // all processes — the key says so (steal_softirq_s, ADVICE r11) so
+    // softirq-heavy IO or unrelated host load is never over-read as pure
+    // hypervisor steal. Nonzero beside an inflated wall/cpu_s with flat
+    // gc_s is the contention verdict the r10 attribution table lacked
     // (-1 = probe unavailable)
     val steals = results.map { case (k, r) =>
       s"\"" + k + "\":" + math.rint(r.stealS * 100) / 100 }
@@ -406,8 +415,23 @@ object Bench {
     if (freshCandidates.size > toReplay.size)
       System.err.println(s"[bench] fresh-JVM replay capped at $freshCap of " +
         s"${freshCandidates.size} outliers (SPARK_GRAFT_BENCH_FRESHJVM raises)")
-    if (toReplay.nonEmpty) spark.stop() // free the heap/threads for the child
-    val freshJvm = toReplay.flatMap { q =>
+    // SMOKE replay (VERDICT r11 item 4): every FULL run replays its
+    // cheapest query unconditionally, outliers or not — the child-spawn
+    // path fails soft to None by design, so without a per-round smoke the
+    // first real outlier would exercise it cold and a spawn breakage
+    // would silently read as "no fresh-JVM data". fresh_jvm_s is
+    // therefore non-empty on every official record.
+    val smoke =
+      if (only.isEmpty)
+        results.collect { case (k, r) if r.secs > 0 => (k, r.secs) }
+          .sortBy(_._2).map(_._1).filterNot(toReplay.contains).take(1)
+      else Seq.empty
+    val replayAll = toReplay ++ smoke
+    if (replayAll.nonEmpty) {
+      spark.stop() // free the heap/threads for the child
+      System.gc()  // hint: release parent pages before the child sizes up
+    }
+    val freshJvm = replayAll.flatMap { q =>
       BenchOne.replay(q, sfDir, cpus).map(s => s"\"" + q + "\":" +
         math.rint(s * 1000) / 1000)
     }.mkString("{", ",", "}")
@@ -415,7 +439,7 @@ object Bench {
     // committedRecord parser above depends on it (new per-query columns
     // go in their own top-level keys, like rep_s/gc_s below)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"below_committed":$below,"fresh_jvm_s":$freshJvm,"committed_s":$committedCol,"first_pass_total":$firstPassTotal,"queries":$qs,"rep_s":$repsJson,"cpu_s":$cpus_,"gc_s":$gcs,"peak_mem_mb":$peaks,"steal_s":$steals,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","extra_rep_cap":$extraCap,"extra_reps":$extras,"below_committed":$below,"fresh_jvm_s":$freshJvm,"committed_s":$committedCol,"first_pass_total":$firstPassTotal,"queries":$qs,"rep_s":$repsJson,"cpu_s":$cpus_,"gc_s":$gcs,"peak_mem_mb":$peaks,"steal_softirq_s":$steals,"io_mb":$ios,"env":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by log collectors on long lines — persist the
     // full JSON beside the build so the timings always survive. bench.json

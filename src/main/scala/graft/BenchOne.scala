@@ -34,7 +34,14 @@ object BenchOne {
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-      val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+      // child heap defaults to the parent's max, overridable: the parent
+      // JVM is still RESIDENT when the child runs (spark stopped, heap
+      // hinted free via System.gc, but pages may linger) — on a
+      // memory-tight host size the child down so it can't page-thrash
+      // and misreport "fresh JVM slow too" (ADVICE r11)
+      val heapMb = sys.env.get("SPARK_GRAFT_BENCHONE_HEAP_MB").map(_.trim)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 256)
+        .getOrElse(Runtime.getRuntime.maxMemory() / (1024L * 1024L))
       val cmd = Seq(javaBin, s"-Xmx${heapMb}m", "-cp", childClasspath(),
         // same add-opens set Spark needs on 17+ (sbt passes these to the
         // parent via its fork options; the raw child must carry its own)

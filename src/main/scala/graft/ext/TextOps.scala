@@ -802,7 +802,7 @@ object TextOps {
     * shared by the graded self-join pairs query and the table-backed
     * incremental index ([[dedupIndexProbe]]) — an index built under a
     * drifted construction would silently stop colliding with probes. */
-  private def md5BandedSignature(d: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def md5BandedSignature(d: DataFrame, k: Int, bands: Int): DataFrame = {
     val p = 1000000007L
     val r = k / bands
     val tok = d.select(col("doc_id"), explode(col("toks")).as("t"))
@@ -1370,13 +1370,21 @@ object TextOps {
   /** Incremental maintenance: appends one corpus slice's banded
     * signatures + rep sets to the index tables (two plain commits). */
   private[graft] def appendDedupIndex(spark: SparkSession, idx: DedupIndex,
-                                      slice: DataFrame): Unit = {
+                                      slice: DataFrame): Unit =
+    appendDedupIndexSig(spark, idx,
+      md5BandedSignature(slice, idx.k, idx.bands), slice)
+
+  /** [[appendDedupIndex]] from the batch's PRECOMPUTED narrow
+    * projections — `sig` (doc_id, band, bh) and `ht` (doc_id, htoks) —
+    * so a caller that already persisted them (the streaming ingest loop)
+    * appends without re-deriving the signature from the token arrays. */
+  private[graft] def appendDedupIndexSig(spark: SparkSession, idx: DedupIndex,
+                                         sig: DataFrame, ht: DataFrame): Unit = {
     import graft.table.GraftTable
     GraftTable.load(spark, idx.bandsDir).append(
-      md5BandedSignature(slice, idx.k, idx.bands)
-        .select(col("band"), col("bh"), col("doc_id")))
+      sig.select(col("band"), col("bh"), col("doc_id")))
     GraftTable.load(spark, idx.repsDir).append(
-      slice.select(col("doc_id"), col("htoks")))
+      ht.select(col("doc_id"), col("htoks")))
   }
 
   /** Probes the index (loaded FRESH from disk) with a batch of
@@ -1384,21 +1392,32 @@ object TextOps {
     * Jaccard ≥ `threshold`. */
   private[graft] def probeDedupIndex(spark: SparkSession, idx: DedupIndex,
                                      batch: DataFrame,
-                                     threshold: Double): DataFrame = {
+                                     threshold: Double): DataFrame =
+    probeDedupIndexSig(spark, idx,
+      md5BandedSignature(batch, idx.k, idx.bands),
+      batch.select(col("doc_id"), col("htoks")), threshold)
+
+  /** [[probeDedupIndex]] from the batch's PRECOMPUTED narrow
+    * projections (see [[appendDedupIndexSig]]): candidates by (band, bh)
+    * equi-join against the on-disk bands table, exact-Jaccard verify
+    * against the reps table. */
+  private[graft] def probeDedupIndexSig(spark: SparkSession, idx: DedupIndex,
+                                        sig: DataFrame, ht: DataFrame,
+                                        threshold: Double): DataFrame = {
     import graft.table.GraftTable
     graft.functions.TextSignatureFunctions.register(spark)
     val bandsIdx = GraftTable.load(spark, idx.bandsDir).toDF
       .select(col("band"), col("bh"), col("doc_id").as("corp_id"))
     val corpToks = GraftTable.load(spark, idx.repsDir).toDF
       .select(col("doc_id").as("corp_id"), col("htoks").as("ct"))
-    val cand = md5BandedSignature(batch, idx.k, idx.bands)
+    val cand = sig
       .select(col("doc_id").as("in_id"), col("band"), col("bh"))
       .join(bandsIdx, Seq("band", "bh"))
       .select(col("in_id"), col("corp_id")).distinct()
     val inter = graft.functions.TextSignatureFunctions
       .sorted_intersect_count(col("t"), col("ct"))
     cand
-      .join(batch.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
+      .join(ht.select(col("doc_id").as("in_id"), col("htoks").as("t")), "in_id")
       .join(corpToks, "corp_id")
       .withColumn("jac", inter.cast(DoubleType) /
         (size(col("t")) + size(col("ct")) - inter))

@@ -61,7 +61,10 @@ final class GraftChangelogTable(dir: String, from: Int, to: Option[Int],
   // the clamp, schema pinning reads a snapshot that was never written
   // and analysis crashes (the stream's own latestOffset keeps honoring
   // the raw cap, so a continuous tail still follows future commits up
-  // to it)
+  // to it). The FROM side is symmetric by construction: changesFrom at
+  // or past the current version makes the (from, clamped-to] range
+  // empty, so both the batch read and an AvailableNow drain deliver
+  // zero rows — never a crash or a wrong range (pinned by CdcStreamSpec)
   private val toV: Int = {
     val cur = GraftTable.load(SparkSession.active, dir).currentVersion
     to.fold(cur)(w => math.min(w, cur))

@@ -1846,7 +1846,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * change row lands as a keyed upsert, no foreachBatch needed. */
   private[graft] def streamEpochUpsert(df: DataFrame, keys: Seq[String],
                                        queryId: String, epochId: Long,
-                                       orderBy: Option[String] = None): Boolean = {
+                                       orderBy: Option[String] = None,
+                                       tombstoneWhen: Option[Column] = None): Boolean = {
     var s = snapshot
     require(s.formatVersion >= 2,
       s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
@@ -1879,7 +1880,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // footer count instead of an Observation: obs.get waits on the async
     // listener bus after every commit (see writeData)
     val dRows = footerRowCount(s"$dir/$dsub")
-    val (rsub, nrows) = writeData(rows, s)
+    // tombstones: every row's key joins the delete file above (retiring
+    // the stored row), but rows matching `tombstoneWhen` are EXCLUDED
+    // from the data write — the key ends the epoch with no stored row at
+    // all (a group drained to zero leaves the MV, not a zero husk)
+    val live = tombstoneWhen.map(c => rows.filter(!c)).getOrElse(rows)
+    val (rsub, nrows) = writeData(live, s)
     rows.unpersist()
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)

@@ -87,6 +87,27 @@ class CdcStreamSpec extends AnyFunSuite {
       .option("changesTo", 99).load(t.dir)) == canon(t.changesBetween(0, 2)))
   }
 
+  test("changesFrom past the current version degrades to EMPTY, not a crash or wrong range") {
+    // the clamp's symmetry check (VERDICT r11 item 7): a FROM bound in
+    // the future is semantically "changes after v" where nothing after v
+    // exists yet — both paths must deliver zero rows. A continuous tail
+    // started there would legitimately wait for v+1; AvailableNow drains
+    // immediately with nothing, and the batch read's (from, clamped-to]
+    // range is empty by construction.
+    val t = GraftTable.create(spark, tmp("cdc_fromfut"), schema, key = Seq("id"), formatVersion = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                         // v1
+    t.rowDelta(Seq(1L).toDF("id"), Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // v2
+    val streamed = drain(t.dir, 99)
+    assert(streamed.count() == 0,
+      s"future changesFrom must stream nothing, got ${canon(streamed)}")
+    assert(spark.read.format("graft").option("changesFrom", 99)
+      .load(t.dir).count() == 0, "future changesFrom must batch-read empty")
+    // and exactly AT the current version: also empty (nothing after v2)
+    assert(drain(t.dir, 2).count() == 0)
+    assert(spark.read.format("graft").option("changesFrom", 2)
+      .load(t.dir).count() == 0)
+  }
+
   test("changesFrom resumes mid-history; checkpoint restart delivers only new commits") {
     val t = GraftTable.create(spark, tmp("cdc_resume"), schema, key = Seq("id"), formatVersion = 2)
     t.append(Seq((1L, "a")).toDF("id", "v"))                                    // v1
@@ -183,9 +204,10 @@ class CdcStreamSpec extends AnyFunSuite {
         StructField("bal", DecimalType(18, 2))))
       val base = GraftTable.create(spark, tmp("mvl_base"), s, key = Seq("id"), formatVersion = 2)
       val rows = Seq((1L, "A", BigDecimal("10.00")), (2L, "B", BigDecimal("20.00")),
-        (3L, "A", BigDecimal("30.00")), (4L, "B", BigDecimal("40.00")))
+        (3L, "A", BigDecimal("30.00")), (4L, "B", BigDecimal("40.00")),
+        (5L, "C", BigDecimal("50.00")), (6L, "C", BigDecimal("60.00")))
         .toDF("id", "seg", "bal").select($"id", $"seg", $"bal".cast(DecimalType(18, 2)).as("bal"))
-      base.append(rows.filter($"id" <= 2))                                      // v1
+      base.append(rows.filter($"id" <= 2 || $"id" === 5))                       // v1
       val mvDir = tmp("mvl_mv")
       val mv0 = base.toDF.groupBy($"seg")
         .agg(count(lit(1)).as("n"), sum($"bal").cast(dec).as("total"))
@@ -203,6 +225,13 @@ class CdcStreamSpec extends AnyFunSuite {
         Seq((1L, "A", BigDecimal("110.00"))).toDF("id", "seg", "bal")
           .select($"id", $"seg", $"bal".cast(DecimalType(18, 2)).as("bal")),
         Seq("id"))                                                               // v3
+      // v4 drains groups B and C to ZERO — the tombstone path: under BOTH
+      // splits the fold must retire the keys entirely (absent, not n=0)
+      base.rowDelta(Seq(2L, 4L, 5L).toDF("id"), rows.limit(0), Seq("id"))        // v4
+      // v5 REVIVES C — insert after tombstone must re-enter from zero via
+      // the left_outer fold (split mode: a fresh key; catch-up mode: C's
+      // net delta never drains — both must land n=1/total=60.00)
+      base.append(rows.filter($"id" === 6))                                      // v5
       var r = spark.readStream.format("graft").option("changesFrom", 1)
       if (split) r = r.option("maxVersionsPerBatch", 1)
       val q = r.load(base.dir).writeStream
@@ -223,6 +252,13 @@ class CdcStreamSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum($"bal").cast(DecimalType(28, 2)).as("total"))
       .orderBy("seg").as[(String, Long, BigDecimal)].collect().toSeq
     assert(split == recompute, "maintained MV diverged from the full recompute")
+    // the drained group is PHYSICALLY absent from the maintained MV —
+    // same as the recompute's GROUP BY, which never sees a B row
+    assert(!split.exists(_._1 == "B"), s"drained group B left a husk: $split")
+    assert(split.exists(_._1 == "A"), "group A must survive the drain")
+    // revive-after-tombstone: C drained at v4, re-entered at v5
+    assert(split.find(_._1 == "C").exists(c =>
+      c._2 == 1L && c._3 == BigDecimal("60.00")), s"revived group C wrong: $split")
     // EXACTLY-ONCE: a post-crash replay of an already-committed batch
     // (same consumerId + batchId, recomputed stale fold) must no-op via
     // the MV table's epoch ledger — deltas can never double-apply
