@@ -546,7 +546,10 @@ object StreamOps {
     val upd = cust.filter(col("id") % 10 === 2)
       .withColumn("bal", (col("bal") + 100).cast(DecimalType(18, 2)))
     base.rowDelta(upd.select(col("id")), upd, Seq("id"))              // v3: upsert
-    base.rowDelta(base.toDF.filter(col("seg") === "MACHINERY").select(col("id")),
+    // drain keys come from the source frame: base membership is exactly
+    // cust (v1+v2 insert all rows, v3 upserts in place), so the delete
+    // key set is identical without an extra MoR read of the base table
+    base.rowDelta(cust.filter(col("seg") === "MACHINERY").select(col("id")),
       cust.limit(0), Seq("id"))                                       // v4: drain a group
     // the CDC tail from v1 keeps the MV current, one atomic MV commit per
     // micro-batch (exactly-once by the epoch ledger + AvailableNow). The
