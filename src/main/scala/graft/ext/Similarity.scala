@@ -1924,7 +1924,7 @@ object Similarity {
     GraftTable.load(spark, asgDir).append(assigned.filter(col("vec_id") % 3 =!= 0))
     GraftTable.load(spark, asgDir).append(assigned.filter(col("vec_id") % 3 === 0))
     // reload BOTH tables from disk; everything below reads only them
-    val idx = GraftTable.load(spark, asgDir).toDF
+    val idxT = GraftTable.load(spark, asgDir)
     // the stored quantizer back off disk: nClusters × dim doubles —
     // metadata-scale collect (the annIvf contract: centroids ride the
     // plan as a literal; codegen'd map-side probe-dot computation)
@@ -1935,7 +1935,7 @@ object Similarity {
       s"stored quantizer has ${stored.length} centroids, expected $nClusters")
     val centLit = array(stored.toIndexedSeq.map(c =>
       array(c.map(lit): _*)): _*)
-    val qProbes = idx.filter(col("vec_id") < numQueries)
+    val qProbes = idxT.toDF.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
       .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
       .select(col("query_id"), col("qe"),
@@ -1944,6 +1944,14 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("pcluster"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
+    // the probed-bucket set is quantizer-scale (≤ numQueries × nProbe)
+    // by construction — collect it and PUSH it into the index scan, so
+    // the serve reads only the probed identity partitions instead of
+    // joining against the whole index (at 100 TB probe cost must be
+    // proportional to probed buckets, not index size)
+    val probed = qProbes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = idxT.scan(col("cluster").isInCollection(probed))
     val scored = qProbes
       .join(idx.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -2042,8 +2050,8 @@ object Similarity {
       .select(col("vec_id"), reverse(col("e")).as("e"))
     GraftTable.load(spark, asgDir).rowDelta(
       updated.select("vec_id"), assign(updated), Seq("vec_id"))
-    def probe(idx: DataFrame): DataFrame = {
-      val qProbes = idx.filter(col("vec_id") < numQueries)
+    def probe(idxT: GraftTable): DataFrame = {
+      val qProbes = idxT.toDF.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
         .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
         .select(col("query_id"), col("qe"),
@@ -2052,6 +2060,12 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("pcluster"))))
         .filter(col("crank") <= nProbe)
         .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
+      // probed-bucket set pushed into the scan (see annIndexProbe): the
+      // MoR state reads delete-aware full-scan-filtered — COMPACTION
+      // RESTORES PRUNABILITY, part of what the maintenance pass buys
+      val probedBuckets = qProbes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val idx = idxT.scan(col("cluster").isInCollection(probedBuckets))
       val scored = qProbes
         .join(idx.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -2064,9 +2078,9 @@ object Similarity {
     }
     // probe the MoR state, compact, probe again: the answers must be
     // IDENTICAL (compaction is a physical rewrite, never a semantic one)
-    val mor = probe(GraftTable.load(spark, asgDir).toDF)
+    val mor = probe(GraftTable.load(spark, asgDir))
     GraftTable.load(spark, asgDir).compact()
-    val compacted = probe(GraftTable.load(spark, asgDir).toDF)
+    val compacted = probe(GraftTable.load(spark, asgDir))
     val drift = mor.exceptAll(compacted).count() + compacted.exceptAll(mor).count()
     require(drift == 0,
       s"compaction changed the probe answer ($drift differing rows)")
