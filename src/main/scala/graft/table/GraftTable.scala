@@ -1890,8 +1890,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
-      require(b.deletes.isEmpty || b.deletes.head.keys == keys,
-        s"concurrent rowDelta with different key set ${b.deletes.head.keys} vs $keys")
+      // EQUALITY-delete keys only: a pending positional delete file
+      // ((_file,_pos) — deleteWherePositional) coexists with any
+      // equality key set and must not fail the sink's upsert (found by
+      // TableModelFuzzSpec: epoch upsert after a positional DELETE)
+      require(GraftTable.equalityDeleteKeys(b).forall(_ == keys),
+        s"concurrent rowDelta with different key set " +
+          s"${GraftTable.equalityDeleteKeys(b)} vs $keys")
       b.copy(version = v, op = "rowdelta",
         dataDirs =
           if (nrows != 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,

@@ -42,7 +42,7 @@ class TableModelFuzzSpec extends AnyFunSuite {
     def snap(): Unit = history += ((GraftTable.load(spark, dir).snapshot.version, model))
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 | 1 => // append new keys (occasionally an empty batch)
           val n = rnd.nextInt(30)
           val rows = (0 until n).map { _ =>
@@ -88,6 +88,28 @@ class TableModelFuzzSpec extends AnyFunSuite {
             case 2 => t.expireSnapshots(keepLast = 3)
           }
           // no snap(): maintenance must not change logical state
+        case 8 => // streaming epoch upsert with TOMBSTONES (v < 0 retires
+          // the key — the MV group-drain path) + ledger replay rejection
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6))
+          val fresh = (0 until rnd.nextInt(3)).map { _ => nextId += 1; nextId }
+          val keys = existing ++ fresh
+          if (keys.nonEmpty) {
+            val rows = keys.map(k =>
+              k -> (s"e${rnd.nextInt(5)}", rnd.nextInt(1000) / 10.0 - 20.0))
+            val applied = GraftTable.load(spark, dir).streamEpochUpsert(
+              toDf(rows), Seq("id"), "fuzz", i.toLong,
+              tombstoneWhen = Some(col("v") < 0))
+            assert(applied, s"seed=$seed op=$i: fresh epoch $i rejected")
+            model = model -- rows.filter(_._2._2 < 0).map(_._1) ++
+              rows.filter(_._2._2 >= 0)
+            snap()
+            // exactly-once: replaying the SAME epoch (stale fold) no-ops
+            val replayed = GraftTable.load(spark, dir).streamEpochUpsert(
+              toDf(rows.map { case (k, (nm, _)) => k -> (nm, 9999.0) }),
+              Seq("id"), "fuzz", i.toLong,
+              tombstoneWhen = Some(col("v") < 0))
+            assert(!replayed, s"seed=$seed op=$i: epoch $i re-applied")
+          }
       }
       if (i % 5 == 0 || i == nOps)
         assert(readBack(GraftTable.load(spark, dir)) === model,
