@@ -40,6 +40,11 @@ class TableModelFuzzSpec extends AnyFunSuite {
     // version -> model state after that commit (for asOf probes)
     val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Model)]
     def snap(): Unit = history += ((GraftTable.load(spark, dir).snapshot.version, model))
+    // CDC-algebra anchor: the last (version, model) the changelog fold
+    // was checked from (advances past inexpressible windows)
+    var anchorV = GraftTable.load(spark, dir).snapshot.version
+    var anchorModel: Model = model
+    var foldChecks = 0
 
     (1 to nOps).foreach { i =>
       rnd.nextInt(9) match {
@@ -111,10 +116,37 @@ class TableModelFuzzSpec extends AnyFunSuite {
             assert(!replayed, s"seed=$seed op=$i: epoch $i re-applied")
           }
       }
-      if (i % 5 == 0 || i == nOps)
+      if (i % 5 == 0 || i == nOps) {
         assert(readBack(GraftTable.load(spark, dir)) === model,
           s"seed=$seed op=$i: table diverged from model")
+        // CDC-ALGEBRA LAW: folding the changelog of (anchorV, curV] over
+        // the anchor's model state must land exactly on today's model —
+        // per version, delete pre-images retire keys, then inserts apply
+        // (the upsert order). Windows crossing overwrite/rewrite/expired
+        // commits are inexpressible by contract and skip (anchor still
+        // advances, so every expressible window is eventually checked).
+        val curV = GraftTable.load(spark, dir).snapshot.version
+        val chOpt =
+          try Some(GraftTable.load(spark, dir).changesBetween(anchorV, curV)
+            .select("id", "nm", "v", "_change_type", "_commit_version").collect())
+          catch { case _: Exception => None }
+        chOpt.foreach { ch =>
+          var st = anchorModel
+          ch.groupBy(_.getInt(4)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+            val (dels, ins) = rows.partition(_.getString(3) == "delete")
+            st = st -- dels.map(_.getLong(0))
+            st ++= ins.map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+          }
+          assert(st === model,
+            s"seed=$seed op=$i: changelog fold ($anchorV,$curV] diverged from model")
+          foldChecks += 1
+        }
+        anchorV = curV
+        anchorModel = model
+      }
     }
+    assert(foldChecks > 0,
+      s"seed=$seed: CDC-algebra law never checked an expressible window (vacuous)")
     // time travel: sampled historical states must reproduce exactly —
     // only for versions still materializable (expireSnapshots(keepLast=3)
     // may have erased older ones; those must THROW, not lie)
