@@ -77,6 +77,21 @@ class AnnIndexMarginSpec extends AnyFunSuite {
       "churn changed nothing — vacuous fixture")
   }
 
+  test("ann_index_refresh: post-swap serve ≡ direct IVF under the new model; refresh moved the answer") {
+    // the internal requires pin serving continuity (time-travel probe ==
+    // pre-refresh serve); here: the graded post-refresh answer equals the
+    // no-table-layer direct serve under the 24-centroid model, and the
+    // refresh is non-vacuous (some query's neighbors changed)
+    val refreshed = ext.Similarity.queries("ann_index_refresh")(spark, dir).collect()
+    val directNew = ext.Similarity.annIvf(spark, dir, nClusters = 24,
+      quantizer = Some(ext.Similarity.fixedCentroids(24, 64))).collect()
+    assert(refreshed.length == directNew.length && refreshed.nonEmpty)
+    refreshed.zip(directNew).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    val underOld = ext.Similarity.queries("ann_index_probe")(spark, dir).collect()
+    assert(refreshed.toSeq != underOld.toSeq,
+      "quantizer refresh changed nothing — vacuous model swap")
+  }
+
   test("margin_mining_ann: candidate rule respected and gate passes") {
     val out = ext.Similarity.queries("margin_mining_ann")(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 50)
