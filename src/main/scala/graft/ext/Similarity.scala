@@ -2095,19 +2095,28 @@ object Similarity {
     * store (after [[annIndexProbe]]'s build/serve and [[annIndexChurn]]'s
     * churn): the coarse quantizer is retrained (here: the published
     * 16-centroid model is superseded by the 24-centroid one) and the
-    * index must cut over WITHOUT serving downtime. The refresh is two
-    * atomic overwrites: the centroid table swaps to the new model, and
-    * the assignments table rewrites in ONE distributed map-side pass
-    * (every vector re-assigns under the stored new model — argmax over
-    * centroid dots, no shuffle beyond the partitioned write). Readers
-    * pinned to the pre-refresh snapshot keep serving the OLD model via
-    * time travel — the query `require`s that the as-of probe under the
-    * as-of centroids reproduces the pre-refresh answer EXACTLY, the
-    * zero-downtime rollout contract snapshot isolation buys.
+    * index must cut over WITHOUT serving downtime or a consistency
+    * window.
     *
-    * The graded answer is the post-refresh probe under the reloaded new
-    * quantizer; the oracle is [[annIvfOracle]] at 24 clusters, so the
-    * hash match proves the swap landed bit-exactly. */
+    * Per-table snapshot isolation alone is NOT enough: writing the new
+    * centroids and then rewriting the assignments leaves a window where
+    * a reader pairs NEW centroids with OLD assignments (probe buckets
+    * computed under a model the assignments don't follow — silently
+    * wrong neighbors). The cutover therefore goes through a MANIFEST
+    * table — one row naming the published (centroid version, assignment
+    * version) pair. Writers stage both tables first (overwrites, each
+    * atomic but unpublished); the manifest overwrite is the SINGLE
+    * atomic publish. Every serve resolves the manifest row and reads
+    * both tables `asOf` its pinned versions, so a crash between staging
+    * and publish leaves readers on the old model CONSISTENTLY, and a
+    * reader pinned to the pre-refresh manifest snapshot keeps serving
+    * the OLD model exactly (the query `require`s it) — the same
+    * pointer-swap pattern an Iceberg catalog's atomic table-pointer
+    * commit provides across files.
+    *
+    * The graded answer is the post-refresh serve through the manifest;
+    * the oracle is [[annIvfOracle]] at 24 clusters, so the hash match
+    * proves the published cutover landed bit-exactly. */
   private[ext] def annIndexRefresh(spark: SparkSession, dir: String,
                                    numQueries: Int = 8, k: Int = 5,
                                    oldClusters: Int = 16, newClusters: Int = 24,
@@ -2121,6 +2130,7 @@ object Similarity {
         toDouble(col("embedding")).as("e"))
     val asgDir = tmp("ann_refresh_asg")
     val centDir = tmp("ann_refresh_cent")
+    val manDir = tmp("ann_refresh_manifest")
     GraftTable.create(spark, asgDir, StructType(Seq(
         StructField("cluster", IntegerType), StructField("vec_id", LongType),
         StructField("e", ArrayType(DoubleType)))),
@@ -2128,21 +2138,41 @@ object Similarity {
     GraftTable.create(spark, centDir, StructType(Seq(
         StructField("cluster", IntegerType),
         StructField("centroid", ArrayType(DoubleType)))))
+    GraftTable.create(spark, manDir, StructType(Seq(
+        StructField("model_id", IntegerType),
+        StructField("cent_v", IntegerType), StructField("asg_v", IntegerType))))
     import spark.implicits._
-    def publish(model: Seq[Seq[Double]]): Unit =
+    def stageModel(model: Seq[Seq[Double]]): Int = {
       GraftTable.load(spark, centDir).overwrite(
         model.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
           .select(col("cluster").cast(IntegerType),
             col("centroid").cast(ArrayType(DoubleType))))
-    def storedModel(centT: DataFrame): IndexedSeq[Seq[Double]] =
-      centT.orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
+      GraftTable.load(spark, centDir).currentVersion
+    }
+    def publish(modelId: Int, centV: Int, asgV: Int): Unit =
+      GraftTable.load(spark, manDir).overwrite(
+        Seq((modelId, centV, asgV)).toDF("model_id", "cent_v", "asg_v")
+          .select(col("model_id").cast(IntegerType),
+            col("cent_v").cast(IntegerType), col("asg_v").cast(IntegerType)))
     def assign(df: DataFrame, centLit: Column): DataFrame = df
       .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
       .withColumn("cluster",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
       .select(col("cluster"), col("vec_id"), col("e"))
-    def probe(idxAll: DataFrame, idxOf: Column => DataFrame,
-              centLit: Column): DataFrame = {
+    // every serve resolves the manifest row (optionally at a pinned
+    // manifest version) and reads BOTH tables asOf its named versions —
+    // the only reader protocol; nobody reads "latest" of either table
+    def serve(manifestV: Option[Int] = None): DataFrame = {
+      val man = manifestV.fold(GraftTable.load(spark, manDir).toDF)(v =>
+        GraftTable.load(spark, manDir).asOf(v)).collect()
+      require(man.length == 1, s"manifest must hold exactly one row, got ${man.length}")
+      val (centV, asgV) = (man(0).getInt(1), man(0).getInt(2))
+      val stored = GraftTable.load(spark, centDir).asOf(centV)
+        .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
+      val centLit = array(stored.map(c => array(c.map(lit): _*)): _*)
+      val asgT = GraftTable.load(spark, asgDir)
+      val current = asgV == asgT.currentVersion
+      val idxAll = if (current) asgT.toDF else asgT.asOf(asgV)
       val qProbes = idxAll.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
         .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
@@ -2154,7 +2184,10 @@ object Similarity {
         .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
       val probedBuckets = qProbes.select(col("cluster")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val idx = idxOf(col("cluster").isInCollection(probedBuckets))
+      val pruneP = col("cluster").isInCollection(probedBuckets)
+      // probed-bucket partition pruning applies on the published-latest
+      // path (the hot serve); historical as-of serves read-and-filter
+      val idx = if (current) asgT.scan(pruneP) else idxAll.filter(pruneP)
       val scored = qProbes
         .join(idx.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -2164,42 +2197,39 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }
-    // BUILD + SERVE under the old published model
-    publish(fixedCentroids(oldClusters, dim))
-    val oldStored = storedModel(GraftTable.load(spark, centDir).toDF)
+    // BUILD: stage old model + assignments, then the atomic publish
+    val centV1 = stageModel(fixedCentroids(oldClusters, dim))
+    val oldStored = GraftTable.load(spark, centDir).asOf(centV1)
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
     require(oldStored.length == oldClusters)
     val oldLit = array(oldStored.map(c => array(c.map(lit): _*)): _*)
     GraftTable.load(spark, asgDir).append(assign(e, oldLit))
-    val asgPreV = GraftTable.load(spark, asgDir).currentVersion
-    val centPreV = GraftTable.load(spark, centDir).currentVersion
-    val preT = GraftTable.load(spark, asgDir)
-    val pre = probe(preT.toDF, p => preT.scan(p), oldLit)
-      .orderBy("query_id", "rank").collect()
-    // REFRESH: publish the retrained model, rewrite assignments in one
-    // map-side pass under the STORED new model (read back off disk)
-    publish(fixedCentroids(newClusters, dim))
-    val newStored = storedModel(GraftTable.load(spark, centDir).toDF)
+    publish(oldClusters, centV1, GraftTable.load(spark, asgDir).currentVersion)
+    val manPreV = GraftTable.load(spark, manDir).currentVersion
+    val pre = serve().collect()
+    // REFRESH: stage the retrained model and the one-pass re-assign
+    // (both unpublished — a crash here leaves readers on the old model
+    // consistently), then the manifest overwrite IS the cutover
+    val centV2 = stageModel(fixedCentroids(newClusters, dim))
+    val newStored = GraftTable.load(spark, centDir).asOf(centV2)
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
     require(newStored.length == newClusters,
-      s"stored refreshed quantizer has ${newStored.length} centroids")
+      s"staged refreshed quantizer has ${newStored.length} centroids")
     val newLit = array(newStored.map(c => array(c.map(lit): _*)): _*)
     GraftTable.load(spark, asgDir).overwrite(
       assign(GraftTable.load(spark, asgDir).toDF.select(col("vec_id"), col("e")),
         newLit))
-    // SERVING CONTINUITY: a reader pinned to the pre-refresh snapshots
-    // still serves the OLD model's exact answer via time travel
-    val asgOld = GraftTable.load(spark, asgDir).asOf(asgPreV)
-    val centOld = GraftTable.load(spark, centDir).asOf(centPreV)
-    val oldAgain = array(storedModel(centOld).map(c => array(c.map(lit): _*)): _*)
-    val timeTravel = probe(asgOld, p => asgOld.filter(p), oldAgain)
-      .orderBy("query_id", "rank").collect()
+    publish(newClusters, centV2, GraftTable.load(spark, asgDir).currentVersion)
+    // SERVING CONTINUITY: a reader pinned to the pre-refresh manifest
+    // still serves the OLD model's exact answer
+    val timeTravel = serve(Some(manPreV)).collect()
     require(timeTravel.sameElements(pre),
-      "time-travel probe diverged from the pre-refresh serve — " +
-        "snapshot isolation broken across the quantizer swap")
-    // the graded answer: the post-refresh serve under the new model
-    val postT = GraftTable.load(spark, asgDir)
-    probe(postT.toDF, p => postT.scan(p), newLit)
-      .orderBy("query_id", "rank")
+      "pinned-manifest serve diverged from the pre-refresh answer — " +
+        "the pointer-swap cutover leaked")
+    // the graded answer: the published post-refresh serve
+    serve()
   }
 
   /** DuckDB mirror of [[annIndexChurn]]: the churn applied as plain
