@@ -2077,10 +2077,12 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
     }
     // probe the MoR state, compact, probe again: the answers must be
-    // IDENTICAL (compaction is a physical rewrite, never a semantic one)
-    val mor = probe(GraftTable.load(spark, asgDir))
+    // IDENTICAL (compaction is a physical rewrite, never a semantic one).
+    // Each probe materializes ONCE (localCheckpoint) — the drift/ghost
+    // requires and the final collect otherwise re-execute it per action.
+    val mor = probe(GraftTable.load(spark, asgDir)).localCheckpoint(true)
     GraftTable.load(spark, asgDir).compact()
-    val compacted = probe(GraftTable.load(spark, asgDir))
+    val compacted = probe(GraftTable.load(spark, asgDir)).localCheckpoint(true)
     val drift = mor.exceptAll(compacted).count() + compacted.exceptAll(mor).count()
     require(drift == 0,
       s"compaction changed the probe answer ($drift differing rows)")

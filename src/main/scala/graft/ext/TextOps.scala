@@ -1476,6 +1476,90 @@ object TextOps {
        |banded AS ($bandSelects)""".stripMargin
   }
 
+  /** ERASURE from the governed dedup index — the right-to-be-forgotten
+    * flow of a 100 TB corpus, applied to [[dedupIndexProbe]]'s banded
+    * index: after the incremental build, an erasure cohort
+    * (`doc_id % 13 == 7`) leaves BOTH index tables as merge-on-read
+    * equality rowDeltas keyed on `doc_id` — 8 band rows and 1 reps row
+    * per doc retire with NO data rewrite, the only erasure shape that
+    * stays affordable at index scale. The probe then runs against the
+    * MoR state, `compact()` retires the delete files on both tables, and
+    * the probe re-runs on the compacted state — the query `require`s the
+    * two answers identical and that no erased doc ever surfaces as a
+    * match. The DuckDB oracle filters the cohort arithmetically from the
+    * corpus side of the shared banding CTEs, so the hash match proves
+    * erased docs are unfindable through every candidate path (band
+    * collision AND exact-Jaccard verify) after a pure-metadata delete. */
+  private[graft] def dedupIndexErasure(spark: SparkSession, dir: String,
+                                       incomingSource: String = "src0",
+                                       k: Int = 64, bands: Int = 8,
+                                       threshold: Double = 0.9): DataFrame = {
+    import graft.table.GraftTable
+    val docs = md5DocSets(
+      documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+    val corpus = docs.filter(col("source") =!= incomingSource)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = createDedupIndex(spark, k, bands)
+      appendDedupIndex(spark, idx, corpus.filter(col("doc_id") % 3 =!= 0))
+      appendDedupIndex(spark, idx, corpus.filter(col("doc_id") % 3 === 0))
+      // ERASE: the cohort leaves both index tables (MoR, no rewrite)
+      val erased = corpus.filter(col("doc_id") % 13 === 7).select(col("doc_id"))
+      Seq(idx.bandsDir, idx.repsDir).foreach { d =>
+        GraftTable.load(spark, d).upgradeFormat(2)
+        GraftTable.load(spark, d).rowDelta(erased,
+          GraftTable.load(spark, d).toDF.limit(0), Seq("doc_id"))
+      }
+      val incoming = docs.filter(col("source") === incomingSource)
+      // the incoming batch's narrow projections compute ONCE and feed
+      // both probes; each probe materializes ONCE (localCheckpoint) —
+      // the drift/ghost requires and the caller's collect otherwise
+      // re-execute the whole banding join per action
+      val sig = md5BandedSignature(incoming, idx.k, idx.bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ht = incoming.select(col("doc_id"), col("htoks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mor = probeDedupIndexSig(spark, idx, sig, ht, threshold)
+          .localCheckpoint(true)
+        Seq(idx.bandsDir, idx.repsDir).foreach(d =>
+          GraftTable.load(spark, d).compact())
+        val compacted = probeDedupIndexSig(spark, idx, sig, ht, threshold)
+          .localCheckpoint(true)
+        val drift = mor.exceptAll(compacted).count() +
+          compacted.exceptAll(mor).count()
+        require(drift == 0,
+          s"compaction changed the probe answer ($drift differing rows)")
+        val ghosts = compacted
+          .join(erased.select(col("doc_id").as("corp_id")), Seq("corp_id")).count()
+        require(ghosts == 0, s"$ghosts erased docs surfaced as dedup matches")
+        compacted
+      } finally { sig.unpersist(); ht.unpersist() }
+    } finally corpus.unpersist()
+  }
+
+  private def dedupIndexErasureOracle(incomingSource: String = "src0",
+                                      k: Int = 64, bands: Int = 8,
+                                      threshold: Double = 0.9): String = {
+    s"""WITH ${md5BandedSqlCtes(k, bands, extraCols = "source,")},
+       |src AS (SELECT doc_id, source FROM d0),
+       |cand AS (SELECT DISTINCT bi.doc_id AS in_id, bc.doc_id AS corp_id
+       |         FROM banded bi JOIN src si ON si.doc_id = bi.doc_id
+       |         JOIN banded bc ON bi.band = bc.band AND bi.bh = bc.bh
+       |         JOIN src sc ON sc.doc_id = bc.doc_id
+       |         WHERE si.source = '$incomingSource' AND sc.source <> '$incomingSource'
+       |           AND bc.doc_id % 13 <> 7),
+       |v AS (SELECT c.in_id, c.corp_id,
+       |        len(list_intersect(ra.htoks, rb.htoks)) AS inter,
+       |        len(ra.htoks) AS an, len(rb.htoks) AS bn
+       |      FROM cand c JOIN rh ra ON ra.doc_id = c.in_id
+       |                  JOIN rh rb ON rb.doc_id = c.corp_id)
+       |SELECT in_id, corp_id,
+       |       ROUND(CAST(inter AS DOUBLE) / (an + bn - inter), 4) AS jac
+       |FROM v WHERE CAST(inter AS DOUBLE) / (an + bn - inter) >= $threshold
+       |ORDER BY in_id, corp_id""".stripMargin
+  }
+
   private def dedupIndexProbeOracle(incomingSource: String = "src0",
                                     k: Int = 64, bands: Int = 8,
                                     threshold: Double = 0.9): String = {
@@ -1722,6 +1806,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_incoming" -> ((s: SparkSession, d: String) => dedupIncoming(s, d)),
     "dedup_index_probe" -> ((s: SparkSession, d: String) => dedupIndexProbe(s, d)),
+    "dedup_index_erasure" -> ((s: SparkSession, d: String) => dedupIndexErasure(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => clustersExactQuery(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashMd5PairsQuery(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashMd5GatedQuery(s, d)),
@@ -1757,6 +1842,7 @@ object TextOps {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_normalized" -> dedupNormalizedOracle,
     "dedup_index_probe" -> dedupIndexProbeOracle(),
+    "dedup_index_erasure" -> dedupIndexErasureOracle(),
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
