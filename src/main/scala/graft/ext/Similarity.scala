@@ -2172,9 +2172,12 @@ object Similarity {
       val stored = GraftTable.load(spark, centDir).asOf(centV)
         .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
       val centLit = array(stored.map(c => array(c.map(lit): _*)): _*)
+      // PINNED-snapshot reads only: the manifest names (cent_v, asg_v)
+      // and every read below resolves exactly those versions — never
+      // "latest" (a commit landing mid-serve must not change the answer;
+      // branching on currentVersion then re-reading latest would race)
       val asgT = GraftTable.load(spark, asgDir)
-      val current = asgV == asgT.currentVersion
-      val idxAll = if (current) asgT.toDF else asgT.asOf(asgV)
+      val idxAll = asgT.asOf(asgV)
       val qProbes = idxAll.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
         .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
@@ -2186,10 +2189,10 @@ object Similarity {
         .select(col("query_id"), col("qe"), col("pcluster").as("cluster"))
       val probedBuckets = qProbes.select(col("cluster")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val pruneP = col("cluster").isInCollection(probedBuckets)
-      // probed-bucket partition pruning applies on the published-latest
-      // path (the hot serve); historical as-of serves read-and-filter
-      val idx = if (current) asgT.scan(pruneP) else idxAll.filter(pruneP)
+      // probed-bucket partition pruning against the PINNED snapshot —
+      // scanAsOf prunes identity partitions at any version, so the hot
+      // serve and historical serves share one code path
+      val idx = asgT.scanAsOf(asgV, col("cluster").isInCollection(probedBuckets))
       val scored = qProbes
         .join(idx.select(col("vec_id"), col("e"), col("cluster")), Seq("cluster"))
         .filter(col("vec_id") =!= col("query_id"))

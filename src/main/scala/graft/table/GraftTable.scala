@@ -1118,9 +1118,23 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     *     soundness rule: missing sidecar keeps the dir.
     *
     * Falls back to a plain filtered read when nothing is derivable. */
-  def scan(pred: Column): DataFrame = {
-    val s = snapshot
-    if (s.deletes.nonEmpty || s.dataDirs.isEmpty) return toDF.filter(pred)
+  def scan(pred: Column): DataFrame = scanAt(snapshot, pred)
+
+  /** [[scan]] against a PINNED version — the reader-protocol shape for
+    * manifest-published indexes (ann_index_refresh): resolve the
+    * published version once, then prune and read that exact snapshot.
+    * Branching on `currentVersion` and then calling [[scan]] is racy — a
+    * commit landing between the check and the scan serves a different
+    * version than the one checked. */
+  def scanAsOf(version: Int, pred: Column): DataFrame = {
+    val s = snapshotAt(version)
+    require(s.op != "expired",
+      s"snapshot v$version has been expired (expireSnapshots); cannot scan it")
+    scanAt(s, pred)
+  }
+
+  private def scanAt(s: Snapshot, pred: Column): DataFrame = {
+    if (s.deletes.nonEmpty || s.dataDirs.isEmpty) return dfAt(s).filter(pred)
     val live = rangeLiveDirs(s, bloomLiveDirs(s, pred), pred)
     if (live.isEmpty) return emptyDF(s)
     // spec evolution: each dir group is pruned and read under the spec
@@ -1883,8 +1897,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // tombstones: every row's key joins the delete file above (retiring
     // the stored row), but rows matching `tombstoneWhen` are EXCLUDED
     // from the data write — the key ends the epoch with no stored row at
-    // all (a group drained to zero leaves the MV, not a zero husk)
-    val live = tombstoneWhen.map(c => rows.filter(!c)).getOrElse(rows)
+    // all (a group drained to zero leaves the MV, not a zero husk).
+    // NULL predicate means NOT tombstoned: `!c` alone would drop a
+    // NULL-evaluating row from the data write while its key still lands
+    // in the delete file — a silent tombstone under three-valued logic
+    val live = tombstoneWhen
+      .map(c => rows.filter(!coalesce(c, lit(false)))).getOrElse(rows)
     val (rsub, nrows) = writeData(live, s)
     rows.unpersist()
     commit(s.version + 1)((rebase, v) => {
