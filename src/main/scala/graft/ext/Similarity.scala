@@ -1928,7 +1928,7 @@ object Similarity {
     * sidecars are all dir-relative (GraftTable.scala:378), so the copy
     * is a fully independent table a mutating query can churn without
     * touching the shared base. */
-  private def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+  private[ext] def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
