@@ -553,12 +553,16 @@ object StreamOps {
       cust.limit(0), Seq("id"))                                       // v4: drain a group
     // the CDC tail from v1 keeps the MV current, one atomic MV commit per
     // micro-batch (exactly-once by the epoch ledger + AvailableNow). The
-    // tail runs in catch-up shape — one batch covering v2..v4 — because
-    // batch-split invariance is a LAW the fold already guarantees
-    // (DECIMAL sums are exactly associative) and CdcStreamSpec pins it;
-    // the bench shouldn't pay per-commit streaming setup for it.
+    // tail runs SPLIT — one batch per base commit (maxVersionsPerBatch=1)
+    // — so the graded artifact itself exercises the multi-batch
+    // epoch-ledger fold including the tombstone batch, not just the
+    // single catch-up fold; batch-split invariance (DECIMAL sums are
+    // exactly associative) is additionally pinned by CdcStreamSpec
+    // (ADVICE r12: the per-commit path is load-bearing for exactly-once
+    // and belongs in the official oracle run, not only in the suite).
     val q = spark.readStream.format("graft")
       .option("changesFrom", 1)
+      .option("maxVersionsPerBatch", 1)
       .load(base.dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
