@@ -705,8 +705,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       catch {
         case e: GraftTable.ConcurrentOverwriteException =>
           n += 1
-          if (n >= maxAttempts) throw new IllegalStateException(
-            s"$what lost $maxAttempts consecutive commit races; giving up", e)
+          // terminal throw stays a ConcurrentOverwriteException: to a
+          // statement-level retrier, "lost 5 straight races" is still a
+          // collision to retry, not a new failure class (an
+          // IllegalStateException here made callers' retry loops give up
+          // under deliberate hammering — and the pre-r13 compact only
+          // ever "won" those races by silently losing updates)
+          if (n >= maxAttempts) throw new GraftTable.ConcurrentOverwriteException(
+            s"$what lost $maxAttempts consecutive commit races; giving up " +
+              s"(last: ${e.getMessage})")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1696,9 +1703,34 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   // ---- maintenance -----------------------------------------------------
 
   /** Compaction: rewrite live rows into one data dir, dropping delete
-    * files (the maintenance action a 100 TB deployment runs continuously). */
-  def compact(): GraftTable =
-    retryCow("compact") { overwrite(toDF) } // toDF re-binds per attempt
+    * files (the maintenance action a 100 TB deployment runs continuously).
+    *
+    * Pins ONE snapshot for both the rewrite content and the conflict
+    * guard. The previous shape — `overwrite(toDF)` — read `snapshot`
+    * TWICE (once lazily inside toDF, once inside overwrite's guard): a
+    * rowDelta committing in that window passed the guard's version check
+    * while the rewritten content predated it, silently overwriting the
+    * rowDelta away (lost update; found by CompactionChurnHammerSpec). */
+  def compact(): GraftTable = {
+    retryCow("compact") {
+      val s = snapshot // the ONLY head read per attempt
+      val (sub, rows) = writeData(dfAt(s), s)
+      dropDirOnRace(sub) {
+        commit(s.version + 1)((rebase, v) => {
+          val b = Option(rebase).getOrElse(s)
+          requireSpecStable(b, s)
+          if (b.version != s.version)
+            throw new GraftTable.ConcurrentOverwriteException(
+              s"concurrent commit during compaction (table advanced " +
+                s"v${s.version} -> v${b.version}); retry the statement")
+          b.copy(version = v, op = "overwrite",
+            dataDirs = if (rows != 0) Seq(DataDir(sub, v, rows)) else Seq.empty,
+            deletes = Seq.empty)
+        })
+      }
+    }
+    this
+  }
 
   /** Commit of an externally-written data dir as a full replace — the
     * DSv2 row-level ReplaceData path lands here after its executors wrote

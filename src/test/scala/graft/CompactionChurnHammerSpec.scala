@@ -32,15 +32,23 @@ class CompactionChurnHammerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
-  /** compact() retries 4 OCC races internally then throws; under the
-    * hammer that bound can be hit legitimately — retry the statement,
-    * which is the documented contract. */
+  /** compact() retries its OCC races internally (retryCow, 5 attempts)
+    * and then throws IllegalStateException wrapping the collision; under
+    * a deliberate hammer that bound is hit legitimately — retry the
+    * whole statement, which is the documented contract. Raw
+    * ConcurrentOverwriteException covers paths without the retryCow
+    * wrapper. */
   private def retrying[A](what: String, n: Int = 20)(body: => A): A = {
     var last: Throwable = null
     var i = 0
     while (i < n) {
       try return body
-      catch { case e: GraftTable.ConcurrentOverwriteException => last = e; i += 1 }
+      catch {
+        case e: GraftTable.ConcurrentOverwriteException => last = e; i += 1
+        case e: IllegalStateException
+          if e.getCause.isInstanceOf[GraftTable.ConcurrentOverwriteException] =>
+          last = e; i += 1
+      }
     }
     throw new AssertionError(s"$what lost $n straight OCC races", last)
   }
@@ -121,5 +129,29 @@ class CompactionChurnHammerSpec extends AnyFunSuite {
           s"compact at v$ver changed content ($drift differing rows)")
       }
     }
+
+    // GDPR closer, the ANN-side symmetry of DedupIndexErasureSpec: after
+    // expiring every pre-compaction snapshot and sweeping orphans, the
+    // churned-away cohort is PHYSICALLY unreachable — time travel fails
+    // cleanly and no surviving parquet byte (data files or the delete
+    // files that name the forgotten keys) holds an erased vec_id
+    GraftTable.load(spark, dir).expireSnapshots(1)
+    GraftTable.load(spark, dir).vacuumOrphans(0)
+    val t2 = GraftTable.load(spark, dir)
+    (0 until t2.currentVersion).foreach { v =>
+      val e = intercept[Exception] { t2.asOf(v).collect() }
+      assert(e.getMessage.contains("expired"),
+        s"asOf($v) failed with '${e.getMessage}' instead of expired")
+    }
+    import scala.jdk.CollectionConverters._
+    val leaked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .iterator().asScala.map(_.toString).toSeq
+      .map { f =>
+        val df = spark.read.parquet(f)
+        if (!df.columns.contains("vec_id")) 0L
+        else df.filter(col("vec_id").isInCollection(erased)).count()
+      }.sum
+    assert(leaked == 0, s"$leaked erased-cohort rows survive on disk")
   }
 }
