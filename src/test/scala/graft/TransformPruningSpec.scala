@@ -78,6 +78,29 @@ class TransformPruningSpec extends AnyFunSuite {
     assert(got == Seq(1000L))
   }
 
+  test("scanAsOf: pinned-version pruned scan — old content, still pruned, " +
+    "expired versions refuse") {
+    val t = partitionedOrders()
+    val preV = t.currentVersion
+    val pred = col("o_orderdate") === java.sql.Date.valueOf("2020-03-15")
+    t.append(Seq((1000L, java.sql.Date.valueOf("2020-03-15"), "late"))
+      .toDF("o_orderkey", "o_orderdate", "o_name"))
+    // pinned scan answers from the OLD snapshot (the manifest-reader
+    // protocol: resolve once, read exactly that version)...
+    val pinned = t.scanAsOf(preV, pred).select("o_orderkey").as[Long].collect().toSet
+    val expect = t.asOf(preV).filter(pred).select("o_orderkey").as[Long].collect().toSet
+    assert(pinned == expect && !pinned.contains(1000L))
+    assert(t.scan(pred).select("o_orderkey").as[Long].collect().toSet.contains(1000L))
+    // ...and still prunes partition dirs at the pinned version
+    val files = t.scanAsOf(preV, pred).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__dir_o_orderdate_month=2020-03")),
+      s"pinned scan did not prune:\n${files.take(3).mkString("\n")}")
+    // an expired version refuses cleanly instead of reading ghost dirs
+    t.expireSnapshots(1)
+    val e = intercept[Exception] { t.scanAsOf(preV, pred).collect() }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("bucket pruning hashes the literal at the SOURCE column's type") {
     // o_orderkey is LongType; an Int literal must hash like the Long value
     // (Murmur3 hashes Int 42 and Long 42L differently)
