@@ -2016,9 +2016,11 @@ object Similarity {
     * This query runs the full maintenance cycle on the governed
     * assignments table:
     *
-    *   1. create the identity-partitioned assignments table + the FROZEN
-    *      published quantizer table; build the index (every writer
-    *      assigns under the STORED model read back off disk);
+    *   1. clone the BUILT base index ([[baseAnnIndex]] — identity-
+    *      partitioned assignments written under the FROZEN published
+    *      quantizer; the maintenance cycle operates on a built index,
+    *      it doesn't rebuild one); every writer below assigns under the
+    *      STORED model read back off disk;
     *   2. `upgradeFormat(2)` and DELETE a vector cohort as a
     *      merge-on-read equality rowDelta keyed on `vec_id` — no data
     *      rewrite, the precedent is `sql_mor_dml`;

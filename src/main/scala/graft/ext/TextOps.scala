@@ -1514,7 +1514,9 @@ object TextOps {
 
   /** ERASURE from the governed dedup index — the right-to-be-forgotten
     * flow of a 100 TB corpus, applied to [[dedupIndexProbe]]'s banded
-    * index: after the incremental build, an erasure cohort
+    * index: on a clone of the BUILT base index ([[baseDedupIndex]] —
+    * erasure operates on a built index, it doesn't rebuild one), an
+    * erasure cohort
     * (`doc_id % 13 == 7`) leaves BOTH index tables as merge-on-read
     * equality rowDeltas keyed on `doc_id` — 8 band rows and 1 reps row
     * per doc retire with NO data rewrite, the only erasure shape that
