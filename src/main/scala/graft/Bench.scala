@@ -49,7 +49,7 @@ object Bench {
     * reps; everything else pays nothing. Failed (negative) records and
     * a missing/unparseable file degrade to "no reference" — never to a
     * broken bench. */
-  private def committedRecord(sfDir: String): Map[String, Double] = {
+  private[graft] def committedRecord(sfDir: String): Map[String, Double] = {
     val txt = try scala.sys.process.Process(
       Seq("git", "show", "HEAD:bench_full.json"), new java.io.File(".")).!!
     catch { case _: Throwable => return Map.empty }
