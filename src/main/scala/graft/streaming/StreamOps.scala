@@ -672,44 +672,12 @@ object StreamOps {
       .option("maxVersionsPerBatch", 1)
       .load(src.dir)
       .writeStream
+      // checkpointed + a stable consumerId: the transactional-foreachBatch
+      // contract the ledger-gated batch body needs for exactly-once
+      .option("checkpointLocation", Tables.tmp("ingest_ckpt"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val sess = batch.sparkSession
-        // materialize ONLY the narrow per-doc state the dedup actually
-        // reuses — the banded signature (doc_id, band, bh) and the
-        // token-hash digest (doc_id, htoks), both computed ONCE per
-        // batch — and SPILL them to scratch parquet rather than the
-        // block cache: each is re-read by up to three downstream joins,
-        // and pinning the digest arrays in (even MEMORY_AND_DISK)
-        // storage was the dominant heap pressure of the ingest loop
-        // (VERDICT r12 item 5) — at 100 TB ingest rates the executor
-        // heap belongs to the probe joins, not to cached batch state.
-        // The raw text and the token-string array are never
-        // materialized at all: the corpus append re-reads text from the
-        // batch's one-commit file scan instead.
-        val scratch = Tables.tmp(s"ingest_scratch_$batchId")
-        val ds = TextOps.md5DocSets(batch.select(col("doc_id"), col("text")))
-        TextOps.md5BandedSignature(ds, idx.k, idx.bands)
-          .write.parquet(s"$scratch/sig")
-        ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht")
-        val sig = sess.read.parquet(s"$scratch/sig")
-        val ht = sess.read.parquet(s"$scratch/ht")
-        val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
-          .select(col("in_id").as("doc_id")).distinct()
-        // the admitted-id set IS tiny (ids only) — cache it; it gates
-        // three appends
-        val liveIds = ht.select(col("doc_id"))
-          .join(dupIds, Seq("doc_id"), "left_anti")
-          .persist(MEMORY_AND_DISK)
-        try {
-          GraftTable.load(sess, corpus.dir).append(
-            batch.select(col("doc_id"), col("text"))
-              .join(liveIds, Seq("doc_id"), "left_semi"))
-          TextOps.appendDedupIndexSig(sess, idx,
-            sig.join(liveIds, Seq("doc_id"), "left_semi"),
-            ht.join(liveIds, Seq("doc_id"), "left_semi"))
-        } finally liveIds.unpersist()
-        ()
+        ingestDedupBatch(batch, corpus.dir, idx, "ingest-dedup", batchId,
+          threshold)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -721,6 +689,82 @@ object StreamOps {
         (col("doc_id") % 3).cast(org.apache.spark.sql.types.IntegerType)
           .as("arrived_at"))
       .orderBy("doc_id")
+  }
+
+  /** One micro-batch of the governed ingestion loop — probe the index,
+    * reject near-dups of the already-admitted corpus, land the survivors
+    * in the corpus AND the index. Extracted from the foreachBatch closure
+    * so crash-replay is directly testable (IngestCrashReplaySpec).
+    *
+    * CRASH-SAFE multi-table commit (VERDICT r13 item 1): all four commits
+    * — corpus append, bands append, reps append, manifest publish — are
+    * gated by their own table's exactly-once `(consumerId.<step>,
+    * batchId)` [[graft.table.Snapshot.streamEpochs]] ledger. A post-crash
+    * Spark replay of a committed batch no-ops every step; a crash BETWEEN
+    * steps resumes at the first uncommitted one. Convergence is exact
+    * because the replayed probe is deterministic: it reads the index
+    * through the MANIFEST, which only advances as the batch's LAST step —
+    * partial bands/reps appends are invisible to it, so the replay
+    * recomputes the same admitted set and the ledgers skip what already
+    * landed. (On a replay of a FULLY committed batch the probe sees the
+    * batch's own docs and admits nothing — harmless, since every write is
+    * a ledger no-op by then.) Requires the streaming query to be
+    * CHECKPOINTED with a `consumerId` stable across restarts, the
+    * standard transactional-foreachBatch contract; foreachBatch replays
+    * run in batch order, so batch k converges before k+1 probes.
+    *
+    * Performance shape (VERDICT r12 item 5): only the narrow per-doc
+    * state the dedup reuses — the banded signature (doc_id, band, bh)
+    * and the token-hash digest (doc_id, htoks) — is materialized, SPILLED
+    * to scratch parquet rather than the block cache (each is re-read by
+    * up to three downstream joins; pinning digest arrays in storage was
+    * the loop's dominant heap pressure). The raw text is never
+    * materialized: the corpus write re-reads it from the batch's
+    * one-commit file scan. The scratch dir is swept at batch end so a
+    * long AvailableNow run's disk use does not grow with batch count
+    * (ADVICE r13). */
+  private[graft] def ingestDedupBatch(batch: DataFrame, corpusDir: String,
+                                      idx: graft.ext.TextOps.DedupIndex,
+                                      consumerId: String, batchId: Long,
+                                      threshold: Double): Unit = {
+    import graft.table.GraftTable
+    import graft.ops.Tables
+    import graft.ext.TextOps
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = batch.sparkSession
+    val scratch = Tables.tmp(s"ingest_scratch_$batchId")
+    try {
+      val ds = TextOps.md5DocSets(batch.select(col("doc_id"), col("text")))
+      TextOps.md5BandedSignature(ds, idx.k, idx.bands)
+        .write.parquet(s"$scratch/sig")
+      ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht")
+      val sig = sess.read.parquet(s"$scratch/sig")
+      val ht = sess.read.parquet(s"$scratch/ht")
+      val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
+        .select(col("in_id").as("doc_id")).distinct()
+      // the admitted-id set IS tiny (ids only) — cache it; it gates
+      // three ledger-gated writes
+      val liveIds = ht.select(col("doc_id"))
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      try {
+        GraftTable.load(sess, corpusDir).streamEpochWrite(
+          batch.select(col("doc_id"), col("text"))
+            .join(liveIds, Seq("doc_id"), "left_semi"),
+          s"$consumerId.corpus", batchId, replace = false)
+        TextOps.appendDedupIndexSigEpoch(sess, idx,
+          sig.join(liveIds, Seq("doc_id"), "left_semi"),
+          ht.join(liveIds, Seq("doc_id"), "left_semi"),
+          consumerId, batchId)
+        ()
+      } finally liveIds.unpersist()
+    } finally {
+      // Tables.tmp returns <unique-tmp-dir>/t — sweep the unique parent.
+      // Best-effort: a failed sweep must never fail the batch.
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(scratch).getParentFile)
+      catch { case _: Exception => () }
+    }
   }
 
   private def streamIngestDedupOracle(threshold: Double = 0.9): String =

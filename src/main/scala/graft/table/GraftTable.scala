@@ -705,15 +705,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       catch {
         case e: GraftTable.ConcurrentOverwriteException =>
           n += 1
-          // terminal throw stays a ConcurrentOverwriteException: to a
-          // statement-level retrier, "lost 5 straight races" is still a
-          // collision to retry, not a new failure class (an
+          // terminal throw stays a ConcurrentOverwriteException subtype:
+          // to a statement-level retrier, "lost 5 straight races" is
+          // still a collision to retry, not a new failure class (an
           // IllegalStateException here made callers' retry loops give up
           // under deliberate hammering — and the pre-r13 compact only
-          // ever "won" those races by silently losing updates)
-          if (n >= maxAttempts) throw new GraftTable.ConcurrentOverwriteException(
+          // ever "won" those races by silently losing updates). The
+          // RetriesExhaustedException subtype lets an outer loop bound
+          // its own attempts, and chains the last race as the cause.
+          if (n >= maxAttempts) throw new GraftTable.RetriesExhaustedException(
             s"$what lost $maxAttempts consecutive commit races; giving up " +
-              s"(last: ${e.getMessage})")
+              s"(last: ${e.getMessage})", e)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2698,8 +2700,18 @@ object GraftTable {
     * snapshot and committing it would drop the concurrent commit's rows.
     * Retry the statement (the in-repo delete/update/merge/compact do so
     * automatically via their statement-level retry loop). */
-  final class ConcurrentOverwriteException(msg: String)
-    extends IllegalStateException(msg)
+  class ConcurrentOverwriteException(msg: String, cause: Throwable = null)
+    extends IllegalStateException(msg, cause)
+
+  /** The statement-level retry loop itself gave up after its attempt
+    * budget — still a [[ConcurrentOverwriteException]] (to a type-keyed
+    * retrier "lost N straight races" is a collision like any other), but
+    * distinguishable so an OUTER retry loop can bound its total attempts
+    * instead of re-driving an already-exhausted inner loop forever under
+    * sustained contention. Carries the last losing race as its cause, so
+    * the root collision's stack trace survives to the caller. */
+  final class RetriesExhaustedException(msg: String, cause: Throwable)
+    extends ConcurrentOverwriteException(msg, cause)
 
   /** Commit ops that touch NO row data — every incremental / changelog /
     * streaming reader may cross them. */

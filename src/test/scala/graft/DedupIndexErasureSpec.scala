@@ -58,11 +58,20 @@ class DedupIndexErasureSpec extends AnyFunSuite {
     val ghostsPre = GraftTable.load(spark, idx.bandsDir).asOf(preV)
       .filter(col("doc_id").isInCollection(erasedIds.toSeq)).count()
     assert(ghostsPre > 0, "pre-erasure snapshot should still hold the cohort")
-    // the GDPR closer: compact (live rows only), expire every older
-    // snapshot, sweep orphans — the erased rows AND the delete files
-    // that name them must leave the filesystem
+    // the GDPR closer: compact (live rows only), PUBLISH the compacted
+    // state, expire the manifest's own history (so no live manifest row
+    // names a pre-erasure version), release the now-unreferenced
+    // retention pins, THEN expire + vacuum the content tables — the
+    // erased rows AND the delete files that name them must leave the
+    // filesystem. Without the pin release, the publish-time tags
+    // (which exist to keep published history servable across
+    // expireSnapshots) would veto the right to be forgotten.
+    Seq(idx.bandsDir, idx.repsDir).foreach(d =>
+      GraftTable.load(spark, d).compact())
+    TextOps.publishDedupManifest(spark, idx)
+    GraftTable.load(spark, idx.manifestDir).expireSnapshots(1)
+    TextOps.releaseUnreferencedPins(spark, idx)
     Seq(idx.bandsDir, idx.repsDir).foreach { d =>
-      GraftTable.load(spark, d).compact()
       GraftTable.load(spark, d).expireSnapshots(1)
       GraftTable.load(spark, d).vacuumOrphans(0)
     }
