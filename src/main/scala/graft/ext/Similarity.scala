@@ -1933,6 +1933,8 @@ object Similarity {
     * the base first (ADVICE r13). Idempotent (ConcurrentHashMap
     * computeIfAbsent). */
   private[graft] def warmSessionBases(spark: SparkSession, dir: String): Unit = {
+    // the lifecycle queries register before use; setup must too
+    graft.functions.GraftFunctions.register(spark)
     baseAnnIndex(spark, dir, 16, 64)
     ()
   }

@@ -1396,7 +1396,9 @@ object TextOps {
     * naming it is itself expired) is `dropRef("pin-v<N>")`. */
   private[graft] def pinVersion(t: graft.table.GraftTable, version: Int): Unit = {
     val name = s"pin-v$version"
-    if (!t.refs.exists(_.name == name))
+    // hasRef, not refs.exists: one stat instead of an O(pins) listing —
+    // the streaming ingest loop publishes (and pins) once per batch
+    if (!t.hasRef(name))
       try t.createTag(name, version)
       catch {
         // two publishers raced to pin the same version: the tag name
@@ -1646,6 +1648,8 @@ object TextOps {
     * order-independent instead of assuming another query built the base
     * first (ADVICE r13). Idempotent. */
   private[graft] def warmSessionBases(spark: SparkSession, dir: String): Unit = {
+    // the lifecycle queries register before use; setup must too
+    graft.functions.TextSignatureFunctions.register(spark)
     baseDedupIndex(spark, dir, "src0", 64, 8)
     baseDedupIndex(spark, dir, "src0", 64, 2)
     ()

@@ -365,6 +365,64 @@ object RefOps {
       .orderBy("customer_id")
   }
 
+  /** Bin-packing small-file compaction as a graded query (Iceberg's
+    * `rewrite_data_files` binPack strategy, spec-deep-covered in
+    * GraftTableSpec / RewriteChurnHammerSpec) — the STEADY-STATE
+    * maintenance op of a 100 TB deployment, where `compact()`'s full
+    * rewrite is not an option: only the long tail of small commits that
+    * streaming ingestion leaves behind is folded; large dirs keep their
+    * files byte-untouched. Build one LARGE commit plus eight small ones,
+    * fold with [[GraftTable.rewriteSmallDirs]], reload FROM DISK. The
+    * in-query gates pin the contract: (a) the 8-dir tail folded into
+    * one, (b) the large dir's path survived verbatim (its files were
+    * never rewritten — at 100 TB that is the difference between an
+    * O(tail) nightly job and an O(table) rewrite), (c) a second
+    * invocation no-ops at the same threshold (the loop is idempotent at
+    * steady state). The oracle recomputes the logical table from raw
+    * parquet: bin-packing reclaims file handles, never changes a query
+    * result — the law that makes the loop schedulable against live
+    * tables. */
+  private def rewriteSmallDirsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey").as("customer_id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val path = tmp("rewrite_small")
+    val t = GraftTable.create(spark, path, cust.schema)
+    // one large commit (~80% of rows) + the small-commit long tail (the
+    // slices partition ALL rows: %10<8, then %10>=8 split by %8)
+    t.append(cust.filter(col("customer_id") % 10 < 8))
+    (0 until 8).foreach(i => GraftTable.load(spark, path).append(
+      cust.filter(col("customer_id") % 10 >= 8 && col("customer_id") % 8 === i)))
+    val before = GraftTable.load(spark, path).snapshot
+    assert(before.dataDirs.length == 9, s"fixture wants 9 dirs, has ${before.dataDirs.length}")
+    // the SAME measurement rewriteSmallDirs bins by (Hadoop content
+    // summary — the checksum filesystem hides .crc sidecars that a raw
+    // directory walk would count, and a threshold derived from a
+    // different ruler mis-bins dirs near the boundary)
+    def bytesOf(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val bigPath = before.dataDirs.head.path
+    val threshold = bytesOf(bigPath) // strict <: the big dir is NOT small
+    assert(before.dataDirs.tail.forall(d => bytesOf(d.path) < threshold),
+      "fixture broken: a tail dir is as large as the bulk dir")
+    GraftTable.load(spark, path).rewriteSmallDirs(threshold)
+    val after = GraftTable.load(spark, path).snapshot
+    assert(after.dataDirs.length == 2,
+      s"bin-pack must leave [large, folded-tail], has ${after.dataDirs.length}")
+    assert(after.dataDirs.exists(_.path == bigPath),
+      "bin-pack rewrote the large dir — the whole point is that it must not")
+    // steady state: nothing left to fold at the same threshold
+    val v = GraftTable.load(spark, path).currentVersion
+    GraftTable.load(spark, path).rewriteSmallDirs(threshold)
+    assert(GraftTable.load(spark, path).currentVersion == v,
+      "second bin-pack pass must no-op (single small dir left)")
+    GraftTable.load(spark, path).toDF
+      .select(col("customer_id"), col("name"), col("acctbal"))
+      .orderBy("customer_id")
+  }
+
   /** Orphan-file sweep as a graded query (Iceberg's
     * `remove_orphan_files`, spec-deep-covered in GraftTableSpec /
     * CrashRecoverySpec): build a live two-commit table, PLANT the
@@ -1087,6 +1145,7 @@ object RefOps {
     "refs_wap_rollback" -> refsWapRollback,
     "maintenance_compact" -> maintenanceCompact,
     "zorder_rewrite" -> zorderRewrite,
+    "rewrite_small_dirs" -> rewriteSmallDirsQuery,
     "vacuum_orphans" -> vacuumOrphansQuery
   )
 
@@ -1333,6 +1392,10 @@ object RefOps {
         |SELECT customer_id, name, acctbal FROM b
         |WHERE NOT (acctbal < 0.0) ORDER BY customer_id""".stripMargin,
     "zorder_rewrite" -> zorderOracle,
+    // bin-packing is result-invariant by law: the oracle is the raw table
+    "rewrite_small_dirs" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY customer_id""".stripMargin,
     "vacuum_orphans" ->
       """SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY customer_id""".stripMargin

@@ -2213,6 +2213,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   def refOf(name: String): RefInfo = refs.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(s"no such ref: $name"))
 
+  /** O(1) ref existence probe — one file stat, no listing. A publish
+    * that tag-pins every batch (the streaming ingest loop) must not pay
+    * an O(refs) directory listing per commit: at 100 TB ingest rates
+    * that listing grows with stream age and turns publishes O(n²). */
+  def hasRef(name: String): Boolean = {
+    validRefName(name)
+    fs.exists(refPath(name))
+  }
+
   /** The table as of a named ref — `VERSION AS OF '<ref>'`. */
   def asOfRef(name: String): DataFrame = asOf(refOf(name).version)
 
