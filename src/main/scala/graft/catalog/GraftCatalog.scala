@@ -189,9 +189,13 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
         set.property match {
           case "graft.bloom-keys" => t.setBloomKeys(cols(set.value))
           case "graft.stats-keys" => t.setStatsKeys(cols(set.value))
-          case k => throw new UnsupportedOperationException(
-            s"unsupported table property: $k (supported: graft.bloom-keys, graft.stats-keys)")
+          // everything else is a free-form property in the snapshot log
+          // (Iceberg table-properties semantics): one metadata commit
+          case k => t.setProperties(Map(k -> set.value))
         }
+      case rm: TableChange.RemoveProperty =>
+        GraftTable.load(spark, dirOf(ident))
+          .setProperties(Map(rm.property -> null))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other (use the GraftTable evolution API)")
     }

@@ -146,6 +146,9 @@ final class GraftSparkTable(val dir: String, tableName: String,
     if (s.key.nonEmpty) m.put("key", s.key.mkString(","))
     if (s.bloomKeys.nonEmpty) m.put("graft.bloom-keys", s.bloomKeys.mkString(","))
     if (s.statsKeys.nonEmpty) m.put("graft.stats-keys", s.statsKeys.mkString(","))
+    // free-form snapshot-log properties (SET TBLPROPERTIES) — shown by
+    // SHOW TBLPROPERTIES like any DSv2 table's
+    s.properties.foreach { case (k, v) => m.put(k, v) }
     m
   }
 

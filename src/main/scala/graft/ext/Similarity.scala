@@ -2209,14 +2209,15 @@ object Similarity {
     // publish = tag-pin the named versions FIRST (expireSnapshots honors
     // refs, so retention can never GC a version a live manifest names —
     // the Iceberg tags-exempt-snapshots rule, VERDICT r13 item 2), then
-    // the single atomic manifest overwrite
+    // the single atomic pointer swap — a snapshot-properties log write,
+    // no Spark job (the dedup manifest's publish shape)
     def publish(modelId: Int, centV: Int, asgV: Int): Unit = {
       TextOps.pinVersion(GraftTable.load(spark, centDir), centV)
       TextOps.pinVersion(GraftTable.load(spark, asgDir), asgV)
-      GraftTable.load(spark, manDir).overwrite(
-        Seq((modelId, centV, asgV)).toDF("model_id", "cent_v", "asg_v")
-          .select(col("model_id").cast(IntegerType),
-            col("cent_v").cast(IntegerType), col("asg_v").cast(IntegerType)))
+      GraftTable.load(spark, manDir).setProperties(Map(
+        "manifest.model_id" -> modelId.toString,
+        "manifest.cent_v" -> centV.toString,
+        "manifest.asg_v" -> asgV.toString))
     }
     def assign(df: DataFrame, centLit: Column): DataFrame = df
       .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
@@ -2227,10 +2228,15 @@ object Similarity {
     // manifest version) and reads BOTH tables asOf its named versions —
     // the only reader protocol; nobody reads "latest" of either table
     def serve(manifestV: Option[Int] = None): DataFrame = {
-      val man = manifestV.fold(GraftTable.load(spark, manDir).toDF)(v =>
-        GraftTable.load(spark, manDir).asOf(v)).collect()
-      require(man.length == 1, s"manifest must hold exactly one row, got ${man.length}")
-      val (centV, asgV) = (man(0).getInt(1), man(0).getInt(2))
+      val mt = GraftTable.load(spark, manDir)
+      val mv = manifestV.getOrElse(mt.currentVersion)
+      val ms = mt.snapshotAt(mv)
+      require(ms.op != "expired",
+        s"manifest version v$mv has been expired (expireSnapshots); cannot resolve it")
+      require(Seq("manifest.cent_v", "manifest.asg_v").forall(ms.properties.contains),
+        s"ANN manifest v$mv holds no published state")
+      val (centV, asgV) =
+        (ms.properties("manifest.cent_v").toInt, ms.properties("manifest.asg_v").toInt)
       val stored = GraftTable.load(spark, centDir).asOf(centV)
         .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
       val centLit = array(stored.map(c => array(c.map(lit): _*)): _*)

@@ -1422,19 +1422,25 @@ object TextOps {
 
   /** [[publishDedupManifest]] at EXPLICIT params/versions — the refresh
     * protocol publishes a staged (re-banded) state that is deliberately
-    * not the head it computed from. */
+    * not the head it computed from. The published row rides the manifest
+    * table's SNAPSHOT PROPERTIES ([[graft.table.GraftTable.setProperties]]),
+    * so the atomic pointer swap is ONE log write and resolving it is a
+    * file read — no Spark job on either side of the protocol (the shape
+    * Iceberg's catalog pointer swap has: the manifest IS metadata). */
   private[graft] def publishDedupManifestAt(spark: SparkSession, idx: DedupIndex,
                                             kP: Int, bandsP: Int,
                                             bandsV: Int, repsV: Int): Unit = {
     import graft.table.GraftTable
-    import spark.implicits._
     pinVersion(GraftTable.load(spark, idx.bandsDir), bandsV)
     pinVersion(GraftTable.load(spark, idx.repsDir), repsV)
-    GraftTable.load(spark, idx.manifestDir).overwrite(
-      Seq((kP, bandsP, bandsV, repsV)).toDF("k", "bands", "bands_v", "reps_v")
-        .select(col("k").cast(IntegerType), col("bands").cast(IntegerType),
-          col("bands_v").cast(IntegerType), col("reps_v").cast(IntegerType)))
+    GraftTable.load(spark, idx.manifestDir)
+      .setProperties(dedupManifestProps(kP, bandsP, bandsV, repsV))
   }
+
+  private def dedupManifestProps(kP: Int, bandsP: Int,
+                                 bandsV: Int, repsV: Int): Map[String, String] =
+    Map("manifest.k" -> kP.toString, "manifest.bands" -> bandsP.toString,
+      "manifest.bands_v" -> bandsV.toString, "manifest.reps_v" -> repsV.toString)
 
   /** Releases retention pins the manifest no longer needs: drops every
     * `pin-v<N>` tag on a content table whose version is not named by any
@@ -1449,8 +1455,11 @@ object TextOps {
     import graft.table.GraftTable
     val mt = GraftTable.load(spark, idx.manifestDir)
     val named = (0 to mt.currentVersion).flatMap { v =>
-      if (mt.snapshotAt(v).op == "expired") Nil
-      else mt.asOf(v).collect().map(r => (r.getInt(2), r.getInt(3)))
+      val s = mt.snapshotAt(v)
+      if (s.op == "expired" ||
+        !s.properties.contains("manifest.bands_v")) Nil
+      else Seq((s.properties("manifest.bands_v").toInt,
+        s.properties("manifest.reps_v").toInt))
     }
     def sweep(dir: String, keep: Set[Int]): Unit = {
       val t = GraftTable.load(spark, dir)
@@ -1478,11 +1487,16 @@ object TextOps {
                                        manifestV: Option[Int] = None): ResolvedDedupIndex = {
     import graft.table.GraftTable
     val mt = GraftTable.load(spark, idx.manifestDir)
-    val man = manifestV.fold(mt.toDF)(v => mt.asOf(v)).collect()
-    require(man.length == 1,
-      s"dedup-index manifest must hold exactly one row, got ${man.length}")
-    val (kP, bandsP) = (man(0).getInt(0), man(0).getInt(1))
-    val (bandsV, repsV) = (man(0).getInt(2), man(0).getInt(3))
+    val v = manifestV.getOrElse(mt.currentVersion)
+    val s = mt.snapshotAt(v)
+    require(s.op != "expired",
+      s"manifest version v$v has been expired (expireSnapshots); cannot resolve it")
+    val p = s.properties
+    require(Seq("manifest.k", "manifest.bands", "manifest.bands_v",
+      "manifest.reps_v").forall(p.contains),
+      s"dedup-index manifest v$v holds no published state")
+    val (kP, bandsP) = (p("manifest.k").toInt, p("manifest.bands").toInt)
+    val (bandsV, repsV) = (p("manifest.bands_v").toInt, p("manifest.reps_v").toInt)
     ResolvedDedupIndex(kP, bandsP, bandsV, repsV,
       GraftTable.load(spark, idx.bandsDir).asOf(bandsV)
         .select(col("band"), col("bh"), col("doc_id").as("corp_id")),
@@ -1538,16 +1552,15 @@ object TextOps {
       ht.select(col("doc_id"), col("htoks")),
       s"$consumerId.reps", batchId, replace = false)
     // publish, itself ledger-gated so a replayed batch cannot double-bump
-    // the manifest; the pins are idempotent either way
+    // the manifest; the pins are idempotent either way. setPropertiesEpoch
+    // is a pure log write — the publish costs no Spark job
     val bandsV = GraftTable.load(spark, idx.bandsDir).currentVersion
     val repsV = GraftTable.load(spark, idx.repsDir).currentVersion
     pinVersion(GraftTable.load(spark, idx.bandsDir), bandsV)
     pinVersion(GraftTable.load(spark, idx.repsDir), repsV)
-    val m = GraftTable.load(spark, idx.manifestDir).streamEpochWrite(
-      Seq((idx.k, idx.bands, bandsV, repsV)).toDF("k", "bands", "bands_v", "reps_v")
-        .select(col("k").cast(IntegerType), col("bands").cast(IntegerType),
-          col("bands_v").cast(IntegerType), col("reps_v").cast(IntegerType)),
-      s"$consumerId.manifest", batchId, replace = true)
+    val m = GraftTable.load(spark, idx.manifestDir).setPropertiesEpoch(
+      dedupManifestProps(idx.k, idx.bands, bandsV, repsV),
+      s"$consumerId.manifest", batchId)
     b || r || m
   }
 

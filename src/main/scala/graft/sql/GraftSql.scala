@@ -271,8 +271,8 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
           // [min,max] sidecars on future writes
           case ("graft.bloom-keys", v) => t.setBloomKeys(cols(v))
           case ("graft.stats-keys", v) => t.setStatsKeys(cols(v))
-          case (k, _) => throw new IllegalArgumentException(
-            s"unsupported table property: $k (supported: graft.bloom-keys, graft.stats-keys)")
+          // everything else: free-form snapshot-log property (round 14)
+          case (k, v) => t.setProperties(Map(k -> v))
         }
         refreshView(name)
         t.toDF

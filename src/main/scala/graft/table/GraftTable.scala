@@ -149,6 +149,11 @@ final case class Snapshot(
     // committed epoch; a post-failure epoch retry sees its id here and
     // skips (bounded by the number of distinct streaming writers)
     streamEpochs: Map[String, Long] = Map.empty,
+    // free-form table properties (Iceberg's table metadata properties):
+    // versioned WITH the snapshot, carried forward by every commit,
+    // settable in one metadata-only commit. The index-manifest pointer
+    // swap lives here — a publish is a log write, never a Spark job
+    properties: Map[String, String] = Map.empty,
     // wall-clock commit time stamped INSIDE the entry at commit (-1 for
     // pre-stamp log entries): TIMESTAMP AS OF resolves from this, never
     // from file mtimes — expireSnapshots rewrites old entries (bumping
@@ -1043,6 +1048,45 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       .copy(version = v, op = "set-stats-keys", statsKeys = keys))
     this
   }
+
+  /** Sets (merges) free-form table properties — Iceberg's `ALTER TABLE …
+    * SET TBLPROPERTIES` stored in the snapshot log itself: ONE
+    * metadata-only commit, versioned with the table, carried forward by
+    * every subsequent commit, readable at any version with zero Spark
+    * jobs (`snapshotAt(v).properties`). A value of null removes the key.
+    * The index-manifest pointer swap rides this: an atomic publish is a
+    * log write, and resolving the published state is a file read. */
+  def setProperties(props: Map[String, String]): GraftTable = {
+    val s = snapshot
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      val (removed, set) = props.partition(_._2 == null)
+      b.copy(version = v, op = "set-properties",
+        properties = b.properties -- removed.keys ++ set)
+    })
+    this
+  }
+
+  /** [[setProperties]] gated by the exactly-once streaming-epoch ledger —
+    * the manifest-publish step of a crash-safe multi-table micro-batch
+    * commit. Returns false (no commit) if `(queryId, epochId)` already
+    * landed. */
+  private[graft] def setPropertiesEpoch(props: Map[String, String],
+                                        queryId: String, epochId: Long): Boolean = {
+    val s = snapshot
+    if (s.streamEpochs.getOrElse(queryId, -1L) >= epochId) return false
+    commit(s.version + 1)((rebase, v) => {
+      val b = Option(rebase).getOrElse(s)
+      val (removed, set) = props.partition(_._2 == null)
+      b.copy(version = v, op = "set-properties",
+        properties = b.properties -- removed.keys ++ set,
+        streamEpochs = b.streamEpochs + (queryId -> epochId))
+    })
+    true
+  }
+
+  /** Current table properties. */
+  def properties: Map[String, String] = snapshot.properties
 
   // ---- read path -------------------------------------------------------
 
@@ -2726,7 +2770,7 @@ object GraftTable {
     * streaming reader may cross them. */
   val MetadataOnlyOps: Set[String] = Set("add-column", "drop-column",
     "rename-column", "replace-key", "upgrade-format",
-    "set-bloom-keys", "set-stats-keys", "set-spec")
+    "set-bloom-keys", "set-stats-keys", "set-spec", "set-properties")
 
   /** Commit ops that only ADD rows (or touch none): the whitelist of
     * commits an append-shaped incremental/streaming reader may cross.
@@ -2965,6 +3009,10 @@ object GraftTable {
       val se = root.putObject("streamEpochs")
       s.streamEpochs.foreach { case (q, e) => se.put(q, e) }
     }
+    if (s.properties.nonEmpty) {
+      val pr = root.putObject("properties")
+      s.properties.foreach { case (k, v) => pr.put(k, v) }
+    }
     if (s.commitTimeMs >= 0) root.put("commitTimeMs", s.commitTimeMs)
     if (s.specLog.nonEmpty) {
       val sl = root.putArray("specLog")
@@ -3007,6 +3055,12 @@ object GraftTable {
         else {
           val o = n.get("streamEpochs")
           o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
+        },
+      properties =
+        if (!n.has("properties")) Map.empty
+        else {
+          val o = n.get("properties")
+          o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
         },
       commitTimeMs = if (n.has("commitTimeMs")) n.get("commitTimeMs").asLong() else -1L,
       specLog =

@@ -288,10 +288,9 @@ class GraftSqlSpec extends AnyFunSuite {
     // the declared stats captured on the write: a range scan prunes
     import org.apache.spark.sql.functions.col
     assert(t.scan(col("customer_id") > 100L).count() == 1)
-    val e = intercept[IllegalArgumentException] {
-      g.sql("ALTER TABLE test_table SET TBLPROPERTIES('nope'='x')")
-    }
-    assert(e.getMessage.contains("unsupported table property"))
+    // non-graft keys land as free-form snapshot-log properties (round 14)
+    g.sql("ALTER TABLE test_table SET TBLPROPERTIES('retention.days'='30')")
+    assert(t.properties("retention.days") == "30")
   }
 
   test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD (spec evolution syntax)") {

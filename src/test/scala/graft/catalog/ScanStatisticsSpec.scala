@@ -79,10 +79,14 @@ class ScanStatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.p").collect()
       .map(_.mkString("|")).mkString("\n")
     assert(props.contains("graft.stats-keys"))
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ns.p SET TBLPROPERTIES('zzz'='1')")
-    }
-    assert(e.getMessage.contains("unsupported table property"))
+    // non-graft keys land as free-form snapshot-log properties (round 14)
+    spark.sql(s"ALTER TABLE $cat.ns.p SET TBLPROPERTIES('team.owner'='ingest')")
+    assert(GraftTable.load(spark, s"$wh/ns/p").properties("team.owner") == "ingest")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.ns.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team.owner").contains("ingest"))
+    spark.sql(s"ALTER TABLE $cat.ns.p UNSET TBLPROPERTIES('team.owner')")
+    assert(!GraftTable.load(spark, s"$wh/ns/p").properties.contains("team.owner"))
   }
 
   test("catalog-read join against a small graft dim plans a broadcast") {
