@@ -276,6 +276,14 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         }
         refreshView(name)
         t.toDF
+      case p: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties
+          if tableOfAlter(p.table).isDefined =>
+        val (name, t) = tableOfAlter(p.table).get
+        require(!p.propertyKeys.exists(k => k == "graft.bloom-keys" || k == "graft.stats-keys"),
+          "unset the skipping metadata by setting an empty column list instead")
+        t.setProperties(p.propertyKeys.map(_ -> (null: String)).toMap)
+        refreshView(name)
+        t.toDF
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
           if tableOfAlter(r.table).isDefined =>
         val (name, t) = tableOfAlter(r.table).get

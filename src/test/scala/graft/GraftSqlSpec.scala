@@ -291,6 +291,8 @@ class GraftSqlSpec extends AnyFunSuite {
     // non-graft keys land as free-form snapshot-log properties (round 14)
     g.sql("ALTER TABLE test_table SET TBLPROPERTIES('retention.days'='30')")
     assert(t.properties("retention.days") == "30")
+    g.sql("ALTER TABLE test_table UNSET TBLPROPERTIES('retention.days')")
+    assert(!t.properties.contains("retention.days"))
   }
 
   test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD (spec evolution syntax)") {
