@@ -84,12 +84,13 @@ class ManifestCutoverHammerSpec extends AnyFunSuite {
       StructField("bands", IntegerType), StructField("bands_v", IntegerType))))
 
     def cutover(bandsN: Int): Unit = {
-      // stage (atomic but unpublished), then the one-row publish
+      // stage (atomic but unpublished), then the publish — through the
+      // PRODUCTION substrate (round 14): one snapshot-log properties
+      // commit, the same pointer swap the dedup/ANN manifests ride
       GraftTable.load(spark, bandsDir).overwrite(bandedCorpus(bandsN))
       val v = GraftTable.load(spark, bandsDir).currentVersion
-      GraftTable.load(spark, manDir).overwrite(
-        Seq((bandsN, v)).toDF("bands", "bands_v")
-          .select(col("bands").cast(IntegerType), col("bands_v").cast(IntegerType)))
+      GraftTable.load(spark, manDir).setProperties(Map(
+        "manifest.bands" -> bandsN.toString, "manifest.bands_v" -> v.toString))
     }
     cutover(2) // initial publish
 
@@ -98,9 +99,12 @@ class ManifestCutoverHammerSpec extends AnyFunSuite {
     val served = new java.util.concurrent.atomic.AtomicInteger
     val readers = (1 to 2).map(_ => Future {
       while (!stop.get()) {
-        val man = GraftTable.load(spark, manDir).toDF.collect()
-        if (man.length == 1) { // between create and first publish: skip
-          val (bandsP, bandsV) = (man(0).getInt(0), man(0).getInt(1))
+        // the production resolve: one snapshot read, zero Spark jobs —
+        // hammered here against concurrent setProperties commits
+        val mp = GraftTable.load(spark, manDir).properties
+        if (mp.contains("manifest.bands")) { // before first publish: skip
+          val (bandsP, bandsV) =
+            (mp("manifest.bands").toInt, mp("manifest.bands_v").toInt)
           val idx = GraftTable.load(spark, bandsDir).asOf(bandsV)
             .select(col("band"), col("bh"), col("doc_id").as("corp_id"))
           val got = probeAgainst(idx, bandsP)
