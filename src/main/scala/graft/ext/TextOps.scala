@@ -1356,6 +1356,12 @@ object TextOps {
   final case class DedupIndex(bandsDir: String, repsDir: String,
                               manifestDir: String, k: Int, bands: Int)
 
+  /** Logical shape of the published state. The manifest TABLE never
+    * holds rows — the published values ride its snapshot-log PROPERTIES
+    * (`manifest.k/bands/bands_v/reps_v`, see [[publishDedupManifestAt]])
+    * so a publish is one log write and a resolve one file read; the
+    * schema documents the contract and keeps the pointer table loadable
+    * like any other. */
   private[graft] val dedupManifestSchema: StructType = StructType(Seq(
     StructField("k", IntegerType), StructField("bands", IntegerType),
     StructField("bands_v", IntegerType), StructField("reps_v", IntegerType)))
