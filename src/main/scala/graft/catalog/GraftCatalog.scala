@@ -245,6 +245,11 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "keep_last" -> IntegerType)) { r =>
           tbl(r).expireSnapshots(r.getInt(1)); ()
         }
+      case "expire_snapshots_older_than" =>
+        GraftCatalog.procedure("expire_snapshots_older_than",
+          Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
+          tbl(r).expireSnapshotsOlderThan(r.getLong(1)); ()
+        }
       case "vacuum" =>
         GraftCatalog.procedure("vacuum",
           Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
@@ -372,7 +377,8 @@ object GraftCatalog {
   import org.apache.spark.sql.types.DataType
 
   private[catalog] val procedureNames: Array[String] = Array(
-    "compact", "expire_snapshots", "vacuum", "rewrite_small_dirs",
+    "compact", "expire_snapshots", "expire_snapshots_older_than", "vacuum",
+    "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
     "add_files", "evolve_spec")

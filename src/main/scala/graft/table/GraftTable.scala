@@ -2187,6 +2187,31 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     this
   }
 
+  /** Age-based snapshot expiry (Iceberg's `expire_snapshots(older_than)`,
+    * expressed as a grace period like [[vacuumOrphans]]): expires every
+    * snapshot committed more than `olderThanMs` ago, always keeping the
+    * newest `keepLast` and every ref-pinned version. Resolves the age
+    * cutoff to a keep-count from the commit times stamped in the log
+    * (mtime fallback only for pre-stamp legacy entries) and delegates to
+    * the count-based [[expireSnapshots]] sweep — one retention
+    * implementation, two policies. */
+  def expireSnapshotsOlderThan(olderThanMs: Long, keepLast: Int = 1): GraftTable = {
+    require(olderThanMs >= 0, "grace must be non-negative")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val f = fs
+    def timeOf(v: Int): Long = {
+      val stamped = snapshotAt(v).commitTimeMs
+      if (stamped >= 0) stamped
+      else f.getFileStatus(new Path(logDir, f"v$v%05d.json")).getModificationTime
+    }
+    val cur = currentVersion
+    // oldest version still young enough to keep; commit times are
+    // monotone (single log), so everything at or after it survives
+    var keepFrom = cur
+    while (keepFrom > 0 && timeOf(keepFrom - 1) > cutoff) keepFrom -= 1
+    expireSnapshots(math.max(keepLast, cur - keepFrom + 1))
+  }
+
   // ---- named refs: tags, branches, rollback, cherry-pick ---------------
 
   private def refsDir = new Path(logDir, "refs")
