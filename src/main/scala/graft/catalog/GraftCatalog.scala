@@ -250,6 +250,34 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
           tbl(r).expireSnapshotsOlderThan(r.getLong(1)); ()
         }
+      case "apply_retention" =>
+        // the generic maintenance sweep: each table DECLARES its policy in
+        // snapshot-log properties (`retention.keep-last` and/or
+        // `retention.older-than-ms`, set via SET TBLPROPERTIES) and one
+        // scheduled CALL applies it — at 100 TB retention is fleet
+        // configuration, not per-table scripts. No policy = no-op.
+        GraftCatalog.procedure("apply_retention",
+          Seq("table" -> StringType)) { r =>
+          val t = tbl(r)
+          val p = t.properties
+          def natOf(key: String): Option[Long] = p.get(key).map { v =>
+            val n = try v.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"table property $key must be a non-negative integer, got '$v'")
+            }
+            require(n >= 0, s"table property $key must be non-negative, got $n")
+            n
+          }
+          val keepLast = natOf("retention.keep-last").map(_.toInt)
+          val olderThan = natOf("retention.older-than-ms")
+          (keepLast, olderThan) match {
+            case (Some(k), None) => t.expireSnapshots(k)
+            case (None, Some(ms)) => t.expireSnapshotsOlderThan(ms)
+            case (Some(k), Some(ms)) => t.expireSnapshotsOlderThan(ms, keepLast = k)
+            case (None, None) => () // no declared policy: nothing to apply
+          }
+          ()
+        }
       case "vacuum" =>
         GraftCatalog.procedure("vacuum",
           Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
@@ -377,8 +405,8 @@ object GraftCatalog {
   import org.apache.spark.sql.types.DataType
 
   private[catalog] val procedureNames: Array[String] = Array(
-    "compact", "expire_snapshots", "expire_snapshots_older_than", "vacuum",
-    "rewrite_small_dirs",
+    "compact", "expire_snapshots", "expire_snapshots_older_than",
+    "apply_retention", "vacuum", "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
     "add_files", "evolve_spec")

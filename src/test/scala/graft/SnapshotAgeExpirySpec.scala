@@ -49,6 +49,35 @@ class SnapshotAgeExpirySpec extends AnyFunSuite {
     assert(t2.asOf(1).count() == 1 && t2.toDF.count() == 4)
   }
 
+  test("CALL apply_retention enforces the policy each table declares in its properties") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pol_wh").toString
+    val cat = s"gpol${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT) USING graft")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.ns.t VALUES ($i)"))
+    // no declared policy: the sweep is a no-op
+    spark.sql(s"CALL $cat.system.apply_retention('ns.t')")
+    assert(GraftTable.load(spark, s"$wh/ns/t").asOf(1).count() == 1,
+      "apply_retention must no-op on a table with no declared policy")
+    // declare keep-last=2 IN the table's own properties, then sweep
+    spark.sql(s"ALTER TABLE $cat.ns.t SET TBLPROPERTIES('retention.keep-last'='2')")
+    spark.sql(s"CALL $cat.system.apply_retention('ns.t')")
+    // versions: v0 create, v1-v3 inserts, v4 the SET TBLPROPERTIES commit
+    // itself; keep-last=2 keeps v3+v4 and expires v0-v2
+    val t = GraftTable.load(spark, s"$wh/ns/t")
+    Seq(1, 2).foreach { v =>
+      val e = intercept[Exception] { t.asOf(v).collect() }
+      assert(e.getMessage.contains("expired"), s"v$v: ${e.getMessage}")
+    }
+    assert(t.asOf(3).count() == 3, "keep-last=2 must keep the two newest snapshots")
+    assert(t.toDF.count() == 3)
+    // a malformed policy fails LOUDLY, it does not silently skip
+    spark.sql(s"ALTER TABLE $cat.ns.t SET TBLPROPERTIES('retention.keep-last'='soon')")
+    val bad = intercept[Exception] { spark.sql(s"CALL $cat.system.apply_retention('ns.t')") }
+    assert(bad.getMessage.contains("retention.keep-last"))
+  }
+
   test("SQL CALL expire_snapshots_older_than drives the same sweep") {
     val wh = java.nio.file.Files.createTempDirectory("graft_age_wh").toString
     val cat = s"gage${java.util.UUID.randomUUID().toString.take(6)}"
