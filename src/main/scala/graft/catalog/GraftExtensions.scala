@@ -81,6 +81,20 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
     // role Iceberg's manifest stats play. TOP-DOWN and before the view
     // swap: bottom-up would replace the relation under the Aggregate.
     val counted = plan.resolveOperatorsDown {
+      // transparent aggregate-MV rewrite: a `GROUP BY g` aggregate over a
+      // base table that REGISTERED a maintained MV (GraftTable.registerMv
+      // + StreamOps.applyMvDeltas) is served from the MV table when the
+      // MV's freshness stamp proves no content-changing base commit
+      // postdates it — the serving half of the incremental-MV loop. At
+      // 100 TB this answers the rollup from the MV's O(groups) rows
+      // instead of scanning the base; staleness, time travel, shape or
+      // type mismatch all fall through to the normal scan, so the rewrite
+      // is never load-bearing for correctness.
+      case agg @ Aggregate(groupExprs, _, child, _)
+          if agg.resolved && groupExprs.nonEmpty &&
+            GraftCountFold.relationOf(child, writeTargets).isDefined =>
+        GraftMvRewrite.rewrite(spark, agg,
+          GraftCountFold.relationOf(child, writeTargets).get).getOrElse(agg)
       case agg @ Aggregate(Nil, aggExprs, child, _)
           if agg.resolved && aggExprs.nonEmpty &&
             aggExprs.forall(e => GraftCountFold.foldKind(e).isDefined) &&
@@ -162,6 +176,153 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         Project(aliased, h.child)
+    }
+  }
+}
+
+/** Transparent aggregate-MV rewrite (the SERVING half of the
+  * incremental-MV loop; [[graft.streaming.StreamOps.applyMvDeltas]] is
+  * the maintenance half).
+  *
+  * A base table registers an MV via [[GraftTable.registerMv]]
+  * (`graft.mv.<name>` -> `dir=…;group=…;value=…` in its properties).
+  * The MV table holds one row per group — `(g, n, nn, total)` where `n`
+  * = COUNT(*), `nn` = COUNT(value), `total` = SUM(value) as
+  * DECIMAL(28,2), folded incrementally from the base's changelog — and
+  * carries [[GraftTable.MvBaseVersionProp]], stamped atomically with
+  * every fold commit.
+  *
+  * Rewrite fires only when ALL hold (anything else falls through to the
+  * base scan, so the rule is never load-bearing):
+  *  - the aggregate is exactly `GROUP BY g` over the bare relation (no
+  *    filter under it), `g` the registered group column;
+  *  - every output is `g`, `count(*)`, or `sum(value)` (non-distinct,
+  *    unfiltered), with output types EQUAL to the MV column types —
+  *    equality (not castability) keeps served values bit-identical to a
+  *    recompute;
+  *  - the MV has the `nn` column: SQL's `sum` over an all-NULL group is
+  *    NULL, which `total` alone (an exact 0) cannot distinguish — the
+  *    rewrite serves `IF(nn = 0, NULL, total)`;
+  *  - the freshness stamp covers the base's current version: equal, or
+  *    every later base commit's op is content-preserving
+  *    ([[GraftTable.ContentPreservingOps]] — property/layout metadata
+  *    and file reorganizations; a bounded walk, stale past 32 versions);
+  *  - no time travel on the base relation, no positional deletes pending
+  *    on the MV (inexpressible as view SQL).
+  *
+  * The substituted subtree is the MV's self-contained parquet view SQL
+  * (equality deletes folded in — the MV is MoR-maintained), aliased onto
+  * the aggregate's output names; [[GraftViewPlaceholder]] then rebinds
+  * the resolved columns onto the original exprIds, exactly like the
+  * relation swap. Kill switch: `spark.graft.mv.rewrite.enabled=false`. */
+private[catalog] object GraftMvRewrite {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  private val MaxFreshnessWalk = 32
+
+  private sealed trait Served
+  private case object GroupKey extends Served
+  private case object CountAll extends Served
+  private case object SumValue extends Served
+
+  def rewrite(spark: SparkSession, agg: Aggregate,
+              gst: GraftSparkTable): Option[LogicalPlan] = {
+    if (!spark.conf.get("spark.graft.mv.rewrite.enabled", "true").toBoolean)
+      return None
+    if (gst.asOfVersion.nonEmpty || gst.keepScan) return None
+    val snap = gst.readSnapshot
+    val regs = snap.properties.iterator.collect {
+      case (k, v) if k.startsWith(GraftTable.MvRegistrationPrefix) &&
+        k != GraftTable.MvBaseVersionProp => v
+    }.toSeq.sorted // deterministic order when several MVs are registered
+    if (regs.isEmpty) return None
+    // single-attribute grouping; duplicate output names would collapse in
+    // the placeholder's by-name rebind
+    val gAttr = agg.groupingExpressions match {
+      case Seq(a: AttributeReference) => a
+      case _ => return None
+    }
+    val names = agg.output.map(_.name.toLowerCase)
+    if (names.distinct.size != names.size) return None
+    regs.view.flatMap(tryServe(spark, agg, gst, snap.version, gAttr, _)).headOption
+  }
+
+  private def tryServe(spark: SparkSession, agg: Aggregate, gst: GraftSparkTable,
+                       baseVersion: Int, gAttr: AttributeReference,
+                       reg: String): Option[LogicalPlan] = {
+    val kv = reg.split(';').iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val (mvDir, groupCol, valueCol) =
+      (kv.get("dir"), kv.get("group"), kv.get("value")) match {
+        case (Some(d), Some(g), Some(v)) => (d, g, v)
+        case _ => return None // malformed registration: never serve from it
+      }
+    val resolver = spark.sessionState.conf.resolver
+    if (!resolver(gAttr.name, groupCol)) return None
+    // classify every output BEFORE any MV metadata I/O
+    val served: Seq[(NamedExpression, Served)] = agg.aggregateExpressions.map { ne =>
+      val e = ne match { case Alias(c, _) => c; case other => other }
+      val kind: Option[Served] = e match {
+        case a: AttributeReference if a.exprId == gAttr.exprId => Some(GroupKey)
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case _ if GraftCountFold.foldKind(ne).contains(GraftCountFold.CountStar) =>
+              Some(CountAll)
+            case Sum(a: AttributeReference, _) if resolver(a.name, valueCol) =>
+              Some(SumValue)
+            case _ => None
+          }
+        case _ => None
+      }
+      kind match { case Some(k) => ne -> k; case None => return None }
+    }
+    // MV metadata: schema + freshness (driver file reads, no Spark jobs)
+    val mvT = try GraftTable.load(spark, mvDir) catch { case _: Exception => return None }
+    val mvSnap = mvT.snapshot
+    if (mvSnap.deletes.exists(_.keys == GraftTable.PosDeleteKeys)) return None
+    val mvTypes: Map[String, DataType] =
+      mvSnap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val gType = mvTypes.getOrElse(groupCol, return None)
+    val totalType = mvTypes.getOrElse("total", return None)
+    if (!mvTypes.get("n").contains(LongType) ||
+        !mvTypes.get("nn").contains(LongType)) return None
+    val typesOk = served.forall { case (ne, k) => k match {
+      case GroupKey => ne.dataType == gType && gAttr.dataType == gType
+      case CountAll => ne.dataType == LongType
+      case SumValue => ne.dataType == totalType
+    }}
+    if (!typesOk) return None
+    if (!isFresh(gst, baseVersion, mvSnap.properties)) return None
+    // serve: alias the MV view's columns onto the aggregate's output
+    // names; the placeholder rebind then restores the original exprIds
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    val items = served.map { case (ne, k) =>
+      val expr = k match {
+        case GroupKey => q(groupCol)
+        case CountAll => "`n`"
+        case SumValue => s"IF(`nn` = 0, CAST(NULL AS ${totalType.sql}), `total`)"
+      }
+      s"$expr AS ${q(ne.name)}"
+    }
+    val sql = s"SELECT ${items.mkString(", ")} FROM (\n${mvT.viewSqlOf(mvSnap)}\n)"
+    Some(GraftViewPlaceholder(agg.output,
+      spark.sessionState.sqlParser.parsePlan(sql)))
+  }
+
+  /** The MV's stamp covers the base's current version: equal, or every
+    * later commit is content-preserving. A rolled-back base (stamp >
+    * current) or a gap past [[MaxFreshnessWalk]] is stale. */
+  private def isFresh(gst: GraftSparkTable, baseVersion: Int,
+                      mvProps: Map[String, String]): Boolean = {
+    val stamp = mvProps.get(GraftTable.MvBaseVersionProp)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(return false)
+    if (stamp == baseVersion) return true
+    if (stamp > baseVersion || baseVersion - stamp > MaxFreshnessWalk) return false
+    (stamp + 1 to baseVersion).forall { v =>
+      val op = try gst.graftTable.snapshotAt(v).op catch { case _: Exception => return false }
+      GraftTable.ContentPreservingOps.contains(op)
     }
   }
 }

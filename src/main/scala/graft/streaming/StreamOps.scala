@@ -582,8 +582,11 @@ object StreamOps {
 
   /** One micro-batch's MV maintenance step: fold the changelog batch's
     * ±row deltas (insert = +1/+value, delete pre-image = −1/−value) into
-    * the `(group, n, total)` MV table with one keyed MoR upsert — one
-    * atomic MV commit per batch. DECIMAL arithmetic keeps the fold
+    * the `(group, n[, nn], total)` MV table with one keyed MoR upsert —
+    * one atomic MV commit per batch, which also carries the
+    * [[graft.table.GraftTable.MvBaseVersionProp]] freshness stamp the
+    * transparent aggregate-rewrite rule gates on (stamp and content can
+    * never diverge: same commit). DECIMAL arithmetic keeps the fold
     * exactly associative, so the maintained MV is invariant under the
     * batch SPLIT (one catch-up batch ≡ one batch per commit — pinned by
     * CdcStreamSpec). Deltas shuffle by the group key only; the MV join
@@ -603,27 +606,55 @@ object StreamOps {
     import graft.table.GraftTable
     val dec = DecimalType(28, 2)
     val mv = GraftTable.load(batch.sparkSession, mvDir)
+    val mvCols = mv.snapshot.schema.fieldNames.toSeq
+    // `nn` (count of NON-NULL values) is optional in the MV schema: with
+    // it the MV can serve SQL-exact `sum(value)` (an all-NULL group's sum
+    // is NULL, which `total` alone cannot distinguish from an exact-zero
+    // sum) — the transparent-rewrite rule requires it; without it the fold
+    // is the original (group, n, total) shape
+    val hasNn = mvCols.contains("nn")
     val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
-    val deltas = batch.groupBy(col(groupCol)).agg(
+    val aggs = Seq(
       sum(sign).cast(LongType).as("dn"),
-      sum(col(valueCol) * sign).cast(dec).as("dtotal"))
+      sum(col(valueCol) * sign).cast(dec).as("dtotal")) ++
+      (if (hasNn) Seq(sum(when(col(valueCol).isNotNull, sign).otherwise(0))
+        .cast(LongType).as("dnn")) else Nil)
+    val deltas = batch.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     // coalesce BOTH fold inputs: an all-NULL value group sums to NULL,
     // and NULL + total would store a NULL that the next fold resets to
     // zero — silently destroying the accumulated total (a NULL value
     // contributes 0 to the sum but still counts, the recompute's SUM
     // semantics)
-    val next = deltas.join(mv.toDF, Seq(groupCol), "left_outer")
-      .select(col(groupCol),
-        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
-        (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) +
-          coalesce(col("dtotal"), lit(BigDecimal(0)).cast(dec)))
-          .cast(dec).as("total"))
+    val folded = deltas.join(mv.toDF, Seq(groupCol), "left_outer")
+    val next = folded.select(mvCols.map {
+      case c if c == groupCol => col(groupCol)
+      case "n" => (coalesce(col("n"), lit(0L)) + col("dn")).as("n")
+      case "nn" => (coalesce(col("nn"), lit(0L)) + col("dnn")).as("nn")
+      case "total" => (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) +
+        coalesce(col("dtotal"), lit(BigDecimal(0)).cast(dec)))
+        .cast(dec).as("total")
+      case other => throw new IllegalArgumentException(
+        s"MV $mvDir has unexpected column $other (expected $groupCol, n[, nn], total)")
+    }: _*)
+    // FRESHNESS STAMP, atomic with the fold commit: after this batch the
+    // MV reflects base content through the newest commit version the
+    // batch carried — the rewrite rule serves the MV only while no
+    // content-changing base commit postdates the stamp. An empty batch
+    // (or one without the changelog's `_commit_version`) leaves the stamp
+    // alone: stale-conservative, never unsound.
+    val stamp: Map[String, String] =
+      if (!batch.columns.contains("_commit_version")) Map.empty
+      else {
+        val r = batch.agg(max(col("_commit_version"))).head
+        if (r.isNullAt(0)) Map.empty
+        else Map(GraftTable.MvBaseVersionProp -> r.get(0).toString)
+      }
     // a group whose count drains to zero is TOMBSTONED — its key joins
     // the epoch's delete file but no row is re-inserted, so the group is
     // absent from the reloaded MV exactly as it is absent from a full
     // recompute's GROUP BY over the final base state
     mv.streamEpochUpsert(next, Seq(groupCol), consumerId, batchId,
-      tombstoneWhen = Some(col("n") <= 0))
+      tombstoneWhen = Some(col("n") <= 0), extraProps = stamp)
   }
 
   private val streamIncrementalMvOracle: String =
@@ -792,7 +823,125 @@ object StreamOps {
        |FROM adm JOIN d0 ON d0.doc_id = adm.doc_id JOIN st ON st.doc_id = adm.doc_id
        |ORDER BY d0.doc_id""".stripMargin
 
+  /** GRADED transparent MV serving — the missing half of the
+    * incremental-MV story: `stream_incremental_mv` proves the MAINTENANCE
+    * law (changelog fold ≡ recompute); this proves the SERVING law (a
+    * plain SQL `GROUP BY` over the BASE table is answered from the MV
+    * when — and only when — the MV is provably fresh). Four phases, one
+    * output row set each:
+    *
+    *  p1 — base registered with a changelog-folded MV (stamp atomic with
+    *       the fold): the `SELECT seg, count(*), sum(bal) … GROUP BY`
+    *       over the base resolves to the MV's O(groups) rows (asserted:
+    *       the optimized plan scans the MV dir and never the base).
+    *  p2 — a real base append lands WITHOUT MV maintenance: the stamp is
+    *       behind a content-changing commit, the rewrite must decline,
+    *       and the scan returns the post-append truth (asserted: base
+    *       scanned). A wrongly-serving rewrite would hash-mismatch here.
+    *  p3 — the maintenance fold catches the MV up (one applyMvDeltas
+    *       batch over changesBetween): same SQL serves from the MV again
+    *       and must equal p2's scan answer exactly — fold + serve ≡
+    *       recompute, end to end.
+    *  p4 — a metadata-only base commit (SET TBLPROPERTIES) postdates the
+    *       stamp: the freshness walk sees a content-preserving op and the
+    *       MV still serves (asserted) with unchanged values.
+    *
+    * The DuckDB oracle recomputes every phase's rollup from raw parquet,
+    * so the hash match proves the rewrite rule's value path AND its
+    * staleness gate; the plan-shape assertions (extension sessions only,
+    * same contract as `stats_agg_fold`) prove which side answered. At
+    * 100 TB the served plan reads the MV's per-group rows — never the
+    * corpus — while every stale path degrades to a scan, not to a wrong
+    * answer. */
+  def mvRewriteServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.GraftTable
+    import graft.ops.Tables
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val wh = Tables.tmp("mvr_wh")
+    val cat = s"graftmvr${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val base = GraftTable.create(spark, s"$wh/db/base", cust.schema,
+      key = Seq("id"), formatVersion = 2)
+    base.append(cust.filter(col("id") % 10 < 8)) // v1: initial content
+    // the MV starts EMPTY and is brought current by the production
+    // maintenance step folding the full changelog — the freshness stamp
+    // lands atomically with the fold commit
+    val mvDir = s"$wh/db/seg_mv"
+    GraftTable.create(spark, mvDir, StructType(Seq(
+      StructField("seg", StringType), StructField("n", LongType),
+      StructField("nn", LongType), StructField("total", DecimalType(28, 2)))),
+      key = Seq("seg"), formatVersion = 2)
+    var folded = 0 // base version the MV has folded through
+    def maintain(batchId: Long): Unit = {
+      val to = base.snapshot.version
+      applyMvDeltas(base.changesBetween(folded, to), mvDir, "seg", "bal",
+        "mv-rewrite-maintainer", batchId)
+      folded = to
+    }
+    maintain(1)
+    base.registerMv("by_seg", mvDir, "seg", "bal")
+    val aggSql = s"SELECT seg, count(*) AS n_rows, sum(bal) AS total " +
+      s"FROM $cat.db.base GROUP BY seg"
+    val ruleInstalled = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[graft.catalog.ResolveGraftTables])
+    def scansOnly(df: DataFrame, want: String, forbid: String): Boolean = {
+      val paths = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq(l.simpleString(100))
+          }
+        case o => Seq(o.simpleString(100))
+      }
+      paths.exists(_.contains(want)) && !paths.exists(_.contains(forbid))
+    }
+    val p1 = spark.sql(aggSql)
+    assert(!ruleInstalled || scansOnly(p1, "/db/seg_mv", "/db/base"),
+      "fresh MV must serve the GROUP BY (plan must scan the MV, not the base)")
+    val p1r = p1.localCheckpoint() // pin: later base commits must not move p1
+    base.append(cust.filter(col("id") % 10 >= 8)) // content change, MV stale
+    val p2 = spark.sql(aggSql)
+    assert(!ruleInstalled || scansOnly(p2, "/db/base", "/db/seg_mv"),
+      "stale MV must NOT serve (plan must scan the base)")
+    val p2r = p2.localCheckpoint()
+    maintain(2) // fold the append's changelog; stamp catches up atomically
+    val p3 = spark.sql(aggSql)
+    assert(!ruleInstalled || scansOnly(p3, "/db/seg_mv", "/db/base"),
+      "refolded MV must serve again")
+    val p3r = p3.localCheckpoint()
+    base.setProperties(Map("audit.note" -> "metadata-only commit"))
+    val p4 = spark.sql(aggSql)
+    assert(!ruleInstalled || scansOnly(p4, "/db/seg_mv", "/db/base"),
+      "content-preserving base commit must keep the MV fresh")
+    def shape(df: DataFrame, phase: String) =
+      df.select(lit(phase).as("phase"), col("seg"), col("n_rows"),
+        col("total").cast(DoubleType).as("total"))
+    shape(p1r, "p1_fresh").unionAll(shape(p2r, "p2_stale"))
+      .unionAll(shape(p3r, "p3_refolded")).unionAll(shape(p4, "p4_meta_commit"))
+      .orderBy("phase", "seg")
+  }
+
+  private val mvRewriteServeOracle: String =
+    """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+      |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+      |p1 AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(bal AS DECIMAL(28,2))) AS DOUBLE) AS total
+      |  FROM c WHERE id % 10 < 8 GROUP BY seg),
+      |pa AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(bal AS DECIMAL(28,2))) AS DOUBLE) AS total
+      |  FROM c GROUP BY seg)
+      |SELECT 'p1_fresh' AS phase, * FROM p1
+      |UNION ALL SELECT 'p2_stale', * FROM pa
+      |UNION ALL SELECT 'p3_refolded', * FROM pa
+      |UNION ALL SELECT 'p4_meta_commit', * FROM pa
+      |ORDER BY phase, seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite_serve" -> ((s: SparkSession, d: String) => mvRewriteServeQuery(s, d)),
     "stream_ingest_dedup" -> ((s: SparkSession, d: String) => streamIngestDedupQuery(s, d)),
     "stream_hourly_agg" -> ((s: SparkSession, d: String) => streamHourlyAggQuery(s, d)),
     "stream_hourly_append" -> ((s: SparkSession, d: String) => streamHourlyAggAppendQuery(s, d)),
@@ -800,6 +949,10 @@ object StreamOps {
     "stream_incremental_mv" -> ((s: SparkSession, d: String) => streamIncrementalMvQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // every phase's rollup recomputed from raw parquet: values prove the
+    // rewrite's serve path AND its staleness gate (a wrongly-fresh serve
+    // would replay p1's numbers at p2 and hash-mismatch)
+    "mv_rewrite_serve" -> mvRewriteServeOracle,
     "stream_hourly_agg" -> hourlyAggOracle,
     // append-mode emission with the sentinel-advanced watermark must
     // release exactly the batch aggregation — same oracle by design

@@ -1088,6 +1088,22 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   /** Current table properties. */
   def properties: Map[String, String] = snapshot.properties
 
+  /** Registers a maintained aggregate MV on THIS (base) table so the
+    * analyzer's transparent-rewrite rule ([[graft.catalog]] extensions)
+    * can serve matching `GROUP BY groupCol` aggregates from the MV table
+    * instead of scanning the base — the serving half of the incremental-MV
+    * loop ([[graft.streaming.StreamOps.applyMvDeltas]] is the maintenance
+    * half). The registration is ordinary table properties (versioned,
+    * metadata-only); the MV's freshness stamp (`graft.mv.base-version` on
+    * the MV table) is what gates each individual rewrite, so registering
+    * is always safe. */
+  def registerMv(name: String, mvDir: String, groupCol: String,
+                 valueCol: String): GraftTable = {
+    require(name.nonEmpty && !name.contains("="), s"bad MV name: $name")
+    setProperties(Map(s"${GraftTable.MvRegistrationPrefix}$name" ->
+      s"dir=$mvDir;group=$groupCol;value=$valueCol"))
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Current-snapshot DataFrame: newest logical schema over live files,
@@ -1939,7 +1955,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   private[graft] def streamEpochUpsert(df: DataFrame, keys: Seq[String],
                                        queryId: String, epochId: Long,
                                        orderBy: Option[String] = None,
-                                       tombstoneWhen: Option[Column] = None): Boolean = {
+                                       tombstoneWhen: Option[Column] = None,
+                                       // properties to set ATOMICALLY with the
+                                       // epoch's rowDelta (e.g. the MV freshness
+                                       // stamp: content and stamp land in one
+                                       // commit, so no crash window can publish
+                                       // a stamp the content doesn't back)
+                                       extraProps: Map[String, String] = Map.empty): Boolean = {
     var s = snapshot
     require(s.formatVersion >= 2,
       s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
@@ -1998,6 +2020,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           if (nrows != 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
         deletes =
           if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes,
+        properties = b.properties ++ extraProps,
         streamEpochs = b.streamEpochs + (queryId -> epochId))
     })
     true
@@ -2810,6 +2833,26 @@ object GraftTable {
     * the scan-stamped `_file`/`_pos` metadata columns instead of data
     * columns (Iceberg's format-v2 position deletes). */
   val PosDeleteKeys: Seq[String] = Seq("_file", "_pos")
+
+  /** Base-table property prefix under which aggregate-MV registrations
+    * live (`graft.mv.<name>` -> `dir=…;group=…;value=…`). */
+  val MvRegistrationPrefix: String = "graft.mv."
+  /** MV-table property holding the base-table version whose CONTENT the
+    * MV reflects — stamped atomically with each maintenance fold
+    * ([[graft.streaming.StreamOps.applyMvDeltas]]); the rewrite rule
+    * serves the MV only when no content-changing base commit postdates
+    * it. */
+  val MvBaseVersionProp: String = "graft.mv.base-version"
+  /** Commit ops that cannot change a table's LOGICAL content (rows as a
+    * multiset under the current schema): metadata-only property/layout
+    * declarations and content-preserving file reorganizations. Schema
+    * ops (add/drop/rename-column) are deliberately absent — they change
+    * what a `SELECT` resolves to — as are append/overwrite/rowdelta/
+    * rollback/cherrypick (row changes) and compaction (op "overwrite",
+    * indistinguishable from a real overwrite in the log). */
+  val ContentPreservingOps: Set[String] = Set(
+    "set-properties", "set-stats-keys", "set-bloom-keys", "set-spec",
+    "replace-key", "upgrade-format", "rewrite")
 
   /** The uniform key set of a snapshot's EQUALITY delete files (position
     * files are keyed on row identity and coexist with any equality set);
