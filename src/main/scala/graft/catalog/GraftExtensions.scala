@@ -194,9 +194,11 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
   *
   * Rewrite fires only when ALL hold (anything else falls through to the
   * base scan, so the rule is never load-bearing):
-  *  - the aggregate is exactly `GROUP BY g` over the bare relation (no
-  *    filter under it), `g` the registered group column;
-  *  - every output is `g`, `count(*)`, or `sum(value)` (non-distinct,
+  *  - the aggregate groups by exactly the registered column tuple
+  *    (order-free, plain attributes) over the bare relation — no filter
+  *    under it;
+  *  - every output is a grouping column, `count(*)` (-> n),
+  *    `count(value)` (-> nn), or `sum(value)` (non-distinct,
   *    unfiltered), with output types EQUAL to the MV column types —
   *    equality (not castability) keeps served values bit-identical to a
   *    recompute;
@@ -217,15 +219,17 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
   * relation swap. Kill switch: `spark.graft.mv.rewrite.enabled=false`. */
 private[catalog] object GraftMvRewrite {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
   import org.apache.spark.sql.types.{DataType, LongType}
 
   private val MaxFreshnessWalk = 32
 
   private sealed trait Served
-  private case object GroupKey extends Served
-  private case object CountAll extends Served
-  private case object SumValue extends Served
+  /** A grouping column, by its registered (= MV) column name. */
+  private final case class GroupKey(mvCol: String) extends Served
+  private case object CountAll extends Served   // count(*) -> n
+  private case object CountValue extends Served // count(value) -> nn
+  private case object SumValue extends Served   // sum(value) -> IF(nn=0, NULL, total)
 
   def rewrite(spark: SparkSession, agg: Aggregate,
               gst: GraftSparkTable): Option[LogicalPlan] = {
@@ -238,38 +242,54 @@ private[catalog] object GraftMvRewrite {
         k != GraftTable.MvBaseVersionProp => v
     }.toSeq.sorted // deterministic order when several MVs are registered
     if (regs.isEmpty) return None
-    // single-attribute grouping; duplicate output names would collapse in
-    // the placeholder's by-name rebind
-    val gAttr = agg.groupingExpressions match {
-      case Seq(a: AttributeReference) => a
+    // attribute-only grouping (any arity); duplicate output names would
+    // collapse in the placeholder's by-name rebind
+    val gAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
       case _ => return None
     }
+    if (gAttrs.isEmpty || gAttrs.map(_.exprId).distinct.size != gAttrs.size)
+      return None
     val names = agg.output.map(_.name.toLowerCase)
     if (names.distinct.size != names.size) return None
-    regs.view.flatMap(tryServe(spark, agg, gst, snap.version, gAttr, _)).headOption
+    regs.view.flatMap(tryServe(spark, agg, gst, snap.version, gAttrs, _)).headOption
   }
 
   private def tryServe(spark: SparkSession, agg: Aggregate, gst: GraftSparkTable,
-                       baseVersion: Int, gAttr: AttributeReference,
+                       baseVersion: Int, gAttrs: Seq[AttributeReference],
                        reg: String): Option[LogicalPlan] = {
     val kv = reg.split(';').iterator.map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v }.toMap
-    val (mvDir, groupCol, valueCol) =
+    val (mvDir, groupCols, valueCol) =
       (kv.get("dir"), kv.get("group"), kv.get("value")) match {
-        case (Some(d), Some(g), Some(v)) => (d, g, v)
+        case (Some(d), Some(g), Some(v)) => (d, g.split(',').toSeq, v)
         case _ => return None // malformed registration: never serve from it
       }
     val resolver = spark.sessionState.conf.resolver
-    if (!resolver(gAttr.name, groupCol)) return None
+    // the query's grouping attrs must be EXACTLY the registered tuple
+    // (order-free): each attr matches one registered column and both
+    // sides are exhausted
+    if (gAttrs.size != groupCols.size) return None
+    val attrToMvCol: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+      gAttrs.map { a =>
+        groupCols.find(resolver(a.name, _)) match {
+          case Some(c) => a.exprId -> c
+          case None => return None
+        }
+      }.toMap
+    if (attrToMvCol.values.toSeq.distinct.size != groupCols.size) return None
     // classify every output BEFORE any MV metadata I/O
     val served: Seq[(NamedExpression, Served)] = agg.aggregateExpressions.map { ne =>
       val e = ne match { case Alias(c, _) => c; case other => other }
       val kind: Option[Served] = e match {
-        case a: AttributeReference if a.exprId == gAttr.exprId => Some(GroupKey)
+        case a: AttributeReference if attrToMvCol.contains(a.exprId) =>
+          Some(GroupKey(attrToMvCol(a.exprId)))
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case _ if GraftCountFold.foldKind(ne).contains(GraftCountFold.CountStar) =>
               Some(CountAll)
+            case Count(Seq(a: AttributeReference)) if resolver(a.name, valueCol) =>
+              Some(CountValue)
             case Sum(a: AttributeReference, _) if resolver(a.name, valueCol) =>
               Some(SumValue)
             case _ => None
@@ -284,13 +304,15 @@ private[catalog] object GraftMvRewrite {
     if (mvSnap.deletes.exists(_.keys == GraftTable.PosDeleteKeys)) return None
     val mvTypes: Map[String, DataType] =
       mvSnap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val gType = mvTypes.getOrElse(groupCol, return None)
     val totalType = mvTypes.getOrElse("total", return None)
     if (!mvTypes.get("n").contains(LongType) ||
         !mvTypes.get("nn").contains(LongType)) return None
+    val gTypeOk = gAttrs.forall(a =>
+      mvTypes.get(attrToMvCol(a.exprId)).contains(a.dataType))
+    if (!gTypeOk) return None
     val typesOk = served.forall { case (ne, k) => k match {
-      case GroupKey => ne.dataType == gType && gAttr.dataType == gType
-      case CountAll => ne.dataType == LongType
+      case GroupKey(c) => mvTypes.get(c).contains(ne.dataType)
+      case CountAll | CountValue => ne.dataType == LongType
       case SumValue => ne.dataType == totalType
     }}
     if (!typesOk) return None
@@ -300,8 +322,9 @@ private[catalog] object GraftMvRewrite {
     def q(n: String) = s"`${n.replace("`", "``")}`"
     val items = served.map { case (ne, k) =>
       val expr = k match {
-        case GroupKey => q(groupCol)
+        case GroupKey(c) => q(c)
         case CountAll => "`n`"
+        case CountValue => "`nn`"
         case SumValue => s"IF(`nn` = 0, CAST(NULL AS ${totalType.sql}), `total`)"
       }
       s"$expr AS ${q(ne.name)}"

@@ -602,6 +602,14 @@ object StreamOps {
     * standard transactional-foreachBatch contract. */
   def applyMvDeltas(batch: DataFrame, mvDir: String,
                     groupCol: String, valueCol: String,
+                    consumerId: String, batchId: Long): Boolean =
+    applyMvDeltas(batch, mvDir, Seq(groupCol), valueCol, consumerId, batchId)
+
+  /** Multi-column grouping form: the MV key (and the fold's shuffle key)
+    * is the full `groupCols` tuple — `GROUP BY a, b` MVs fold and serve
+    * exactly like single-column ones. */
+  def applyMvDeltas(batch: DataFrame, mvDir: String,
+                    groupCols: Seq[String], valueCol: String,
                     consumerId: String, batchId: Long): Boolean = {
     import graft.table.GraftTable
     val dec = DecimalType(28, 2)
@@ -619,22 +627,23 @@ object StreamOps {
       sum(col(valueCol) * sign).cast(dec).as("dtotal")) ++
       (if (hasNn) Seq(sum(when(col(valueCol).isNotNull, sign).otherwise(0))
         .cast(LongType).as("dnn")) else Nil)
-    val deltas = batch.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val deltas = batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // coalesce BOTH fold inputs: an all-NULL value group sums to NULL,
     // and NULL + total would store a NULL that the next fold resets to
     // zero — silently destroying the accumulated total (a NULL value
     // contributes 0 to the sum but still counts, the recompute's SUM
     // semantics)
-    val folded = deltas.join(mv.toDF, Seq(groupCol), "left_outer")
+    val folded = deltas.join(mv.toDF, groupCols, "left_outer")
     val next = folded.select(mvCols.map {
-      case c if c == groupCol => col(groupCol)
+      case c if groupCols.contains(c) => col(c)
       case "n" => (coalesce(col("n"), lit(0L)) + col("dn")).as("n")
       case "nn" => (coalesce(col("nn"), lit(0L)) + col("dnn")).as("nn")
       case "total" => (coalesce(col("total"), lit(BigDecimal(0)).cast(dec)) +
         coalesce(col("dtotal"), lit(BigDecimal(0)).cast(dec)))
         .cast(dec).as("total")
       case other => throw new IllegalArgumentException(
-        s"MV $mvDir has unexpected column $other (expected $groupCol, n[, nn], total)")
+        s"MV $mvDir has unexpected column $other " +
+          s"(expected ${groupCols.mkString(", ")}, n[, nn], total)")
     }: _*)
     // FRESHNESS STAMP, atomic with the fold commit: after this batch the
     // MV reflects base content through the newest commit version the
@@ -653,7 +662,7 @@ object StreamOps {
     // the epoch's delete file but no row is re-inserted, so the group is
     // absent from the reloaded MV exactly as it is absent from a full
     // recompute's GROUP BY over the final base state
-    mv.streamEpochUpsert(next, Seq(groupCol), consumerId, batchId,
+    mv.streamEpochUpsert(next, groupCols, consumerId, batchId,
       tombstoneWhen = Some(col("n") <= 0), extraProps = stamp)
   }
 

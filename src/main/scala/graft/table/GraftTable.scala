@@ -1098,10 +1098,18 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * the MV table) is what gates each individual rewrite, so registering
     * is always safe. */
   def registerMv(name: String, mvDir: String, groupCol: String,
+                 valueCol: String): GraftTable =
+    registerMv(name, mvDir, Seq(groupCol), valueCol)
+
+  /** Multi-column grouping form: the registration records the full
+    * `GROUP BY` tuple (comma-separated in the property value). */
+  def registerMv(name: String, mvDir: String, groupCols: Seq[String],
                  valueCol: String): GraftTable = {
     require(name.nonEmpty && !name.contains("="), s"bad MV name: $name")
+    require(groupCols.nonEmpty && groupCols.forall(c => !c.contains(",") && !c.contains(";")),
+      s"bad MV group columns: $groupCols")
     setProperties(Map(s"${GraftTable.MvRegistrationPrefix}$name" ->
-      s"dir=$mvDir;group=$groupCol;value=$valueCol"))
+      s"dir=$mvDir;group=${groupCols.mkString(",")};value=$valueCol"))
   }
 
   // ---- read path -------------------------------------------------------

@@ -200,6 +200,45 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served(q) == recompute(base))
   }
 
+  test("count(value) serves from nn; multi-column GROUP BY serves order-free") {
+    // count(v) -> nn on the single-group MV
+    val (base, mvDir, _) = setup("m8")
+    base.append(rows((1L, "a", "1.00")).unionAll(
+      Seq((2L, "a"), (3L, "b")).toDF("id", "g")
+        .select(col("id"), col("g"), lit(null).cast(dec18).as("v"))))
+    maintain(base, mvDir, 0, 1)
+    base.registerMv("by_g", mvDir, "g", "v")
+    val cq = spark.sql("SELECT g, count(v) AS nv, count(*) AS n FROM graft.db.m8 GROUP BY g")
+    assert(usesMv(cq, "m8_mv", "db/m8/"))
+    assert(cq.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 2L), ("b", 0L, 1L)))
+    // two-column grouping: register (g, h), query GROUP BY h, g (reversed)
+    val base9 = GraftTable.create(spark, s"$warehouse/db/m9", StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("h", StringType), StructField("v", dec18))),
+      key = Seq("id"), formatVersion = 2)
+    base9.append(Seq((1L, "a", "x", "1.00"), (2L, "a", "y", "2.00"),
+      (3L, "a", "x", "4.00")).toDF("id", "g", "h", "v")
+      .select(col("id"), col("g"), col("h"), col("v").cast(dec18).as("v")))
+    val mv9 = s"$warehouse/db/m9_mv"
+    GraftTable.create(spark, mv9, StructType(Seq(
+      StructField("g", StringType), StructField("h", StringType),
+      StructField("n", LongType), StructField("nn", LongType),
+      StructField("total", DecimalType(28, 2)))), key = Seq("g", "h"), formatVersion = 2)
+    StreamOps.applyMvDeltas(base9.changesBetween(0, base9.snapshot.version),
+      mv9, Seq("g", "h"), "v", "mvr-spec-m9", 1)
+    base9.registerMv("by_gh", mv9, Seq("g", "h"), "v")
+    val q9 = spark.sql(
+      "SELECT h, g, count(*) AS n, sum(v) AS s FROM graft.db.m9 GROUP BY h, g")
+    assert(usesMv(q9, "m9_mv", "db/m9/"), s"got ${scannedPaths(q9)}")
+    assert(q9.as[(String, String, Long, BigDecimal)].collect().toSet ==
+      Set(("x", "a", 2L, BigDecimal("5.00")), ("y", "a", 1L, BigDecimal("2.00"))))
+    // a PARTIAL group tuple cannot be served (the MV is at finer grain)
+    val qp = spark.sql("SELECT g, count(*) AS n FROM graft.db.m9 GROUP BY g")
+    assert(usesBase(qp, "m9_mv", "db/m9/"))
+    assert(qp.as[(String, Long)].collect().toSet == Set(("a", 3L)))
+  }
+
   test("shape/type guards: filters, non-sum aggs, legacy MV without nn all decline") {
     val (base, mvDir, sql) = setup("m6")
     base.append(rows((1L, "a", "1.00"), (2L, "b", "2.00")))
