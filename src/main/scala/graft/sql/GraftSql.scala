@@ -187,6 +187,142 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s*\(?\s*([\w,`\s]+?)\s*\)?\s*$""".r
   private val writeUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*$""".r
+  //   CREATE MATERIALIZED VIEW mv AS SELECT g…, count(*), sum(v) FROM base GROUP BY g…
+  //   REFRESH MATERIALIZED VIEW mv
+  // — the SQL front of the incremental-MV loop (create = MV table + seed
+  // + registration; refresh = changelog fold via the epoch ledger). Not
+  // in Spark's grammar, so intercepted before parsePlan.
+  private val createMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(SELECT\s.+)$""".r
+  private val refreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*$""".r
+
+  /** CREATE MATERIALIZED VIEW: the defining SELECT must be a plain
+    * `GROUP BY` aggregate over ONE registered graft table whose outputs
+    * are the grouping columns plus any of count(*) / count(v) / sum(v)
+    * for a single value column v (aliases are accepted and ignored — the
+    * MV stores the canonical (g…, n, nn, total) columns the fold and the
+    * transparent rewrite operate on). Creates the keyed MV table, seeds
+    * it from the base's pinned current snapshot with fold-identical
+    * arithmetic, stamps the version it reflects, writes self-describing
+    * refresh properties, and registers the MV on the base so the
+    * analyzer rewrite can serve it. */
+  private def runCreateMv(rawName: String, selectText: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val mvName = rawName.replace("`", "").toLowerCase
+    val parsed = spark.sessionState.sqlParser.parsePlan(selectText)
+    val baseNames = parsed.collect {
+      case u: UnresolvedRelation => u.multipartIdentifier.mkString(".").toLowerCase
+    }.distinct
+    require(baseNames.size == 1,
+      s"materialized view must select from exactly one table, got $baseNames")
+    val (baseName, baseT) = namedTable(baseNames.head)
+    // analyze the defining SELECT through the registered views, then
+    // classify its RESOLVED aggregate — same taxonomy as the serving rule
+    val df = GraftShim.ofRows(spark, resolveRegistered(parsed))
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    val agg = df.queryExecution.analyzed.collectFirst { case a: Aggregate => a }
+      .getOrElse(throw new IllegalArgumentException(
+        "materialized view definition must be a GROUP BY aggregate"))
+    val gAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case e => throw new IllegalArgumentException(
+        s"materialized view can only group by plain columns, got ${e.sql}")
+    }
+    require(gAttrs.nonEmpty, "materialized view needs at least one grouping column")
+    var valueCol: Option[String] = None
+    def noteValue(c: String): Unit = {
+      require(valueCol.forall(_ == c),
+        s"materialized view aggregates must share one value column, got $valueCol and $c")
+      valueCol = Some(c)
+    }
+    agg.aggregateExpressions.foreach { ne =>
+      val e = ne match { case Alias(c, _) => c; case other => other }
+      e match {
+        case a: AttributeReference if gAttrs.exists(_.exprId == a.exprId) => ()
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(CLit(_, _))) => ()
+            case Count(Seq(a: AttributeReference)) => noteValue(a.name)
+            case Sum(a: AttributeReference, _) => noteValue(a.name)
+            case f => throw new IllegalArgumentException(
+              s"unsupported aggregate in materialized view: ${f.sql}")
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported select item in materialized view: ${other.sql}")
+      }
+    }
+    val v = valueCol.getOrElse(throw new IllegalArgumentException(
+      "materialized view needs sum(<value>) or count(<value>) to fix the value column"))
+    val groupCols = gAttrs.map(_.name)
+    val dec = DecimalType(28, 2)
+    val mvDir = createDirFor(mvName.split('.').toSeq)
+    require(!GraftTable.exists(spark, mvDir), s"table $mvName already exists")
+    // pin ONE base snapshot: seed content and stamp must describe the
+    // same version even under concurrent base commits
+    val s0 = baseT.snapshot
+    val seed = baseT.dfAt(s0).groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast(LongType).as("n"),
+      count(col(v)).cast(LongType).as("nn"),
+      // fold-identical arithmetic: an all-NULL group stores 0 (nn=0 keeps
+      // SQL's NULL on the serving side), so seeded and folded MVs are
+      // byte-identical for the same content
+      coalesce(sum(col(v)), lit(BigDecimal(0))).cast(dec).as("total"))
+    val mvT = GraftTable.create(spark, mvDir, seed.schema,
+      key = groupCols, formatVersion = 2)
+    mvT.append(seed)
+    mvT.setProperties(Map(
+      GraftTable.MvBaseVersionProp -> s0.version.toString,
+      GraftTable.MvBaseDirProp -> baseT.dir,
+      GraftTable.MvGroupColsProp -> groupCols.mkString(","),
+      GraftTable.MvValueColProp -> v))
+    baseT.registerMv(mvName.split('.').last, mvDir, groupCols, v)
+    refreshView(baseName) // registration bumped the base version
+    register(mvName, GraftTable.load(spark, mvDir))
+    tables(mvName).toDF
+  }
+
+  /** REFRESH MATERIALIZED VIEW: folds the base changelog since the MV's
+    * stamp through the production maintenance step — exactly-once via the
+    * MV's epoch ledger keyed on the target base version (a replay of the
+    * same refresh no-ops). Falls back to a full recompute when the
+    * changelog range is not expressible (an overwrite/rewrite landed in
+    * it). */
+  private def runRefreshMv(rawName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val (mvName, mvT) = namedTable(rawName)
+    val props = mvT.properties
+    val baseDir = props.getOrElse(GraftTable.MvBaseDirProp,
+      throw new IllegalArgumentException(s"$mvName is not a materialized view " +
+        s"(no ${GraftTable.MvBaseDirProp} property)"))
+    val groupCols = props(GraftTable.MvGroupColsProp).split(',').toSeq
+    val v = props(GraftTable.MvValueColProp)
+    val from = props(GraftTable.MvBaseVersionProp).toInt
+    val baseT = GraftTable.load(spark, baseDir)
+    val to = baseT.snapshot.version
+    if (to > from) {
+      try graft.streaming.StreamOps.applyMvDeltas(
+        baseT.changesBetween(from, to), mvT.dir, groupCols, v,
+        s"mv-refresh:${mvT.dir}", to.toLong)
+      catch { case _: IllegalArgumentException | _: IllegalStateException =>
+        // changelog not expressible across this range: full recompute,
+        // content first, stamp second (a crash between leaves the stamp
+        // behind — stale-conservative, never wrong)
+        val dec = DecimalType(28, 2)
+        mvT.overwrite(baseT.toDF.groupBy(groupCols.map(col): _*).agg(
+          count(lit(1)).cast(LongType).as("n"),
+          count(col(v)).cast(LongType).as("nn"),
+          coalesce(sum(col(v)), lit(BigDecimal(0))).cast(dec).as("total")))
+        mvT.setProperties(Map(GraftTable.MvBaseVersionProp -> to.toString))
+      }
+    }
+    refreshView(mvName)
+    GraftTable.load(spark, mvT.dir).toDF
+  }
 
   private def namedTable(rawName: String): (String, GraftTable) = {
     val name = rawName.replace("`", "").toLowerCase
@@ -230,6 +366,8 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         t.replaceSortKey(Seq.empty)
         refreshView(n)
         return t.toDF
+      case createMvRe(name, select) => return runCreateMv(name, select)
+      case refreshMvRe(name) => return runRefreshMv(name)
       case _ =>
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)

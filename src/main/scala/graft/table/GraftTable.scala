@@ -2851,6 +2851,12 @@ object GraftTable {
     * serves the MV only when no content-changing base commit postdates
     * it. */
   val MvBaseVersionProp: String = "graft.mv.base-version"
+  /** Self-describing MV-table properties written by the SQL front's
+    * CREATE MATERIALIZED VIEW so REFRESH can find its base and fold
+    * definition without re-parsing the original statement. */
+  val MvBaseDirProp: String = "graft.mv.base-dir"
+  val MvGroupColsProp: String = "graft.mv.group-cols"
+  val MvValueColProp: String = "graft.mv.value-col"
   /** Commit ops that cannot change a table's LOGICAL content (rows as a
     * multiset under the current schema): metadata-only property/layout
     * declarations and content-preserving file reorganizations. Schema

@@ -239,6 +239,46 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qp.as[(String, Long)].collect().toSet == Set(("a", 3L)))
   }
 
+  test("SQL front: CREATE MATERIALIZED VIEW seeds+registers; REFRESH folds exactly-once") {
+    val base = GraftTable.create(spark, s"$warehouse/db/s1", baseSchema,
+      key = Seq("id"), formatVersion = 2)
+    base.append(rows((1L, "a", "1.00"), (2L, "a", "2.00"), (3L, "b", "4.00")))
+    val g = new graft.sql.GraftSql(spark)
+    g.sql("CREATE MATERIALIZED VIEW graft.db.s1_by_g AS " +
+      "SELECT g, count(*), count(v), sum(v) FROM graft.db.s1 GROUP BY g")
+    val sql = "SELECT g, count(*) AS n, sum(v) AS s FROM graft.db.s1 GROUP BY g"
+    val q1 = spark.sql(sql)
+    assert(usesMv(q1, "s1_by_g", "db/s1/"), s"got ${scannedPaths(q1)}")
+    assert(served(q1) == recompute(base))
+    // duplicate create refuses
+    intercept[Exception](g.sql("CREATE MATERIALIZED VIEW graft.db.s1_by_g AS " +
+      "SELECT g, count(*), sum(v) FROM graft.db.s1 GROUP BY g"))
+    // stale -> REFRESH folds the delta and serving resumes
+    base.append(rows((4L, "b", "8.00")))
+    assert(usesBase(spark.sql(sql), "s1_by_g", "db/s1/"))
+    g.sql("REFRESH MATERIALIZED VIEW graft.db.s1_by_g")
+    val mvT = GraftTable.load(spark, s"$warehouse/db/s1_by_g")
+    val v = mvT.snapshot.version
+    g.sql("REFRESH MATERIALIZED VIEW graft.db.s1_by_g") // replay no-ops
+    assert(GraftTable.load(spark, s"$warehouse/db/s1_by_g").snapshot.version == v)
+    val q2 = spark.sql(sql)
+    assert(usesMv(q2, "s1_by_g", "db/s1/"))
+    assert(served(q2) == recompute(base))
+    // a compacted base breaks changelog expressibility: REFRESH must fall
+    // back to the full recompute and still converge
+    base.append(rows((5L, "c", "16.00")))
+    base.compact()
+    g.sql("REFRESH MATERIALIZED VIEW graft.db.s1_by_g")
+    val q3 = spark.sql(sql)
+    assert(usesMv(q3, "s1_by_g", "db/s1/"), s"got ${scannedPaths(q3)}")
+    assert(served(q3) == recompute(base))
+    // definition guards: two value columns / non-aggregate shapes refuse
+    intercept[Exception](g.sql("CREATE MATERIALIZED VIEW graft.db.bad1 AS " +
+      "SELECT g, sum(v), sum(id) FROM graft.db.s1 GROUP BY g"))
+    intercept[Exception](g.sql("CREATE MATERIALIZED VIEW graft.db.bad2 AS " +
+      "SELECT g, v FROM graft.db.s1"))
+  }
+
   test("shape/type guards: filters, non-sum aggs, legacy MV without nn all decline") {
     val (base, mvDir, sql) = setup("m6")
     base.append(rows((1L, "a", "1.00"), (2L, "b", "2.00")))
