@@ -196,6 +196,8 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(SELECT\s.+)$""".r
   private val refreshMvRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*$""".r
+  private val dropMvRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*$""".r
 
   /** CREATE MATERIALIZED VIEW: the defining SELECT must be a plain
     * `GROUP BY` aggregate over ONE registered graft table whose outputs
@@ -324,6 +326,30 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     GraftTable.load(spark, mvT.dir).toDF
   }
 
+  /** DROP MATERIALIZED VIEW: removes the base-table registration FIRST
+    * (a query racing the drop either still serves the intact MV or has
+    * already fallen back to the scan — never reads half-deleted files;
+    * the rewrite also tolerates a vanished MV dir by declining), then
+    * deletes the MV table's storage and local registrations. */
+  private def runDropMv(rawName: String): DataFrame = {
+    val (mvName, mvT) = namedTable(rawName)
+    val baseDir = mvT.properties.getOrElse(GraftTable.MvBaseDirProp,
+      throw new IllegalArgumentException(s"$mvName is not a materialized view " +
+        s"(no ${GraftTable.MvBaseDirProp} property)"))
+    val baseT = GraftTable.load(spark, baseDir)
+    val regs = baseT.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.MvRegistrationPrefix) &&
+        k != GraftTable.MvBaseVersionProp && v.contains(s"dir=${mvT.dir};") => k
+    }.toSeq
+    if (regs.nonEmpty)
+      baseT.setProperties(regs.map(_ -> (null: String)).toMap)
+    val p = new org.apache.hadoop.fs.Path(mvT.dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    tables.remove(mvName)
+    spark.catalog.dropTempView(mvName.replace(".", "__"))
+    spark.emptyDataFrame
+  }
+
   private def namedTable(rawName: String): (String, GraftTable) = {
     val name = rawName.replace("`", "").toLowerCase
     name -> tables.get(name).orElse(catalogLookup(name))
@@ -368,6 +394,7 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
         return t.toDF
       case createMvRe(name, select) => return runCreateMv(name, select)
       case refreshMvRe(name) => return runRefreshMv(name)
+      case dropMvRe(name) => return runDropMv(name)
       case _ =>
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)

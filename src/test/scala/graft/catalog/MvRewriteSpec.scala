@@ -277,6 +277,37 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT g, sum(v), sum(id) FROM graft.db.s1 GROUP BY g"))
     intercept[Exception](g.sql("CREATE MATERIALIZED VIEW graft.db.bad2 AS " +
       "SELECT g, v FROM graft.db.s1"))
+    // DROP unregisters and deletes storage; queries fall back to the scan
+    g.sql("DROP MATERIALIZED VIEW graft.db.s1_by_g")
+    val qd = spark.sql(sql)
+    assert(usesBase(qd, "s1_by_g", "db/s1/"))
+    assert(served(qd) == recompute(base))
+    assert(!GraftTable.exists(spark, s"$warehouse/db/s1_by_g"))
+  }
+
+  test("REFRESH folds MoR rowDeltas: upsert edits and a group drained to zero") {
+    val base = GraftTable.create(spark, s"$warehouse/db/s2", baseSchema,
+      key = Seq("id"), formatVersion = 2)
+    base.append(rows((1L, "a", "1.00"), (2L, "a", "2.00"), (3L, "b", "4.00")))
+    val g = new graft.sql.GraftSql(spark)
+    g.sql("CREATE MATERIALIZED VIEW graft.db.s2_by_g AS " +
+      "SELECT g, count(*), sum(v) FROM graft.db.s2 GROUP BY g")
+    val sql = "SELECT g, count(*) AS n, sum(v) AS s FROM graft.db.s2 GROUP BY g"
+    // upsert: move id=2 from group a to b with a new value
+    val upd = rows((2L, "b", "10.00"))
+    base.rowDelta(upd.select(col("id")), upd, Seq("id"))
+    g.sql("REFRESH MATERIALIZED VIEW graft.db.s2_by_g")
+    val q1 = spark.sql(sql)
+    assert(usesMv(q1, "s2_by_g", "db/s2/"), s"got ${scannedPaths(q1)}")
+    assert(served(q1) == recompute(base))
+    // drain group a entirely: the fold tombstones it out of the MV
+    base.rowDelta(rows((1L, "a", "1.00")).select(col("id")),
+      rows().limit(0), Seq("id"))
+    g.sql("REFRESH MATERIALIZED VIEW graft.db.s2_by_g")
+    val q2 = spark.sql(sql)
+    assert(usesMv(q2, "s2_by_g", "db/s2/"))
+    assert(served(q2) == recompute(base))
+    assert(!q2.collect().exists(_.getString(0) == "a"), "drained group must be absent")
   }
 
   test("shape/type guards: filters, non-sum aggs, legacy MV without nn all decline") {
