@@ -336,16 +336,38 @@ private[catalog] object GraftMvRewrite {
 
   /** The MV's stamp covers the base's current version: equal, or every
     * later commit is content-preserving. A rolled-back base (stamp >
-    * current) or a gap past [[MaxFreshnessWalk]] is stale. */
+    * current) or a gap past [[MaxFreshnessWalk]] is stale.
+    *
+    * Verdicts are memoized per (table dir, version): a committed
+    * version's op — and hence its did-content-change verdict — is
+    * immutable (snapshot expiry rewrites the op to "expired", but expiry
+    * does not change what HAPPENED at that version, so the first-read
+    * verdict stays semantically correct). The cache makes repeated
+    * analyses of a stale-registered base cost zero metadata reads.
+    * Bounded: cleared wholesale past 4096 entries. */
+  private val opVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]
+
   private def isFresh(gst: GraftSparkTable, baseVersion: Int,
                       mvProps: Map[String, String]): Boolean = {
     val stamp = mvProps.get(GraftTable.MvBaseVersionProp)
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(return false)
     if (stamp == baseVersion) return true
     if (stamp > baseVersion || baseVersion - stamp > MaxFreshnessWalk) return false
+    if (opVerdicts.size > 4096) opVerdicts.clear()
     (stamp + 1 to baseVersion).forall { v =>
-      val op = try gst.graftTable.snapshotAt(v).op catch { case _: Exception => return false }
-      GraftTable.ContentPreservingOps.contains(op)
+      val key = (gst.graftTable.dir, v)
+      val cached = opVerdicts.get(key)
+      if (cached != null) cached.booleanValue()
+      else {
+        val op = try gst.graftTable.snapshotAt(v).op catch { case _: Exception => return false }
+        val ok = GraftTable.ContentPreservingOps.contains(op)
+        // "expired" is a conservative decline, not a historical fact —
+        // don't pin it (a pre-expiry read may have cached the real op,
+        // which is fine; see above)
+        if (op != "expired") opVerdicts.put(key, ok)
+        ok
+      }
     }
   }
 }

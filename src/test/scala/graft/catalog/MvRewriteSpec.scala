@@ -310,6 +310,36 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q2.collect().exists(_.getString(0) == "a"), "drained group must be absent")
   }
 
+  test("a CDC-tail-maintained MV is immediately servable (streaming folds stamp each batch)") {
+    val base = GraftTable.create(spark, s"$warehouse/db/s3", baseSchema,
+      key = Seq("id"), formatVersion = 2)
+    base.append(rows((1L, "a", "1.00"), (2L, "b", "2.00")))   // v1
+    val mvDir = s"$warehouse/db/s3_mv"
+    GraftTable.create(spark, mvDir, mvSchema, key = Seq("g"), formatVersion = 2)
+    StreamOps.applyMvDeltas(base.changesBetween(0, 1), mvDir, "g", "v", "s3-tail", 0L)
+    base.append(rows((3L, "a", "4.00")))                       // v2
+    val upd = rows((2L, "b", "20.00"))
+    base.rowDelta(upd.select(col("id")), upd, Seq("id"))       // v3 upsert
+    // the production tail: one batch per commit, each fold stamps the MV
+    val q = spark.readStream.format("graft")
+      .option("changesFrom", 1).option("maxVersionsPerBatch", 1)
+      .load(base.dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamOps.applyMvDeltas(batch, mvDir, "g", "v", "s3-tail", batchId + 1)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    // registration is the only post-stream commit (content-preserving):
+    // the stream's own stamps make the MV fresh with no extra refresh
+    base.registerMv("by_g", mvDir, "g", "v")
+    val served1 = spark.sql("SELECT g, count(*) AS n, sum(v) AS s FROM graft.db.s3 GROUP BY g")
+    assert(usesMv(served1, "s3_mv", "db/s3/"), s"got ${scannedPaths(served1)}")
+    assert(served(served1) == recompute(base))
+  }
+
   test("shape/type guards: filters, non-sum aggs, legacy MV without nn all decline") {
     val (base, mvDir, sql) = setup("m6")
     base.append(rows((1L, "a", "1.00"), (2L, "b", "2.00")))
