@@ -283,6 +283,12 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
           tbl(r).vacuumOrphans(r.getLong(1)); ()
         }
+      case "refresh_mv" =>
+        // the scheduler-facing twin of GraftSql's REFRESH MATERIALIZED
+        // VIEW: fold the base changelog since the MV's stamp, exactly-once
+        GraftCatalog.procedure("refresh_mv", Seq("table" -> StringType)) { r =>
+          graft.streaming.StreamOps.refreshMv(spark, tbl(r)); ()
+        }
       case "rewrite_small_dirs" =>
         GraftCatalog.procedure("rewrite_small_dirs", Seq("table" -> StringType)) { r =>
           tbl(r).rewriteSmallDirs(); ()
@@ -409,7 +415,7 @@ object GraftCatalog {
     "apply_retention", "vacuum", "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
-    "add_files", "evolve_spec")
+    "add_files", "evolve_spec", "refresh_mv")
 
   /** Parses one `transform(source)` spec field — delegates to
     * [[graft.table.PartitionField.parse]] (shared with GraftSql's

@@ -287,41 +287,12 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     tables(mvName).toDF
   }
 
-  /** REFRESH MATERIALIZED VIEW: folds the base changelog since the MV's
-    * stamp through the production maintenance step — exactly-once via the
-    * MV's epoch ledger keyed on the target base version (a replay of the
-    * same refresh no-ops). Falls back to a full recompute when the
-    * changelog range is not expressible (an overwrite/rewrite landed in
-    * it). */
+  /** REFRESH MATERIALIZED VIEW — delegates to the shared core
+    * ([[graft.streaming.StreamOps.refreshMv]]; `CALL
+    * graft.system.refresh_mv` is the scheduler-facing twin). */
   private def runRefreshMv(rawName: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{DecimalType, LongType}
     val (mvName, mvT) = namedTable(rawName)
-    val props = mvT.properties
-    val baseDir = props.getOrElse(GraftTable.MvBaseDirProp,
-      throw new IllegalArgumentException(s"$mvName is not a materialized view " +
-        s"(no ${GraftTable.MvBaseDirProp} property)"))
-    val groupCols = props(GraftTable.MvGroupColsProp).split(',').toSeq
-    val v = props(GraftTable.MvValueColProp)
-    val from = props(GraftTable.MvBaseVersionProp).toInt
-    val baseT = GraftTable.load(spark, baseDir)
-    val to = baseT.snapshot.version
-    if (to > from) {
-      try graft.streaming.StreamOps.applyMvDeltas(
-        baseT.changesBetween(from, to), mvT.dir, groupCols, v,
-        s"mv-refresh:${mvT.dir}", to.toLong)
-      catch { case _: IllegalArgumentException | _: IllegalStateException =>
-        // changelog not expressible across this range: full recompute,
-        // content first, stamp second (a crash between leaves the stamp
-        // behind — stale-conservative, never wrong)
-        val dec = DecimalType(28, 2)
-        mvT.overwrite(baseT.toDF.groupBy(groupCols.map(col): _*).agg(
-          count(lit(1)).cast(LongType).as("n"),
-          count(col(v)).cast(LongType).as("nn"),
-          coalesce(sum(col(v)), lit(BigDecimal(0))).cast(dec).as("total")))
-        mvT.setProperties(Map(GraftTable.MvBaseVersionProp -> to.toString))
-      }
-    }
+    graft.streaming.StreamOps.refreshMv(spark, mvT)
     refreshView(mvName)
     GraftTable.load(spark, mvT.dir).toDF
   }

@@ -666,6 +666,41 @@ object StreamOps {
       tombstoneWhen = Some(col("n") <= 0), extraProps = stamp)
   }
 
+  /** REFRESH core shared by GraftSql's `REFRESH MATERIALIZED VIEW` and
+    * `CALL graft.system.refresh_mv`: folds the base changelog since the
+    * MV's stamp through [[applyMvDeltas]] — exactly-once via the MV's
+    * epoch ledger keyed on the target base version (a duplicate refresh
+    * no-ops) — falling back to a full recompute when the range is not
+    * changelog-expressible (an overwrite/rewrite landed in it). The MV
+    * self-describes via its `graft.mv.*` properties, written at CREATE. */
+  def refreshMv(spark: SparkSession, mvT: graft.table.GraftTable): Unit = {
+    import graft.table.GraftTable
+    val props = mvT.properties
+    val baseDir = props.getOrElse(GraftTable.MvBaseDirProp,
+      throw new IllegalArgumentException(s"${mvT.dir} is not a materialized " +
+        s"view (no ${GraftTable.MvBaseDirProp} property)"))
+    val groupCols = props(GraftTable.MvGroupColsProp).split(',').toSeq
+    val v = props(GraftTable.MvValueColProp)
+    val from = props(GraftTable.MvBaseVersionProp).toInt
+    val baseT = GraftTable.load(spark, baseDir)
+    val to = baseT.snapshot.version
+    if (to > from) {
+      try applyMvDeltas(baseT.changesBetween(from, to), mvT.dir, groupCols, v,
+        s"mv-refresh:${mvT.dir}", to.toLong)
+      catch { case _: IllegalArgumentException | _: IllegalStateException =>
+        // changelog not expressible across this range: full recompute,
+        // content first, stamp second (a crash between leaves the stamp
+        // behind — stale-conservative, never wrong)
+        val dec = DecimalType(28, 2)
+        mvT.overwrite(baseT.toDF.groupBy(groupCols.map(col): _*).agg(
+          count(lit(1)).cast(LongType).as("n"),
+          count(col(v)).cast(LongType).as("nn"),
+          coalesce(sum(col(v)), lit(BigDecimal(0))).cast(dec).as("total")))
+        mvT.setProperties(Map(GraftTable.MvBaseVersionProp -> to.toString))
+      }
+    }
+  }
+
   private val streamIncrementalMvOracle: String =
     """WITH f AS (SELECT c_mktsegment AS seg,
       |  CASE WHEN c_custkey % 10 = 2

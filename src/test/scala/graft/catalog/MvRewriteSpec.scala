@@ -285,6 +285,28 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!GraftTable.exists(spark, s"$warehouse/db/s1_by_g"))
   }
 
+  test("CALL graft.system.refresh_mv is the scheduler-facing REFRESH twin") {
+    val base = GraftTable.create(spark, s"$warehouse/db/s4", baseSchema,
+      key = Seq("id"), formatVersion = 2)
+    base.append(rows((1L, "a", "1.00")))
+    val g = new graft.sql.GraftSql(spark)
+    g.sql("CREATE MATERIALIZED VIEW graft.db.s4_by_g AS " +
+      "SELECT g, count(*), sum(v) FROM graft.db.s4 GROUP BY g")
+    base.append(rows((2L, "b", "2.00")))
+    val sql = "SELECT g, count(*) AS n, sum(v) AS s FROM graft.db.s4 GROUP BY g"
+    assert(usesBase(spark.sql(sql), "s4_by_g", "db/s4/"))
+    spark.sql("CALL graft.system.refresh_mv('db.s4_by_g')").collect()
+    val q = spark.sql(sql)
+    assert(usesMv(q, "s4_by_g", "db/s4/"), s"got ${scannedPaths(q)}")
+    assert(served(q) == recompute(base))
+    // duplicate CALL no-ops through the ledger
+    val v = GraftTable.load(spark, s"$warehouse/db/s4_by_g").snapshot.version
+    spark.sql("CALL graft.system.refresh_mv('db.s4_by_g')").collect()
+    assert(GraftTable.load(spark, s"$warehouse/db/s4_by_g").snapshot.version == v)
+    // a non-MV table refuses
+    intercept[Exception](spark.sql("CALL graft.system.refresh_mv('db.s4')").collect())
+  }
+
   test("REFRESH folds MoR rowDeltas: upsert edits and a group drained to zero") {
     val base = GraftTable.create(spark, s"$warehouse/db/s2", baseSchema,
       key = Seq("id"), formatVersion = 2)
