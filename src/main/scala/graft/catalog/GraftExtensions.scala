@@ -94,7 +94,16 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
           if agg.resolved && groupExprs.nonEmpty &&
             GraftCountFold.relationOf(child, writeTargets).isDefined =>
         GraftMvRewrite.rewrite(spark, agg,
-          GraftCountFold.relationOf(child, writeTargets).get).getOrElse(agg)
+          GraftCountFold.relationOf(child, writeTargets).get)
+          .orElse(GraftPartitionFold.fold(agg, writeTargets))
+          .getOrElse(agg)
+      // partition-count folds under a partition-equality Filter (grouped
+      // or global): `count(*) WHERE p = …` / `GROUP BY p` answered from
+      // the per-leaf pstats sidecars — Iceberg's manifest-summary role
+      case agg @ Aggregate(_, _, f: Filter, _)
+          if agg.resolved &&
+            GraftCountFold.relationOf(f.child, writeTargets).isDefined =>
+        GraftPartitionFold.fold(agg, writeTargets).getOrElse(agg)
       case agg @ Aggregate(Nil, aggExprs, child, _)
           if agg.resolved && aggExprs.nonEmpty &&
             aggExprs.forall(e => GraftCountFold.foldKind(e).isDefined) &&
@@ -373,6 +382,89 @@ private[catalog] object GraftMvRewrite {
 }
 
 /** Pattern helpers for the metadata-only COUNT(*) fold. */
+/** Partition-count folds: aggregates whose answer is fully determined by
+  * the k=v partition layout — `GROUP BY <identity-partition cols>` with
+  * count(*) outputs, optionally under a conjunctive partition-equality
+  * Filter (=, IN), including the filtered global count — fold at
+  * analysis from the per-leaf pstats sidecars
+  * ([[graft.table.GraftTable.partitionRowCounts]]) instead of scanning.
+  * At 100 TB this answers `SELECT day, count(*) … GROUP BY day` and
+  * `count(*) WHERE day = X` from O(partitions) metadata rows, the role
+  * Iceberg's per-manifest partition summaries play. Any shape or
+  * metadata gap (non-identity transform, pending deletes, missing
+  * sidecar, unsafe value type) returns None and the query scans — the
+  * fold is never load-bearing for correctness. */
+private[catalog] object GraftPartitionFold {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal => CLit}
+
+  def fold(agg: Aggregate,
+           writeTargets: java.util.Set[LogicalPlan]): Option[LogicalPlan] = {
+    val (cond, child) = agg.child match {
+      case f: Filter => (Some(f.condition), f.child)
+      case ch => (None, ch)
+    }
+    val gst = GraftCountFold.relationOf(child, writeTargets).getOrElse(return None)
+    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    // outputs: a grouping column (possibly aliased) or count(*)/count(1)
+    def groupIdx(a: AttributeReference): Int =
+      groupAttrs.indexWhere(_.exprId == a.exprId)
+    val outs: Seq[Either[Int, Unit]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupIdx(a) >= 0 => Left(groupIdx(a))
+      case Alias(a: AttributeReference, _) if groupIdx(a) >= 0 => Left(groupIdx(a))
+      case e if GraftCountFold.isCountStar(e) => Right(())
+      case _ => return None
+    }
+    // filter: a conjunction of `col = literal` / `col IN (literals)` on
+    // plain attributes, literals non-null and type-identical (an analyzer
+    // cast anywhere breaks the pattern and correctly declines the fold)
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def litOk(a: AttributeReference, l: CLit): Boolean =
+      l.value != null && l.dataType == a.dataType
+    val conjuncts: Seq[(AttributeReference, Seq[Any])] =
+      cond.map(split(_).map {
+        case EqualTo(a: AttributeReference, l: CLit) if litOk(a, l) => (a, Seq(l.value))
+        case EqualTo(l: CLit, a: AttributeReference) if litOk(a, l) => (a, Seq(l.value))
+        case In(a: AttributeReference, vs)
+            if vs.nonEmpty && vs.forall {
+              case l: CLit => litOk(a, l)
+              case _ => false
+            } => (a, vs.map(_.asInstanceOf[CLit].value))
+        case _ => return None
+      }).getOrElse(Seq.empty)
+    val snap = gst.readSnapshot
+    if (snap.deletes.nonEmpty) return None
+    val cols = (groupAttrs.map(_.name) ++ conjuncts.map(_._1.name))
+      .foldLeft(Vector.empty[String])((acc, n) =>
+        if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
+    if (cols.isEmpty) return None // bare global count: GraftCountFold's case
+    def idxOf(n: String): Int = cols.indexWhere(_.equalsIgnoreCase(n))
+    val tuples = gst.graftTable.partitionRowCounts(snap, cols).getOrElse(return None)
+    val kept = tuples.filter { case (vs, _) =>
+      conjuncts.forall { case (a, lits) =>
+        val v = vs(idxOf(a.name)); v != null && lits.exists(_ == v)
+      }
+    }
+    val grouped: Seq[(Seq[Any], Long)] =
+      if (groupAttrs.isEmpty) Seq((Seq.empty, kept.map(_._2).sum))
+      else kept.groupBy { case (vs, _) => groupAttrs.map(g => vs(idxOf(g.name))) }
+        .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val rows = grouped.map { case (key, n) =>
+      InternalRow(outs.map {
+        case Left(i) => key(i)
+        case Right(_) => n
+      }: _*)
+    }
+    Some(LocalRelation(agg.output.map(_.toAttribute), rows))
+  }
+}
+
 private[catalog] object GraftCountFold {
   import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}

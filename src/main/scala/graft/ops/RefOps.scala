@@ -236,6 +236,34 @@ object RefOps {
       .orderBy("part")
   }
 
+  // D9/S2 at the metadata plane — partition-count folds: GROUP BY on
+  // identity partition columns and a partition-equality filtered count,
+  // both answered at ANALYSIS time from the per-leaf pstats sidecars
+  // (GraftPartitionFold; no data file is opened — the role Iceberg's
+  // per-manifest partition summaries play at 100 TB). The fold's actual
+  // firing (LocalRelation plan, decline paths) is asserted by
+  // PartitionCountFoldSpec; this query grades result parity against the
+  // raw-parquet oracle across two commits' worth of leaves.
+  private def partitionCountFold(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"))
+    val wh = tmp("pcf_wh")
+    val cat = s"graftpc${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val t = GraftTable.create(spark, s"$wh/db/ord", o.schema,
+      spec = Seq(PartitionField("o_orderpriority", "identity"),
+        PartitionField("o_orderstatus", "identity")))
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 =!= 0))
+    spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n FROM $cat.db.ord
+         |GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM $cat.db.ord
+         |WHERE o_orderstatus = 'F'
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Iceberg-spec bucket golden vectors (VERDICT r7 item 7): the
     * `ibucket` transform's [[graft.functions.IcebergBucket]] expression
     * over the exact typed literals of the Iceberg spec's Appendix B test
@@ -1117,6 +1145,7 @@ object RefOps {
     "rowdelta_upsert" -> rowdeltaUpsert,
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
+    "partition_count_fold" -> partitionCountFold,
     "iceberg_bucket_vectors" -> (icebergBucketVectors _),
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
@@ -1236,6 +1265,11 @@ object RefOps {
     "partition_transform" ->
       """SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY part""".stripMargin,
+    "partition_count_fold" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderpriority""".stripMargin,
     "iceberg_bucket_vectors" -> icebergBucketVectorsOracle,
     "partition_pruned_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n

@@ -1378,6 +1378,75 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     toCatalystStat(dt, best)
   }
 
+  /** Live-row count per distinct tuple of `cols` partition values,
+    * folded entirely from the per-leaf pstats sidecars — `SELECT g,
+    * count(*) GROUP BY g` (and partition-equality filtered counts)
+    * without touching a data file, the role Iceberg's per-manifest
+    * partition summaries play at 100 TB. Values are Catalyst-internal.
+    * None (the query must scan) unless: every requested column is an
+    * IDENTITY partition source in EVERY live dir's spec, every dir has a
+    * complete sidecar whose per-leaf rows reconcile with the dir's own
+    * recorded rowCount, no equality deletes are pending, and every value
+    * round-trips the k=v path encoding (string / integral / boolean /
+    * date only — never float or timestamp, whose path formatting is
+    * ambiguous). O(dirs) driver metadata reads, O(leaves) local fold. */
+  private[graft] def partitionRowCounts(
+      s: Snapshot, cols: Seq[String]): Option[Seq[(Seq[Any], Long)]] = {
+    if (cols.isEmpty || s.deletes.nonEmpty) return None
+    val flds = cols.map(c =>
+      s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None))
+    val safe = flds.forall(_.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false
+    })
+    if (!safe) return None
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+    s.dataDirs.foreach { d =>
+      val spec = s.specAt(d.version)
+      // every requested column must be an identity partition source of
+      // THIS dir (so the leaf value IS the row value, exactly)
+      val keys: Seq[String] = flds.map { f =>
+        spec.find(pf => pf.transform == "identity" &&
+          pf.source.equalsIgnoreCase(f.name)) match {
+          case Some(pf) => pf.name
+          case None => return None
+        }
+      }
+      val leaves = pstatsOf(d).getOrElse(return None)
+      if (leaves.exists(_._3 < 0L)) return None
+      // reconcile with the commit-recorded dir total: any divergence
+      // (layout deviation, partial sidecar) disables the fold
+      if (d.rowCount >= 0L && leaves.map(_._3).sum != d.rowCount) return None
+      leaves.foreach { case (disp, _, rows, _) =>
+        if (rows > 0L) { // a rowless leaf must not invent a group
+          val kv: Seq[(String, String)] = disp.split('/').toSeq.flatMap { seg =>
+            val i = seg.indexOf('=')
+            if (i <= 0) None else Some(seg.substring(0, i) -> seg.substring(i + 1))
+          }
+          val tuple: Seq[Any] = keys.zip(flds).map { case (k, f) =>
+            val raw = kv.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(k) => v }.getOrElse(return None)
+            val un = unescapePathName(raw)
+            if (un == "__HIVE_DEFAULT_PARTITION__") null
+            else decodePartValue(f.dataType, un).getOrElse(return None)
+          }
+          acc(tuple) = acc.getOrElse(tuple, 0L) + rows
+        }
+      }
+    }
+    Some(acc.toSeq)
+  }
+
+  /** Catalyst-internal value of one k=v path component under `dt` —
+    * Spark's own string cast (LEGACY mode: null, never throw), so the
+    * decoding can never drift from what `partitionBy` wrote. */
+  private def decodePartValue(dt: DataType, raw: String): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    try Option(Cast(Literal.create(raw, StringType), dt, None, EvalMode.LEGACY).eval(null))
+    catch { case _: Exception => None }
+  }
+
   /** Data dirs that can match `pred`'s point predicates per the bloom
     * sidecars; a dir is dropped only when some conjunct's EVERY candidate
     * value is definitely absent. O(dirs) driver metadata work. */
