@@ -118,6 +118,9 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
                   if (snap.dataDirs.forall(_.rowCount >= 0L))
                     Some(snap.dataDirs.map(_.rowCount).sum)
                   else None
+                case GraftCountFold.CountCol(column) =>
+                  gst.graftTable.globalNonNullCount(snap, column)
+                    .map(_.asInstanceOf[Any])
                 case GraftCountFold.MinMax(column, isMin) =>
                   gst.graftTable.globalBound(snap, column, isMin)
               })
@@ -409,15 +412,29 @@ private[catalog] object GraftPartitionFold {
       case a: AttributeReference => a
       case _ => return None
     }
-    // outputs: a grouping column (possibly aliased) or count(*)/count(1)
+    // outputs: a grouping column (possibly aliased), count(*)/count(1),
+    // or — when the pcolstats sidecars can serve them — count(col) /
+    // min(col) / max(col) on declared stats columns
     def groupIdx(a: AttributeReference): Int =
       groupAttrs.indexWhere(_.exprId == a.exprId)
-    val outs: Seq[Either[Int, Unit]] = agg.aggregateExpressions.map {
-      case a: AttributeReference if groupIdx(a) >= 0 => Left(groupIdx(a))
-      case Alias(a: AttributeReference, _) if groupIdx(a) >= 0 => Left(groupIdx(a))
-      case e if GraftCountFold.isCountStar(e) => Right(())
-      case _ => return None
-    }
+    val outs: Seq[Either[Int, GraftCountFold.FoldKind]] =
+      agg.aggregateExpressions.map {
+        case a: AttributeReference if groupIdx(a) >= 0 => Left(groupIdx(a))
+        case Alias(a: AttributeReference, _) if groupIdx(a) >= 0 =>
+          Left(groupIdx(a))
+        case e => Right(GraftCountFold.foldKind(e).getOrElse(return None))
+      }
+    val statCols: Seq[String] = outs.collect {
+      case Right(GraftCountFold.CountCol(c)) => c
+      case Right(GraftCountFold.MinMax(c, _)) => c
+    }.foldLeft(Vector.empty[String])((acc, n) =>
+      if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
+    val statTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      agg.aggregateExpressions.flatMap(_.collect {
+        case a: AttributeReference
+            if statCols.exists(_.equalsIgnoreCase(a.name)) =>
+          a.name.toLowerCase -> a.dataType
+      }).toMap
     // filter: a conjunction of `col = literal` / `col IN (literals)` on
     // plain attributes, literals non-null and type-identical (an analyzer
     // cast anywhere breaks the pattern and correctly declines the fold)
@@ -443,22 +460,46 @@ private[catalog] object GraftPartitionFold {
     val cols = (groupAttrs.map(_.name) ++ conjuncts.map(_._1.name))
       .foldLeft(Vector.empty[String])((acc, n) =>
         if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
-    if (cols.isEmpty) return None // bare global count: GraftCountFold's case
+    if (cols.isEmpty) return None // bare global agg: GraftCountFold's case
     def idxOf(n: String): Int = cols.indexWhere(_.equalsIgnoreCase(n))
-    val tuples = gst.graftTable.partitionRowCounts(snap, cols).getOrElse(return None)
-    val kept = tuples.filter { case (vs, _) =>
+    def statIdx(n: String): Int = statCols.indexWhere(_.equalsIgnoreCase(n))
+    // count-only shapes fold from the (older, wider-compatibility)
+    // pstats sidecar; shapes with column stats need pcolstats
+    val leaves: Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])] =
+      if (statCols.isEmpty)
+        gst.graftTable.partitionRowCounts(snap, cols).getOrElse(return None)
+          .map { case (vs, n) => (vs, n, Seq.empty) }
+      else
+        gst.graftTable.partitionLeafStats(snap, cols, statCols)
+          .getOrElse(return None)
+    val kept = leaves.filter { case (vs, _, _) =>
       conjuncts.forall { case (a, lits) =>
         val v = vs(idxOf(a.name)); v != null && lits.exists(_ == v)
       }
     }
-    val grouped: Seq[(Seq[Any], Long)] =
-      if (groupAttrs.isEmpty) Seq((Seq.empty, kept.map(_._2).sum))
-      else kept.groupBy { case (vs, _) => groupAttrs.map(g => vs(idxOf(g.name))) }
-        .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
-    val rows = grouped.map { case (key, n) =>
+    val grouped: Seq[(Seq[Any], Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])])] =
+      if (groupAttrs.isEmpty) Seq((Seq.empty, kept))
+      else kept.groupBy { case (vs, _, _) =>
+        groupAttrs.map(g => vs(idxOf(g.name))) }.toSeq
+    val rows = grouped.map { case (key, ls) =>
       InternalRow(outs.map {
         case Left(i) => key(i)
-        case Right(_) => n
+        case Right(GraftCountFold.CountStar) => ls.map(_._2).sum
+        case Right(GraftCountFold.CountCol(c)) =>
+          ls.map(_._3(statIdx(c))._3).sum
+        case Right(GraftCountFold.MinMax(c, isMin)) =>
+          val si = statIdx(c)
+          val dt = statTypes.getOrElse(c.toLowerCase, return None)
+          // leaves holding values must report a bound; all-NULL leaves
+          // (nn == 0) contribute nothing
+          val bounds = ls.flatMap { l =>
+            val (mn, mx, nn) = l._3(si)
+            val b = if (isMin) mn else mx
+            if (nn == 0L) None
+            else Some(b.getOrElse(return None))
+          }
+          graft.table.GraftTable.foldBound(dt, bounds, isMin)
+            .getOrElse(return None)
       }: _*)
     }
     Some(LocalRelation(agg.output.map(_.toAttribute), rows))
@@ -489,6 +530,8 @@ private[catalog] object GraftCountFold {
 
   sealed trait FoldKind
   case object CountStar extends FoldKind
+  /** `count(col)` (non-distinct) — folds from the per-dir `nn` sidecar. */
+  final case class CountCol(column: String) extends FoldKind
   /** `min(col)` / `max(col)` directly on a relation column. */
   final case class MinMax(column: String, isMin: Boolean) extends FoldKind
 
@@ -502,6 +545,9 @@ private[catalog] object GraftCountFold {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(CLit(_, _))) => Some(CountStar)
+          case Count(Seq(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference)) =>
+            Some(CountCol(a.name))
           case org.apache.spark.sql.catalyst.expressions.aggregate.Min(
             a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
             Some(MinMax(a.name, isMin = true))

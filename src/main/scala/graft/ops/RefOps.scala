@@ -236,23 +236,26 @@ object RefOps {
       .orderBy("part")
   }
 
-  // D9/S2 at the metadata plane — partition-count folds: GROUP BY on
-  // identity partition columns and a partition-equality filtered count,
-  // both answered at ANALYSIS time from the per-leaf pstats sidecars
-  // (GraftPartitionFold; no data file is opened — the role Iceberg's
-  // per-manifest partition summaries play at 100 TB). The fold's actual
-  // firing (LocalRelation plan, decline paths) is asserted by
-  // PartitionCountFoldSpec; this query grades result parity against the
-  // raw-parquet oracle across two commits' worth of leaves.
+  // D9/S2 at the metadata plane — metadata-only aggregate folds: GROUP
+  // BY on identity partition columns and a partition-equality filtered
+  // count answer at ANALYSIS time from the per-leaf pstats sidecars
+  // (GraftPartitionFold), and the third branch folds count(col) /
+  // min / max from the per-dir bounds+nn sidecars (GraftCountFold) —
+  // no data file is opened for any branch, the role Iceberg's manifest
+  // stats play at 100 TB. Fold firing (LocalRelation plan, decline
+  // paths) is asserted by PartitionCountFoldSpec/CountFoldSpec; this
+  // query grades result parity against the raw-parquet oracle across
+  // two commits' worth of leaves.
   private def partitionCountFold(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"),
-      col("o_orderpriority"))
+      col("o_orderpriority"), expr("nullif(o_orderstatus, 'F')").as("status_opt"))
     val wh = tmp("pcf_wh")
     val cat = s"graftpc${java.util.UUID.randomUUID().toString.take(8)}"
     graft.catalog.GraftCatalog.register(spark, wh, cat)
     val t = GraftTable.create(spark, s"$wh/db/ord", o.schema,
       spec = Seq(PartitionField("o_orderpriority", "identity"),
-        PartitionField("o_orderstatus", "identity")))
+        PartitionField("o_orderstatus", "identity")),
+      statsKeys = Seq("o_orderkey", "status_opt"))
     t.append(o.filter(col("o_orderkey") % 2 === 0))
     t.append(o.filter(col("o_orderkey") % 2 =!= 0))
     spark.sql(
@@ -261,6 +264,15 @@ object RefOps {
          |UNION ALL
          |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM $cat.db.ord
          |WHERE o_orderstatus = 'F'
+         |UNION ALL
+         |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi AS n FROM
+         |  (SELECT count(status_opt) AS c, min(o_orderkey) AS lo,
+         |          max(o_orderkey) AS hi FROM $cat.db.ord)
+         |UNION ALL
+         |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m AS n FROM
+         |  (SELECT o_orderpriority, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+         |          count(*) AS m FROM $cat.db.ord
+         |   WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
          |ORDER BY o_orderpriority""".stripMargin)
   }
 
@@ -1269,6 +1281,15 @@ object RefOps {
       """SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
         |UNION ALL
         |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi AS n FROM
+        |  (SELECT count(nullif(o_orderstatus, 'F')) AS c, min(o_orderkey) AS lo,
+        |          max(o_orderkey) AS hi FROM orders)
+        |UNION ALL
+        |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m AS n FROM
+        |  (SELECT o_orderpriority, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |          count(*) AS m FROM orders
+        |   WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
     "iceberg_bucket_vectors" -> icebergBucketVectorsOracle,
     "partition_pruned_scan" ->

@@ -464,7 +464,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     val boundMetrics = snap.statsKeys.flatMap { k =>
       val p = snap.physicalOf(k)
-      Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"))
+      Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"),
+        count(col(p)).as(s"__nn_$p")) // non-null count: COUNT(col) folds
     }
     val observed =
       if (needObs) sorted.observe(obs, count(lit(1)).as("rows"),
@@ -502,6 +503,64 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         try os.write(mapper.writeValueAsBytes(o)) finally os.close()
         pstatsRows = Some(stats.map(_._3).sum)
       } catch { case _: Exception => } // sidecars are best-effort
+      // per-leaf per-column stats sidecar (pcolstats/<uuid>.json):
+      // {"by": [partition field names], "leaves": [{"v": [values],
+      // "r": rows, "c": {"<phys>": {"min","max","nn"}}}]} — captured by
+      // ONE aggregation job over the just-written (page-hot) files
+      // reading ONLY the partition + stats columns. Partition-scoped
+      // stats folds (`SELECT day, min(ts), count(v) … GROUP BY day`)
+      // then answer from O(leaves) metadata, the role Iceberg's
+      // per-file manifest column bounds play at 100 TB. Write-time
+      // cost, amortized over every later fold; best-effort like every
+      // sidecar — absence only means those queries scan.
+      if (snap.statsKeys.nonEmpty) {
+        try {
+          val physKeys = snap.statsKeys.map(snap.physicalOf).distinct
+          val back = spark.read.parquet(s"$dir/$sub")
+            .select((partCols ++ physKeys).distinct.map(col): _*)
+          val aggs = count(lit(1)).as("__r") +: physKeys.flatMap { p =>
+            Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
+              count(col(p)).as(s"__cn_$p"))
+          }
+          val leafRows = back.groupBy(partCols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val o = mapper.createObjectNode()
+          val by = o.putArray("by"); partCols.foreach(by.add)
+          val arr = o.putArray("leaves")
+          var ok = true
+          leafRows.foreach { r =>
+            val e = mapper.createObjectNode()
+            val vs = e.putArray("v")
+            partCols.indices.foreach { i =>
+              r.get(i) match {
+                case null => vs.addNull()
+                case v => encodeStat(v) match {
+                  case Some(s) => vs.add(s)
+                  case None => ok = false // unencodable tuple: no sidecar
+                }
+              }
+            }
+            e.put("r", r.getLong(partCols.size))
+            val cs = e.putObject("c")
+            physKeys.zipWithIndex.foreach { case (p, j) =>
+              val base = partCols.size + 1 + j * 3
+              val c = cs.putObject(p)
+              (Option(r.get(base)).flatMap(encodeStat),
+                Option(r.get(base + 1)).flatMap(encodeStat)) match {
+                case (Some(mn), Some(mx)) => c.put("min", mn); c.put("max", mx)
+                case _ => // all-NULL or unencodable: bounds absent
+              }
+              c.put("nn", r.getLong(base + 2))
+            }
+            arr.add(e)
+          }
+          if (ok && leafRows.nonEmpty) {
+            val uuid = sub.substring(sub.lastIndexOf('/') + 1)
+            val os = fs.create(new Path(logDir, s"pcolstats/$uuid.json"), true)
+            try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+          }
+        } catch { case _: Exception => } // sidecars are best-effort
+      }
     } else {
       observed.write.mode("errorifexists").parquet(s"$dir/$sub")
     }
@@ -544,18 +603,26 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         }
       }
       // one bounds sidecar per dir: _graft_log/stats/<uuid>.json with
-      // {"<physical>": {"min": "...", "max": "..."}} — an all-NULL or
-      // unencodable column is simply absent (dir is never skipped on it)
+      // {"<physical>": {"min": "…", "max": "…", "nn": N}} — min/max are
+      // absent for an all-NULL or unencodable column (the dir is never
+      // skipped on it); `nn` (non-null count, what COUNT(col) folds
+      // from) is recorded whenever the metric reported, 0 included
       if (snap.statsKeys.nonEmpty) {
         val o = mapper.createObjectNode()
         var any = false
         snap.statsKeys.foreach { k =>
           val p = snap.physicalOf(k)
-          (metrics.get(s"__min_$p").flatMap(encodeStat),
+          val nn = metrics.get(s"__nn_$p").collect { case l: Long => l }
+          val mnmx = (metrics.get(s"__min_$p").flatMap(encodeStat),
             metrics.get(s"__max_$p").flatMap(encodeStat)) match {
-            case (Some(mn), Some(mx)) =>
-              val c = o.putObject(p); c.put("min", mn); c.put("max", mx); any = true
-            case _ =>
+            case (Some(mn), Some(mx)) => Some((mn, mx))
+            case _ => None
+          }
+          if (nn.isDefined || mnmx.isDefined) {
+            val c = o.putObject(p)
+            mnmx.foreach { case (mn, mx) => c.put("min", mn); c.put("max", mx) }
+            nn.foreach(v => c.put("nn", v))
+            any = true
           }
         }
         if (any) try {
@@ -1319,9 +1386,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           entry match {
             case None => true
             case Some(e) =>
+              // an entry may carry only `nn` (all-NULL column): no bounds
               val bounds = for {
-                mn <- decodeStat(dt, e.get("min").asText())
-                mx <- decodeStat(dt, e.get("max").asText())
+                mnN <- Option(e.get("min")); mxN <- Option(e.get("max"))
+                mn <- decodeStat(dt, mnN.asText())
+                mx <- decodeStat(dt, mxN.asText())
               } yield (mn, mx)
               bounds.forall { case (mn, mx) =>
                 def ge(a: Any, b: Any) = cmpStat(dt, a, b).forall(_ >= 0)
@@ -1354,28 +1423,74 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     if (!s.statsKeys.exists(_.equalsIgnoreCase(fld.name))) return None
     if (s.dataDirs.isEmpty) return Some(null)
     val dt = fld.dataType
-    val phys = s.physicalOf(fld.name)
+    val info = s.fieldOf(fld.name)
     val f = fs
     val statsDir = new Path(logDir, "stats")
-    val vals = s.dataDirs.map { d =>
-      val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
-      try {
-        val in = f.open(new Path(statsDir, s"$uuid.json"))
-        val node = try mapper.readTree(in) finally in.close()
-        Option(node.get(phys)).flatMap(e =>
-          decodeStat(dt, e.get(if (isMin) "min" else "max").asText()))
-      } catch { case _: Exception => None }
+    val found = scala.collection.mutable.ArrayBuffer.empty[Any]
+    s.dataDirs.foreach { d =>
+      // a dir from before the column existed projects NULL for it: no
+      // extreme to contribute, soundly skippable
+      if (d.version >= info.since) {
+        val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+        val entry = try {
+          val in = f.open(new Path(statsDir, s"$uuid.json"))
+          val node = try mapper.readTree(in) finally in.close()
+          Option(node.get(info.physical))
+        } catch { case _: Exception => return None }
+        entry match {
+          case None => return None // no record: may hide the true extreme
+          case Some(e) =>
+            Option(e.get(if (isMin) "min" else "max"))
+              .flatMap(n => decodeStat(dt, n.asText())) match {
+              case Some(v) => found += v
+              case None =>
+                // bound absent: skippable ONLY when the dir proves it
+                // holds no values (recorded non-null count of 0)
+                if (!Option(e.get("nn")).exists(_.asLong == 0L)) return None
+            }
+        }
+      }
     }
-    // every dir must report: a missing bound may hide the true extreme
-    // (and an all-NULL dir records none — indistinguishable, so bail)
-    if (vals.exists(_.isEmpty)) return None
-    val best = vals.flatten.reduceLeft { (a, b) =>
+    if (found.isEmpty) return Some(null) // every live value is NULL
+    val best = found.reduceLeft { (a, b) =>
       cmpStat(dt, a, b) match {
         case Some(c) => if ((c <= 0) == isMin) a else b
         case None => return None
       }
     }
     toCatalystStat(dt, best)
+  }
+
+  /** Table-wide COUNT(col) of a stats column, folded from the per-dir
+    * `nn` (non-null count) sidecar entries — `SELECT count(c) FROM t`
+    * without touching a data file. Dirs committed before the column
+    * existed project NULL for it and contribute 0; a dropped-and-re-added
+    * column starts over (tombstone semantics). None when any dir that
+    * could hold values lacks a recorded count — the query must scan. */
+  private[graft] def globalNonNullCount(s: Snapshot, logical: String): Option[Long] = {
+    val fld = s.schema.fields.find(_.name.equalsIgnoreCase(logical))
+      .getOrElse(return None)
+    if (!s.statsKeys.exists(_.equalsIgnoreCase(fld.name))) return None
+    val info = s.fieldOf(fld.name)
+    val f = fs
+    val statsDir = new Path(logDir, "stats")
+    var total = 0L
+    s.dataDirs.foreach { d =>
+      if (d.version >= info.since) {
+        val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+        val nn = try {
+          val in = f.open(new Path(statsDir, s"$uuid.json"))
+          val node = try mapper.readTree(in) finally in.close()
+          Option(node.get(info.physical)).flatMap(e => Option(e.get("nn")))
+            .map(_.asLong)
+        } catch { case _: Exception => None }
+        nn match {
+          case Some(v) => total += v
+          case None => return None
+        }
+      }
+    }
+    Some(total)
   }
 
   /** Live-row count per distinct tuple of `cols` partition values,
@@ -1402,7 +1517,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     })
     if (!safe) return None
     val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-    s.dataDirs.foreach { d =>
+    // a recorded-empty dir holds no rows and needs no sidecar
+    s.dataDirs.filterNot(_.rowCount == 0L).foreach { d =>
       val spec = s.specAt(d.version)
       // every requested column must be an identity partition source of
       // THIS dir (so the leaf value IS the row value, exactly)
@@ -1436,6 +1552,96 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       }
     }
     Some(acc.toSeq)
+  }
+
+  /** Per-leaf partition-scoped column stats from the pcolstats sidecars:
+    * one entry per leaf of every live dir — (Catalyst-internal tuple of
+    * `cols` values, rows, and per `statCols` column a (min, max, nn)
+    * triple). min/max are DECODED-JVM values (reduce with
+    * [[GraftTable.foldBound]]); both absent with nn == 0 means an
+    * all-NULL leaf; nn alone always present. Dirs committed before a
+    * stat column existed contribute (None, None, 0) — they project NULL.
+    * None (the query must scan) under the same guards as
+    * [[partitionRowCounts]], plus: every stat column is a declared
+    * statsKey and every live dir has a complete sidecar. O(dirs) driver
+    * metadata reads, O(leaves) local fold. */
+  private[graft] def partitionLeafStats(s: Snapshot, cols: Seq[String],
+      statCols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])]] = {
+    if (cols.isEmpty || s.deletes.nonEmpty) return None
+    val flds = cols.map(c =>
+      s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None))
+    val safe = flds.forall(_.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false
+    })
+    if (!safe) return None
+    val sInfos = statCols.map { c =>
+      val fld = s.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(return None)
+      if (!s.statsKeys.exists(_.equalsIgnoreCase(fld.name))) return None
+      (fld, s.fieldOf(fld.name))
+    }
+    val f = fs
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])]
+    // a recorded-empty dir holds no rows and needs no sidecar
+    s.dataDirs.filterNot(_.rowCount == 0L).foreach { d =>
+      val spec = s.specAt(d.version)
+      val keys: Seq[String] = flds.map { fl =>
+        spec.find(pf => pf.transform == "identity" &&
+          pf.source.equalsIgnoreCase(fl.name)) match {
+          case Some(pf) => pf.name
+          case None => return None
+        }
+      }
+      val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+      val node = try {
+        val in = f.open(new Path(logDir, s"pcolstats/$uuid.json"))
+        try mapper.readTree(in) finally in.close()
+      } catch { case _: Exception => return None }
+      val by = Option(node.get("by")).getOrElse(return None)
+      val idxs: Seq[Int] = keys.map { k =>
+        (0 until by.size).find(i => by.get(i).asText().equalsIgnoreCase(k))
+          .getOrElse(return None)
+      }
+      val leaves = Option(node.get("leaves")).getOrElse(return None)
+      var dirRows = 0L
+      (0 until leaves.size).foreach { li =>
+        val e = leaves.get(li)
+        val rows = Option(e.get("r")).map(_.asLong).getOrElse(return None)
+        dirRows += rows
+        val vArr = Option(e.get("v")).getOrElse(return None)
+        val tuple: Seq[Any] = idxs.zip(flds).map { case (bi, fl) =>
+          val vn = vArr.get(bi)
+          if (vn == null) return None
+          else if (vn.isNull) null
+          else GraftTable.decodeStat(fl.dataType, vn.asText())
+            .flatMap(GraftTable.toCatalystStat(fl.dataType, _))
+            .getOrElse(return None)
+        }
+        val stats: Seq[(Option[Any], Option[Any], Long)] =
+          sInfos.map { case (fld, info) =>
+            if (d.version < info.since) (None, None, 0L)
+            else {
+              val cn = Option(e.get("c"))
+                .flatMap(c => Option(c.get(info.physical)))
+                .getOrElse(return None)
+              val nn = Option(cn.get("nn")).map(_.asLong).getOrElse(return None)
+              val mn = Option(cn.get("min"))
+                .flatMap(n => GraftTable.decodeStat(fld.dataType, n.asText()))
+              val mx = Option(cn.get("max"))
+                .flatMap(n => GraftTable.decodeStat(fld.dataType, n.asText()))
+              (mn, mx, nn)
+            }
+          }
+        if (rows > 0L) out += ((tuple, rows, stats))
+      }
+      // reconcile with the commit-recorded dir total, like pstats
+      if (d.rowCount >= 0L && dirRows != d.rowCount) return None
+    }
+    Some(out.toSeq)
   }
 
   /** Catalyst-internal value of one k=v path component under `dt` —
@@ -2573,7 +2779,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val liveUuids = referenced.map(p => p.substring(p.lastIndexOf('/') + 1))
     val sidecars = Seq(("blooms", (n: String) => n.takeWhile(_ != '_')),
       ("stats", (n: String) => n.stripSuffix(".json")),
-      ("pstats", (n: String) => n.stripSuffix(".json")))
+      ("pstats", (n: String) => n.stripSuffix(".json")),
+      ("pcolstats", (n: String) => n.stripSuffix(".json")))
     val sweptSidecars = sidecars.flatMap { case (sub, uuidOf) =>
       val rp = new Path(logDir, sub)
       if (!f.exists(rp)) Seq.empty
@@ -3020,6 +3227,7 @@ object GraftTable {
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.bigDecimal.toPlainString)
     case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
     case s: String => Some(s)
     case _ => None
   }
@@ -3028,6 +3236,7 @@ object GraftTable {
     import scala.util.Try
     dt match {
       case StringType => Some(s)
+      case BooleanType => Try(s.toBoolean).toOption
       case ByteType | ShortType | IntegerType | LongType => Try(s.toLong).toOption
       case FloatType | DoubleType => Try(s.toDouble).toOption
       case _: DecimalType => Try(BigDecimal(s)).toOption
@@ -3049,6 +3258,7 @@ object GraftTable {
     case (DoubleType, d: java.lang.Double) => Some(d.doubleValue)
     case (StringType, s: String) =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
     case (TimestampType, t: java.time.Instant) =>
       Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
@@ -3056,6 +3266,21 @@ object GraftTable {
       val i = t.toInstant(java.time.ZoneOffset.UTC)
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
     case _ => None
+  }
+
+  /** MIN/MAX of decoded stat values in the column type's ordering, as a
+    * Catalyst-internal value — Some(null) for an empty set (SQL's MIN of
+    * no rows), None when any pair is incomparable or the type cannot
+    * convert (caller must scan instead). */
+  private[graft] def foldBound(dt: DataType, vals: Seq[Any], isMin: Boolean): Option[Any] = {
+    if (vals.isEmpty) return Some(null)
+    val best = vals.reduceLeft { (a, b) =>
+      cmpStat(dt, a, b) match {
+        case Some(c) => if ((c <= 0) == isMin) a else b
+        case None => return None
+      }
+    }
+    toCatalystStat(dt, best)
   }
 
   /** Sign of `a - b` in the column type's ordering (None = values not

@@ -129,6 +129,39 @@ class CountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT min(id) AS m FROM graft.db.mm2").as[Long].head() == 1L)
   }
 
+  test("count(col) folds from the nn sidecar; all-NULL dirs stop blocking min/max") {
+    val t = GraftTable.create(spark, s"$warehouse/db/nn1", idv,
+      statsKeys = Seq("v"))
+    t.append(Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "v"))
+    t.append(Seq((4L, None: Option[String]), (5L, None)).toDF("id", "v"))
+    assert(isFolded("SELECT count(v) AS c FROM graft.db.nn1"))
+    assert(spark.sql("SELECT count(v) AS c FROM graft.db.nn1").as[Long].head() == 2L)
+    // the all-NULL commit records nn=0 (no bounds) — min/max skip it
+    // soundly instead of bailing to a scan
+    assert(isFolded("SELECT min(v) AS lo, max(v) AS hi FROM graft.db.nn1"))
+    assert(spark.sql("SELECT min(v) AS lo, max(v) AS hi FROM graft.db.nn1")
+      .as[(String, String)].head() == (("a", "c")))
+    // a non-stats column has no nn record: scan, same answer
+    assert(!isFolded("SELECT count(id) FROM graft.db.nn1"))
+    assert(spark.sql("SELECT count(id) AS c FROM graft.db.nn1").as[Long].head() == 5L)
+    assert(!isFolded("SELECT count(DISTINCT v) FROM graft.db.nn1"))
+  }
+
+  test("count/min/max on a column added mid-history: pre-add dirs contribute NULLs") {
+    val t = GraftTable.create(spark, s"$warehouse/db/nn2", idv)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // before column c
+    t.addColumn("c", LongType)
+    t.setStatsKeys(Seq("c"))
+    t.append(Seq((3L, "x", Some(7L)), (4L, "y", None)).toDF("id", "v", "c"))
+    assert(isFolded("SELECT count(c) AS n FROM graft.db.nn2"))
+    assert(spark.sql("SELECT count(c) AS n FROM graft.db.nn2").as[Long].head() == 1L)
+    // pre-add dirs project NULL for c: min/max skip them by field age
+    assert(isFolded("SELECT min(c) AS lo, max(c) AS hi FROM graft.db.nn2"))
+    assert(spark.sql("SELECT min(c) AS lo, max(c) AS hi FROM graft.db.nn2")
+      .as[(Long, Long)].head() == ((7L, 7L)))
+  }
+
   test("VERSION AS OF counts fold against the pinned snapshot") {
     val t = GraftTable.create(spark, s"$warehouse/db/c5", idv)
     t.append(Seq((1L, "a")).toDF("id", "v"))     // v1

@@ -153,6 +153,49 @@ class PartitionCountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)].collect().toMap == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("partition-scoped min/max/count(col) fold from the pcolstats sidecars") {
+    val t = GraftTable.create(spark, s"$warehouse/db/p8", schema,
+      spec = Seq(PartitionField("g", "identity")),
+      statsKeys = Seq("id", "d"))
+    t.append(rows((5L, "a", "2024-01-01"), (2L, "a", null),
+      (9L, "b", "2024-02-01")))
+    t.append(rows((7L, "a", "2024-03-01"), (1L, "b", null),
+      (3L, "c", null)))
+    val q = "SELECT g, count(*) AS n, count(d) AS nd, min(id) AS lo, " +
+      "max(id) AS hi FROM graft.db.p8 GROUP BY g"
+    assert(folded(q), spark.sql(q).queryExecution.analyzed.toString)
+    val got = spark.sql(q).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(("a", 3L, 2L, 2L, 7L), ("b", 2L, 1L, 1L, 9L),
+      ("c", 1L, 0L, 3L, 3L)))
+    // the date column folds too, and an all-NULL group's bound is NULL
+    val dq = "SELECT g, max(d) AS hi FROM graft.db.p8 GROUP BY g"
+    assert(folded(dq))
+    val dGot = spark.sql(dq).collect()
+      .map(r => (r.getString(0), Option(r.getDate(1)).map(_.toString))).toSet
+    assert(dGot == Set(("a", Some("2024-03-01")), ("b", Some("2024-02-01")),
+      ("c", None)))
+    // filtered global stats: min/max/count under a partition-equality
+    val fq = "SELECT min(id) AS lo, max(d) AS hi, count(d) AS nd " +
+      "FROM graft.db.p8 WHERE g = 'a'"
+    assert(folded(fq))
+    val fr = spark.sql(fq).head()
+    assert(fr.getLong(0) == 2L && fr.getDate(1).toString == "2024-03-01" &&
+      fr.getLong(2) == 2L)
+    // min/max on a NON-stats column declines (g itself is not a statsKey)
+    assert(!folded("SELECT g, min(g) FROM graft.db.p8 GROUP BY g"))
+    // a table whose stats predate pcolstats (none written) declines:
+    // p1 has no statsKeys at all
+    assert(!folded("SELECT g, min(id) FROM graft.db.p1 GROUP BY g"))
+    // results survive compaction (sidecars re-captured for the new dir)
+    t.compact()
+    val got2 = spark.sql(q).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got2 == got)
+  }
+
   test("VERSION AS OF folds against the pinned snapshot's leaves") {
     val t = GraftTable.create(spark, s"$warehouse/db/p7", schema,
       spec = Seq(PartitionField("g", "identity")))
