@@ -283,6 +283,13 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           Seq("table" -> StringType, "older_than_ms" -> LongType)) { r =>
           tbl(r).vacuumOrphans(r.getLong(1)); ()
         }
+      case "capture_stats" =>
+        // ANALYZE-style backfill: builds missing fold sidecars for dirs
+        // written before stats were configured (or registered by
+        // add_files), refreshes unknown row counts
+        GraftCatalog.procedure("capture_stats", Seq("table" -> StringType)) { r =>
+          tbl(r).captureStats(); ()
+        }
       case "refresh_mv" =>
         // the scheduler-facing twin of GraftSql's REFRESH MATERIALIZED
         // VIEW: fold the base changelog since the MV's stamp, exactly-once
@@ -415,7 +422,7 @@ object GraftCatalog {
     "apply_retention", "vacuum", "rewrite_small_dirs",
     "rewrite_zorder", "rollback_to_snapshot", "cherrypick_snapshot",
     "create_tag", "create_branch", "fast_forward", "drop_ref", "publish_staged",
-    "add_files", "evolve_spec", "refresh_mv")
+    "add_files", "evolve_spec", "refresh_mv", "capture_stats")
 
   /** Parses one `transform(source)` spec field — delegates to
     * [[graft.table.PartitionField.parse]] (shared with GraftSql's

@@ -276,6 +276,30 @@ object RefOps {
          |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // ANALYZE-style backfill graded end-to-end: the table's history
+  // predates its stats configuration, so the fold sidecars don't exist;
+  // `CALL graft.system.capture_stats` builds them (bounds+nn, pcolstats)
+  // without touching committed data, after which the partition-scoped
+  // rollup serves from metadata. Fold firing and decline paths are
+  // asserted by StatsBackfillSpec; this grades result parity.
+  private def statsBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val wh = tmp("sbf_wh")
+    val cat = s"graftsb${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.catalog.GraftCatalog.register(spark, wh, cat)
+    val t = GraftTable.create(spark, s"$wh/db/cust", c.schema,
+      spec = Seq(PartitionField("c_mktsegment", "identity")))
+    t.append(c.filter(col("c_custkey") % 2 === 0))
+    t.append(c.filter(col("c_custkey") % 2 =!= 0))
+    spark.sql(s"ALTER TABLE $cat.db.cust SET TBLPROPERTIES " +
+      "('graft.stats-keys' = 'c_custkey')")
+    spark.sql(s"CALL $cat.system.capture_stats('db.cust')")
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS lo,
+         |       max(c_custkey) AS hi
+         |FROM $cat.db.cust GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Iceberg-spec bucket golden vectors (VERDICT r7 item 7): the
     * `ibucket` transform's [[graft.functions.IcebergBucket]] expression
     * over the exact typed literals of the Iceberg spec's Appendix B test
@@ -1158,6 +1182,7 @@ object RefOps {
     "schema_add_drop" -> schemaAddDrop,
     "partition_transform" -> partitionTransform,
     "partition_count_fold" -> partitionCountFold,
+    "stats_backfill" -> statsBackfill,
     "iceberg_bucket_vectors" -> (icebergBucketVectors _),
     "partition_pruned_scan" -> partitionPrunedScan,
     "writeto_append" -> writetoAppend,
@@ -1291,6 +1316,9 @@ object RefOps {
         |          count(*) AS m FROM orders
         |   WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+    "stats_backfill" ->
+      """SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS lo, max(c_custkey) AS hi
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "iceberg_bucket_vectors" -> icebergBucketVectorsOracle,
     "partition_pruned_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n

@@ -2753,6 +2753,138 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * longest plausible write job: a k=v-partitioned write only bumps the
     * top dir's mtime at subdir creation. Returns removed (relative) dir
     * paths. */
+  /** ANALYZE-style stats backfill (the role Iceberg's `ANALYZE TABLE` /
+    * manifest-metrics rewrite plays): builds any MISSING fold sidecars
+    * for live data dirs — per-dir bounds+nn (`stats/`), per-leaf rows
+    * (`pstats/`), per-leaf column stats (`pcolstats/`) — and refreshes
+    * unknown (-1) dir row counts with one content-preserving commit.
+    * New writes capture all of these at commit time; this backfills
+    * history written before stats were configured (or registered via
+    * [[addFiles]]) so the metadata-only aggregate folds fire on old
+    * data too. Each dir's backfill is an independent best-effort
+    * distributed job reading ONLY the needed columns; a failure skips
+    * that dir (its queries simply keep scanning). Existing sidecars are
+    * never overwritten. Returns the artifacts written. */
+  def captureStats(): Seq[String] = {
+    val s = snapshot
+    val f = fs
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    val physKeys = s.statsKeys.map(s.physicalOf).distinct
+    s.dataDirs.foreach { d =>
+      try {
+        val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
+        val spec = s.specAt(d.version)
+        val root = f.makeQualified(new Path(s"$dir/${d.path}"))
+        val statsP = new Path(logDir, s"stats/$uuid.json")
+        val pstatsP = new Path(logDir, s"pstats/$uuid.json")
+        val pcolP = new Path(logDir, s"pcolstats/$uuid.json")
+        val needStats = physKeys.nonEmpty && !f.exists(statsP)
+        val needPcol = physKeys.nonEmpty && spec.nonEmpty && !f.exists(pcolP)
+        if (needStats || needPcol) {
+          val back = spark.read.parquet(root.toString)
+          // columns physically present in THIS dir's files: a dir from
+          // before a column existed simply records no entry for it (the
+          // fold readers skip such dirs by FieldInfo.since)
+          val present = physKeys.filter(back.columns.contains)
+          if (needStats && present.nonEmpty) {
+            val aggs = present.flatMap { p =>
+              Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
+                count(col(p)).as(s"__cn_$p"))
+            }
+            val r = back.agg(aggs.head, aggs.tail: _*).head()
+            val o = mapper.createObjectNode()
+            present.zipWithIndex.foreach { case (p, j) =>
+              val c = o.putObject(p)
+              (Option(r.get(j * 3)).flatMap(encodeStat),
+                Option(r.get(j * 3 + 1)).flatMap(encodeStat)) match {
+                case (Some(mn), Some(mx)) => c.put("min", mn); c.put("max", mx)
+                case _ => // all-NULL or unencodable: bounds absent
+              }
+              c.put("nn", r.getLong(j * 3 + 2))
+            }
+            val os = f.create(statsP, false)
+            try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+            done += s"stats/$uuid"
+          }
+          val derived = spec.map(_.name)
+          if (needPcol && present.nonEmpty && derived.forall(back.columns.contains)) {
+            val aggs = count(lit(1)).as("__r") +: present.flatMap { p =>
+              Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
+                count(col(p)).as(s"__cn_$p"))
+            }
+            val leafRows = back.groupBy(derived.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*).collect()
+            val o = mapper.createObjectNode()
+            val by = o.putArray("by"); derived.foreach(by.add)
+            val arr = o.putArray("leaves")
+            var ok = true
+            leafRows.foreach { r =>
+              val e = mapper.createObjectNode()
+              val vs = e.putArray("v")
+              derived.indices.foreach { i =>
+                r.get(i) match {
+                  case null => vs.addNull()
+                  case v => encodeStat(v) match {
+                    case Some(enc) => vs.add(enc)
+                    case None => ok = false
+                  }
+                }
+              }
+              e.put("r", r.getLong(derived.size))
+              val cs = e.putObject("c")
+              present.zipWithIndex.foreach { case (p, j) =>
+                val base = derived.size + 1 + j * 3
+                val c = cs.putObject(p)
+                (Option(r.get(base)).flatMap(encodeStat),
+                  Option(r.get(base + 1)).flatMap(encodeStat)) match {
+                  case (Some(mn), Some(mx)) => c.put("min", mn); c.put("max", mx)
+                  case _ =>
+                }
+                c.put("nn", r.getLong(base + 2))
+              }
+              arr.add(e)
+            }
+            if (ok && leafRows.nonEmpty) {
+              val os = f.create(pcolP, false)
+              try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+              done += s"pcolstats/$uuid"
+            }
+          }
+        }
+        if (spec.nonEmpty && !f.exists(pstatsP)) {
+          val leaves = partitionLeaves(root, spec.size)
+          val stats = org.apache.spark.sql.GraftShim.footerStats(spark, leaves)
+          val o = mapper.createObjectNode()
+          stats.foreach { case (disp, nf, nr, nb) =>
+            val c = o.putObject(disp); c.put("f", nf); c.put("r", nr); c.put("b", nb)
+          }
+          if (stats.nonEmpty) {
+            val os = f.create(pstatsP, false)
+            try os.write(mapper.writeValueAsBytes(o)) finally os.close()
+            done += s"pstats/$uuid"
+          }
+        }
+      } catch { case _: Exception => } // per-dir best-effort
+    }
+    // refresh unknown (-1) dir row counts: ONE content-preserving commit
+    val counts: Map[String, Long] = s.dataDirs.collect {
+      case d if d.rowCount < 0L =>
+        d.path -> footerRowCount(s"$dir/${d.path}")
+    }.filter(_._2 >= 0L).toMap
+    if (counts.nonEmpty) {
+      commit(s.version + 1)((rebase, v) => {
+        val base = Option(rebase).getOrElse(s)
+        base.copy(version = v, op = "capture-stats",
+          dataDirs = base.dataDirs.map(d =>
+            if (d.rowCount < 0L) counts.get(d.path)
+              .map(n => d.copy(rowCount = n)).getOrElse(d)
+            else d))
+      })
+      counts.foreach { case (p, n) => done += s"rowcount/$p=$n" }
+    }
+    done.toSeq
+  }
+
   def vacuumOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val cur = currentVersion
     val referenced: Set[String] = ((0 to cur).flatMap { v =>
@@ -3142,7 +3274,7 @@ object GraftTable {
     * indistinguishable from a real overwrite in the log). */
   val ContentPreservingOps: Set[String] = Set(
     "set-properties", "set-stats-keys", "set-bloom-keys", "set-spec",
-    "replace-key", "upgrade-format", "rewrite")
+    "replace-key", "upgrade-format", "rewrite", "capture-stats")
 
   /** The uniform key set of a snapshot's EQUALITY delete files (position
     * files are keyed on row identity and coexist with any equality set);
