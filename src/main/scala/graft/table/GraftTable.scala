@@ -1362,10 +1362,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     val statsDir = new Path(logDir, "stats")
     if (!f.exists(statsDir)) return dirs
     def boundsOf(uuid: String): Option[JsonNode] =
-      try {
-        val in = f.open(new Path(statsDir, s"$uuid.json"))
-        try Some(mapper.readTree(in)) finally in.close()
-      } catch { case _: Exception => None }
+      GraftTable.readSidecar(f, new Path(statsDir, s"$uuid.json"), mapper)
     // a LocalDateTime literal against a TIMESTAMP column means the
     // instant Spark resolves it to — the SESSION time zone's reading,
     // not UTC's (stored bounds are absolute instants)
@@ -1432,11 +1429,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       // extreme to contribute, soundly skippable
       if (d.version >= info.since) {
         val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
-        val entry = try {
-          val in = f.open(new Path(statsDir, s"$uuid.json"))
-          val node = try mapper.readTree(in) finally in.close()
-          Option(node.get(info.physical))
-        } catch { case _: Exception => return None }
+        val entry = GraftTable.readSidecar(f,
+          new Path(statsDir, s"$uuid.json"), mapper) match {
+          case None => return None // unreadable sidecar: bail
+          case Some(node) => Option(node.get(info.physical))
+        }
         entry match {
           case None => return None // no record: may hide the true extreme
           case Some(e) =>
@@ -1478,12 +1475,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     s.dataDirs.foreach { d =>
       if (d.version >= info.since) {
         val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
-        val nn = try {
-          val in = f.open(new Path(statsDir, s"$uuid.json"))
-          val node = try mapper.readTree(in) finally in.close()
-          Option(node.get(info.physical)).flatMap(e => Option(e.get("nn")))
-            .map(_.asLong)
-        } catch { case _: Exception => None }
+        val nn =
+          GraftTable.readSidecar(f, new Path(statsDir, s"$uuid.json"), mapper)
+            .flatMap(node => Option(node.get(info.physical)))
+            .flatMap(e => Option(e.get("nn"))).map(_.asLong)
         nn match {
           case Some(v) => total += v
           case None => return None
@@ -1597,10 +1592,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         }
       }
       val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
-      val node = try {
-        val in = f.open(new Path(logDir, s"pcolstats/$uuid.json"))
-        try mapper.readTree(in) finally in.close()
-      } catch { case _: Exception => return None }
+      val node = GraftTable.readSidecar(f,
+        new Path(logDir, s"pcolstats/$uuid.json"), mapper)
+        .getOrElse(return None)
       val by = Option(node.get("by")).getOrElse(return None)
       val idxs: Seq[Int] = keys.map { k =>
         (0 until by.size).find(i => by.get(i).asText().equalsIgnoreCase(k))
@@ -3097,8 +3091,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
   private def pstatsOf(d: DataDir): Option[Seq[(String, Long, Long, Long)]] = {
     val uuid = d.path.substring(d.path.lastIndexOf('/') + 1)
     try {
-      val in = fs.open(new Path(logDir, s"pstats/$uuid.json"))
-      val node = try mapper.readTree(in) finally in.close()
+      val node = GraftTable.readSidecar(fs,
+        new Path(logDir, s"pstats/$uuid.json"), mapper)
+        .getOrElse(return None)
       val it = node.fields()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
       while (it.hasNext) {
@@ -3272,6 +3267,32 @@ object GraftTable {
     * what a `SELECT` resolves to — as are append/overwrite/rowdelta/
     * rollback/cherrypick (row changes) and compaction (op "overwrite",
     * indistinguishable from a real overwrite in the log). */
+  /** Session-lifetime parse cache for sidecar JSONs (bounds / pstats /
+    * pcolstats). Sidecars are WRITE-ONCE per dir uuid — created at
+    * commit (or by capture_stats for missing ones), never mutated — so
+    * a parsed positive is valid for the uuid's lifetime; misses are NOT
+    * cached (capture_stats may create the file later). This bounds the
+    * O(dirs) driver metadata reads the fold and pruning paths would
+    * otherwise repeat on every analyzed query: at 100 TB, thousands of
+    * object-store GETs per dashboard aggregate become hash lookups. */
+  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, com.fasterxml.jackson.databind.JsonNode]()
+
+  private[table] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, mapper: com.fasterxml.jackson.databind.ObjectMapper)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val key = fs.makeQualified(p).toString
+    Option(sidecarCache.get(key)).orElse {
+      try {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        if (sidecarCache.size > 65536) sidecarCache.clear() // crude bound
+        sidecarCache.put(key, node)
+        Some(node)
+      } catch { case _: Exception => None }
+    }
+  }
+
   val ContentPreservingOps: Set[String] = Set(
     "set-properties", "set-stats-keys", "set-bloom-keys", "set-spec",
     "replace-key", "upgrade-format", "rewrite", "capture-stats")
