@@ -370,6 +370,20 @@ final class GraftSql(spark: SparkSession, defaultWarehouse: Option[String] = Non
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     parsed match {
+      // ANALYZE TABLE t COMPUTE STATISTICS → the sidecar backfill
+      // ([[graft.table.GraftTable.captureStats]]); `CALL
+      // graft.system.capture_stats` is the procedure-facing twin
+      case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+        val name = a.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            u.multipartIdentifier.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unsupported ANALYZE target: $other")
+        }
+        val t = tables.get(name).orElse(catalogLookup(name)).getOrElse(
+          throw new IllegalArgumentException(s"no such table: $name"))
+        t.captureStats()
+        t.toDF
       case c: CreateTable =>
         val parts = c.name.asInstanceOf[UnresolvedIdentifier].nameParts
         val schema = StructType(c.columns.map { cd =>

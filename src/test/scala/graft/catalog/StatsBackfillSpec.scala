@@ -88,6 +88,20 @@ class StatsBackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(mq).as[(Long, Long)].head() == ((1L, 8L)))
   }
 
+  test("ANALYZE TABLE ... COMPUTE STATISTICS is the SQL-facing backfill") {
+    val t = GraftTable.create(spark, s"$warehouse/db/b4", schema,
+      spec = Seq(PartitionField("g", "identity")))
+    t.append(Seq((4L, "x"), (6L, "y")).toDF("id", "g"))
+    t.setStatsKeys(Seq("id"))
+    val mq = "SELECT g, max(id) AS hi FROM graft.db.b4 GROUP BY g"
+    assert(!folded(mq))
+    new graft.sql.GraftSql(spark)
+      .sql("ANALYZE TABLE graft.db.b4 COMPUTE STATISTICS")
+    assert(folded(mq))
+    assert(spark.sql(mq).as[(String, Long)].collect().toSet ==
+      Set(("x", 4L), ("y", 6L)))
+  }
+
   test("a deleted pstats sidecar (legacy dir) is rebuilt") {
     val t = GraftTable.create(spark, s"$warehouse/db/b3", schema,
       spec = Seq(PartitionField("g", "identity")))
