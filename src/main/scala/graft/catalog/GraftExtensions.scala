@@ -121,6 +121,8 @@ case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
                 case GraftCountFold.CountCol(column) =>
                   gst.graftTable.globalNonNullCount(snap, column)
                     .map(_.asInstanceOf[Any])
+                case GraftCountFold.SumCol(column) =>
+                  gst.graftTable.globalSum(snap, column)
                 case GraftCountFold.MinMax(column, isMin) =>
                   gst.graftTable.globalBound(snap, column, isMin)
               })
@@ -427,6 +429,7 @@ private[catalog] object GraftPartitionFold {
     val statCols: Seq[String] = outs.collect {
       case Right(GraftCountFold.CountCol(c)) => c
       case Right(GraftCountFold.MinMax(c, _)) => c
+      case Right(GraftCountFold.SumCol(c)) => c
     }.foldLeft(Vector.empty[String])((acc, n) =>
       if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
     val statTypes: Map[String, org.apache.spark.sql.types.DataType] =
@@ -465,7 +468,7 @@ private[catalog] object GraftPartitionFold {
     def statIdx(n: String): Int = statCols.indexWhere(_.equalsIgnoreCase(n))
     // count-only shapes fold from the (older, wider-compatibility)
     // pstats sidecar; shapes with column stats need pcolstats
-    val leaves: Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])] =
+    val leaves: Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long, Option[Long])])] =
       if (statCols.isEmpty)
         gst.graftTable.partitionRowCounts(snap, cols).getOrElse(return None)
           .map { case (vs, n) => (vs, n, Seq.empty) }
@@ -477,7 +480,7 @@ private[catalog] object GraftPartitionFold {
         val v = vs(idxOf(a.name)); v != null && lits.exists(_ == v)
       }
     }
-    val grouped: Seq[(Seq[Any], Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])])] =
+    val grouped: Seq[(Seq[Any], Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long, Option[Long])])])] =
       if (groupAttrs.isEmpty) Seq((Seq.empty, kept))
       else kept.groupBy { case (vs, _, _) =>
         groupAttrs.map(g => vs(idxOf(g.name))) }.toSeq
@@ -487,13 +490,25 @@ private[catalog] object GraftPartitionFold {
         case Right(GraftCountFold.CountStar) => ls.map(_._2).sum
         case Right(GraftCountFold.CountCol(c)) =>
           ls.map(_._3(statIdx(c))._3).sum
+        case Right(GraftCountFold.SumCol(c)) =>
+          val si = statIdx(c)
+          var tot = 0L
+          var any = false
+          ls.foreach { l =>
+            val (_, _, nn, sm) = l._3(si)
+            if (nn > 0L) sm match {
+              case Some(v) => tot += v; any = true
+              case None => return None // values present but sum missing
+            }
+          }
+          if (any) tot else null // SQL sum over no values is NULL
         case Right(GraftCountFold.MinMax(c, isMin)) =>
           val si = statIdx(c)
           val dt = statTypes.getOrElse(c.toLowerCase, return None)
           // leaves holding values must report a bound; all-NULL leaves
           // (nn == 0) contribute nothing
           val bounds = ls.flatMap { l =>
-            val (mn, mx, nn) = l._3(si)
+            val (mn, mx, nn, _) = l._3(si)
             val b = if (isMin) mn else mx
             if (nn == 0L) None
             else Some(b.getOrElse(return None))
@@ -532,6 +547,10 @@ private[catalog] object GraftCountFold {
   case object CountStar extends FoldKind
   /** `count(col)` (non-distinct) — folds from the per-dir `nn` sidecar. */
   final case class CountCol(column: String) extends FoldKind
+  /** `sum(col)` on an INTEGRAL column — folds from the per-dir `sum`
+    * sidecar with wrapping Long addition (associative mod 2^64, so the
+    * fold reproduces Spark's own overflow semantics exactly). */
+  final case class SumCol(column: String) extends FoldKind
   /** `min(col)` / `max(col)` directly on a relation column. */
   final case class MinMax(column: String, isMin: Boolean) extends FoldKind
 
@@ -548,6 +567,10 @@ private[catalog] object GraftCountFold {
           case Count(Seq(
             a: org.apache.spark.sql.catalyst.expressions.AttributeReference)) =>
             Some(CountCol(a.name))
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+              if graft.table.GraftTable.integralType(a.dataType) =>
+            Some(SumCol(a.name))
           case org.apache.spark.sql.catalyst.expressions.aggregate.Min(
             a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
             Some(MinMax(a.name, isMin = true))

@@ -265,13 +265,13 @@ object RefOps {
          |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM $cat.db.ord
          |WHERE o_orderstatus = 'F'
          |UNION ALL
-         |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi AS n FROM
+         |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi + s AS n FROM
          |  (SELECT count(status_opt) AS c, min(o_orderkey) AS lo,
-         |          max(o_orderkey) AS hi FROM $cat.db.ord)
+         |          max(o_orderkey) AS hi, sum(o_orderkey) AS s FROM $cat.db.ord)
          |UNION ALL
-         |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m AS n FROM
+         |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m + s AS n FROM
          |  (SELECT o_orderpriority, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
-         |          count(*) AS m FROM $cat.db.ord
+         |          count(*) AS m, sum(o_orderkey) AS s FROM $cat.db.ord
          |   WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
          |ORDER BY o_orderpriority""".stripMargin)
   }
@@ -1307,13 +1307,13 @@ object RefOps {
         |UNION ALL
         |SELECT 'F-filtered' AS o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL
-        |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi AS n FROM
+        |SELECT 'stats-fold' AS o_orderpriority, c + lo + hi + s AS n FROM
         |  (SELECT count(nullif(o_orderstatus, 'F')) AS c, min(o_orderkey) AS lo,
-        |          max(o_orderkey) AS hi FROM orders)
+        |          max(o_orderkey) AS hi, CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders)
         |UNION ALL
-        |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m AS n FROM
+        |SELECT 'scoped-' || o_orderpriority AS o_orderpriority, lo + hi + m + s AS n FROM
         |  (SELECT o_orderpriority, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
-        |          count(*) AS m FROM orders
+        |          count(*) AS m, CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders
         |   WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
     "stats_backfill" ->

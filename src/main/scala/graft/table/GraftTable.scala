@@ -464,8 +464,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     val boundMetrics = snap.statsKeys.flatMap { k =>
       val p = snap.physicalOf(k)
-      Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"),
-        count(col(p)).as(s"__nn_$p")) // non-null count: COUNT(col) folds
+      // nn (non-null count) is what COUNT(col) folds from; integral
+      // columns also record their (wrapping) per-dir sum — Long addition
+      // is associative mod 2^64, so folding per-dir partials reproduces
+      // Spark's own sum(col) result bit-for-bit, overflow included
+      val base = Seq(min(col(p)).as(s"__min_$p"), max(col(p)).as(s"__max_$p"),
+        count(col(p)).as(s"__nn_$p"))
+      if (GraftTable.integralType(snap.schema(k).dataType))
+        base :+ sum(col(p)).as(s"__sum_$p")
+      else base
     }
     val observed =
       if (needObs) sorted.observe(obs, count(lit(1)).as("rows"),
@@ -516,12 +523,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       if (snap.statsKeys.nonEmpty) {
         try {
           val physKeys = snap.statsKeys.map(snap.physicalOf).distinct
+          val intPhys = snap.statsKeys
+            .filter(k => GraftTable.integralType(snap.schema(k).dataType))
+            .map(snap.physicalOf).distinct
           val back = spark.read.parquet(s"$dir/$sub")
             .select((partCols ++ physKeys).distinct.map(col): _*)
-          val aggs = count(lit(1)).as("__r") +: physKeys.flatMap { p =>
+          val aggs = (count(lit(1)).as("__r") +: physKeys.flatMap { p =>
             Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
               count(col(p)).as(s"__cn_$p"))
-          }
+          }) ++ intPhys.map(p => sum(col(p)).as(s"__sm_$p"))
           val leafRows = back.groupBy(partCols.map(col): _*)
             .agg(aggs.head, aggs.tail: _*).collect()
           val o = mapper.createObjectNode()
@@ -542,6 +552,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             }
             e.put("r", r.getLong(partCols.size))
             val cs = e.putObject("c")
+            val sumBase = partCols.size + 1 + physKeys.size * 3
             physKeys.zipWithIndex.foreach { case (p, j) =>
               val base = partCols.size + 1 + j * 3
               val c = cs.putObject(p)
@@ -551,6 +562,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                 case _ => // all-NULL or unencodable: bounds absent
               }
               c.put("nn", r.getLong(base + 2))
+              val si = intPhys.indexOf(p)
+              if (si >= 0) Option(r.get(sumBase + si)).foreach {
+                case l: Long => c.put("sum", l)
+                case _ =>
+              }
             }
             arr.add(e)
           }
@@ -613,6 +629,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         snap.statsKeys.foreach { k =>
           val p = snap.physicalOf(k)
           val nn = metrics.get(s"__nn_$p").collect { case l: Long => l }
+          val sm = metrics.get(s"__sum_$p").collect { case l: Long => l }
           val mnmx = (metrics.get(s"__min_$p").flatMap(encodeStat),
             metrics.get(s"__max_$p").flatMap(encodeStat)) match {
             case (Some(mn), Some(mx)) => Some((mn, mx))
@@ -622,6 +639,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             val c = o.putObject(p)
             mnmx.foreach { case (mn, mx) => c.put("min", mn); c.put("max", mx) }
             nn.foreach(v => c.put("nn", v))
+            sm.foreach(v => c.put("sum", v))
             any = true
           }
         }
@@ -1549,6 +1567,40 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     Some(acc.toSeq)
   }
 
+  /** Table-wide sum(col) of an INTEGRAL stats column, folded from the
+    * per-dir `sum` sidecar entries with wrapping Long addition (see
+    * [[GraftTable.integralType]] for why that reproduces Spark's own
+    * result exactly). Some(null) when every live value is NULL — SQL's
+    * sum over no rows. Dirs predating the column contribute nothing;
+    * an all-NULL dir (nn == 0) records no sum and is skipped; any other
+    * gap declines. */
+  private[graft] def globalSum(s: Snapshot, logical: String): Option[Any] = {
+    val fld = s.schema.fields.find(_.name.equalsIgnoreCase(logical))
+      .getOrElse(return None)
+    if (!GraftTable.integralType(fld.dataType)) return None
+    if (!s.statsKeys.exists(_.equalsIgnoreCase(fld.name))) return None
+    val info = s.fieldOf(fld.name)
+    val f = fs
+    val statsDir = new Path(logDir, "stats")
+    var total = 0L
+    var any = false
+    s.dataDirs.foreach { d =>
+      if (d.version >= info.since) {
+        val node = GraftTable.readSidecar(f,
+          new Path(statsDir, s"${d.path.substring(d.path.lastIndexOf('/') + 1)}.json"),
+          mapper).getOrElse(return None)
+        val entry = Option(node.get(info.physical)).getOrElse(return None)
+        Option(entry.get("sum")) match {
+          case Some(n) => total += n.asLong; any = true
+          case None =>
+            // no sum recorded: fine only for a provably all-NULL dir
+            if (!Option(entry.get("nn")).exists(_.asLong == 0L)) return None
+        }
+      }
+    }
+    if (any) Some(total) else Some(null)
+  }
+
   /** Per-leaf partition-scoped column stats from the pcolstats sidecars:
     * one entry per leaf of every live dir — (Catalyst-internal tuple of
     * `cols` values, rows, and per `statCols` column a (min, max, nn)
@@ -1562,7 +1614,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     * metadata reads, O(leaves) local fold. */
   private[graft] def partitionLeafStats(s: Snapshot, cols: Seq[String],
       statCols: Seq[String])
-      : Option[Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])]] = {
+      : Option[Seq[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long, Option[Long])])]] = {
     if (cols.isEmpty || s.deletes.nonEmpty) return None
     val flds = cols.map(c =>
       s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None))
@@ -1580,7 +1632,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }
     val f = fs
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long)])]
+      .empty[(Seq[Any], Long, Seq[(Option[Any], Option[Any], Long, Option[Long])])]
     // a recorded-empty dir holds no rows and needs no sidecar
     s.dataDirs.filterNot(_.rowCount == 0L).foreach { d =>
       val spec = s.specAt(d.version)
@@ -1615,9 +1667,9 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
             .flatMap(GraftTable.toCatalystStat(fl.dataType, _))
             .getOrElse(return None)
         }
-        val stats: Seq[(Option[Any], Option[Any], Long)] =
+        val stats: Seq[(Option[Any], Option[Any], Long, Option[Long])] =
           sInfos.map { case (fld, info) =>
-            if (d.version < info.since) (None, None, 0L)
+            if (d.version < info.since) (None, None, 0L, None)
             else {
               val cn = Option(e.get("c"))
                 .flatMap(c => Option(c.get(info.physical)))
@@ -1627,7 +1679,8 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                 .flatMap(n => GraftTable.decodeStat(fld.dataType, n.asText()))
               val mx = Option(cn.get("max"))
                 .flatMap(n => GraftTable.decodeStat(fld.dataType, n.asText()))
-              (mn, mx, nn)
+              val sm = Option(cn.get("sum")).map(_.asLong)
+              (mn, mx, nn, sm)
             }
           }
         if (rows > 0L) out += ((tuple, rows, stats))
@@ -2780,12 +2833,15 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           // before a column existed simply records no entry for it (the
           // fold readers skip such dirs by FieldInfo.since)
           val present = physKeys.filter(back.columns.contains)
+          val intPresent = present.filter(p =>
+            GraftTable.integralType(back.schema(p).dataType))
           if (needStats && present.nonEmpty) {
             val aggs = present.flatMap { p =>
               Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
                 count(col(p)).as(s"__cn_$p"))
-            }
+            } ++ intPresent.map(p => sum(col(p)).as(s"__sm_$p"))
             val r = back.agg(aggs.head, aggs.tail: _*).head()
+            val sumBase = present.size * 3
             val o = mapper.createObjectNode()
             present.zipWithIndex.foreach { case (p, j) =>
               val c = o.putObject(p)
@@ -2795,6 +2851,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                 case _ => // all-NULL or unencodable: bounds absent
               }
               c.put("nn", r.getLong(j * 3 + 2))
+              val si = intPresent.indexOf(p)
+              if (si >= 0) Option(r.get(sumBase + si)).foreach {
+                case l: Long => c.put("sum", l)
+                case _ =>
+              }
             }
             val os = f.create(statsP, false)
             try os.write(mapper.writeValueAsBytes(o)) finally os.close()
@@ -2802,10 +2863,10 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           }
           val derived = spec.map(_.name)
           if (needPcol && present.nonEmpty && derived.forall(back.columns.contains)) {
-            val aggs = count(lit(1)).as("__r") +: present.flatMap { p =>
+            val aggs = (count(lit(1)).as("__r") +: present.flatMap { p =>
               Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"),
                 count(col(p)).as(s"__cn_$p"))
-            }
+            }) ++ intPresent.map(p => sum(col(p)).as(s"__sm_$p"))
             val leafRows = back.groupBy(derived.map(col): _*)
               .agg(aggs.head, aggs.tail: _*).collect()
             val o = mapper.createObjectNode()
@@ -2826,6 +2887,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
               }
               e.put("r", r.getLong(derived.size))
               val cs = e.putObject("c")
+              val sumBase = derived.size + 1 + present.size * 3
               present.zipWithIndex.foreach { case (p, j) =>
                 val base = derived.size + 1 + j * 3
                 val c = cs.putObject(p)
@@ -2835,6 +2897,11 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                   case _ =>
                 }
                 c.put("nn", r.getLong(base + 2))
+                val si = intPresent.indexOf(p)
+                if (si >= 0) Option(r.get(sumBase + si)).foreach {
+                  case l: Long => c.put("sum", l)
+                  case _ =>
+                }
               }
               arr.add(e)
             }
@@ -3419,6 +3486,15 @@ object GraftTable {
       val i = t.toInstant(java.time.ZoneOffset.UTC)
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
     case _ => None
+  }
+
+  /** Types whose sum(col) folds exactly from per-dir partials: Spark
+    * widens integral sums to LongType and wraps on overflow, and Long
+    * addition is associative mod 2^64 — floating point is
+    * order-dependent and decimal overflow nulls, so neither folds. */
+  private[graft] def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   /** MIN/MAX of decoded stat values in the column type's ordering, as a

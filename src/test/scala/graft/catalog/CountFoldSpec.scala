@@ -148,6 +148,27 @@ class CountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!isFolded("SELECT count(DISTINCT v) FROM graft.db.nn1"))
   }
 
+  test("sum(col) on an integral stats column folds; non-integral shapes scan") {
+    val t = GraftTable.create(spark, s"$warehouse/db/sm1", idv,
+      statsKeys = Seq("id"))
+    t.append(Seq((5L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((9L, "c")).toDF("id", "v"))
+    assert(isFolded("SELECT sum(id) AS s, count(*) AS n FROM graft.db.sm1"))
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.db.sm1").as[Long].head() == 16L)
+    // sum over an expression (implicit cast included) is not a bare
+    // column and scans; answer unchanged
+    assert(!isFolded("SELECT sum(id + 1) FROM graft.db.sm1"))
+    assert(spark.sql("SELECT sum(id + 1) AS s FROM graft.db.sm1").as[Long].head() == 19L)
+    // an all-NULL dir records no sum but nn=0 proves it empty — skip
+    val u = GraftTable.create(spark, s"$warehouse/db/sm2",
+      StructType(Seq(StructField("id", LongType), StructField("w", LongType))),
+      statsKeys = Seq("w"))
+    u.append(Seq((1L, Some(4L)), (2L, None)).toDF("id", "w"))
+    u.append(Seq((3L, None: Option[Long])).toDF("id", "w"))
+    assert(isFolded("SELECT sum(w) AS s FROM graft.db.sm2"))
+    assert(spark.sql("SELECT sum(w) AS s FROM graft.db.sm2").as[Long].head() == 4L)
+  }
+
   test("count/min/max on a column added mid-history: pre-add dirs contribute NULLs") {
     val t = GraftTable.create(spark, s"$warehouse/db/nn2", idv)
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // before column c

@@ -162,13 +162,13 @@ class PartitionCountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.append(rows((7L, "a", "2024-03-01"), (1L, "b", null),
       (3L, "c", null)))
     val q = "SELECT g, count(*) AS n, count(d) AS nd, min(id) AS lo, " +
-      "max(id) AS hi FROM graft.db.p8 GROUP BY g"
+      "max(id) AS hi, sum(id) AS si FROM graft.db.p8 GROUP BY g"
     assert(folded(q), spark.sql(q).queryExecution.analyzed.toString)
     val got = spark.sql(q).collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSet
-    assert(got == Set(("a", 3L, 2L, 2L, 7L), ("b", 2L, 1L, 1L, 9L),
-      ("c", 1L, 0L, 3L, 3L)))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(got == Set(("a", 3L, 2L, 2L, 7L, 14L), ("b", 2L, 1L, 1L, 9L, 10L),
+      ("c", 1L, 0L, 3L, 3L, 3L)))
     // the date column folds too, and an all-NULL group's bound is NULL
     val dq = "SELECT g, max(d) AS hi FROM graft.db.p8 GROUP BY g"
     assert(folded(dq))
@@ -191,8 +191,8 @@ class PartitionCountFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     // results survive compaction (sidecars re-captured for the new dir)
     t.compact()
     val got2 = spark.sql(q).collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSet
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
     assert(got2 == got)
   }
 
