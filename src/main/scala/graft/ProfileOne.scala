@@ -54,13 +54,14 @@ object ProfileOne {
         val all = Thread.getAllStackTraces
         samples += 1
         all.forEach { (t, st) =>
-          if (st.nonEmpty && t.getState == Thread.State.RUNNABLE ||
-              (t eq profiled)) {
+          val isStream = t.getName.contains("stream execution") ||
+            t.getName.contains("microBatch")
+          if (st.nonEmpty && (t.getState == Thread.State.RUNNABLE ||
+              (t eq profiled) || isStream)) {
             val kind =
               if (t eq profiled) "DRIVER"
+              else if (isStream) "STREAM"
               else if (t.getName.startsWith("Executor task launch")) "TASK"
-              else if (t.getName.contains("stream execution") ||
-                       t.getName.contains("microBatch")) "STREAM"
               else "OTHER:" + t.getName.take(24)
             // inclusive count of the top 30 frames; dedupe within one stack
             val seen = new java.util.HashSet[String]()
@@ -69,10 +70,11 @@ object ProfileOne {
               if (seen.add(key))
                 counts.merge(key, 1L, (a, b) => a + b)
             }
-            // also record the leaf frame specially for the driver thread
-            if ((t eq profiled) && st.nonEmpty) {
+            // leaf frame with state, for the threads whose WAITING time is
+            // the thing being attributed (driver main + stream execution)
+            if ((t eq profiled) || isStream) {
               val f = st.head
-              counts.merge("DRIVER-LEAF  " + f.getClassName + "." + f.getMethodName +
+              counts.merge(kind + "-LEAF  " + f.getClassName + "." + f.getMethodName +
                 ":" + f.getLineNumber + " [" + t.getState + "]",
                 1L, (a, b) => a + b)
             }
@@ -83,12 +85,34 @@ object ProfileOne {
     })
     sampler.setDaemon(true)
     sampler.start()
+    // job/stage/task counters: a wall≫cpu query with thousands of tiny
+    // tasks is paying per-task fixed costs (closure+conf deserialization,
+    // scheduling), the #1 driver-latency signature on local tiny data
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val deserNanos = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (e.taskMetrics != null)
+          deserNanos.addAndGet(e.taskMetrics.executorDeserializeTime * 1000000L)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val secs = (System.nanoTime() - t0) / 1e9
     sampling = false
     sampler.join(1000)
-    println(f"PROFILE_ONE query=$query secs=$secs%.3f samples=$samples")
+    Thread.sleep(300) // let the listener bus drain
+    println(f"PROFILE_ONE query=$query secs=$secs%.3f samples=$samples " +
+      f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+      f"taskDeserS=${deserNanos.get / 1e9}%.2f")
     import scala.jdk.CollectionConverters._
     counts.asScala.toSeq.sortBy(-_._2)
       .filter { case (k, _) => !k.startsWith("OTHER") }

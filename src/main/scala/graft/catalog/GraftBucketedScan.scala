@@ -518,10 +518,22 @@ object GraftBucketedScan {
     val counts = delFiles.map(d =>
       if (d.rowCount >= 0) d.rowCount
       else spark.read.parquet(s"$tableDir/${d.path}").count())
-    val merged = delFiles.map { d =>
-      spark.read.parquet(s"$tableDir/${d.path}")
-        .select(physKeys.map(col): _*).withColumn("__v", lit(d.version))
-    }.reduce(_ unionAll _)
+    // ONE relation over every delete file with the commit version derived
+    // from the row's file path (delete subpaths are UUIDs — unambiguous):
+    // the plan stays O(1) in pending-delete count instead of one parquet
+    // relation per file (same single-relation shape as GraftTable.dfAt)
+    val delSchema = StructType(physKeys.indices.map(i =>
+      StructField(physKeys(i), keyTypes(i), nullable = true)))
+    val versionCol = delFiles.tail.foldLeft(
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.input_file_name()
+          .contains(s"/${delFiles.head.path}/"), lit(delFiles.head.version))) {
+      (w, d) => w.when(org.apache.spark.sql.functions.input_file_name()
+        .contains(s"/${d.path}/"), lit(d.version))
+    }
+    val merged = spark.read.schema(delSchema)
+      .parquet(delFiles.map(d => s"$tableDir/${d.path}"): _*)
+      .withColumn("__v", versionCol)
       .groupBy(physKeys.map(col): _*).agg(fmax(col("__v")).as("__v"))
     if (counts.sum <= maxRows) {
       val conv = keyTypes.map(

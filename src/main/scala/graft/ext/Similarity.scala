@@ -36,6 +36,17 @@ object Similarity {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
+  /** A constant vector/matrix as ONE catalyst Literal. The previous shape
+    * — `array(xs.map(lit): _*)` — builds an expression TREE of d (or k×d)
+    * Literal nodes that rides the serialized plan into EVERY task: a
+    * 16×64 centroid table is 1,024 nodes per expression occurrence, and
+    * the r14 profile measured task deserialization dominating the ANN
+    * lifecycle queries' wall time. Values and nullability are identical
+    * (both fold to the same ArrayData); only the plan size changes. */
+  private[ext] def vecLit(v: Seq[Double]): Column = typedLit(v.toIndexedSeq)
+  private[ext] def matLit(m: Seq[Seq[Double]]): Column =
+    typedLit(m.map(_.toIndexedSeq).toIndexedSeq)
+
   /** Brute-force exact cosine top-k: small query set broadcast against
     * the full corpus; per-query top-k via window rank. */
   def bruteForceTopK(spark: SparkSession, dir: String,
@@ -81,7 +92,7 @@ object Similarity {
   def lshSignature(e: Column, bits: Int, dim: Int = 64): Column = {
     import graft.functions.GraftFunctions.vec_dot
     val planeBits = lshPlanes(bits, dim).zipWithIndex.map { case (row, p) =>
-      when(vec_dot(e, array(row.map(lit): _*)) >= 0, shiftleft(lit(1L), p))
+      when(vec_dot(e, vecLit(row)) >= 0, shiftleft(lit(1L), p))
         .otherwise(0L)
     }
     val sig = planeBits.reduce((a, b) => a.bitwiseOR(b))
@@ -217,7 +228,7 @@ object Similarity {
       s"quantizer has ${cents.length} centroids, expected $nClusters")
     // centroids as a plan literal: per-row dots vector, home = argmax —
     // whole-stage-codegen assignment, zero extra passes over the corpus
-    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val centLit = matLit(cents)
     val assigned = e
       .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
       .withColumn("cluster",
@@ -501,12 +512,12 @@ object Similarity {
     val n = muRows.head.getLong(2)
     val muMap = muRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val mu = (0 until dim).map(muMap)
-    val muLit = array(mu.map(lit): _*)
+    val muLit = vecLit(mu)
     // centering + the matvec's dot are MAP-SIDE (per-row zip_with +
     // vec_dot against the literal μ/v) — each iteration is ONE
     // d-keyed DECIMAL shuffle, not a dots-shuffle plus a w-shuffle
     def projected(v: IndexedSeq[Double]): DataFrame = {
-      val vLit = array(v.map(lit): _*)
+      val vLit = vecLit(v)
       e.withColumn("cx", zip_with(col("x"), muLit, (a, b) => a - b))
         .withColumn("dot", vec_dot(col("cx"), vLit))
     }
@@ -617,8 +628,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.vec_dot
     val (mu, v, _, _) = powerTrajectory(spark, dir, dim, iters = 2)
-    val muLit = array(mu.map(lit): _*)
-    val vLit = array(v.map(lit): _*)
+    val muLit = vecLit(mu)
+    val vLit = vecLit(v)
     val vecs = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("x"))
       .withColumn("xv", zip_with(col("x"), muLit, (a, b) => a - b))
@@ -895,7 +906,7 @@ object Similarity {
     * any corpus size. */
   private def assignFixed(e: DataFrame, k: Int, dim: Int): DataFrame = {
     import graft.functions.GraftFunctions.vec_dot
-    val centLit = array(fixedCentroids(k, dim).map(c => array(c.map(lit): _*)): _*)
+    val centLit = matLit(fixedCentroids(k, dim))
     e.withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
       .withColumn("cluster",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
@@ -1022,7 +1033,7 @@ object Similarity {
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
     var prevInertia = Double.MaxValue
     try for (iter <- 1 to iters) {
-      val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+      val centLit = matLit(cents)
       // assignment MUST minimize the same objective inertia measures
       // (Euclidean distance): a max-dot assignment only agrees with
       // nearest-Euclidean while centroids share a norm (true for the ±1
@@ -1547,7 +1558,7 @@ object Similarity {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val withDots = (0 until m).foldLeft(e) { (df, j) =>
-      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      val cents = matLit(cb(j))
       df.withColumn(s"__d$j",
         transform(cents, c => vec_dot(slice(col("e"), j * sub + 1, sub), c)))
     }
@@ -1610,7 +1621,7 @@ object Similarity {
     // corpus side: m small int codes per row, the vector itself DROPPED
     // (the point of PQ — candidates are scored from codes alone)
     val coded = (0 until m).foldLeft(e) { (df, j) =>
-      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      val cents = matLit(cb(j))
       val dots = transform(cents, c => vec_dot(slice(col("e"), j * sub + 1, sub), c))
       df.withColumn(s"__c$j",
         (array_position(dots, array_max(dots)) - 1).cast(IntegerType))
@@ -1620,7 +1631,7 @@ object Similarity {
     val q = (0 until m).foldLeft(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))) { (df, j) =>
-      val cents = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+      val cents = matLit(cb(j))
       df.withColumn(s"__l$j",
         transform(cents, c => vec_dot(slice(col("qe"), j * sub + 1, sub), c)))
     }.select(col("query_id") +: (0 until m).map(j => col(s"__l$j")): _*)
@@ -1949,8 +1960,23 @@ object Similarity {
     val src = new Path(srcDir)
     val dst = new Path(dstDir)
     val fs = src.getFileSystem(conf)
-    if (!FileUtil.copy(fs, src, dst.getFileSystem(conf), dst, false, conf))
-      sys.error(s"clone of $srcDir to $dstDir failed")
+    val dfs = dst.getFileSystem(conf)
+    // parallel per-child copy: a table dir is dozens-to-hundreds of small
+    // files (per-commit dirs × per-task parts + the log) and a serial
+    // driver-side recursive copy was the whole cost of the clone-isolated
+    // lifecycle queries' setup; children are disjoint trees (guide §2.6)
+    val kids = try fs.listStatus(src) catch { case _: Exception => null }
+    if (kids == null || kids.isEmpty) {
+      if (!FileUtil.copy(fs, src, dfs, dst, false, conf))
+        sys.error(s"clone of $srcDir to $dstDir failed")
+    } else {
+      dfs.mkdirs(dst)
+      graft.ops.Par.run(kids.toSeq.map(k => () => {
+        if (!FileUtil.copy(fs, k.getPath, dfs,
+            new Path(dst, k.getPath.getName), false, conf))
+          sys.error(s"clone of ${k.getPath} to $dstDir failed")
+      }): _*)
+    }
   }
 
   /** The IVF ANN index as a GOVERNED TABLE — [[dedupIndexProbe]]'s
@@ -1992,8 +2018,7 @@ object Similarity {
       .map(_.getSeq[Double](1))
     require(stored.length == nClusters,
       s"stored quantizer has ${stored.length} centroids, expected $nClusters")
-    val centLit = array(stored.toIndexedSeq.map(c =>
-      array(c.map(lit): _*)): _*)
+    val centLit = matLit(stored.toIndexedSeq)
     val qProbes = idxT.toDF.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
       .withColumn("__dots", transform(centLit, c => vec_dot(col("qe"), c)))
@@ -2081,8 +2106,7 @@ object Similarity {
       .map(_.getSeq[Double](1))
     require(stored.length == nClusters,
       s"stored quantizer has ${stored.length} centroids, expected $nClusters")
-    val centLit = array(stored.toIndexedSeq.map(c =>
-      array(c.map(lit): _*)): _*)
+    val centLit = matLit(stored.toIndexedSeq)
     def assign(df: DataFrame): DataFrame = df
       .withColumn("__dots", transform(centLit, c => vec_dot(col("e"), c)))
       .withColumn("cluster",
@@ -2239,7 +2263,7 @@ object Similarity {
         (ms.properties("manifest.cent_v").toInt, ms.properties("manifest.asg_v").toInt)
       val stored = GraftTable.load(spark, centDir).asOf(centV)
         .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
-      val centLit = array(stored.map(c => array(c.map(lit): _*)): _*)
+      val centLit = matLit(stored)
       // PINNED-snapshot reads only: the manifest names (cent_v, asg_v)
       // and every read below resolves exactly those versions — never
       // "latest" (a commit landing mid-serve must not change the answer;
@@ -2289,7 +2313,7 @@ object Similarity {
       .orderBy("cluster").collect().map(_.getSeq[Double](1)).toIndexedSeq
     require(newStored.length == newClusters,
       s"staged refreshed quantizer has ${newStored.length} centroids")
-    val newLit = array(newStored.map(c => array(c.map(lit): _*)): _*)
+    val newLit = matLit(newStored)
     GraftTable.load(spark, asgDir).overwrite(
       assign(GraftTable.load(spark, asgDir).toDF.select(col("vec_id"), col("e")),
         newLit))

@@ -1549,25 +1549,49 @@ object TextOps {
                                               sig: DataFrame, ht: DataFrame,
                                               consumerId: String,
                                               batchId: Long): Boolean = {
+    val c = appendDedupIndexContentEpoch(spark, idx, sig, ht, consumerId, batchId)
+    publishDedupManifestEpoch(spark, idx, consumerId, batchId) || c
+  }
+
+  /** The CONTENT half of [[appendDedupIndexSigEpoch]] — both ledger-gated
+    * appends, no publish. Split out so the streaming ingest loop can
+    * overlap them with its corpus append (all three precede the publish;
+    * guide §2.6). The two appends hit independent tables — overlapped
+    * here too. */
+  private[graft] def appendDedupIndexContentEpoch(spark: SparkSession, idx: DedupIndex,
+                                                  sig: DataFrame, ht: DataFrame,
+                                                  consumerId: String,
+                                                  batchId: Long): Boolean = {
     import graft.table.GraftTable
-    import spark.implicits._
-    val b = GraftTable.load(spark, idx.bandsDir).streamEpochWrite(
-      sig.select(col("band"), col("bh"), col("doc_id")),
-      s"$consumerId.bands", batchId, replace = false)
-    val r = GraftTable.load(spark, idx.repsDir).streamEpochWrite(
-      ht.select(col("doc_id"), col("htoks")),
-      s"$consumerId.reps", batchId, replace = false)
-    // publish, itself ledger-gated so a replayed batch cannot double-bump
-    // the manifest; the pins are idempotent either way. setPropertiesEpoch
-    // is a pure log write — the publish costs no Spark job
+    @volatile var b = false
+    @volatile var r = false
+    graft.ops.Par.run(
+      () => b = GraftTable.load(spark, idx.bandsDir).streamEpochWrite(
+        sig.select(col("band"), col("bh"), col("doc_id")),
+        s"$consumerId.bands", batchId, replace = false),
+      () => r = GraftTable.load(spark, idx.repsDir).streamEpochWrite(
+        ht.select(col("doc_id"), col("htoks")),
+        s"$consumerId.reps", batchId, replace = false))
+    b || r
+  }
+
+  /** The PUBLISH half of [[appendDedupIndexSigEpoch]]: pin + manifest
+    * swap, itself ledger-gated so a replayed batch cannot double-bump
+    * the manifest; the pins are idempotent either way. setPropertiesEpoch
+    * is a pure log write — the publish costs no Spark job. MUST run after
+    * every content commit of the batch (the crash-replay convergence
+    * argument reads the index through the manifest). */
+  private[graft] def publishDedupManifestEpoch(spark: SparkSession, idx: DedupIndex,
+                                               consumerId: String,
+                                               batchId: Long): Boolean = {
+    import graft.table.GraftTable
     val bandsV = GraftTable.load(spark, idx.bandsDir).currentVersion
     val repsV = GraftTable.load(spark, idx.repsDir).currentVersion
     pinVersion(GraftTable.load(spark, idx.bandsDir), bandsV)
     pinVersion(GraftTable.load(spark, idx.repsDir), repsV)
-    val m = GraftTable.load(spark, idx.manifestDir).setPropertiesEpoch(
+    GraftTable.load(spark, idx.manifestDir).setPropertiesEpoch(
       dedupManifestProps(idx.k, idx.bands, bandsV, repsV),
       s"$consumerId.manifest", batchId)
-    b || r || m
   }
 
   /** Probes the index with a batch of (doc_id, toks, htoks) docs →
@@ -1743,8 +1767,10 @@ object TextOps {
     val base = baseDedupIndex(spark, dir, incomingSource, k, bands)
     val idx = DedupIndex(tmp("dedup_erasure_bands"), tmp("dedup_erasure_reps"),
       tmp("dedup_erasure_manifest"), k, bands)
-    Similarity.cloneTable(spark, base.bandsDir, idx.bandsDir)
-    Similarity.cloneTable(spark, base.repsDir, idx.repsDir)
+    // the two clones copy disjoint trees — overlap them (guide §2.6)
+    graft.ops.Par.run(
+      () => Similarity.cloneTable(spark, base.bandsDir, idx.bandsDir),
+      () => Similarity.cloneTable(spark, base.repsDir, idx.repsDir))
     // the clone gets its OWN manifest (the clone is an independent index)
     GraftTable.create(spark, idx.manifestDir, dedupManifestSchema)
     publishDedupManifest(spark, idx)
@@ -1754,11 +1780,14 @@ object TextOps {
       val erased = documents(spark, dir)
         .filter(col("source") =!= incomingSource && col("doc_id") % 13 === 7)
         .select(col("doc_id"))
-      Seq(idx.bandsDir, idx.repsDir).foreach { d =>
+      // independent tables, independent commits — overlap the two MoR
+      // deletes; visibility still waits on the single manifest publish
+      graft.ops.Par.run(Seq(idx.bandsDir, idx.repsDir).map(d => () => {
         GraftTable.load(spark, d).upgradeFormat(2)
         GraftTable.load(spark, d).rowDelta(erased,
           GraftTable.load(spark, d).toDF.limit(0), Seq("doc_id"))
-      }
+        ()
+      }): _*)
       // the erasure is visible to probes only once PUBLISHED — the same
       // cutover discipline as appends
       publishDedupManifest(spark, idx)
@@ -1776,8 +1805,9 @@ object TextOps {
       try {
         val mor = probeDedupIndexSig(spark, idx, sig, ht, threshold)
           .localCheckpoint(true)
-        Seq(idx.bandsDir, idx.repsDir).foreach(d =>
-          GraftTable.load(spark, d).compact())
+        graft.ops.Par.run(Seq(idx.bandsDir, idx.repsDir).map(d => () => {
+          GraftTable.load(spark, d).compact(); ()
+        }): _*)
         publishDedupManifest(spark, idx)
         val compacted = probeDedupIndexSig(spark, idx, sig, ht, threshold)
           .localCheckpoint(true)

@@ -810,9 +810,12 @@ object StreamOps {
     val scratch = Tables.tmp(s"ingest_scratch_$batchId")
     try {
       val ds = TextOps.md5DocSets(batch.select(col("doc_id"), col("text")))
-      TextOps.md5BandedSignature(ds, idx.k, idx.bands)
-        .write.parquet(s"$scratch/sig")
-      ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht")
+      // the two scratch spills are independent writes of the same narrow
+      // per-doc state — overlap them (guide §2.6)
+      graft.ops.Par.run(
+        () => TextOps.md5BandedSignature(ds, idx.k, idx.bands)
+          .write.parquet(s"$scratch/sig"),
+        () => ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht"))
       val sig = sess.read.parquet(s"$scratch/sig")
       val ht = sess.read.parquet(s"$scratch/ht")
       val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
@@ -823,14 +826,23 @@ object StreamOps {
         .join(dupIds, Seq("doc_id"), "left_anti")
         .persist(MEMORY_AND_DISK)
       try {
-        GraftTable.load(sess, corpusDir).streamEpochWrite(
-          batch.select(col("doc_id"), col("text"))
-            .join(liveIds, Seq("doc_id"), "left_semi"),
-          s"$consumerId.corpus", batchId, replace = false)
-        TextOps.appendDedupIndexSigEpoch(sess, idx,
-          sig.join(liveIds, Seq("doc_id"), "left_semi"),
-          ht.join(liveIds, Seq("doc_id"), "left_semi"),
-          consumerId, batchId)
+        // corpus + both index-content appends are independent tables and
+        // all precede the manifest publish — overlap them (guide §2.6).
+        // The publish stays LAST: crash-replay convergence reads the
+        // index through the manifest, and the corpus ledger must commit
+        // before the manifest names the batch's index state (a published
+        // index over an uncommitted corpus would make the replayed probe
+        // reject the batch against itself).
+        graft.ops.Par.run(
+          () => { GraftTable.load(sess, corpusDir).streamEpochWrite(
+            batch.select(col("doc_id"), col("text"))
+              .join(liveIds, Seq("doc_id"), "left_semi"),
+            s"$consumerId.corpus", batchId, replace = false); () },
+          () => { TextOps.appendDedupIndexContentEpoch(sess, idx,
+            sig.join(liveIds, Seq("doc_id"), "left_semi"),
+            ht.join(liveIds, Seq("doc_id"), "left_semi"),
+            consumerId, batchId); () })
+        TextOps.publishDedupManifestEpoch(sess, idx, consumerId, batchId)
         ()
       } finally liveIds.unpersist()
     } finally {
