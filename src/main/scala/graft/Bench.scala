@@ -140,6 +140,11 @@ object Bench {
       // metadata-folded aggregates)
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // fork-free local FS (see GraftLocalFileSystem): inert off-local
+      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
+        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
+      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
+        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: deterministic ts math
       .config("spark.ui.enabled", "false")
       .getOrCreate()

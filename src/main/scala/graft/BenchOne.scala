@@ -128,6 +128,11 @@ object BenchOne {
       .master(s"local[$cpus]")
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // fork-free local FS (see GraftLocalFileSystem): inert off-local
+      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
+        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
+      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
+        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{DelegateToFileSystem, LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import java.net.URI
+
+/** Local filesystem with the per-file permission `exec` removed.
+  *
+  * Without libhadoop, `RawLocalFileSystem.setPermission` shells out to
+  * `chmod` — one process fork per created file and directory. The r14
+  * profile measured `Shell.runCommand` as the dominant task-side frame of
+  * partitioned commits (80-leaf write: one fork per part-file, per .crc,
+  * per directory). Nothing in the engine reads file permissions back, and
+  * files keep the process umask defaults, so the setPermission call is
+  * pure overhead on this deployment shape.
+  *
+  * Installed by the harness mains via
+  * `spark.hadoop.fs.file.impl = graft.sources.GraftLocalFileSystem` (and
+  * `fs.AbstractFileSystem.file.impl = graft.sources.GraftRawLocalFs` for
+  * the FileContext tree streaming checkpoints use). On real deployments
+  * (HDFS / object stores) these keys are inert — they only rebind the
+  * `file://` scheme. Checksum behavior, atomicity (create-new, rename)
+  * and every other semantic are inherited unchanged. */
+final class GraftRawLocalFileSystem extends RawLocalFileSystem {
+  override def setPermission(p: Path, permission: FsPermission): Unit = ()
+}
+
+final class GraftLocalFileSystem
+  extends LocalFileSystem(new GraftRawLocalFileSystem)
+
+/** The `AbstractFileSystem` (FileContext) twin, used by Spark's streaming
+  * checkpoint managers. Delegates to [[GraftRawLocalFileSystem]]; like
+  * Hadoop's own `RawLocalFs` it carries no checksum layer — streaming
+  * offset/commit logs are transient per-query state. */
+final class GraftRawLocalFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new GraftRawLocalFileSystem, conf, "file", false)
+
+object GraftLocalFileSystem {
+  /** The session confs that install the fork-free local FS — one shared
+    * definition so the harness mains (Bench / Verify / BenchOne /
+    * PlanDump / ProfileOne) cannot drift. Must be set at session BUILD
+    * time: Hadoop's FileSystem cache keys on (scheme, ugi), so a `file://`
+    * instance created before these keys land would shadow them. */
+  val sessionConfs: Seq[(String, String)] = Seq(
+    "spark.hadoop.fs.file.impl" -> classOf[GraftLocalFileSystem].getName,
+    "spark.hadoop.fs.AbstractFileSystem.file.impl" -> classOf[GraftRawLocalFs].getName)
+}
