@@ -663,7 +663,9 @@ object StreamOps {
     // absent from the reloaded MV exactly as it is absent from a full
     // recompute's GROUP BY over the final base state
     mv.streamEpochUpsert(next, groupCols, consumerId, batchId,
-      tombstoneWhen = Some(col("n") <= 0), extraProps = stamp)
+      tombstoneWhen = Some(col("n") <= 0), extraProps = stamp,
+      // `next` keys on the fold's groupBy output — unique by construction
+      rowsUniqueByKey = true)
   }
 
   /** REFRESH core shared by GraftSql's `REFRESH MATERIALIZED VIEW` and

@@ -2342,7 +2342,12 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                                        // stamp: content and stamp land in one
                                        // commit, so no crash window can publish
                                        // a stamp the content doesn't back)
-                                       extraProps: Map[String, String] = Map.empty): Boolean = {
+                                       extraProps: Map[String, String] = Map.empty,
+                                       // caller GUARANTEES one row per key (e.g.
+                                       // the MV fold's groupBy output): skips the
+                                       // defensive dropDuplicates — one shuffle
+                                       // less per epoch, identical rows
+                                       rowsUniqueByKey: Boolean = false): Boolean = {
     var s = snapshot
     require(s.formatVersion >= 2,
       s"upsert sink requires format version >= 2 (current ${s.formatVersion}); call upgradeFormat(2)")
@@ -2366,7 +2371,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           .partitionBy(keys.map(col): _*).orderBy(col(oc).desc)
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-      case None => df.dropDuplicates(keys)
+      case None => if (rowsUniqueByKey) df else df.dropDuplicates(keys)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
