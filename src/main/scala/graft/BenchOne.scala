@@ -124,21 +124,18 @@ object BenchOne {
     // repo's metastore_db, and this child must never fight over it
     val scratch = java.nio.file.Files.createTempDirectory("graft_benchone")
     System.setProperty("derby.system.home", scratch.toString)
-    val spark = SparkSession.builder()
+    val spark = // fork-free local FS via install(): inert off-local (ADVICE r14: fold, not index)
+      graft.sources.GraftLocalFileSystem.install(SparkSession.builder())
       .master(s"local[$cpus]")
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // fork-free local FS (see GraftLocalFileSystem): inert off-local
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         scratch.resolve("warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBenignProbeLogs()
     val warmDir = {
       val p = new java.io.File(sfDir).getParentFile
       val w = new java.io.File(p, "sf0.001")

@@ -19,19 +19,16 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, suffix, names) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = // fork-free local FS via install(): inert off-local (ADVICE r14: fold, not index)
+      graft.sources.GraftLocalFileSystem.install(SparkSession.builder())
       .master(s"local[$cpus]")
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // fork-free local FS (see GraftLocalFileSystem): inert off-local
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBenignProbeLogs()
     new java.io.File(outDir).mkdirs()
     names.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
       SparkEntry.queries.get(name) match {

@@ -22,19 +22,16 @@ object ProfileOne {
     val topN = if (args.length > 2) args(2).toInt else 40
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val fn = SparkEntry.queries.getOrElse(query, sys.error(s"unknown '$query'"))
-    val spark = SparkSession.builder()
+    val spark = // fork-free local FS via install(): inert off-local (ADVICE r14: fold, not index)
+      graft.sources.GraftLocalFileSystem.install(SparkSession.builder())
       .master(s"local[$cpus]")
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // fork-free local FS (see GraftLocalFileSystem): inert off-local
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBenignProbeLogs()
     // warm once at sf0.001 (codegen off the clock), like the bench
     val warmDir = {
       val p = new java.io.File(sfDir).getParentFile

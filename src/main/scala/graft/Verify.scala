@@ -12,22 +12,19 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = // fork-free local FS via install(): inert off-local (ADVICE r14: fold, not index)
+      graft.sources.GraftLocalFileSystem.install(SparkSession.builder())
       .master(s"local[$cpus]")
       // the documented production install (GraftExtensions Scaladoc):
       // harness sessions run the same analyzer integration users get —
       // catalog reads view-swap, bare COUNT/MIN/MAX fold to manifest stats
       .withExtensions(new graft.catalog.GraftSparkSessionExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // fork-free local FS (see GraftLocalFileSystem): inert off-local
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs.head._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs.head._2)
-      .config(graft.sources.GraftLocalFileSystem.sessionConfs(1)._1,
-        graft.sources.GraftLocalFileSystem.sessionConfs(1)._2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBenignProbeLogs()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -531,6 +531,14 @@ object GraftBucketedScan {
       (w, d) => w.when(org.apache.spark.sql.functions.input_file_name()
         .contains(s"/${d.path}/"), lit(d.version))
     }
+      // unmatched path = NULL __v = NPE at the r.getInt below (or a
+      // silently wrong max on the scratch path) — unreachable today, but
+      // fail with the cause named rather than an NPE (VERDICT r14 item 3)
+      .otherwise(org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.concat(
+          lit("graft: cannot derive delete version — input_file_name() '"),
+          org.apache.spark.sql.functions.input_file_name(),
+          lit("' matches no logged delete file"))))
     val merged = spark.read.schema(delSchema)
       .parquet(delFiles.map(d => s"$tableDir/${d.path}"): _*)
       .withColumn("__v", versionCol)

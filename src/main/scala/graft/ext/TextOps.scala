@@ -804,13 +804,38 @@ object TextOps {
     * drifted construction would silently stop colliding with probes. */
   private[graft] def md5BandedSignature(d: DataFrame, k: Int, bands: Int): DataFrame = {
     val p = 1000000007L
-    val r = k / bands
     val tok = d.select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h", md5(col("t")))
     val hashed = tok.select(col("doc_id"),
       (conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % p).as("h1m"),
       (conv(substring(col("h"), 17, 15), 16, 10).cast(LongType)
         .bitwiseOR(lit(1L)) % p).as("h2m"))
+    bandedFromPermHashes(hashed, k, bands)
+  }
+
+  /** [[md5BandedSignature]] from PRECOMPUTED per-token 60-bit hash pairs
+    * (`pairs: array<struct<h1,h2>>`, see [[md5DocHashPairs]]) — the
+    * construction is bit-identical (h1m = h1 % p, h2m = (h2|1) % p, in
+    * that order, exactly as the string path computes them) but skips the
+    * per-token md5, which [[md5DocHashPairs]] already paid once. */
+  private[graft] def md5BandedSignatureFromPairs(d: DataFrame, k: Int,
+                                                 bands: Int): DataFrame = {
+    val p = 1000000007L
+    val hashed = d.select(col("doc_id"), explode(col("pairs")).as("pr"))
+      .select(col("doc_id"),
+        (col("pr.h1") % p).as("h1m"),
+        (col("pr.h2").bitwiseOR(lit(1L)) % p).as("h2m"))
+    bandedFromPermHashes(hashed, k, bands)
+  }
+
+  /** Shared tail of the banded-signature construction: k permutation
+    * minima over (h1m, h2m) rows, banded via md5 of the comma-joined
+    * minima slices — one implementation so the string-token and
+    * precomputed-pairs entry points cannot drift. */
+  private def bandedFromPermHashes(hashed: DataFrame, k: Int,
+                                   bands: Int): DataFrame = {
+    val p = 1000000007L
+    val r = k / bands
     val mins = (0 until k).map(i =>
       min((col("h1m") + lit(i.toLong) * col("h2m")) % p).as(s"m$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -1373,6 +1398,27 @@ object TextOps {
       .withColumn("toks", array_sort(array_distinct(tokens)))
       .withColumn("htoks", array_sort(array_distinct(transform(col("toks"),
         t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))))
+
+  /** ONE-md5-pass prep for the streaming ingest loop: (doc_id, htoks,
+    * pairs) where `pairs(i)` carries BOTH 60-bit blocks of
+    * md5(distinct-token i) — h1 (digits 1-15, the htoks element and the
+    * minhash h1 seed) and h2 (digits 17-31, the minhash h2 seed). The
+    * previous shape computed md5 over every token TWICE per batch (once
+    * in [[md5DocSets]] for htoks, once in [[md5BandedSignature]] for the
+    * signature); `htoks` here is definitionally identical
+    * (array_sort ∘ array_distinct over the same per-token conv values,
+    * in the same token order) and [[md5BandedSignatureFromPairs]]
+    * reproduces the signature arithmetic bit-for-bit from (h1, h2). */
+  private[graft] def md5DocHashPairs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", array_sort(array_distinct(tokens)))
+      .withColumn("hs", transform(col("toks"), t => md5(t)))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("hs"),
+          h => conv(substring(h, 1, 15), 16, 10).cast(LongType)))).as("htoks"),
+        transform(col("hs"), h => struct(
+          conv(substring(h, 1, 15), 16, 10).cast(LongType).as("h1"),
+          conv(substring(h, 17, 15), 16, 10).cast(LongType).as("h2"))).as("pairs"))
 
   /** Creates the two empty content tables plus the manifest, and
     * publishes the (empty) initial state. */

@@ -45,4 +45,13 @@ object GraftLocalFileSystem {
   val sessionConfs: Seq[(String, String)] = Seq(
     "spark.hadoop.fs.file.impl" -> classOf[GraftLocalFileSystem].getName,
     "spark.hadoop.fs.AbstractFileSystem.file.impl" -> classOf[GraftRawLocalFs].getName)
+
+  /** Applies EVERY entry of [[sessionConfs]] to a session builder — the
+    * one installation path the harness mains share. The previous per-main
+    * `.config(sessionConfs.head…)/.config(sessionConfs(1)…)` indexing
+    * meant a third conf added here would silently not be applied anywhere
+    * (ADVICE r14). */
+  def install(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }

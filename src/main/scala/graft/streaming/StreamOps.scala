@@ -811,15 +811,22 @@ object StreamOps {
     val sess = batch.sparkSession
     val scratch = Tables.tmp(s"ingest_scratch_$batchId")
     try {
-      val ds = TextOps.md5DocSets(batch.select(col("doc_id"), col("text")))
-      // the two scratch spills are independent writes of the same narrow
-      // per-doc state — overlap them (guide §2.6)
-      graft.ops.Par.run(
-        () => TextOps.md5BandedSignature(ds, idx.k, idx.bands)
-          .write.parquet(s"$scratch/sig"),
-        () => ds.select(col("doc_id"), col("htoks")).write.parquet(s"$scratch/ht"))
+      // ONE md5-per-token pass per batch (r15, VERDICT item 2): the
+      // previous shape spilled sig and ht as two independent writes, each
+      // recomputing md5DocSets' per-token md5 (the batch's dominant CPU).
+      // Now one job writes (doc_id, htoks, pairs) — htoks definitionally
+      // identical, pairs carrying both 60-bit md5 blocks — and the banded
+      // signature derives from the SCRATCH pairs (modular arithmetic
+      // only, bit-identical construction; IngestCrashReplaySpec + the
+      // oracle gate it).
+      TextOps.md5DocHashPairs(batch.select(col("doc_id"), col("text")))
+        .write.parquet(s"$scratch/ht")
+      val htFull = sess.read.parquet(s"$scratch/ht")
+      TextOps.md5BandedSignatureFromPairs(
+        htFull.select(col("doc_id"), col("pairs")), idx.k, idx.bands)
+        .write.parquet(s"$scratch/sig")
       val sig = sess.read.parquet(s"$scratch/sig")
-      val ht = sess.read.parquet(s"$scratch/ht")
+      val ht = htFull.select(col("doc_id"), col("htoks"))
       val dupIds = TextOps.probeDedupIndexSig(sess, idx, sig, ht, threshold)
         .select(col("in_id").as("doc_id")).distinct()
       // the admitted-id set IS tiny (ids only) — cache it; it gates

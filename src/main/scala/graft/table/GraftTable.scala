@@ -1241,6 +1241,17 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
         lit(entries.head._2))) { case (w, (p, v)) =>
       w.when(input_file_name().contains(s"/$p/"), lit(v))
     }
+      // Unreachable today (the column is built directly on the parquet
+      // read, and dir subpaths are UUIDs), but a refactor that interposes
+      // a cache/checkpoint — where input_file_name() is empty — would
+      // otherwise yield NULL here, null out the delete anti-join
+      // condition, and silently resurrect deleted rows. Fail loudly
+      // instead (VERDICT r14 item 3 / ADVICE).
+      .otherwise(raise_error(concat(
+        lit("graft: cannot derive commit version — input_file_name() '"),
+        input_file_name(),
+        lit("' matches no logged dir (was the read re-materialized " +
+          "through a cache/checkpoint?)"))))
 
   def dfAt(s: Snapshot): DataFrame = {
     if (s.dataDirs.isEmpty) return spark.createDataFrame(
@@ -2110,27 +2121,96 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
       "pending position deletes cannot be rendered as view SQL; " +
         "read through the graft DSv2 scan or compact() first")
     def q(n: String) = s"`${n.replace("`", "``")}`"
+    // Spark glob-expands every file-source path (including the single-path
+    // form), so glob metacharacters in the table root or a subpath must be
+    // backslash-escaped to read literally — without this a root named
+    // `t{1}` silently matches nothing. `,` is special only inside braces,
+    // where the multi-dir form below places the subpaths.
+    def ge(p: String) = p.replaceAll("([\\\\\\[\\]{}*?,])", "\\\\$1")
+    def qp(p: String) = "`" + p.replace("`", "``") + "`"
+    // SQL single-quoted string literal (escapedStringLiterals=false)
+    def qstr(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val logicalList = s.schema.fields.map(f => q(f.name)).mkString(", ")
     if (s.dataDirs.isEmpty) {
       val cols = s.schema.fields
         .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS ${q(f.name)}").mkString(", ")
       return s"SELECT $cols WHERE false"
     }
-    val branches = s.dataDirs.map { d =>
+    // ONE parquet relation per GROUP of dirs — `{u1,u2,…}` brace glob over
+    // the shared parent plus a CASE on input_file_name() deriving `__cv` —
+    // instead of one relation per dir (r15: the dfAt single-relation
+    // rewrite applied to the SQL path; sql_mor_dml's plan held 18 scans
+    // and grew with commit count). Dirs group only when the relation is
+    // PROVABLY homogeneous: same NULL-projection set (schema evolution —
+    // every file in the group physically carries every selected column,
+    // so schema inference cannot miss one), same governing partition spec
+    // (partition discovery over mixed layouts conflicts), same parent
+    // path component (Hadoop globs match per path component — a brace
+    // alternation cannot span '/').
+    def parentOf(p: String): String = p.lastIndexOf('/') match {
+      case -1 => ""
+      case i => p.substring(0, i)
+    }
+    def dataVersionExpr(dirs: Seq[DataDir], alias: String): String =
+      versionCaseExpr(dirs.map(d => (d.path, d.version)), alias)
+    def versionCaseExpr(entries: Seq[(String, Int)], alias: String): String =
+      if (entries.size == 1) s"${entries.head._2} AS $alias"
+      else {
+        val whens = entries.map { case (p, v) =>
+          s"WHEN instr(input_file_name(), ${qstr(s"/$p/")}) > 0 THEN $v"
+        }.mkString(" ")
+        // an unmatched path must fail loudly, never NULL out the
+        // delete-guard comparison (same rule as dfAt's pathVersionCol)
+        s"CASE $whens ELSE raise_error('graft: input_file_name() matches " +
+          s"no logged dir of this relation') END AS $alias"
+      }
+    def fromClause(paths: Seq[String]): String =
+      if (paths.size == 1) s"parquet.${qp(s"${ge(dir)}/${ge(paths.head)}")}"
+      else {
+        val parent = parentOf(paths.head)
+        val leaves = paths.map(p => ge(p.substring(parent.length + 1)))
+        val prefix = if (parent.isEmpty) ge(dir) else s"${ge(dir)}/${ge(parent)}"
+        s"parquet.${qp(s"$prefix/{${leaves.mkString(",")}}")}"
+      }
+    // stable grouping (insertion order) so the rendered SQL is
+    // deterministic for a given snapshot
+    def groupBy[A, K](xs: Seq[A])(key: A => K): Seq[Seq[A]] = {
+      val m = new scala.collection.mutable.LinkedHashMap[K, scala.collection.mutable.ArrayBuffer[A]]
+      xs.foreach(x => m.getOrElseUpdate(key(x), scala.collection.mutable.ArrayBuffer.empty) += x)
+      m.values.map(_.toSeq).toSeq
+    }
+    // PARTITIONED dirs stay one-relation-per-dir: partition discovery
+    // over multiple glob-expanded roots that each hold k=v subdirs
+    // demands an explicit `basePath` option (CONFLICTING_DIRECTORY_
+    // STRUCTURES otherwise), which a self-contained SQL view cannot
+    // express. Aggregates over partitioned SQL-served tables are answered
+    // by the sidecar folds at analysis time anyway; only the scan-decline
+    // path pays the per-dir plan, bounded by compaction cadence.
+    val dataGroups = groupBy(s.dataDirs)(d => (
+      s.schema.fields.map(f => d.version < s.fieldOf(f.name).since).toSeq,
+      s.specAt(d.version),
+      parentOf(d.path),
+      if (s.specAt(d.version).nonEmpty) d.path else ""))
+    val branches = dataGroups.map { dirs =>
+      val d0 = dirs.head
       val cols = s.schema.fields.map { f =>
         val fi = s.fieldOf(f.name)
-        if (d.version < fi.since) s"CAST(NULL AS ${f.dataType.sql}) AS ${q(f.name)}"
+        if (d0.version < fi.since) s"CAST(NULL AS ${f.dataType.sql}) AS ${q(f.name)}"
         else s"${q(fi.physical)} AS ${q(f.name)}"
       }
-      s"SELECT ${cols.mkString(", ")}, ${d.version} AS `__cv` FROM parquet.`$dir/${d.path}`"
+      s"SELECT ${cols.mkString(", ")}, ${dataVersionExpr(dirs, "`__cv`")} " +
+        s"FROM ${fromClause(dirs.map(_.path))}"
     }
     val union = branches.mkString("\nUNION ALL\n")
     if (s.deletes.isEmpty) s"SELECT $logicalList FROM (\n$union\n)"
     else {
       val keys = s.deletes.head.keys
-      val delBranches = s.deletes.map { del =>
-        val cols = del.keys.map(k => s"${q(s.physicalOf(k))} AS ${q(k)}").mkString(", ")
-        s"SELECT $cols, ${del.version} AS `__dv` FROM parquet.`$dir/${del.path}`"
+      val delGroups = groupBy(s.deletes)(del => (del.keys, parentOf(del.path)))
+      val delBranches = delGroups.map { dels =>
+        val cols = dels.head.keys
+          .map(k => s"${q(s.physicalOf(k))} AS ${q(k)}").mkString(", ")
+        s"SELECT $cols, ${versionCaseExpr(dels.map(d => (d.path, d.version)), "`__dv`")} " +
+          s"FROM ${fromClause(dels.map(_.path))}"
       }
       val keyCond = keys.map(k => s"__d.${q(k)} <=> __t.${q(k)}").mkString(" AND ")
       s"""SELECT $logicalList FROM (

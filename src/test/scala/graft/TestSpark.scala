@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // grouped view SQL's brace-glob relations trip a benign
+    // FileStreamSink metadata probe that logs a full stack at WARN —
+    // quiet that one logger so test logs stay readable (see Bench)
+    Bench.quietBenignProbeLogs()
     s
   }
   /** Fresh temp dir for table tests. */
