@@ -453,13 +453,29 @@ object Similarity {
     * machinery, not embedding quality. */
   private def marginMiningAnnGated(spark: SparkSession, dir: String,
                                    floor: Double = 0.3): DataFrame = {
-    val ann = marginMiningAnn(spark, dir).localCheckpoint(true)
-    val exact = marginMining(spark, dir)
-      .select(col("x_id"), col("y_id")).localCheckpoint(true)
+    // the ANN candidate pipeline and the exact reference pipeline are
+    // independent pure computations whose eager localCheckpoints ran
+    // back-to-back — the r15 profile showed the driver parked in
+    // Dataset.checkpoint for most of the wall (28 sequential 1-task
+    // jobs). Overlap them (guide §2.6); the recall gate below is
+    // unchanged. Function registration happens up front so the two
+    // branches don't race the session registry.
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.TextSignatureFunctions.register(spark)
+    @volatile var ann: DataFrame = null
+    @volatile var exact: DataFrame = null
+    graft.ops.Par.run(
+      () => ann = marginMiningAnn(spark, dir).localCheckpoint(true),
+      () => exact = marginMining(spark, dir)
+        .select(col("x_id"), col("y_id")).localCheckpoint(true))
     try {
-      val total = exact.count()
-      val hits = ann.select(col("x_id"), col("y_id"))
-        .join(exact, Seq("x_id", "y_id"), "left_semi").count()
+      // the two gate actions are independent reads of the checkpoints
+      @volatile var total = 0L
+      @volatile var hits = 0L
+      graft.ops.Par.run(
+        () => total = exact.count(),
+        () => hits = ann.select(col("x_id"), col("y_id"))
+          .join(exact, Seq("x_id", "y_id"), "left_semi").count())
       val recall = if (total == 0) 1.0 else hits.toDouble / total
       require(recall >= floor,
         f"ANN margin mining recovers $recall%.3f of the exact top-N pairs, " +

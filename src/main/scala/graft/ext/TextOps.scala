@@ -425,6 +425,34 @@ object TextOps {
     val edges = pairs.select(col(a).as("node"), col(b).as("peer"))
       .unionAll(pairs.select(col(b).as("node"), col(a).as("peer")))
       .persist(MEMORY_AND_DISK)
+    // BYTE-GATED loop shuffle width (r15, guide §2.2/§2.5; the write-side
+    // analogue of AQE coalescing, which cannot reach these shuffles:
+    // cached plans keep their partitioning unless
+    // canChangeCachedPlanOutputPartitioning is flipped session-wide).
+    // Every iteration's join/groupBy shuffle otherwise writes
+    // `spark.sql.shuffle.partitions` partition files per map task — at
+    // KB-scale frames that M×R file-open cost dominated the loop (r15
+    // profile: 70% of task samples in BypassMergeSortShuffleWriter /
+    // FileOutputStream.open, and 32-core runs measured 1.4× SLOWER than
+    // 8-core). The width is derived from the MEASURED cached size of the
+    // edge set against the session's advisory partition size — at real
+    // scale the estimate exceeds the session setting and this is a
+    // no-op; it can only narrow, never widen. Conf is restored in
+    // `finally`; the narrowing is scoped to this driver-side loop.
+    edges.count() // materialize so the cache reports ACTUAL bytes
+    val sess = pairs.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val loopParts: Option[Int] = try {
+      val bytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      val advisory = sess.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      val advisoryBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(advisory)
+      val p = (bytes / advisoryBytes).toLong + 1
+      if (p < prevParts.toLong) Some(p.toInt.max(1)) else None
+    } catch { case _: Exception => None }
+    loopParts.foreach(p => sess.conf.set("spark.sql.shuffle.partitions", p))
+    try {
     var labels = edges.groupBy(col("node"))
       .agg(least(min(col("peer")), col("node")).as("label"))
       .persist(MEMORY_AND_DISK)
@@ -477,6 +505,8 @@ object TextOps {
     labels.unpersist()
     org.apache.spark.sql.GraftShim.dropCheckpointBlocks(labels)
     out
+    } finally loopParts.foreach(_ =>
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts))
   }
 
   /** Near-dup clusters of the documents table: MinHash-LSH pairs →

@@ -622,12 +622,25 @@ object StreamOps {
     // is the original (group, n, total) shape
     val hasNn = mvCols.contains("nn")
     val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+    // FRESHNESS STAMP input, fused into the fold (r15, guide §1.2 "don't
+    // compute things twice"): the previous shape ran a separate
+    // `batch.agg(max(_commit_version)).head` action — a full second scan
+    // of the batch per fold, O(commit size) at scale — before the upsert.
+    // An Observation on the batch rides the epoch's own write jobs
+    // instead; streamEpochUpsert evaluates the by-name extraProps only
+    // after those jobs ran (and never on the ledger-no-op path, where
+    // obs.get would block forever).
+    val hasStamp = batch.columns.contains("_commit_version")
+    val obs = org.apache.spark.sql.Observation()
+    val observed =
+      if (hasStamp) batch.observe(obs, max(col("_commit_version")).as("mcv"))
+      else batch
     val aggs = Seq(
       sum(sign).cast(LongType).as("dn"),
       sum(col(valueCol) * sign).cast(dec).as("dtotal")) ++
       (if (hasNn) Seq(sum(when(col(valueCol).isNotNull, sign).otherwise(0))
         .cast(LongType).as("dnn")) else Nil)
-    val deltas = batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val deltas = observed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // coalesce BOTH fold inputs: an all-NULL value group sums to NULL,
     // and NULL + total would store a NULL that the next fold resets to
     // zero — silently destroying the accumulated total (a NULL value
@@ -650,13 +663,14 @@ object StreamOps {
     // batch carried — the rewrite rule serves the MV only while no
     // content-changing base commit postdates the stamp. An empty batch
     // (or one without the changelog's `_commit_version`) leaves the stamp
-    // alone: stale-conservative, never unsound.
-    val stamp: Map[String, String] =
-      if (!batch.columns.contains("_commit_version")) Map.empty
-      else {
-        val r = batch.agg(max(col("_commit_version"))).head
-        if (r.isNullAt(0)) Map.empty
-        else Map(GraftTable.MvBaseVersionProp -> r.get(0).toString)
+    // alone: stale-conservative, never unsound. Evaluated BY NAME inside
+    // streamEpochUpsert after the epoch's write jobs materialized the
+    // Observation — no separate stamp scan.
+    def stamp: Map[String, String] =
+      if (!hasStamp) Map.empty
+      else obs.get.get("mcv").flatMap(Option(_)) match {
+        case None => Map.empty
+        case Some(v) => Map(GraftTable.MvBaseVersionProp -> v.toString)
       }
     // a group whose count drains to zero is TOMBSTONED — its key joins
     // the epoch's delete file but no row is re-inserted, so the group is

@@ -2421,8 +2421,16 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
                                        // epoch's rowDelta (e.g. the MV freshness
                                        // stamp: content and stamp land in one
                                        // commit, so no crash window can publish
-                                       // a stamp the content doesn't back)
-                                       extraProps: Map[String, String] = Map.empty,
+                                       // a stamp the content doesn't back).
+                                       // BY-NAME, evaluated only at commit
+                                       // build — after the epoch's write jobs
+                                       // have run — so a caller can derive the
+                                       // props from an Observation riding the
+                                       // epoch's own write (applyMvDeltas'
+                                       // freshness stamp: one batch scan less
+                                       // per fold, r15). Never evaluated on
+                                       // the ledger-no-op path.
+                                       extraProps: => Map[String, String] = Map.empty,
                                        // caller GUARANTEES one row per key (e.g.
                                        // the MV fold's groupBy output): skips the
                                        // defensive dropDuplicates — one shuffle
@@ -2455,11 +2463,6 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsub = s"deletes/${UUID.randomUUID()}"
     val physKeys = keys.map(s.physicalOf)
-    rows.select(keys.map(col): _*).toDF(physKeys: _*)
-      .write.mode("errorifexists").parquet(s"$dir/$dsub")
-    // footer count instead of an Observation: obs.get waits on the async
-    // listener bus after every commit (see writeData)
-    val dRows = footerRowCount(s"$dir/$dsub")
     // tombstones: every row's key joins the delete file above (retiring
     // the stored row), but rows matching `tombstoneWhen` are EXCLUDED
     // from the data write — the key ends the epoch with no stored row at
@@ -2469,8 +2472,24 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // in the delete file — a silent tombstone under three-valued logic
     val live = tombstoneWhen
       .map(c => rows.filter(!coalesce(c, lit(false)))).getOrElse(rows)
-    val (rsub, nrows) = writeData(live, s)
+    // the two epoch writes (delete keys, data) target independent dirs
+    // and both read the PERSISTED `rows` — overlap them (guide §2.6; the
+    // block store serializes per-partition materialization, so the race
+    // computes each cached partition once)
+    @volatile var rsubRows: (String, Long) = null
+    graft.ops.Par.run(
+      () => rows.select(keys.map(col): _*).toDF(physKeys: _*)
+        .write.mode("errorifexists").parquet(s"$dir/$dsub"),
+      () => rsubRows = writeData(live, s))
+    // footer count instead of an Observation: obs.get waits on the async
+    // listener bus after every commit (see writeData)
+    val dRows = footerRowCount(s"$dir/$dsub")
+    val (rsub, nrows) = rsubRows
     rows.unpersist()
+    // evaluate the by-name props exactly once, after the write jobs (an
+    // Observation-backed caller's obs.get is available by now) and
+    // outside the rebase closure (which may run more than once)
+    val propsToSet = extraProps
     commit(s.version + 1)((rebase, v) => {
       val b = Option(rebase).getOrElse(s)
       requireSpecStable(b, s)
@@ -2486,7 +2505,7 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
           if (nrows != 0) b.dataDirs :+ DataDir(rsub, v, nrows) else b.dataDirs,
         deletes =
           if (dRows != 0) b.deletes :+ DeleteFile(dsub, keys, v, dRows) else b.deletes,
-        properties = b.properties ++ extraProps,
+        properties = b.properties ++ propsToSet,
         streamEpochs = b.streamEpochs + (queryId -> epochId))
     })
     true
