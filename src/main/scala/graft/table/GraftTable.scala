@@ -2472,19 +2472,20 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // in the delete file — a silent tombstone under three-valued logic
     val live = tombstoneWhen
       .map(c => rows.filter(!coalesce(c, lit(false)))).getOrElse(rows)
-    // the two epoch writes (delete keys, data) target independent dirs
-    // and both read the PERSISTED `rows` — overlap them (guide §2.6; the
-    // block store serializes per-partition materialization, so the race
-    // computes each cached partition once)
-    @volatile var rsubRows: (String, Long) = null
-    graft.ops.Par.run(
-      () => rows.select(keys.map(col): _*).toDF(physKeys: _*)
-        .write.mode("errorifexists").parquet(s"$dir/$dsub"),
-      () => rsubRows = writeData(live, s))
+    // SEQUENTIAL writes, deliberately: the delete-key write materializes
+    // the persisted `rows` and the data write then reads the cache.
+    // Overlapping them (tried r15) DUPLICATES the whole upstream lineage
+    // instead — under AQE each racing job plans its own exchanges, so
+    // DAGScheduler shares no stages and the block-store lock only
+    // serializes the waste (measured: tasks 291→569 over the MV fold,
+    // jobs +3). Guide §2.6 overlap pays only for jobs with independent
+    // inputs.
+    rows.select(keys.map(col): _*).toDF(physKeys: _*)
+      .write.mode("errorifexists").parquet(s"$dir/$dsub")
     // footer count instead of an Observation: obs.get waits on the async
     // listener bus after every commit (see writeData)
     val dRows = footerRowCount(s"$dir/$dsub")
-    val (rsub, nrows) = rsubRows
+    val (rsub, nrows) = writeData(live, s)
     rows.unpersist()
     // evaluate the by-name props exactly once, after the write jobs (an
     // Observation-backed caller's obs.get is available by now) and
