@@ -435,6 +435,13 @@ final class GraftTable private (val spark: SparkSession, val dir: String) {
     // inflated (joins, RDD-backed frames) conservatively keep the
     // scale-out range layout — at 100 TB every real commit takes that
     // branch. Estimation failure = not small (never breaks a write).
+    // KNOWN LIMIT (ADVICE r14): under CBO, selective-filter estimates can
+    // UNDERestimate a large commit into the coalesce(1) branch — a perf
+    // cliff (one task writes one oversized file), never a wrong answer.
+    // The 4 MiB default keeps even a 10× estimation error inside one
+    // HDFS-block-sized file; deployments running CBO over filtered
+    // commit inputs should lower graft.write.smallCommitBytes or set it
+    // to 0 to disable the fast path outright.
     def estBytes(d: DataFrame): BigInt =
       try d.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(Long.MaxValue) }
