@@ -145,6 +145,29 @@ class R15OptimizationSpec extends AnyFunSuite {
       s"failed batch left scratch: ${scratchDirsFor(badId)}")
   }
 
+  test("pathVersionCol fails loudly when input_file_name is empty (interposed cache)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = GraftTable.create(spark, TestSpark.tmpDir("pvc-guard"), df.schema)
+    val m = t.getClass.getDeclaredMethods
+      .find(_.getName == "pathVersionCol").getOrElse(fail("pathVersionCol not found"))
+    m.setAccessible(true)
+    val vcol = m.invoke(t, Seq(("data/no-such-dir", 7)))
+      .asInstanceOf[org.apache.spark.sql.Column]
+    // a cached (non-file) relation evaluates input_file_name() to "" —
+    // exactly the refactor hazard VERDICT r14 item 3 names. The guard
+    // must THROW, never yield a NULL version that un-guards the delete
+    // anti-join.
+    val cached = spark.range(3).toDF("id").cache()
+    cached.count()
+    val e = intercept[Exception] { cached.withColumn("cv", vcol).collect() }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("cannot derive commit version") ||
+        Option(e.getCause).exists(_.getMessage.contains("cannot derive commit version"))),
+      s"expected the loud version-derivation error, got: $e")
+    cached.unpersist()
+  }
+
   test("retryCow exhaustion chains the last race and stays a ConcurrentOverwriteException") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "v")
