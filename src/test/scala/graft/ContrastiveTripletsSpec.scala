@@ -14,7 +14,7 @@ class ContrastiveTripletsSpec extends AnyFunSuite {
 
   test("positives share the anchor's distinct-token set; negatives do not") {
     val keyOf = graft.ops.Tables.documents(spark, sfDir)
-      .withColumn("k", md5(concat_ws("",
+      .withColumn("k", md5(concat_ws("\u0001",
         array_sort(array_distinct(split(col("text"), " "))))))
       .select("doc_id", "k").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
